@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Tpch
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,19 +12,28 @@ import graft.queries.Tpch
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * q5-shape: 6-way join + group-by + sort, touching every layer.
-    */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Tpch.queries("tpch_q1")(spark, "/root/testdata/sf0.001")
 
+  private def fromSql(m: Map[String, String]): Map[String, (SparkSession, String) => DataFrame] =
+    m.map { case (name, text) =>
+      name -> ((spark: SparkSession, dir: String) => {
+        Tables.register(spark, dir); spark.sql(text)
+      })
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Tpch.queries
+    Tpch.queries ++
+      fromSql(Windows.sql) ++
+      fromSql(Relational.sql) ++ fromSql(Relational.sparkSql)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Tpch.oracles
+    Tpch.oracles ++
+      Windows.sql ++
+      Relational.sql ++ Relational.oracleOnlySql
 }

@@ -22,17 +22,31 @@ object Tables {
     * rejects; read it as raw nanos (legacy conf) and floor-divide to
     * microsecond TimestampType — the same truncation DuckDB applies when
     * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
+    * (Fixture timestamps are all post-epoch, so `div` == floor division.)
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // `div` is exact int64 division (a double divide would lose precision
+      // above 2^53 ns); fixture timestamps are post-epoch so trunc == floor.
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
     else df
   }
 
+  // Registration is idempotent per (session, dir): queries call register
+  // defensively, but within one Verify/Bench session only the first call
+  // reads footers / touches the catalog. At 100 TB a directory listing per
+  // query is a real driver cost; this caps it at one per session.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register all fixture tables as temp views in `spark` for SQL access. */
-  def register(spark: SparkSession, dir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    all.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
-  }
+  def register(spark: SparkSession, dir: String): Unit =
+    if (registered.get(spark) != dir) {
+      all.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
+      registered.put(spark, dir)
+    }
 }

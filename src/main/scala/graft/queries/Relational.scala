@@ -1,0 +1,186 @@
+package graft.queries
+
+/** Relational-surface widening beyond the TPC-H corpus: set operations,
+  * GROUPING SETS / ROLLUP / CUBE, aggregate FILTER, LIMIT/OFFSET,
+  * right/full-outer/cross/non-equi joins, VALUES inline relations and
+  * UNNEST/explode — every row of SURVEY.md §2.B the round-1 verdict marked
+  * "untested" that DuckDB can also express.
+  *
+  * Reference evidence: UNION `datafusion.proto:319-321,1067-1069`;
+  * GROUPING SETS/CUBE/ROLLUP `datafusion.proto:422-432`; UNNEST
+  * `datafusion.proto:285-317,794-805`; join types
+  * `datafusion_common.proto:78-88`; nested-loop join
+  * `datafusion.proto:1197-1203`; VALUES `datafusion.proto:214-217`;
+  * offset/fetch `datafusion.proto:1169-1180`; agg FILTER
+  * `datafusion.proto:513-520`.
+  *
+  * Scale: set ops are map-side unions (no shuffle beyond the downstream
+  * agg); ROLLUP/CUBE expand via Catalyst's Expand operator before a single
+  * hash aggregation (no per-grouping re-scan); the non-equi joins keep the
+  * small side literal/dimension-sized so the nested-loop build is broadcast.
+  */
+object Relational {
+  private val TP = "CAST(o_totalprice AS DECIMAL(12,2))"
+  private val QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+  /** SQL shared verbatim between Spark and the DuckDB oracle. */
+  val sql: Map[String, String] = Map(
+    // UNION ALL of two labeled segments
+    "set_union_all" -> s"""
+      SELECT k, seg FROM (
+        SELECT c_custkey AS k, 'high' AS seg FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT c_custkey AS k, 'neg' AS seg FROM customer WHERE c_acctbal < -900
+      ) u
+      ORDER BY k, seg""",
+
+    // UNION (distinct) of overlapping key ranges
+    "set_union_distinct" -> s"""
+      SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+        UNION
+        SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000
+      ) u
+      ORDER BY k""",
+
+    "set_intersect" -> s"""
+      SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9900
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+      ) u
+      ORDER BY k""",
+
+    "set_except" -> s"""
+      SELECT k FROM (
+        SELECT CAST(p_size AS INT) AS k FROM part
+        EXCEPT
+        SELECT n_nationkey AS k FROM nation
+      ) u
+      ORDER BY k""",
+
+    // ROLLUP: grand total + per-flag subtotals + full groups.
+    // COALESCE keeps the output NULL-free (fixture keys are non-null), so
+    // cross-engine NULL-ordering differences cannot bite.
+    "agg_rollup" -> s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+             CAST(SUM($QTY) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls""",
+
+    "agg_cube" -> s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls""",
+
+    "agg_grouping_sets" -> s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+             COALESCE(o_orderpriority, 'ALL') AS pri,
+             CAST(SUM($TP) AS DOUBLE) AS tp,
+             COUNT(*) AS cnt
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY st, pri""",
+
+    // aggregate FILTER clause (SUM FILTER over an empty set is NULL in both)
+    "agg_filter_clause" -> s"""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_all,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        CAST(SUM($TP) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS tp_open
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // global limit with skip (OFFSET) over a total order
+    "limit_offset" -> s"""
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 20 OFFSET 40""",
+
+    "join_right_outer" -> s"""
+      SELECT n_name, COUNT(c_custkey) AS n_rich
+      FROM customer RIGHT OUTER JOIN nation
+        ON c_nationkey = n_nationkey AND c_acctbal > 9500
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "join_full_outer" -> s"""
+      SELECT COALESCE(a.k, b.k) AS k, a.n_pending, b.n_rich
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n_pending
+            FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) a
+      FULL OUTER JOIN
+           (SELECT c_custkey AS k, COUNT(*) AS n_rich
+            FROM customer WHERE c_acctbal > 9000 GROUP BY c_custkey) b
+        ON a.k = b.k
+      ORDER BY k""",
+
+    "join_cross" -> s"""
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""",
+
+    // pure theta join -> nested-loop (broadcast NLJ in Spark); 25x25 side
+    "join_nonequi" -> s"""
+      SELECT n1.n_name AS lo_nation, n2.n_name AS hi_nation
+      FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+      ORDER BY lo_nation, hi_nation""",
+
+    // VALUES inline relation + range (BETWEEN) join against it
+    "join_values_range" -> s"""
+      SELECT b.bucket, COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+      FROM part p
+      JOIN (VALUES ('small', 1, 10), ('mid', 11, 25), ('big', 26, 50))
+           AS b(bucket, lo, hi)
+        ON p.p_size BETWEEN b.lo AND b.hi
+      GROUP BY b.bucket
+      ORDER BY b.bucket"""
+  )
+
+  /** Engine-specific pair: Spark uses LATERAL VIEW posexplode (0-based),
+    * DuckDB uses unnest + generate_subscripts (1-based) — same rows out.
+    */
+  val sparkSql: Map[String, String] = Map(
+    "unnest_pos" -> """
+      SELECT vec_id, CAST(pos + 1 AS BIGINT) AS pos,
+             CAST(ROUND(CAST(val AS DOUBLE), 6) AS DOUBLE) AS val
+      FROM embeddings
+      LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
+      WHERE vec_id < 20
+      ORDER BY vec_id, pos""",
+    // explode + re-aggregation: per-vector element count and abs-sum
+    "unnest_reagg" -> """
+      SELECT vec_id, COUNT(*) AS n_dims,
+             CAST(ROUND(SUM(CAST(ABS(val) AS DECIMAL(18,9))), 6) AS DOUBLE) AS l1_norm
+      FROM embeddings
+      LATERAL VIEW EXPLODE(embedding) t AS val
+      GROUP BY vec_id
+      ORDER BY vec_id"""
+  )
+
+  val oracleOnlySql: Map[String, String] = Map(
+    "unnest_pos" -> """
+      SELECT vec_id, pos, CAST(ROUND(val, 6) AS DOUBLE) AS val
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings WHERE vec_id < 20) t
+      ORDER BY vec_id, pos""",
+    "unnest_reagg" -> """
+      SELECT vec_id, COUNT(*) AS n_dims,
+             CAST(ROUND(SUM(CAST(ABS(val) AS DECIMAL(18,9))), 6) AS DOUBLE) AS l1_norm
+      FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings) t
+      GROUP BY vec_id
+      ORDER BY vec_id"""
+  )
+}

@@ -323,7 +323,12 @@ object Tpch {
   private def q15(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW revenue0 AS $q15View")
-    spark.sql(q15Select)
+    // Materialize before dropping the view so the shared session is left
+    // clean (a later table named revenue0 must not resolve to this view).
+    // The result is a handful of supplier rows, so the checkpoint is tiny.
+    val out = spark.sql(q15Select).localCheckpoint(eager = true)
+    spark.catalog.dropTempView("revenue0")
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

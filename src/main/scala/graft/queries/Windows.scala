@@ -1,0 +1,104 @@
+package graft.queries
+
+/** Window-function coverage: the reference ships the full window surface in
+  * its plan protobuf (`src/proto/datafusion.proto:1129-1139` WindowAggExec,
+  * `:528-540` window exprs, `:597-622` ROWS/RANGE frames) but its TPC-H corpus
+  * never exercises it; these queries do, with DuckDB-verifiable SQL.
+  *
+  * Determinism rules (cross-engine hash compare):
+  *   - every ORDER BY inside an OVER() ends in a unique key chain, so
+  *     ROW_NUMBER / LAG / LEAD / NTILE are well-defined;
+  *   - windowed SUMs aggregate DECIMAL (order-independent, exact), cast to
+  *     DOUBLE only at the output edge;
+  *   - RANGE frames are peer-inclusive, so they are deterministic even
+  *     without a unique ordering.
+  *
+  * Scale: Spark plans each window as hash-partition-by-key exchange + local
+  * sort (`WindowExec`); partition keys here (custkey/suppkey/brand) have
+  * cluster-scale cardinality, so no single-partition global window exists
+  * in any of these plans (the classic 100 TB window killer).
+  */
+object Windows {
+  private val TP = "CAST(o_totalprice AS DECIMAL(12,2))"
+  private val QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+  /** SQL shared verbatim between Spark and the DuckDB oracle. */
+  val sql: Map[String, String] = Map(
+    // row_number top-n per group — the canonical partitioned top-k
+    "win_row_number_topn" -> s"""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
+    // rank/dense_rank/percent_rank with ties (deterministic under ties)
+    "win_rank_dense" -> s"""
+      SELECT p_brand, p_size, p_partkey,
+        RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+        DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk,
+        CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_size), 6)
+             AS DOUBLE) AS prnk
+      FROM part
+      WHERE p_size <= 5
+      ORDER BY p_brand, p_size, p_partkey""",
+
+    // sliding ROWS frame sum (running 4-row window per supplier)
+    "win_sliding_sum" -> s"""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM($QTY) OVER (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS qty_sum
+      FROM lineitem
+      WHERE l_suppkey < 25
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+
+    // RANGE frame over a timestamp ordering (trailing 30-day revenue)
+    "win_range_frame" -> s"""
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM($TP) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                            RANGE BETWEEN INTERVAL '30' DAY PRECEDING
+                                      AND CURRENT ROW)
+             AS DOUBLE) AS tp_30d
+      FROM orders
+      WHERE o_custkey < 150
+      ORDER BY o_custkey, o_orderkey""",
+
+    // lag/lead navigation + delta vs previous order
+    "win_lag_lead" -> s"""
+      SELECT o_custkey, o_orderkey,
+        LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev_ord,
+        LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS next_ord,
+        CAST($TP - LAG($TP) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+             AS DOUBLE) AS tp_delta
+      FROM orders
+      WHERE o_custkey < 150
+      ORDER BY o_custkey, o_orderkey""",
+
+    // ntile + cume_dist + first/last value with explicit full frame
+    "win_ntile_firstlast" -> s"""
+      SELECT o_custkey, o_orderkey,
+        NTILE(4) OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+        CAST(ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey), 6)
+             AS DOUBLE) AS cd,
+        FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS top_ord,
+        LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS bottom_ord
+      FROM orders
+      WHERE o_custkey < 150
+      ORDER BY o_custkey, o_orderkey"""
+  )
+}
