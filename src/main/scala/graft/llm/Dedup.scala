@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (normalized-hash), MinHash+LSH banding, SimHash banding, and exact
+  * n-gram-Jaccard verification of LSH candidates.
+  *
+  * This is extension surface beyond the reference engine (which ships no
+  * dedup operators; its `documents`-like workloads would run these as plain
+  * SQL) — designed per SURVEY.md §7 Phase 3.
+  *
+  * 100 TB design rules applied here:
+  *   - candidate generation is a *shuffle join on band signatures*, never an
+  *     all-pairs comparison and never a broadcast of the corpus: docs that
+  *     share no band hash never meet;
+  *   - every stage is groupBy/join on keys with corpus-scale cardinality
+  *     (doc_id, band signature), so partition counts scale with the data;
+  *   - Jaccard verification runs only on LSH candidate pairs (bounded set),
+  *     not on the cross product;
+  *   - all hashes are deterministic (md5-derived), so results are
+  *     reproducible across runs and engines — no RNG, no seed drift.
+  *
+  * Everything is built from codegen'd built-ins (split / transform /
+  * explode / md5 / min) — no UDFs in the hot path.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed lowercase normalization — the usual first step
+    * before hashing document text.
+    */
+  val normalizeExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+
+  /** Exact dedup: group documents on the md5 of their normalized text.
+    * Output: one row per distinct content fingerprint with the surviving
+    * (minimum) doc_id and the duplicate count.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(s"md5($normalizeExpr)").as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_docs"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), expr(s"split($normalizeExpr, ' ')").as("w"))
+      .where(expr(s"size(w) >= $n"))
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${
+            (0 until n).map(j => s"w[i+$j]").mkString(", ")}))")).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: one row per (doc_id, seed) with the minimum
+    * md5(seed:shingle) — the classic permutation-free MinHash.
+    */
+  def minhash(docs: DataFrame, numHashes: Int = 8, shingleWords: Int = 3): DataFrame =
+    shingles(docs, shingleWords)
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(min(expr("md5(concat(CAST(s AS STRING), ':', shingle))")).as("h"))
+
+  /** Banded-LSH candidate pairs: docs sharing at least one band signature.
+    * `numHashes` minhashes grouped into `bands` bands of numHashes/bands
+    * rows; the join key is (band, signature) — a shuffle, not a broadcast.
+    * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    */
+  def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigParts = (0 until rows)
+      .map(r => s"MIN(CASE WHEN s % $rows = $r THEN h END)").mkString(", ")
+    val bandSigs = minhash(docs, numHashes)
+      .groupBy(col("doc_id"), expr(s"s DIV $rows").as("band"))
+      .agg(expr(s"CONCAT($sigParts)").as("sig"))
+    val a = bandSigs.as("a")
+    val b = bandSigs.as("b")
+    a.join(b,
+        expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
+      .groupBy(expr("a.doc_id").as("doc_a"), expr("b.doc_id").as("doc_b"))
+      .agg(countDistinct(expr("a.band")).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity, computed only for the given candidate
+    * pairs (columns doc_a, doc_b) — the verify stage after LSH.
+    */
+  def jaccard(docs: DataFrame, candidates: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val inter = candidates.as("c")
+      .join(sh.as("x"), expr("x.doc_id = c.doc_a"))
+      .join(sh.as("y"), expr("y.doc_id = c.doc_b AND y.shingle = x.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count("*").as("n_both"))
+    inter
+      .join(sizes.as("sa"), expr("sa.doc_id = doc_a"))
+      .join(sizes.as("sb"), expr("sb.doc_id = doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(ROUND(CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both), 6) AS DOUBLE)")
+          .as("jaccard"))
+  }
+
+  /** SimHash (60-bit to stay in signed-int64 range in every engine):
+    * per-bit majority vote over the md5 hashes of the document's distinct
+    * tokens. Output: (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(expr(s"split($normalizeExpr, ' ')")).as("tok"))
+      .distinct()
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    toks
+      .crossJoin(toks.sparkSession.range(1)
+        .select(explode(expr(s"sequence(0, ${bits - 1})")).as("b")))
+      .groupBy("doc_id", "b")
+      .agg(expr("SUM(CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END)").as("v"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "SUM(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup candidates at scale: band the fingerprint into
+    * `bits/bandBits` chunks and shuffle-join on matching chunks (a pair
+    * within small Hamming distance must agree on at least one band), then
+    * filter by exact Hamming distance. Never an all-pairs scan.
+    */
+  def simhashCandidates(docs: DataFrame, bandBits: Int = 15, maxHamming: Int = 8,
+                        bits: Int = 60): DataFrame = {
+    val sim = simhash(docs, bits)
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("chunk", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    banded.as("a")
+      .join(banded.as("b"),
+        expr("a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id"))
+      .select(expr("a.doc_id").as("doc_a"), expr("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality statistics,
+  * token counting, n-gram-heuristic language ID and document fingerprinting.
+  * Extension surface beyond the reference engine (SURVEY.md §7 Phase 3).
+  *
+  * All of it is per-row expression work (codegen'd built-ins — regexp,
+  * split, md5, aggregate) plus at most one groupBy keyed on doc_id, so the
+  * operators are embarrassingly parallel over corpus partitions: nothing
+  * here shuffles anything wider than (doc_id, lang-vote).
+  */
+object TextAnalysis {
+
+  /** Per-document quality stats: char/token counts, average word length,
+    * punctuation and whitespace ratios — the usual cheap quality filters.
+    */
+  def stats(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars",
+      "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
+      """CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '')) AS DOUBLE)
+        |     / length(text), 6) AS DOUBLE) AS alnum_ratio""".stripMargin,
+      """CAST(ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+        |     / length(text), 6) AS DOUBLE) AS space_ratio""".stripMargin,
+      """CAST(ROUND(CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS DOUBLE)
+        |     / size(split(trim(text), '\\\\s+')), 6) AS DOUBLE) AS avg_token_len""".stripMargin)
+
+  /** BPE-ish token counting: word pieces = runs of letters/digits plus
+    * single punctuation marks (a cheap stand-in for a real BPE vocab; at
+    * 100 TB the same regexp runs inside codegen per partition).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_bpeish",
+      "CAST(size(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS BIGINT) AS n_unique_words")
+
+  /** Stopword-vote language ID. `votes` maps language code -> marker words;
+    * the prediction is the language with the most distinct marker-word hits
+    * (ties broken by language code; zero hits => 'und'). The vote join is a
+    * shuffle on token, with the tiny marker table broadcast.
+    */
+  def langId(docs: DataFrame,
+             votes: Map[String, Seq[String]] = defaultVotes): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = votes.toSeq
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang_cand", "marker")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+      .distinct()
+    val scores = toks.join(broadcast(markers), expr("tok = marker"))
+      .groupBy("doc_id", "lang_cand").agg(count("*").as("hits"))
+    val best = scores
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand)"))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang_cand").as("pred_lang"), col("hits"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Tiny per-language marker-word lists (public common stopwords). */
+  val defaultVotes: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** Document fingerprint: k smallest md5 hashes of the character 8-grams
+    * (a k-min sketch — winnowing-style selection without the window walk).
+    * Deterministic, and two near-identical documents share most of the k.
+    */
+  def fingerprint(docs: DataFrame, k: Int = 4, gram: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), expr(Dedup.normalizeExpr).as("norm"))
+      .where(length(col("norm")) >= gram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(norm) - ${gram - 1}), i -> md5(substring(norm, i, $gram)))"))
+        .as("h"))
+      .groupBy("doc_id")
+      .agg(expr(s"concat_ws(',', slice(array_sort(collect_set(h)), 1, $k))").as("fp"))
+}
