@@ -14,10 +14,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # Full-precision repr: the local gate must be at least as strict as the
+    # driver's hash gate it mirrors (round-2 ADVICE: 6-sig-digit formatting
+    # hid >=1e6 drift). Queries are designed for bit-identical doubles
+    # (integer ratios, DECIMAL-exact sums, matching sequential folds).
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}" if abs(v) < 1e15 else repr(v)
+        return "nan" if math.isnan(v) else repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
@@ -49,9 +51,16 @@ def main():
             if "[verify]" in line:
                 print(line)
     con = duckdb.connect()
+    # Views are RAW parquet (events.ts stays TIMESTAMP_NS) to mirror the
+    # driver's oracle exactly; oracle SQL must therefore be ns-safe — never
+    # output a raw ts (date_trunc/CAST first). See Tables.scala nanos note.
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query names: {sorted(unknown)}")
+        sys.exit(1)
     n_ok = n_bad = 0
     for name, osql in sorted(oracle.items()):
         if only and name not in only:

@@ -23,11 +23,15 @@ object SparkEntry {
       })
     }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the LLM-pipeline
+    * extension operators (graft.llm) + source/sink/session surface (Io).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Tpch.queries ++
       fromSql(Windows.sql) ++
-      fromSql(Relational.sql) ++ fromSql(Relational.sparkSql)
+      fromSql(Relational.sql) ++ fromSql(Relational.sparkSql) ++
+      Llm.queries ++
+      Io.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -35,5 +39,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Tpch.oracles ++
       Windows.sql ++
-      Relational.sql ++ Relational.oracleOnlySql
+      Relational.sql ++ Relational.oracleOnlySql ++
+      Llm.oracles ++
+      Io.oracles
 }

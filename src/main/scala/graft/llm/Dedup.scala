@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *   - candidate generation is a *shuffle join on band signatures*, never an
   *     all-pairs comparison and never a broadcast of the corpus: docs that
   *     share no band hash never meet;
-  *   - every stage is groupBy/join on keys with corpus-scale cardinality
-  *     (doc_id, band signature), so partition counts scale with the data;
+  *   - MinHash is N parallel `min()` aggregates in ONE groupBy(doc_id) —
+  *     map-side partial aggregation means the shuffle carries one row per
+  *     (doc, partition), not shingles×N exploded rows (round-2 design);
+  *   - SimHash is a per-document bit-vote *expression* over the collected
+  *     token-hash set — one shuffle of distinct tokens, not tokens×bits
+  *     (the round-2 design shuffled 60× more rows);
   *   - Jaccard verification runs only on LSH candidate pairs (bounded set),
   *     not on the cross product;
   *   - all hashes are deterministic (md5-derived), so results are
@@ -54,29 +58,35 @@ object Dedup {
             (0 until n).map(j => s"w[i+$j]").mkString(", ")}))")).as("shingle"))
       .distinct()
 
-  /** MinHash signatures: one row per (doc_id, seed) with the minimum
-    * md5(seed:shingle) — the classic permutation-free MinHash.
+  /** MinHash signatures, wide: one row per doc_id with columns h0..h{N-1},
+    * h_s = min over shingles of md5("s:" ++ shingle) — the classic
+    * permutation-free MinHash. N parallel min-aggregates in a single
+    * groupBy: partial aggregation shrinks the shuffle to ~one row per
+    * (doc, input partition).
     */
   def minhash(docs: DataFrame, numHashes: Int = 8, shingleWords: Int = 3): DataFrame =
     shingles(docs, shingleWords)
-      .select(col("doc_id"), col("shingle"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("s"))
-      .groupBy(col("doc_id"), col("s"))
-      .agg(min(expr("md5(concat(CAST(s AS STRING), ':', shingle))")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        min(expr("md5(concat('0:', shingle))")).as("h0"),
+        (1 until numHashes).map(s =>
+          min(expr(s"md5(concat('$s:', shingle))")).as(s"h$s")): _*)
 
   /** Banded-LSH candidate pairs: docs sharing at least one band signature.
     * `numHashes` minhashes grouped into `bands` bands of numHashes/bands
-    * rows; the join key is (band, signature) — a shuffle, not a broadcast.
+    * values; the join key is (band, signature) — a shuffle, not a broadcast.
     * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
     */
   def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigParts = (0 until rows)
-      .map(r => s"MIN(CASE WHEN s % $rows = $r THEN h END)").mkString(", ")
+    val sigs = (0 until bands).map { b =>
+      val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString("concat(", ", ", ")")
+      s"struct($b AS band, $cat AS sig)"
+    }
     val bandSigs = minhash(docs, numHashes)
-      .groupBy(col("doc_id"), expr(s"s DIV $rows").as("band"))
-      .agg(expr(s"CONCAT($sigParts)").as("sig"))
+      .select(col("doc_id"), explode(expr(sigs.mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bandSigs.as("a")
     val b = bandSigs.as("b")
     a.join(b,
@@ -106,34 +116,43 @@ object Dedup {
 
   /** SimHash (60-bit to stay in signed-int64 range in every engine):
     * per-bit majority vote over the md5 hashes of the document's distinct
-    * tokens. Output: (doc_id, simhash).
+    * tokens. The vote is a per-document *expression* over the collected
+    * token-hash list (one shuffle: the distinct + collect on doc_id);
+    * integer arithmetic, so order-independent and engine-exact.
+    * Output: (doc_id, simhash).
     */
-  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
-    val toks = docs
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
+    docs
       .select(col("doc_id"), explode(expr(s"split($normalizeExpr, ' ')")).as("tok"))
       .distinct()
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    toks
-      .crossJoin(toks.sparkSession.range(1)
-        .select(explode(expr(s"sequence(0, ${bits - 1})")).as("b")))
-      .groupBy("doc_id", "b")
-      .agg(expr("SUM(CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END)").as("v"))
       .groupBy("doc_id")
-      .agg(expr(
-        "SUM(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
-        .as("simhash"))
-  }
+      .agg(collect_list("h").as("hs"))
+      .select(col("doc_id"),
+        expr(
+          s"""CAST(aggregate(transform(sequence(0, ${bits - 1}), b ->
+             |  CASE WHEN aggregate(hs, 0, (acc, h) ->
+             |         acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+             |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+             |  CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)""".stripMargin).as("simhash"))
 
   /** SimHash near-dup candidates at scale: band the fingerprint into
-    * `bits/bandBits` chunks and shuffle-join on matching chunks (a pair
-    * within small Hamming distance must agree on at least one band), then
+    * `bits/bandBits` chunks and shuffle-join on matching chunks, then
     * filter by exact Hamming distance. Never an all-pairs scan.
+    *
+    * Recall guarantee: a pair at Hamming distance d differs in at most d
+    * bands, so it agrees on at least one band — i.e. is found — only when
+    * d < bits/bandBits. The defaults (60 bits, 6-bit bands = 10 bands,
+    * maxHamming 8) satisfy maxHamming < nBands; a require enforces it so
+    * callers cannot silently drop in-threshold pairs.
     */
-  def simhashCandidates(docs: DataFrame, bandBits: Int = 15, maxHamming: Int = 8,
+  def simhashCandidates(docs: DataFrame, bandBits: Int = 6, maxHamming: Int = 8,
                         bits: Int = 60): DataFrame = {
     val sim = simhash(docs, bits)
     val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"recall guarantee needs maxHamming < bits/bandBits ($maxHamming >= $nBands)")
     val mask = (1L << bandBits) - 1
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
@@ -142,7 +161,7 @@ object Dedup {
       .join(banded.as("b"),
         expr("a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id"))
       .select(expr("a.doc_id").as("doc_a"), expr("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

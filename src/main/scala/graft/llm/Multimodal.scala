@@ -68,9 +68,9 @@ object Multimodal {
         content_md5 = h,
         width = (1 + hex(0, 4) % 64).toInt,
         height = (1 + hex(4, 4) % 64).toInt,
-        feature = Array.tabulate(8) { j =>
-          math.round(hex(j * 2, 2) / 255.0 * 1e6) / 1e6
-        })
+        // k/255.0 is a single IEEE division — bit-identical in any engine,
+        // so the fake features are differentially checkable with no rounding.
+        feature = Array.tabulate(8)(j => hex(j * 2, 2) / 255.0))
     }
   }
 

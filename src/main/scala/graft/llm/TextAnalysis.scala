@@ -18,16 +18,18 @@ object TextAnalysis {
     * punctuation and whitespace ratios — the usual cheap quality filters.
     */
   def stats(docs: DataFrame): DataFrame =
+    // NULLIF guards: Spark 4 runs ANSI mode by default, so an empty document
+    // must yield NULL ratios, not a DIVIDE_BY_ZERO that kills the job.
     docs.selectExpr(
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars",
       "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
       """CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '')) AS DOUBLE)
-        |     / length(text), 6) AS DOUBLE) AS alnum_ratio""".stripMargin,
+        |     / NULLIF(length(text), 0), 6) AS DOUBLE) AS alnum_ratio""".stripMargin,
       """CAST(ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-        |     / length(text), 6) AS DOUBLE) AS space_ratio""".stripMargin,
+        |     / NULLIF(length(text), 0), 6) AS DOUBLE) AS space_ratio""".stripMargin,
       """CAST(ROUND(CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS DOUBLE)
-        |     / size(split(trim(text), '\\\\s+')), 6) AS DOUBLE) AS avg_token_len""".stripMargin)
+        |     / NULLIF(size(split(trim(text), '\\s+')), 0), 6) AS DOUBLE) AS avg_token_len""".stripMargin)
 
   /** BPE-ish token counting: word pieces = runs of letters/digits plus
     * single punctuation marks (a cheap stand-in for a real BPE vocab; at

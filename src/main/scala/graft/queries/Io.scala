@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source/sink and session-surface coverage (round-2 verdict items #3, #4,
+  * #6, #7, #9, #10):
+  *
+  *   - CSV source+sink: multi-file write then schema'd read-back
+  *     (reference `register_csv`, context.rs:69-79, CsvSink
+  *     datafusion.proto:766-779);
+  *   - NDJSON source+sink (reference NdJsonExec, util.rs:498-500);
+  *   - listing table: a DIRECTORY of parquet files read as one table with
+  *     filters pushed into the multi-file scan (reference
+  *     register_listing_table, context.rs:82-107);
+  *   - partitioned parquet sink with overwrite + append modes
+  *     (FileSinkConfig/InsertOp, datafusion.proto:738-792);
+  *   - repartition/coalesce as user surface (RepartitionExecNode,
+  *     datafusion.proto:1220-1236);
+  *   - parameterized SQL (PrepareNode, datafusion.proto:179-183);
+  *   - events time-series coverage: hourly windows + session gaps + JSON
+  *     props extraction.
+  *
+  * Each entry round-trips through real files under /tmp/graft_io/<sf>/ and
+  * is verified against a DuckDB oracle computed from the ORIGINAL parquet
+  * tables — so a lossy write or a misread split shows up as a hash
+  * mismatch, not just a row count.
+  *
+  * Determinism: writes use mode("overwrite") (or overwrite-then-append
+  * within one call), so re-runs converge to the same files. Timestamps are
+  * compared only after date_trunc/CAST(DATE) — `events.ts` is nanosecond
+  * parquet which Spark truncates to micros, so raw ts values must never
+  * reach an output row (Tables.scala nanos note).
+  */
+object Io {
+
+  private def base(dir: String): String =
+    s"/tmp/graft_io/${new java.io.File(dir).getName}"
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame = {
+    Tables.register(s, d); s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources / sinks -------------------------------------------------
+    "src_csv_roundtrip" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val p = s"${base(d)}/orders_csv"
+      orders.repartition(4).write.mode("overwrite").option("header", "true").csv(p)
+      s.read.schema(orders.schema).option("header", "true").csv(p)
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_tp"),
+          expr("CAST(MIN(o_orderdate) AS DATE)").as("first_date"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "src_ndjson_roundtrip" -> ((s, d) => {
+      val customer = t(s, d, "customer")
+      val p = s"${base(d)}/customer_json"
+      customer.repartition(3).write.mode("overwrite").json(p)
+      s.read.schema(customer.schema).json(p)
+        .groupBy("c_mktsegment")
+        .agg(count("*").as("n_cust"),
+          expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("sum_bal"),
+          min("c_name").as("first_name"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "src_listing_dir" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      val p = s"${base(d)}/lineitem_dir"
+      li.repartition(6).write.mode("overwrite").parquet(p)
+      // directory-as-table: 6-file listing scan with the filter pushed down
+      s.read.parquet(p)
+        .where("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'")
+        .groupBy("l_returnflag")
+        .agg(count("*").as("n_items"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "sink_parquet_partitioned" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val p = s"${base(d)}/orders_by_status"
+      orders.where("o_orderstatus = 'F'")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+      orders.where("o_orderstatus = 'O'")
+        .write.mode("append").partitionBy("o_orderstatus").parquet(p)
+      s.read.parquet(p)
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_tp"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- partitioning surface -------------------------------------------
+    "repartition_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .repartition(16, col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(count("*").as("n_items"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)").as("sum_price"))
+        .coalesce(2)
+        .orderBy("l_linestatus")),
+
+    // ---- parameterized SQL ----------------------------------------------
+    "param_sql" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > :minp AND o_orderdate < CAST(:cutoff AS TIMESTAMP)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("minp" -> 150000, "cutoff" -> "1997-01-01 00:00:00"))
+    }),
+
+    // ---- events time series ----------------------------------------------
+    "ts_window_agg" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(
+        """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+          |       COUNT(*) AS n_events,
+          |       COUNT(DISTINCT user_id) AS n_users,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY hour_ts, event_type""".stripMargin)
+    }),
+
+    "ts_sessionize" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(
+        """SELECT user_id,
+          |       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+          |       COUNT(*) AS n_events
+          |FROM (SELECT user_id,
+          |             CASE WHEN prev_ts IS NULL
+          |                    OR ts - prev_ts > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_sess
+          |      FROM (SELECT user_id, ts, event_id,
+          |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |            FROM events))
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
+    }),
+
+    "json_props_agg" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(
+        """SELECT event_type,
+          |       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       COUNT(*) AS n_events
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp,
+        |       CAST(MIN(o_orderdate) AS DATE) AS first_date
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "src_ndjson_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+        |       min(c_name) AS first_name
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "src_listing_dir" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "sink_parquet_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "repartition_agg" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "param_sql" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > 150000 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ts_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "ts_sessionize" ->
+      """SELECT user_id,
+        |       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM (SELECT user_id,
+        |             CASE WHEN prev_ts IS NULL
+        |                    OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT user_id, ts, event_id,
+        |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |            FROM events) x) y
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "json_props_agg" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

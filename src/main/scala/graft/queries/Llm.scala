@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Correctness wiring for the graft.llm operator families (round-2 verdict
+  * item #1): every operator gets a `queries` entry running the REAL Scala
+  * implementation and a hand-derived DuckDB oracle that recomputes the same
+  * answer independently.
+  *
+  * Cross-engine determinism contracts (why hash-match is achievable):
+  *   - all hashing is md5 over utf-8 — identical hex in Spark and DuckDB;
+  *   - integer arithmetic (votes, bit ops, counts) is exact everywhere;
+  *   - float folds: Spark `aggregate()` and DuckDB `list_reduce()` both
+  *     fold left-to-right over IEEE doubles with correctly-rounded ops, so
+  *     dot products / norms / cosines are bit-identical;
+  *   - Spark `conv(substr(md5(x),1,15),16,10)` == DuckDB
+  *     `('0x' || substr(md5(x),1,15))::BIGINT` (60 bits, stays positive);
+  *   - hyperplane constants are computed ONCE in Scala
+  *     ([[Similarity.planeVector]]) and embedded as literals in BOTH the
+  *     Spark plan and the generated oracle SQL.
+  */
+object Llm {
+
+  /** DuckDB equivalent of [[Dedup.normalizeExpr]] (DuckDB regexp_replace
+    * needs the 'g' flag to replace all matches; Spark replaces all by
+    * default).
+    */
+  private val NORM = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+  /** DuckDB sequential left-fold dot product over list columns — matches
+    * Spark's `aggregate(zip_with(...))` bit-for-bit (same fold order).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def duckNorm(a: String): String =
+    s"SQRT(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+
+  private def duckCosine(a: String, b: String): String =
+    s"CAST(ROUND(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6) AS DOUBLE)"
+
+  /** Shared oracle CTEs for the shingle → minhash → band pipeline
+    * (numHashes=8, 3-word shingles, 4 bands of 2).
+    */
+  private val shingleCtes =
+    s"""norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM norm, unnest(generate_series(1, length(w) - 2)) AS u(i)
+       |       WHERE length(w) >= 3)""".stripMargin
+
+  private val minhashCtes = {
+    val mins = (0 until 8).map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM mh").mkString("\n UNION ALL ")
+    s"""$shingleCtes,
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band) AS n_bands
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB 60-bit token hash (== Spark conv(substr(md5,1,15),16,10)). */
+  private val tokCtes =
+    s"""toks AS (SELECT DISTINCT doc_id, tok
+       |         FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM documents)),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks)""".stripMargin
+
+  private def markerValues: String =
+    TextAnalysis.defaultVotes.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+
+  /** DuckDB literal list for hyperplane `p` — same constants as the Spark
+    * plan ([[Similarity.planeVector]]; components are exact half-integers).
+    */
+  private def duckPlane(p: Int, dims: Int): String =
+    Similarity.planeVector(p, dims).mkString("[", ", ", "]")
+
+  private def duckBucket(e: String, planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
+      val d = s"list_reduce(list_transform(generate_series(1, len($e)), i -> CAST($e[i] AS DOUBLE) * (${duckPlane(p, dims)}[i])), (acc, v) -> acc + v)"
+      s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir); spark.table("documents")
+  }
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir); spark.table("embeddings")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("fp")),
+
+    "llm_minhash_bands" -> ((s, d) =>
+      Dedup.lshCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
+
+    "llm_jaccard_verify" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.jaccard(dd, Dedup.lshCandidates(dd)).orderBy("doc_a", "doc_b")
+    }),
+
+    "llm_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+
+    "llm_simhash_near" -> ((s, d) =>
+      Dedup.simhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
+
+    "llm_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
+
+    "llm_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
+
+    "llm_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+
+    "llm_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+
+    "llm_cosine_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e.where("vec_id < 5"), e, 3)
+        .orderBy("probe_id", "rank")
+    }),
+
+    "llm_ann_bucketed" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e.where("vec_id < 16"), e, 3, planes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
+    "llm_multimodal_decode" -> ((s, d) => {
+      // runs the REAL typed mapPartitions decode path; the oracle recomputes
+      // the md5-derived pseudo-features in SQL independently.
+      val dec = Multimodal.decode(Multimodal.attach(docs(s, d)))
+      val cols = Seq(col("doc_id"), col("n_bytes"), col("content_md5"),
+        col("width"), col("height")) ++
+        (0 until 8).map(j => col("feature").getItem(j).as(s"f$j"))
+      dec.select(cols: _*).orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "llm_minhash_bands" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, n_bands FROM cands ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_jaccard_verify" ->
+      s"""WITH $minhashCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_both
+         |          FROM cands c
+         |          JOIN sh x ON x.doc_id = c.doc_a
+         |          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |       CAST(ROUND(CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both), 6) AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_simhash" ->
+      s"""WITH $tokCtes,
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_simhash_near" ->
+      s"""WITH $tokCtes,
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 6)) & 63 AS chunk
+         |           FROM sim, unnest(generate_series(0, 9)) AS g(band))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_text_stats" ->
+      raw"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+         |       / NULLIF(length(text), 0), 6) AS DOUBLE) AS alnum_ratio,
+         |  CAST(ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+         |       / NULLIF(length(text), 0), 6) AS DOUBLE) AS space_ratio,
+         |  CAST(ROUND(CAST(length($NORM) AS DOUBLE)
+         |       / NULLIF(length(string_split_regex(trim(text), '\s+')), 0), 6) AS DOUBLE) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_token_counts" ->
+      raw"""SELECT doc_id,
+         |  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0)) AS BIGINT) AS n_bpeish,
+         |  CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS BIGINT) AS n_unique_words
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_id" ->
+      s"""WITH markers(lang_cand, marker) AS (VALUES $markerValues),
+         |toks AS (SELECT DISTINCT doc_id, tok
+         |         FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM documents)),
+         |scores AS (SELECT doc_id, lang_cand, count(*) AS hits
+         |           FROM toks JOIN markers ON tok = marker GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang_cand AS pred_lang, hits,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn
+         |         FROM scores)
+         |SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+         |       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents),
+         |g AS (SELECT doc_id, md5(substr(norm, i, 8)) AS h
+         |      FROM n, unnest(generate_series(1, length(norm) - 7)) AS u(i)
+         |      WHERE length(norm) >= 8)
+         |SELECT doc_id, array_to_string(list_sort(list(DISTINCT h))[1:4], ',') AS fp
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_cosine_topk" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 5),
+         |ranked AS (SELECT probe_id, cand_id, cos,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_ann_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
+         |           FROM embeddings),
+         |pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ranked AS (SELECT probe_id, cand_id, cos,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_multimodal_decode" -> {
+      val feats = (0 until 8).map(j =>
+        s"('0x' || substr(md5(text), ${j * 2 + 1}, 2))::BIGINT / CAST(255 AS DOUBLE) AS f$j").mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS INT) AS width,
+         |  CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS INT) AS height,
+         |  $feats
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
+  )
+}
