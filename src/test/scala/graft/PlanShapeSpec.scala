@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.Tpch
+
+/** Plan-shape assertions — the "would this survive 100×?" gate (round-2
+  * verdict item #2). Correctness is the DuckDB differential check; these
+  * tests pin the *physical plans* we rely on at scale:
+  *
+  *   - no CartesianProduct anywhere in the declared query set;
+  *   - filters/pushdown actually reach the parquet scans (q6/q19);
+  *   - rank-limit pushdown (WindowGroupLimit) prunes before the shuffle;
+  *   - the ANN bucket join is an equi join, never a nested-loop;
+  *   - q18/q21's lineitem-derived build sides flip from broadcast to
+  *     shuffled joins once they exceed the broadcast threshold — the AQE
+  *     behavior that keeps those plans alive at real scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  test("no declared query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = staticPlan(fn(spark, sfSmoke))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("q6: filters pushed into the lineitem parquet scan") {
+    val pushed = pushedFilters(Tpch.queries("tpch_q6")(spark, sfSmoke))
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed to parquet: $pushed")
+    assert(pushed.contains("LessThan(l_quantity"),
+      s"quantity bound not pushed to parquet: $pushed")
+  }
+
+  test("q19: pushdown + pruned read schema on part") {
+    val plan = staticPlan(Tpch.queries("tpch_q19")(spark, sfSmoke))
+    assert(plan.contains("PushedFilters: ["))
+    // q19 projects a handful of columns; the scan must not read all of part
+    assert(!plan.contains("p_comment"), "part scan reads unprojected columns")
+  }
+
+  test("win_row_number_topn: rank-limit pushdown (WindowGroupLimit)") {
+    val plan = staticPlan(SparkEntry.queries("win_row_number_topn")(spark, sfSmoke))
+    assert(plan.contains("WindowGroupLimit"),
+      "top-n-per-key filter is not pruning below the window sort")
+  }
+
+  test("llm_ann_bucketed: bucket join is an equi join, not a nested loop") {
+    val plan = staticPlan(SparkEntry.queries("llm_ann_bucketed")(spark, sfSmoke))
+    assert(!plan.contains("NestedLoopJoin"), "bucket join degenerated to NLJ")
+  }
+
+  test("q18/q21 flip lineitem-derived build sides to shuffled joins under a 1MB broadcast threshold at sf0.1") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (1L * 1024 * 1024).toString)
+    try {
+      Seq("tpch_q18", "tpch_q21").foreach { q =>
+        val plan = finalPlan(Tpch.queries(q)(spark, sfBench))
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q still broadcasts every join side above the threshold")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+}
