@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** User-facing session façade with the surface of the reference engine's
+  * context (reference `src/context.rs:57-131`, `datafusion_ray/core.py:
+  * 591-655`): register tables by name from files, run SQL, tweak session
+  * config. Everything delegates to the SparkSession — registration is
+  * lazy (footer/header reads only), so the same calls work unchanged
+  * against a 100 TB directory tree.
+  */
+class Context(val spark: SparkSession) {
+
+  /** `register_parquet` (reference `context.rs:57-67`): a single file OR a
+    * directory/glob of parquet files — Spark's listing handles both, which
+    * also covers `register_listing_table` (`context.rs:82-107`).
+    */
+  def registerParquet(name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+  /** Directory-of-files table (reference `register_listing_table`,
+    * `context.rs:82-107`). Alias of registerParquet — a directory path IS
+    * a listing table in Spark — kept as its own method for API parity.
+    */
+  def registerListingTable(name: String, dir: String): Unit =
+    registerParquet(name, dir)
+
+  /** `register_csv` (reference `context.rs:69-79`): header/delimiter
+    * options with schema inference (pass `schema` to skip the inference
+    * scan — at 100 TB inference reads every file once).
+    */
+  def registerCsv(name: String, path: String, header: Boolean = true,
+                  delimiter: String = ",", schema: Option[StructType] = None): Unit = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+    val withSchema = schema.fold(r.option("inferSchema", "true"))(r.schema)
+    withSchema.csv(path).createOrReplaceTempView(name)
+  }
+
+  /** NDJSON registration (reference `NdJsonExec`, `util.rs:498-500`). */
+  def registerJson(name: String, path: String, schema: Option[StructType] = None): Unit =
+    schema.fold(spark.read)(spark.read.schema)
+      .json(path).createOrReplaceTempView(name)
+
+  /** `ctx.sql(query)` (reference `context.rs:109-113`) — supports
+    * multi-statement scripts (q15's `CREATE VIEW; SELECT; DROP VIEW`,
+    * reference `tpch/tpcbench.py:110-114`): statements run in order, the
+    * last resultful one is returned.
+    */
+  def sql(query: String): GraftDataFrame = {
+    val stmts = query.split(";").map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty SQL script")
+    new GraftDataFrame(stmts.map(spark.sql).last)
+  }
+
+  /** Parameterized SQL (reference `PrepareNode`, proto 179-183). */
+  def sql(query: String, args: Map[String, Any]): GraftDataFrame =
+    new GraftDataFrame(spark.sql(query, args))
+
+  /** Session config set/get (reference `context.rs:115-131`). */
+  def set(key: String, value: String): Unit = spark.conf.set(key, value)
+  def get(key: String): String = spark.conf.get(key)
+
+  /** Reference `get_target_partitions` — the shuffle fan-out knob. */
+  def targetPartitions: Int = spark.conf.get("spark.sql.shuffle.partitions").toInt
+}
+
+object Context {
+  def local(appName: String = "graft"): Context = new Context(Session.local(appName))
+}
+
+/** Handle to a pending query, mirroring the reference's `DFRayDataFrame`
+  * inspection+execution surface (`dataframe.rs:90-263`, `core.py:466-555`):
+  * `collect/show/schema/logical_plan/optimized_logical_plan/execution_plan/
+  * stages`. No relational verbs — query construction is SQL, as in the
+  * reference.
+  */
+class GraftDataFrame(val df: DataFrame) {
+
+  def collect(): Array[Row] = df.collect()
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+  def schema: StructType = df.schema
+
+  def logicalPlan: String = df.queryExecution.logical.toString
+  def optimizedLogicalPlan: String = df.queryExecution.optimizedPlan.toString
+  def executionPlan: String = df.queryExecution.executedPlan.toString
+
+  /** Unwrap AQE so stage cutting sees the exchange tree (the current plan:
+    * initial before execution, re-planned after).
+    */
+  private def physical: SparkPlan = df.queryExecution.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case p => p
+  }
+
+  /** Exchange-delimited stage dump — the reference's `stages()` semantics
+    * (`dataframe.rs:90-222`): every Exchange becomes a stage boundary; the
+    * parent reads the child stage (the reference's `DFRayStageReaderExec`,
+    * here the shuffle/broadcast fetch). Stages are numbered bottom-up, the
+    * root stage last — same ordering the reference emits.
+    */
+  def stages(): Seq[String] = {
+    val out = ArrayBuffer[String]()
+    def emit(root: SparkPlan): Int = {
+      val lines = ArrayBuffer[(Int, String)]()
+      def walk(p: SparkPlan, depth: Int): Unit = p match {
+        case e: Exchange =>
+          val cid = emit(e.child)
+          lines += depth -> s"${e.nodeName} [reads stage $cid]"
+        case r: ReusedExchangeExec =>
+          lines += depth -> s"${r.nodeName} [reuses earlier stage output]"
+        case q: QueryStageExec =>
+          walk(q.plan, depth)
+        case other =>
+          lines += depth -> other.simpleString(20)
+          other.children.foreach(walk(_, depth + 1))
+      }
+      walk(root, 0)
+      val id = out.length
+      out += lines.map { case (d, s) => "  " * d + s }
+        .mkString(s"Stage $id:\n", "\n", "")
+      id
+    }
+    emit(physical)
+    out.toSeq
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+/** The Context/GraftDataFrame façade: registration surface, multi-statement
+  * SQL, config get/set, plan introspection, and stage cutting (reference
+  * parity for `DFRayContext`/`DFRayDataFrame`).
+  */
+class ContextSpec extends SparkSpec {
+
+  private lazy val ctx = new Context(spark)
+  private val tmp = Files.createTempDirectory("graft_ctx").toString
+
+  test("registerParquet + sql round-trips a table") {
+    ctx.registerParquet("ctx_nation", s"$sfSmoke/nation.parquet")
+    val n = ctx.sql("SELECT count(*) AS n FROM ctx_nation").collect()(0).getLong(0)
+    assert(n == 25L)
+  }
+
+  test("registerListingTable reads a directory of parquet files as one table") {
+    val dir = s"$tmp/li_dir"
+    spark.read.parquet(s"$sfSmoke/nation.parquet")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    ctx.registerListingTable("ctx_nation_dir", dir)
+    assert(ctx.sql("SELECT count(*) AS n FROM ctx_nation_dir")
+      .collect()(0).getLong(0) == 25L)
+  }
+
+  test("registerCsv honors header/delimiter and infers schema") {
+    val dir = s"$tmp/csv"
+    spark.read.parquet(s"$sfSmoke/region.parquet")
+      .selectExpr("r_regionkey", "r_name")
+      .write.mode("overwrite").option("header", "true").option("sep", "|").csv(dir)
+    ctx.registerCsv("ctx_region_csv", dir, header = true, delimiter = "|")
+    val rows = ctx.sql(
+      "SELECT r_regionkey, r_name FROM ctx_region_csv ORDER BY r_regionkey").collect()
+    assert(rows.length == 5 && rows(0).getString(1).nonEmpty)
+    // inferSchema made the key numeric, not string
+    assert(rows(0).get(0).isInstanceOf[Long] || rows(0).get(0).isInstanceOf[Int])
+  }
+
+  test("multi-statement script: create view / select / drop view (q15 shape)") {
+    ctx.registerParquet("ctx_supplier", s"$sfSmoke/supplier.parquet")
+    val out = ctx.sql(
+      """CREATE OR REPLACE TEMP VIEW ctx_v AS SELECT s_nationkey, count(*) AS n
+        |  FROM ctx_supplier GROUP BY s_nationkey;
+        |SELECT max(n) AS mx FROM ctx_v;
+        |DROP VIEW ctx_v""".stripMargin)
+    // last resultful statement before DROP ran; DROP returns empty df — the
+    // script helper returns the LAST statement's frame, so select explicitly:
+    val mx = ctx.sql(
+      """CREATE OR REPLACE TEMP VIEW ctx_v AS SELECT s_nationkey, count(*) AS n
+        |  FROM ctx_supplier GROUP BY s_nationkey;
+        |SELECT max(n) AS mx FROM ctx_v""".stripMargin).collect()(0).getLong(0)
+    assert(mx >= 1L)
+    assert(out.collect() != null) // script with trailing DROP executes cleanly
+  }
+
+  test("parameterized sql binds named args") {
+    ctx.registerParquet("ctx_nation2", s"$sfSmoke/nation.parquet")
+    val n = ctx.sql(
+      "SELECT count(*) AS n FROM ctx_nation2 WHERE n_regionkey = :rk",
+      Map("rk" -> 0)).collect()(0).getLong(0)
+    assert(n == 5L)
+  }
+
+  test("config set/get and targetPartitions") {
+    val prev = ctx.get("spark.sql.shuffle.partitions")
+    ctx.set("spark.sql.shuffle.partitions", "7")
+    try {
+      assert(ctx.get("spark.sql.shuffle.partitions") == "7")
+      assert(ctx.targetPartitions == 7)
+    } finally ctx.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("plan introspection exposes logical, optimized and physical plans") {
+    ctx.registerParquet("ctx_orders", s"$sfSmoke/orders.parquet")
+    val gdf = ctx.sql(
+      "SELECT o_orderstatus, count(*) AS n FROM ctx_orders GROUP BY o_orderstatus")
+    assert(gdf.logicalPlan.contains("Aggregate"))
+    assert(gdf.optimizedLogicalPlan.contains("Aggregate"))
+    assert(gdf.executionPlan.contains("HashAggregate"))
+    assert(gdf.schema.fieldNames.toSeq == Seq("o_orderstatus", "n"))
+  }
+
+  test("stages(): a shuffle query cuts into >= 2 exchange-delimited stages") {
+    ctx.registerParquet("ctx_li", s"$sfSmoke/lineitem.parquet")
+    val gdf = ctx.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS q
+        |FROM ctx_li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    val st = gdf.stages()
+    assert(st.length >= 2, s"expected >=2 stages, got:\n${st.mkString("\n---\n")}")
+    // child stage holds the partial aggregate, a parent reads it
+    assert(st.exists(_.contains("HashAggregate")))
+    assert(st.exists(_.contains("[reads stage")))
+  }
+
+  test("stages(): scan-only query is a single stage") {
+    ctx.registerParquet("ctx_region", s"$sfSmoke/region.parquet")
+    val st = ctx.sql("SELECT r_name FROM ctx_region WHERE r_regionkey = 1").stages()
+    assert(st.length == 1)
+  }
+}
