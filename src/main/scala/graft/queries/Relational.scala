@@ -144,7 +144,32 @@ object Relational {
            AS b(bucket, lo, hi)
         ON p.p_size BETWEEN b.lo AND b.hi
       GROUP BY b.bucket
-      ORDER BY b.bucket"""
+      ORDER BY b.bucket""",
+
+    // explicit NULLS FIRST/LAST: the differential compare re-sorts rows, so
+    // the ordering is baked into row_number values to actually be checked
+    "sort_nulls_order" -> s"""
+      SELECT k, seg,
+             CAST(ROW_NUMBER() OVER (ORDER BY seg ASC NULLS LAST, k) AS INT) AS rn_nulls_last,
+             CAST(ROW_NUMBER() OVER (ORDER BY seg DESC NULLS FIRST, k) AS INT) AS rn_nulls_first
+      FROM (SELECT c_custkey AS k,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+            FROM customer WHERE c_custkey <= 100) t
+      ORDER BY k""",
+
+    // recursive CTE (SURVEY §2.B row 38 — a Spark gap until 4.x shipped
+    // WITH RECURSIVE; reference RecursiveQueryNode datafusion.proto:1270-1280)
+    "recursive_cte" -> s"""
+      WITH RECURSIVE sizes(n) AS (
+        SELECT 1
+        UNION ALL
+        SELECT n + 1 FROM sizes WHERE n < 10
+      )
+      SELECT n, COUNT(p_partkey) AS n_parts,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM sizes LEFT JOIN part ON p_size = n
+      GROUP BY n
+      ORDER BY n"""
   )
 
   /** Engine-specific pair: Spark uses LATERAL VIEW posexplode (0-based),
@@ -165,7 +190,18 @@ object Relational {
       FROM embeddings
       LATERAL VIEW EXPLODE(embedding) t AS val
       GROUP BY vec_id
-      ORDER BY vec_id"""
+      ORDER BY vec_id""",
+    // predicate surface: ILIKE (case-insensitive), IS NOT TRUE (3-valued),
+    // TRY_CAST (never errors), regex match — Spark spells it regexp_like
+    "pred_surface" -> """
+      SELECT p_partkey, p_name, p_type,
+             CAST(p_name ILIKE '%WIDGET%' AS BOOLEAN) AS is_widget,
+             TRY_CAST(p_brand AS INT) AS brand_num
+      FROM part
+      WHERE p_name ILIKE '%ROD%'
+        AND regexp_like(p_type, '^(ECONOMY|PROMO)$')
+        AND (p_size > 40) IS NOT TRUE
+      ORDER BY p_partkey"""
   )
 
   val oracleOnlySql: Map[String, String] = Map(
@@ -181,6 +217,16 @@ object Relational {
       FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings) t
       GROUP BY vec_id
-      ORDER BY vec_id"""
+      ORDER BY vec_id""",
+    // DuckDB spells the regex predicate regexp_matches
+    "pred_surface" -> """
+      SELECT p_partkey, p_name, p_type,
+             CAST(p_name ILIKE '%WIDGET%' AS BOOLEAN) AS is_widget,
+             TRY_CAST(p_brand AS INT) AS brand_num
+      FROM part
+      WHERE p_name ILIKE '%ROD%'
+        AND regexp_matches(p_type, '^(ECONOMY|PROMO)$')
+        AND (p_size > 40) IS NOT TRUE
+      ORDER BY p_partkey"""
   )
 }
