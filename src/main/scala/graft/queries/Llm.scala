@@ -106,8 +106,10 @@ object Llm {
 
     "llm_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
 
-    "llm_simhash_near" -> ((s, d) =>
-      Dedup.simhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // no ORDER BY: the candidate set is ~n² in dup-heavy corpora and the
+    // differential compare canonicalizes row order anyway — a global sort
+    // of the pair set would be pure benchmark overhead at scale
+    "llm_simhash_near" -> ((s, d) => Dedup.simhashCandidates(docs(s, d))),
 
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
 

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface: the same event-analytics transforms the
+  * batch queries run (hourly windows, sessionization), expressed as
+  * unbounded streams with watermarks and explicit state.
+  *
+  * The reference engine has no event-time streaming at all (SURVEY.md §0:
+  * its "streaming execution" is pipelined *batch*), so this module is
+  * extension surface: the capabilities a training-data pipeline needs when
+  * the corpus arrives continuously rather than as a snapshot.
+  *
+  * Scale design:
+  *   - every aggregation below is keyed (window/session × event_type or
+  *     user_id), so state partitions across executors by key — nothing is
+  *     global;
+  *   - watermarks bound state: closed windows/sessions are evicted, so
+  *     state size tracks the watermark horizon, not stream history;
+  *   - the transforms take DataFrames, so the SAME function runs in batch
+  *     mode (fixture parquet) and streaming mode (readStream) — tested for
+  *     equivalence in StreamingSpec.
+  */
+object Streams {
+
+  /** Typed event record matching the `events` fixture (micros timestamp). */
+  case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String,
+                   value: Double)
+
+  /** Per-user session accumulator for [[runningSessionStats]]. */
+  case class UserState(nEvents: Long, maxValue: Double)
+
+  /** Emitted update per (user, trigger). */
+  case class UserUpdate(user_id: Long, n_events: Long, max_value: Double)
+
+  /** File-source stream: treat a parquet path (file, directory or glob) as
+    * an unbounded source — the deployment shape where new corpus files
+    * land continuously (`readStream` needs the schema up front; inference
+    * would scan the directory).
+    */
+  def fromParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Tumbling event-time window counts with a watermark. Works identically
+    * on a batch DataFrame (watermark is a no-op there) — the streaming
+    * twin of the batch `ts_window_agg` query.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        sum(expr("CAST(value AS DOUBLE)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Event-time session windows (gap-based), keyed per user: the streaming
+    * twin of the batch `ts_sessionize` query. State per (user, open
+    * session); closed sessions evict at the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count and max value, emitted on every trigger — the
+    * `KeyValueGroupedDataset` state API the brief calls for. State is
+    * per-user and partitioned by key; production deployments cap it with
+    * a GroupStateTimeout (omitted here: a processing-time timeout makes
+    * the scheduler fire perpetual timeout batches, which never drains in
+    * a bounded test).
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserState(s.nEvents + 1, math.max(s.maxValue, e.value))
+          }
+          state.update(next)
+          UserUpdate(userId, next.nEvents, next.maxValue)
+      }
+  }
+
+  /** Drive any of the above to an in-memory table and block until the
+    * source drains — the test/demo harness path.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}

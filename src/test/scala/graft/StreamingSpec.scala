@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming: windowed/session aggregations and custom keyed
+  * state over a MemoryStream, plus batch/stream equivalence (the same
+  * transform function produces identical results both ways).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val fixture = Seq(
+    Event(ts(0), 1L, "click", 1.0),
+    Event(ts(5), 1L, "click", 3.0),
+    Event(ts(10), 2L, "view", 2.0),
+    Event(ts(59), 2L, "view", 4.0),
+    // next hour
+    Event(Timestamp.valueOf("2026-01-01 11:01:00"), 1L, "click", 5.0))
+
+  test("windowed counts over a stream: tumbling hour windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(fixture: _*)
+    Streams.runToMemory(
+      Streams.windowedCounts(src.toDF()), "win_counts", OutputMode.Complete())
+    val rows = spark.table("win_counts")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("2026-01-01 10:00:00.0", "click", 2L, 4.0),
+      ("2026-01-01 10:00:00.0", "view", 2L, 6.0),
+      ("2026-01-01 11:00:00.0", "click", 1L, 5.0)))
+  }
+
+  test("batch/stream equivalence: the same transform on a batch frame") {
+    import spark.implicits._
+    val batch = Streams.windowedCounts(fixture.toDF())
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.toSeq == Seq(
+      ("2026-01-01 10:00:00.0", "click", 2L, 4.0),
+      ("2026-01-01 10:00:00.0", "view", 2L, 6.0),
+      ("2026-01-01 11:00:00.0", "click", 1L, 5.0)))
+  }
+
+  test("session windows: 30-minute gap splits user 1 into two sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(fixture: _*)
+    Streams.runToMemory(
+      Streams.sessionCounts(src.toDF()), "sess_counts", OutputMode.Complete())
+    val rows = spark.table("sess_counts")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "2026-01-01 10:00:00.0", 2L),   // 10:00 + 10:05
+      (1L, "2026-01-01 11:01:00.0", 1L),   // >30 min gap => new session
+      (2L, "2026-01-01 10:10:00.0", 1L),   // 10:10 vs 10:59 = 49 min gap
+      (2L, "2026-01-01 10:59:00.0", 1L)))
+  }
+
+  test("mapGroupsWithState: running per-user count and max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(fixture.take(4): _*)
+    val q = Streams.runningUserStats(src.toDS()).writeStream
+      .format("memory").queryName("user_stats").outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      src.addData(fixture(4)) // second micro-batch: state carries over
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("user_stats")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.expr("max(n_events) AS n"),
+        org.apache.spark.sql.functions.expr("max(max_value) AS mx"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(last.toSeq == Seq((1L, 3L, 5.0), (2L, 2L, 4.0)))
+  }
+}
