@@ -28,6 +28,9 @@ object Session {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // events.ts is TIMESTAMP(NANOS) parquet; see Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed saveAsTable target (in-memory catalog, files under /tmp —
+      // never the repo's cwd default spark-warehouse/)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -43,6 +43,21 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  /** Drop a managed (saveAsTable) table AND its warehouse directory. With
+    * the in-memory catalog a fresh session forgets the table but the files
+    * survive, and a later CTAS fails with LOCATION_ALREADY_EXISTS —
+    * callers writing bucketed tables must clear both.
+    */
+  def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(wh, name))
+  }
+
   /** Register all fixture tables as temp views in `spark` for SQL access. */
   def register(spark: SparkSession, dir: String): Unit =
     if (registered.get(spark) != dir) {

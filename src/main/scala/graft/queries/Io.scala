@@ -96,6 +96,29 @@ object Io {
         .orderBy("o_orderstatus")
     }),
 
+    // bucketed tables: both sides pre-hashed into the same bucket count on
+    // the join key, so the join needs NO shuffle at all — at 100 TB this is
+    // the difference between re-shuffling both fact tables per query and
+    // reading co-located buckets (BucketedJoinSpec pins the no-Exchange
+    // plan; here the differential check proves the bucketed files carry
+    // the right rows)
+    "bucketed_join" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      Tables.dropManaged(s, "b_orders")
+      Tables.dropManaged(s, "b_customer")
+      orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      s.table("b_orders")
+        .join(s.table("b_customer"), expr("o_custkey = c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count("*").as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_tp"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- partitioning surface -------------------------------------------
     "repartition_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -182,6 +205,12 @@ object Io {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "repartition_agg" ->
       """SELECT l_linestatus, count(*) AS n_items,
