@@ -191,6 +191,18 @@ object Relational {
       LATERAL VIEW EXPLODE(embedding) t AS val
       GROUP BY vec_id
       ORDER BY vec_id""",
+    // DISTINCT ON (reference DistinctOnNode datafusion.proto:251-260):
+    // Spark has no DISTINCT ON syntax — the idiom is row_number()=1 over
+    // the same (partition, order) spec, which Spark executes with
+    // WindowGroupLimit pushdown (rank filter prunes before the sort)
+    "distinct_on" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal
+      FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer) t
+      WHERE rn = 1
+      ORDER BY c_nationkey""",
     // predicate surface: ILIKE (case-insensitive), IS NOT TRUE (3-valued),
     // TRY_CAST (never errors), regex match — Spark spells it regexp_like
     "pred_surface" -> """
@@ -218,6 +230,13 @@ object Relational {
             FROM embeddings) t
       GROUP BY vec_id
       ORDER BY vec_id""",
+    // DuckDB's native DISTINCT ON, same first-row-per-group ordering
+    "distinct_on" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal
+      FROM (SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+            FROM customer
+            ORDER BY c_nationkey, c_acctbal DESC, c_custkey) t
+      ORDER BY c_nationkey""",
     // DuckDB spells the regex predicate regexp_matches
     "pred_surface" -> """
       SELECT p_partkey, p_name, p_type,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.llm.{Dedup, Similarity}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants for the LLM operators over generated corpora.
+  * Uses ScalaCheck generators with a fixed seed walk (no scalatestplus
+  * bridge in the offline cache) — each property checks several sampled
+  * corpora, each sample a real Spark job, so sizes stay small.
+  */
+class LlmPropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.oneOf("spark", "data", "query", "join", "scan",
+    "batch", "the", "and", "fast", "slow")
+  private val doc = Gen.chooseNum(3, 12).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val corpus = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  private def docsDF(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to corpus size") {
+    samples(corpus, 5).foreach { texts =>
+      val out = Dedup.exact(docsDF(texts)).collect()
+      assert(out.map(_.getLong(2)).sum == texts.length)
+      assert(out.map(_.getString(0)).distinct.length == out.length)
+    }
+  }
+
+  test("jaccard: self-pairs score exactly 1, cross-pairs stay in [0, 1]") {
+    samples(corpus, 5).foreach { texts =>
+      import spark.implicits._
+      val d = docsDF(texts)
+      val ids = texts.indices.map(_.toLong)
+      val self = Dedup.jaccard(d, ids.map(i => (i, i)).toDF("doc_a", "doc_b")).collect()
+      assert(self.forall(_.getDouble(2) == 1.0))
+      if (ids.length >= 2) {
+        val cross = Dedup.jaccard(d,
+          ids.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+            .toDF("doc_a", "doc_b")).collect()
+        assert(cross.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+      }
+    }
+  }
+
+  test("identical docs always agree on every LSH band") {
+    samples(doc, 5).foreach { text =>
+      val cands = Dedup.lshCandidates(docsDF(Seq(text, text))).collect()
+      assert(cands.length == 1 && cands(0).getLong(2) == 4L, s"text: $text")
+    }
+  }
+
+  test("simhash is invariant to token order (set semantics)") {
+    samples(doc, 5).foreach { text =>
+      val shuffled = text.split(" ").reverse.mkString(" ")
+      val out = Dedup.simhash(docsDF(Seq(text, shuffled))).collect()
+        .map(_.getLong(1)).distinct
+      assert(out.length == 1, s"text: $text")
+    }
+  }
+
+  private val vec: Gen[List[Float]] = Gen.listOfN(4,
+    Gen.chooseNum(-100, 100).map(_ / 10f)).suchThat(_.exists(_ != 0f))
+
+  test("cosine stays in [-1, 1]; self-similarity is 1") {
+    samples(Gen.listOfN(3, vec), 5).foreach { vs =>
+      import spark.implicits._
+      val e = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val top = Similarity.bruteForceTopK(e, e, k = vs.length).collect()
+      assert(top.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+      val self = e.select(Similarity.cosine("embedding", "embedding").as("c")).collect()
+      assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    }
+  }
+}
