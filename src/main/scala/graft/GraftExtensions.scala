@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Session extensions installing the engine's native functions — loaded by
+  * name via `spark.sql.extensions` (see [[Session.local]]), the standard
+  * plug-in point, so plain `spark.sql("graft_cosine(a, b)")` works in any
+  * session configured with the library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(arrayA, arrayB)")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two float-array columns.
+  *
+  * Why a custom Catalyst Expression (the brief's tier (b)) instead of the
+  * `aggregate(zip_with(...))` higher-order-function formulation: HOFs are
+  * evaluated per-row through interpreted lambdas and exclude the operator
+  * from whole-stage codegen (measured in this repo — see
+  * `llm/Similarity.scala` scaladoc). This expression participates in
+  * codegen: the generated loop runs fused inside the enclosing stage.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF formulation (and the DuckDB
+  * `list_reduce` oracle): dot and squared-norm accumulate left-to-right
+  * over IEEE doubles — same fold order, same correctly-rounded ops — and
+  * the dot runs over min(len) while each norm runs over its own full
+  * array, exactly like `zip_with` + per-array `transform`. Null ARRAYS
+  * propagate null; null ELEMENTS are not supported (fixture embeddings
+  * are dense).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects two ARRAY<FLOAT> args, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nd = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < nd) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    var nx = 0.0
+    i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble; nx += v * v; i += 1
+    }
+    var ny = 0.0
+    i = 0
+    while (i < y.numElements()) {
+      val v = y.getFloat(i).toDouble; ny += v * v; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val v = ctx.freshName("v")
+      s"""
+         |int $i = 0;
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |int nd = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for ($i = 0; $i < nd; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |for ($i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i); $nx += $v * $v;
+         |}
+         |for ($i = 0; $i < $b.numElements(); $i++) {
+         |  double $v = (double) $b.getFloat($i); $ny += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+}

@@ -41,8 +41,20 @@ object Similarity {
     s"""SQRT(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
 
-  /** Cosine similarity column (rounded to 6 decimals at the edge). */
+  /** Cosine similarity column (rounded to 6 decimals at the edge), via the
+    * native codegen'd [[graft.functions.CosineSimilarity]] expression
+    * (registered as `graft_cosine` by [[graft.GraftExtensions]]). Falls
+    * back to the HOF formulation when the extension isn't installed in
+    * the session. Both produce bit-identical doubles (same fold order);
+    * VectorExpressionSpec asserts the equality.
+    */
   def cosine(a: String, b: String): Column =
+    expr(s"CAST(ROUND(graft_cosine($a, $b), 6) AS DOUBLE)")
+
+  /** The higher-order-function formulation — kept as the extension-free
+    * fallback and as the differential twin for the native expression.
+    */
+  def cosineHof(a: String, b: String): Column =
     expr(s"CAST(ROUND(${dot(a, b)} / (${norm(a)} * ${norm(b)}), 6) AS DOUBLE)")
 
   /** Exact top-k by cosine: for each probe vector, the k nearest corpus
