@@ -107,6 +107,24 @@ object Similarity {
     expr(bits.mkString(" + "))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors in the same hyperplane
+    * bucket whose exact cosine clears `minCosine` — the embedding-space
+    * member of the dedup family (Dedup covers the lexical ones). Bucketed
+    * candidate generation keeps it a shuffle equi-join (never all-pairs);
+    * like any LSH method, recall is bounded by bucket agreement, which is
+    * why the differential oracle replicates the same buckets.
+    */
+  def cosineNearDups(vecs: DataFrame, minCosine: Double, planes: Int = 8,
+                     dims: Int = 64): DataFrame = {
+    val b = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket("embedding", planes, dims).as("bucket"))
+    b.as("a").join(b.as("b"),
+        expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
+      .select(expr("a.vec_id").as("vec_a"), expr("b.vec_id").as("vec_b"),
+        cosine("a.embedding", "b.embedding").as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
   /** LSH-bucketed ANN: probes only meet corpus vectors in the same
     * hyperplane bucket (shuffle join on bucket id), then exact cosine +
     * top-k within the candidates.

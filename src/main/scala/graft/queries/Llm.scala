@@ -133,6 +133,12 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    "llm_embed_neardup" -> ((s, d) =>
+      // 0.4: the synthetic embeddings have no true dups (max pairwise
+      // cosine ~0.51 at sf0.01) — the cut keeps the entry non-empty
+      Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
+        .orderBy("vec_a", "vec_b")),
+
     "llm_multimodal_decode" -> ((s, d) => {
       // runs the REAL typed mapPartitions decode path; the oracle recomputes
       // the md5-derived pseudo-features in SQL independently.
@@ -262,6 +268,15 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_embed_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
+         |           FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       ${duckCosine("x.embedding", "y.embedding")} AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "llm_multimodal_decode" -> {
       val feats = (0 until 8).map(j =>

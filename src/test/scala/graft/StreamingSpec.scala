@@ -68,6 +68,23 @@ class StreamingSpec extends SparkSpec {
       (2L, "2026-01-01 10:59:00.0", 1L)))
   }
 
+  test("file-source stream over the events fixture equals the batch result") {
+    Tables.register(spark, sfSmoke)
+    val batchEvents = spark.table("events")
+      .select("ts", "user_id", "event_type", "value")
+    // stage the fixture as a "landing directory" the stream tails
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = Streams.fromParquet(spark, dir, batchEvents.schema)
+    Streams.runToMemory(
+      Streams.windowedCounts(stream), "evt_stream_agg", OutputMode.Complete())
+    val streamed = spark.table("evt_stream_agg")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = Streams.windowedCounts(batchEvents)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("mapGroupsWithState: running per-user count and max") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
