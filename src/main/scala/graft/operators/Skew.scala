@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation — the explicit counterpart to AQE's runtime
+  * skew-join split (SkewJoinSpec) for engines/paths where AQE can't help:
+  * stream-static joins, aggregation state, or a known-hot key set.
+  *
+  * Salted join: the skewed (big) side scatters each hot key across
+  * `salts` sub-keys; the small side replicates each row `salts` times so
+  * every sub-key still finds its match. Join output is IDENTICAL to the
+  * plain join — only the shuffle distribution changes: a key that owned
+  * one partition now spreads over `salts` partitions, at the price of a
+  * `salts`× blow-up of the (small) replicated side.
+  *
+  * The salt is derived from a hash of the big side's non-key payload
+  * (deterministic, no RNG), so re-runs produce identical partitioning.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `key`, salted
+    * `salts` ways. Columns out = big.* ++ small.* minus the duplicate key.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts))
+        .cast("int"))
+    val saltedSmall = small
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for count/sum-style (algebraic)
+    * aggregates when one group dwarfs the rest: partial-aggregate on
+    * (key, salt), then final-aggregate on key. Spark's hash aggregate
+    * already partial-aggregates map-side, so this matters when the
+    * *partial state itself* is wide (e.g. collect-like buffers) or the
+    * hot group overwhelms one reducer.
+    */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+                     salts: Int = 16): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(col(valueCol)), lit(salts)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count("*").as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").as("s"))
+}

@@ -169,6 +169,24 @@ object Io {
           |ORDER BY user_id""".stripMargin)
     }),
 
+    // gap-based session windows in BATCH mode (the streaming twin lives in
+    // graft.streaming.Streams): Spark's session_window merges events whose
+    // gaps stay under 30 min; the oracle rebuilds the same sessions with
+    // gaps-and-islands SQL
+    "ts_session_window" -> ((s, d) => {
+      Tables.register(s, d)
+      // session_window must appear IN the GROUP BY — as a plain projection
+      // it never merges, every event keeps its raw [ts, ts+gap) window
+      s.sql(
+        """SELECT user_id,
+          |       session_window.start AS session_start,
+          |       session_window.end AS session_end,
+          |       COUNT(*) AS n_events
+          |FROM events
+          |GROUP BY user_id, session_window(ts, '30 minutes')
+          |ORDER BY user_id, session_start""".stripMargin)
+    }),
+
     "json_props_agg" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -244,6 +262,24 @@ object Io {
         |            FROM events) x) y
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "ts_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM x)
+        |SELECT user_id,
+        |       MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "json_props_agg" ->
       """SELECT event_type,
