@@ -68,6 +68,25 @@ object Io {
         .orderBy("c_mktsegment")
     }),
 
+    // Arrow IPC round-trip through the custom DataSource V2 pair
+    // (graft.sources.ArrowIpcWriter -> ArrowIpcSource): distributed
+    // per-partition write, multi-file scan, pruned read — oracle over the
+    // original parquet proves value fidelity end to end
+    "src_arrow_roundtrip" -> ((s, d) => {
+      val sup = t(s, d, "supplier").selectExpr(
+        "CAST(s_suppkey AS BIGINT) AS s_suppkey", "s_name",
+        "CAST(s_nationkey AS BIGINT) AS s_nationkey",
+        "CAST(s_acctbal AS DOUBLE) AS s_acctbal")
+      val p = s"${base(d)}/supplier_arrow"
+      graft.sources.ArrowIpcWriter.write(sup.repartition(3), p)
+      s.read.format("graft.sources.ArrowIpcSource").load(p)
+        .groupBy("s_nationkey")
+        .agg(count("*").as("n_supp"),
+          expr("CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("sum_bal"),
+          min("s_name").as("first_name"))
+        .orderBy("s_nationkey")
+    }),
+
     "src_listing_dir" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
@@ -210,6 +229,12 @@ object Io {
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |       min(c_name) AS first_name
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "src_arrow_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_supp,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+        |       min(s_name) AS first_name
+        |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
 
     "src_listing_dir" ->
       """SELECT l_returnflag, count(*) AS n_items,

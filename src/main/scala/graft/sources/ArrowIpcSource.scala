@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.io.{File, FileInputStream}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Arrow IPC (stream format) scan as a DataSource V2 `TableProvider` —
+  * SURVEY §2.B's optional Arrow row (reference `ArrowExec`,
+  * `util.rs:504-506`), built on the arrow-vector libraries Spark already
+  * ships. Usage:
+  *
+  * {{{ spark.read.format("graft.sources.ArrowIpcSource").load(dirOrFile) }}}
+  *
+  * Scale design: one input partition per file (the IPC stream format has
+  * no internal split points — at 100 TB you write MANY files, as with any
+  * log-structured layout); schema inferred from one file header only;
+  * column pruning pushed into the reader (`SupportsPushDownRequiredColumns`
+  * — unprojected vectors are never copied out of the batch).
+  *
+  * Supported Arrow types: Int(64/32), FloatingPoint(single/double),
+  * Utf8, Bool — the fixture surface. Extend `sparkTypeOf`/`valueAt` for
+  * more.
+  */
+class ArrowIpcSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ArrowIpc.inferSchema(ArrowIpc.listFiles(options.get("path")))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new ArrowIpcTable(schema, properties.get("path"))
+}
+
+private[sources] object ArrowIpc {
+
+  def listFiles(path: String): Seq[String] = {
+    require(path != null, "arrow source requires a path")
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().toSeq
+          .filter(x => x.isFile && !x.getName.startsWith(".") &&
+            !x.getName.startsWith("_"))
+      else Seq(f)
+    require(files.nonEmpty, s"no arrow files under $path")
+    files.map(_.getAbsolutePath).sorted
+  }
+
+  def sparkTypeOf(field: Field): DataType = field.getType match {
+    case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+    case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
+    case t: ArrowType.FloatingPoint =>
+      if (t.getPrecision.name == "DOUBLE") DoubleType else FloatType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case other =>
+      throw new UnsupportedOperationException(s"arrow type $other")
+  }
+
+  def inferSchema(files: Seq[String]): StructType = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    val in = new FileInputStream(files.head)
+    val reader = new ArrowStreamReader(in, alloc)
+    try {
+      val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+      StructType(fields.map(f =>
+        StructField(f.getName, sparkTypeOf(f), f.isNullable)).toSeq)
+    } finally { reader.close(); in.close(); alloc.close() }
+  }
+}
+
+private[sources] class ArrowIpcTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"arrow:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowScanBuilder(schema, path)
+}
+
+private[sources] class ArrowScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ArrowScan(required, path)
+}
+
+private[sources] class ArrowScan(required: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowIpc.listFiles(path).map(ArrowFilePartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(required)
+  override def description(): String = s"ArrowIpcScan $path ${required.simpleString}"
+}
+
+private[sources] case class ArrowFilePartition(file: String) extends InputPartition
+
+private[sources] class ArrowReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ArrowPartitionReader(required, p.asInstanceOf[ArrowFilePartition].file)
+}
+
+/** Streams one IPC file batch-by-batch; only the projected vectors are
+  * read. Arrow memory is freed on close (task-completion guaranteed by
+  * the DSv2 contract).
+  */
+private[sources] class ArrowPartitionReader(required: StructType, file: String)
+    extends PartitionReader[InternalRow] {
+
+  private val alloc = new RootAllocator(Long.MaxValue)
+  private val in = new FileInputStream(file)
+  private val reader = new ArrowStreamReader(in, alloc)
+  private val root = reader.getVectorSchemaRoot
+  private var rowIdx = 0
+  private var rowCount = 0
+
+  override def next(): Boolean = {
+    if (rowIdx < rowCount) true
+    else if (reader.loadNextBatch()) {
+      rowIdx = 0
+      rowCount = root.getRowCount
+      if (rowCount == 0) next() else true
+    } else false
+  }
+
+  private def valueAt(v: FieldVector, i: Int): Any = v match {
+    case x: BigIntVector => x.get(i)
+    case x: IntVector => x.get(i)
+    case x: Float8Vector => x.get(i)
+    case x: Float4Vector => x.get(i)
+    case x: BitVector => x.get(i) == 1
+    case x: VarCharVector => UTF8String.fromBytes(x.get(i))
+    case other =>
+      throw new UnsupportedOperationException(s"arrow vector ${other.getClass}")
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var j = 0
+    while (j < required.length) {
+      val v = root.getVector(required(j).name)
+      if (v.isNull(rowIdx)) row.setNullAt(j)
+      else row.update(j, valueAt(v, rowIdx))
+      j += 1
+    }
+    rowIdx += 1
+    row
+  }
+
+  override def close(): Unit = {
+    reader.close(); in.close(); alloc.close()
+  }
+}
