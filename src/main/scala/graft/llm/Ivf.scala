@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the partition-led
+  * scale path next to [[Similarity.lshTopK]]'s hash-led one: cluster the
+  * corpus once (k-means), then search only the `nprobe` clusters nearest
+  * each probe.
+  *
+  * Division of labor:
+  *   - TRAINING uses spark.ml k-means (seeded => deterministic) — a
+  *     one-off batch job whose output is just `k` centroid vectors;
+  *   - the QUERY path is pure DataFrame algebra with the codegen'd
+  *     `graft_cosine` expression: centroids live in a k-row table that
+  *     broadcasts to every executor, corpus rows rank their own nearest
+  *     centroid (no mllib, no UDF at query time), probes shortlist
+  *     `nprobe` centroids, and the candidate join is a shuffle equi-join
+  *     on cluster id — the corpus never meets more than nprobe/k of
+  *     itself per probe.
+  *
+  * At 100 TB the cluster assignment is written once as a bucketed column
+  * and re-used by every query; here it's computed inline.
+  */
+object Ivf {
+
+  /** K-row centroid table (centroid_id, centroid: array<float>). */
+  def train(vecs: DataFrame, k: Int = 16, seed: Long = 42L,
+            maxIter: Int = 10): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .fit(vecs.select(array_to_vector(col("embedding")).as("features")))
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("centroid_id", "centroid")
+  }
+
+  /** Nearest-centroid assignment per vector: broadcast the k-row centroid
+    * table, rank by cosine. Output: input columns + centroid_id.
+    */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("__c").desc, col("centroid_id"))
+    vecs.join(broadcast(centroids))
+      .withColumn("__c", expr("graft_cosine(embedding, centroid)"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .drop("__c", "__r", "centroid")
+  }
+
+  /** Probe side: the `nprobe` nearest centroids per probe. */
+  private def shortlist(probes: DataFrame, centroids: DataFrame,
+                        nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__c").desc, col("centroid_id"))
+    probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .join(broadcast(centroids))
+      .withColumn("__c", expr("graft_cosine(pe, centroid)"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("centroid_id"))
+  }
+
+  /** IVF top-k: exact cosine over candidates from the probed clusters
+    * only. Self-matches excluded, rank ties broken on cand_id.
+    */
+  def topK(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+           k: Int, nprobe: Int = 4): DataFrame = {
+    val assigned = assign(corpus, centroids)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("centroid_id"))
+    val pairs = shortlist(probes, centroids, nprobe)
+      .join(assigned, Seq("centroid_id"))
+      .where(expr("cand_id <> probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        expr("CAST(ROUND(graft_cosine(pe, ce), 6) AS DOUBLE)").as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

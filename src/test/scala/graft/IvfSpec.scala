@@ -1,0 +1,57 @@
+package graft
+
+import graft.llm.{Ivf, Similarity}
+
+/** IVF ANN: determinism of seeded training, partition completeness of the
+  * assignment, candidate containment, and recall against the brute-force
+  * oracle on the fixture embeddings.
+  */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = {
+    Tables.register(spark, sfSmoke)
+    spark.table("embeddings")
+  }
+  private lazy val centroids = Ivf.train(emb, k = 8)
+
+  test("training is deterministic for a fixed seed") {
+    val a = centroids.orderBy("centroid_id").collect()
+      .map(_.getSeq[Float](1).toSeq)
+    val b = Ivf.train(emb, k = 8).orderBy("centroid_id").collect()
+      .map(_.getSeq[Float](1).toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 8)
+  }
+
+  test("assignment covers every vector exactly once") {
+    val assigned = Ivf.assign(emb, centroids)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    // every cluster id is one of the trained centroids
+    assert(assigned.select("centroid_id").distinct().count() <= 8)
+  }
+
+  test("top-1 recall vs brute force clears 0.6 with nprobe=4 of 8") {
+    val probes = emb.where("vec_id < 40")
+    val ivf1 = Ivf.topK(probes, emb, centroids, k = 1, nprobe = 4)
+      .select("probe_id", "cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact1 = Similarity.bruteForceTopK(probes, emb, 1)
+      .select("probe_id", "cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact1.count { case (p, c) => ivf1.get(p).contains(c) }
+    val recall = hits.toDouble / exact1.size
+    assert(recall >= 0.6, s"recall $recall ($hits/${exact1.size})")
+  }
+
+  test("nprobe = k degenerates to exact search") {
+    val probes = emb.where("vec_id < 10")
+    val all = Ivf.topK(probes, emb, centroids, k = 3, nprobe = 8)
+      .select("probe_id", "rank", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(probes, emb, 3)
+      .select("probe_id", "rank", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all == exact)
+  }
+}
