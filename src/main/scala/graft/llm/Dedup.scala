@@ -114,6 +114,25 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** End-to-end corpus dedup — the operator as a pipeline actually uses
+    * it. Two passes: (1) exact dups collapse to the minimum doc_id per
+    * normalized-content fingerprint; (2) LSH candidates verified by exact
+    * n-gram Jaccard drop every survivor that has a verified near-dup of
+    * SMALLER doc_id (the one-pass greedy rule — deterministic and
+    * shuffle-bounded; a transitive-closure union-find would need
+    * iteration and is deliberately not done here). Output: the surviving
+    * rows of `docs`.
+    */
+  def dedupe(docs: DataFrame, jaccardThreshold: Double = 0.6,
+             numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val survivors = docs.join(
+      exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val nearDrop = jaccard(survivors, lshCandidates(survivors, numHashes, bands))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(nearDrop, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash (60-bit to stay in signed-int64 range in every engine):
     * per-bit majority vote over the md5 hashes of the document's distinct
     * tokens. The vote is a per-document *expression* over the collected

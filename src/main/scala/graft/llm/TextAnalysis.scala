@@ -31,6 +31,20 @@ object TextAnalysis {
       """CAST(ROUND(CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS DOUBLE)
         |     / NULLIF(size(split(trim(text), '\\s+')), 0), 6) AS DOUBLE) AS avg_token_len""".stripMargin)
 
+  /** Quality filter over [[stats]]: keep documents inside the usual
+    * training-data quality envelope (token count band, mostly-alphanumeric
+    * content, sane whitespace density). NULL ratios (empty docs) fail
+    * every predicate and drop out, as they should.
+    */
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Long = 5, maxTokens: Long = 5000,
+                    minAlnum: Double = 0.7,
+                    maxSpace: Double = 0.4): DataFrame =
+    stats(docs)
+      .where(col("n_tokens").between(minTokens, maxTokens)
+        && col("alnum_ratio") >= minAlnum
+        && col("space_ratio") <= maxSpace)
+
   /** BPE-ish token counting: word pieces = runs of letters/digits plus
     * single punctuation marks (a cheap stand-in for a real BPE vocab; at
     * 100 TB the same regexp runs inside codegen per partition).
@@ -88,14 +102,19 @@ object TextAnalysis {
     * sf0.1 locally (higher-order functions skip codegen) but shuffles
     * every gram hash of every document — ~70× the corpus size through
     * the wire, which is the wrong trade everywhere beyond a laptop.
+    *
+    * `stride` samples every stride-th gram position — at stride 2 half the
+    * md5 calls (the per-row cost driver) for a sketch that still shares
+    * most minima between near-identical documents.
     */
-  def fingerprint(docs: DataFrame, k: Int = 4, gram: Int = 8): DataFrame =
+  def fingerprint(docs: DataFrame, k: Int = 4, gram: Int = 8,
+                  stride: Int = 2): DataFrame =
     docs
       .select(col("doc_id"), expr(Dedup.normalizeExpr).as("norm"))
       .where(length(col("norm")) >= gram)
       .select(col("doc_id"), expr(
         s"""concat_ws(',', slice(array_sort(array_distinct(
-           |  transform(sequence(1, length(norm) - ${gram - 1}),
+           |  transform(sequence(1, length(norm) - ${gram - 1}, $stride),
            |            i -> md5(substring(norm, i, $gram))))), 1, $k))""".stripMargin)
         .as("fp"))
 }

@@ -43,19 +43,19 @@ object Llm {
     s"CAST(ROUND(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6) AS DOUBLE)"
 
   /** Shared oracle CTEs for the shingle → minhash → band pipeline
-    * (numHashes=8, 3-word shingles, 4 bands of 2).
+    * (numHashes=8, 3-word shingles, 4 bands of 2), over any doc source.
     */
-  private val shingleCtes =
-    s"""norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+  private def shingleCtes(src: String): String =
+    s"""norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM $src),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        |       FROM norm, unnest(generate_series(1, length(w) - 2)) AS u(i)
        |       WHERE length(w) >= 3)""".stripMargin
 
-  private val minhashCtes = {
+  private def minhashCtes(src: String = "documents"): String = {
     val mins = (0 until 8).map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(", ")
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM mh").mkString("\n UNION ALL ")
-    s"""$shingleCtes,
+    s"""${shingleCtes(src)},
        |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band) AS n_bands
@@ -63,6 +63,20 @@ object Llm {
        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
   }
+
+  /** cands → exact-Jaccard CTEs (needs the `sh` CTE in scope). */
+  private val jaccardCtes: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_both
+       |          FROM cands c
+       |          JOIN sh x ON x.doc_id = c.doc_a
+       |          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT i.doc_a, i.doc_b,
+       |               CAST(ROUND(CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both), 6) AS DOUBLE) AS jaccard
+       |        FROM inter i
+       |        JOIN sizes sa ON sa.doc_id = i.doc_a
+       |        JOIN sizes sb ON sb.doc_id = i.doc_b)""".stripMargin
 
   /** DuckDB 60-bit token hash (== Spark conv(substr(md5,1,15),16,10)). */
   private val tokCtes =
@@ -113,6 +127,13 @@ object Llm {
 
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
 
+    "llm_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(docs(s, d))
+        .select("doc_id", "n_tokens").orderBy("doc_id")),
+
+    "llm_dedup_pipeline" -> ((s, d) =>
+      Dedup.dedupe(docs(s, d)).select("doc_id").orderBy("doc_id")),
+
     "llm_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
 
@@ -156,11 +177,11 @@ object Llm {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "llm_minhash_bands" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, n_bands FROM cands ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_jaccard_verify" ->
-      s"""WITH $minhashCtes,
+      s"""WITH ${minhashCtes()},
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_both
          |          FROM cands c
@@ -214,6 +235,31 @@ object Llm {
          |       / NULLIF(length(string_split_regex(trim(text), '\s+')), 0), 6) AS DOUBLE) AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "llm_quality_filter" ->
+      raw"""WITH st AS (
+         |  SELECT doc_id,
+         |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+         |         / NULLIF(length(text), 0), 6) AS DOUBLE) AS alnum_ratio,
+         |    CAST(ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+         |         / NULLIF(length(text), 0), 6) AS DOUBLE) AS space_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens FROM st
+         |WHERE n_tokens BETWEEN 5 AND 5000
+         |  AND alnum_ratio >= 0.7 AND space_ratio <= 0.4
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_pipeline" ->
+      s"""WITH fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
+         |$jaccardCtes,
+         |nd AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.6)
+         |SELECT doc_id FROM docs2
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+         |ORDER BY doc_id""".stripMargin,
+
     "llm_token_counts" ->
       raw"""SELECT doc_id,
          |  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0)) AS BIGINT) AS n_bpeish,
@@ -238,7 +284,7 @@ object Llm {
     "llm_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents),
          |g AS (SELECT doc_id, md5(substr(norm, i, 8)) AS h
-         |      FROM n, unnest(generate_series(1, length(norm) - 7)) AS u(i)
+         |      FROM n, unnest(generate_series(1, length(norm) - 7, 2)) AS u(i)
          |      WHERE length(norm) >= 8)
          |SELECT doc_id, array_to_string(list_sort(list(DISTINCT h))[1:4], ',') AS fp
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
