@@ -168,29 +168,49 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, bandBits: Int = 6, maxHamming: Int = 8,
                         bits: Int = 60): DataFrame = {
-    val sim = simhash(docs, bits)
     val nBands = bits / bandBits
     require(maxHamming < nBands,
       s"recall guarantee needs maxHamming < bits/bandBits ($maxHamming >= $nBands)")
     val mask = (1L << bandBits) - 1
-    val banded = sim.select(col("doc_id"), col("simhash"),
+    // Dup-heavy corpora collapse to FAR fewer distinct fingerprints than
+    // documents (a template cluster is ONE simhash), so the banded join
+    // runs over distinct fingerprints only and group members expand back
+    // into doc pairs afterwards. The naive doc-level band join enumerates
+    // |cluster|² matches per band and dedupes them through a second full
+    // shuffle — measured 30M join rows for 2.5M output pairs at sf0.1;
+    // this shape emits each output pair exactly once. (Join residuals
+    // that dedupe bands in place measured worse still: HOF lambdas skip
+    // whole-stage codegen, and a 45-comparison unrolled CASE outgrows JIT
+    // method limits and runs interpreted.)
+    val groups = simhash(docs, bits)
+      .groupBy("simhash").agg(collect_list("doc_id").as("members"))
+    val banded = groups.select(col("simhash"),
       explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .withColumn("chunk", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    // Candidate dedup is a distinct over (pair, hamming): the banded join
-    // emits a near-dup pair once per agreeing band (identical pairs on all
-    // nBands), and the 2nd shuffle dedupes. Measured alternatives that
-    // skip the distinct via a "first agreeing band only" join residual are
-    // strictly worse (sf0.1: distinct 3s; higher-order-function residual
-    // 1.6× slower since lambdas skip whole-stage codegen; an unrolled
-    // 45-comparison CASE residual 2.4× slower — the generated join method
-    // outgrows JIT limits and runs interpreted). AQE exchange reuse
-    // computes the banded side once for both join inputs.
-    banded.as("a")
+    // distinct-fingerprint pairs that band-match within the radius
+    val fpPairs = banded.as("a")
       .join(banded.as("b"),
-        expr("a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id"))
-      .select(expr("a.doc_id").as("doc_a"), expr("b.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+        expr("a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash"))
+      .select(expr("a.simhash").as("sim_a"), expr("b.simhash").as("sim_b"))
       .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
       .where(col("hamming") <= maxHamming)
+    // cross-group expansion: every member pair across the two clusters
+    val cross = fpPairs
+      .join(groups.as("ga"), expr("sim_a = ga.simhash"))
+      .join(groups.as("gb"), expr("sim_b = gb.simhash"))
+      .select(col("hamming"), explode(expr("ga.members")).as("da"),
+        col("gb.members").as("mb"))
+      .select(col("hamming"), col("da"), explode(col("mb")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // intra-group pairs: identical fingerprints, hamming 0 by definition
+    val intra = groups.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("da"), col("members").as("mb"))
+      .select(col("da"), explode(col("mb")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(intra)
   }
 }
