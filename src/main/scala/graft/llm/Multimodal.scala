@@ -88,4 +88,46 @@ object Multimodal {
       }
     }
   }
+
+  /** Deterministic "resize": rescale the decoded geometry to fit a
+    * bounding box, preserving aspect ratio (integer floor math — exact in
+    * every engine). A real implementation swaps the arithmetic for the
+    * codec's rescale; the typed partition-parallel shape is identical.
+    */
+  def resize(decoded: Dataset[Decoded], maxSide: Int): Dataset[Decoded] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val longSide = math.max(d.width, d.height)
+      if (longSide <= maxSide) d
+      else d.copy(
+        width = math.max(1, d.width * maxSide / longSide),
+        height = math.max(1, d.height * maxSide / longSide))
+    }
+  }
+
+  /** One sampled frame of a "video" payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_md5: String,
+                   frame_bytes: Long)
+
+  /** Deterministic frame sampling: treat the payload as `nFrames` equal
+    * byte ranges and fingerprint each — the Spark-side shape of uniform
+    * video frame extraction (split points and per-frame hashes are exact,
+    * so the whole pipeline stays oracle-checkable). Short payloads yield
+    * fewer frames (one per byte at most); empty payloads yield none.
+    */
+  def frameSample(blobs: Dataset[Blob], nFrames: Int = 4): Dataset[Frame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.flatMap { b =>
+      val n = b.payload.length
+      val frames = math.min(nFrames, n)
+      (0 until frames).map { i =>
+        val from = (n.toLong * i / frames).toInt
+        val until = (n.toLong * (i + 1) / frames).toInt
+        val slice = java.util.Arrays.copyOfRange(b.payload, from, until)
+        Frame(b.doc_id, i, FakeDecoder.md5Hex(slice), (until - from).toLong)
+      }
+    }
+  }
 }

@@ -160,6 +160,12 @@ object Llm {
       Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
         .orderBy("vec_a", "vec_b")),
 
+    "llm_frame_sample" -> ((s, d) =>
+      // fixture text is pure ASCII (checked: octet_length == length), so
+      // the oracle's char-based slicing matches the byte-based frames
+      Multimodal.frameSample(Multimodal.attach(docs(s, d)), nFrames = 4)
+        .toDF().orderBy("doc_id", "frame_idx")),
+
     "llm_multimodal_decode" -> ((s, d) => {
       // runs the REAL typed mapPartitions decode path; the oracle recomputes
       // the md5-derived pseudo-features in SQL independently.
@@ -323,6 +329,16 @@ object Llm {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "llm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |g AS (SELECT doc_id, text, i AS frame_idx,
+        |             (n * i) // 4 AS fr, (n * (i + 1)) // 4 AS un
+        |      FROM b, unnest(generate_series(0, 3)) AS u(i))
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substring(text, CAST(fr + 1 AS INT), CAST(un - fr AS INT))) AS frame_md5,
+        |       CAST(un - fr AS BIGINT) AS frame_bytes
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
 
     "llm_multimodal_decode" -> {
       val feats = (0 until 8).map(j =>

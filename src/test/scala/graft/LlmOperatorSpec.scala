@@ -127,6 +127,31 @@ class LlmOperatorSpec extends SparkSpec {
     assert(fp(1L).split(",").length <= 4)
   }
 
+  test("multimodal resize preserves aspect ratio within the bounding box") {
+    val d = Multimodal.decode(Multimodal.attach(docs(1L -> "hello world of pixels")))
+    val r = Multimodal.resize(d, maxSide = 10).collect()(0)
+    val o = d.collect()(0)
+    assert(math.max(r.width, r.height) <= 10)
+    if (math.max(o.width, o.height) > 10) {
+      // scaled by the same integer factor, floor semantics
+      val long = math.max(o.width, o.height)
+      assert(r.width == math.max(1, o.width * 10 / long))
+      assert(r.height == math.max(1, o.height * 10 / long))
+    }
+  }
+
+  test("frame sampling splits the payload into contiguous exact ranges") {
+    val fs = Multimodal.frameSample(
+      Multimodal.attach(docs(1L -> "abcdefghij")), nFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(fs.length == 4)
+    assert(fs.map(_.frame_bytes).sum == 10L) // ranges tile the payload
+    // 10 bytes over 4 frames: |2|3|2|3| (floor boundaries)
+    assert(fs.map(_.frame_bytes).toSeq == Seq(2L, 3L, 2L, 3L))
+    // frame 0 = md5("ab")
+    assert(fs(0).frame_md5 == Multimodal.FakeDecoder.md5Hex("ab".getBytes("UTF-8")))
+  }
+
   test("multimodal decode derives metadata from payload md5 (stub contract)") {
     // md5("hello") = 5d41402abc4b2a76b9719d911017c592
     val d = Multimodal.decode(Multimodal.attach(docs(1L -> "hello"))).collect()(0)
