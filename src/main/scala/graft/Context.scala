@@ -49,15 +49,47 @@ class Context(val spark: SparkSession) {
     schema.fold(spark.read)(spark.read.schema)
       .json(path).createOrReplaceTempView(name)
 
+  /** Split a SQL script on top-level semicolons only — a `;` inside a
+    * single-/double-quoted literal or a backtick identifier is content
+    * (with `''` escape handling), so `WHERE c = 'a;b'` stays one
+    * statement.
+    */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote)
+          if (i + 1 < script.length && script.charAt(i + 1) == quote) {
+            cur += quote; i += 1 // doubled-quote escape stays inside
+          } else quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case ';' => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** `ctx.sql(query)` (reference `context.rs:109-113`) — supports
     * multi-statement scripts (q15's `CREATE VIEW; SELECT; DROP VIEW`,
-    * reference `tpch/tpcbench.py:110-114`): statements run in order, the
-    * last resultful one is returned.
+    * reference `tpch/tpcbench.py:110-114`): statements run in order and
+    * the last RESULTFUL one is returned (commands like CREATE/DROP yield
+    * empty-schema frames, so a script ending in DROP still hands back its
+    * SELECT).
     */
   def sql(query: String): GraftDataFrame = {
-    val stmts = query.split(";").map(_.trim).filter(_.nonEmpty)
+    val stmts = splitStatements(query)
     require(stmts.nonEmpty, "empty SQL script")
-    new GraftDataFrame(stmts.map(spark.sql).last)
+    val frames = stmts.map(spark.sql)
+    new GraftDataFrame(frames.findLast(_.schema.nonEmpty).getOrElse(frames.last))
   }
 
   /** Parameterized SQL (reference `PrepareNode`, proto 179-183). */

@@ -43,6 +43,12 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  /** Recursive local delete (shared by dropManaged and ArrowIpcWriter). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Drop a managed (saveAsTable) table AND its warehouse directory. With
     * the in-memory catalog a fresh session forgets the table but the files
     * survive, and a later CTAS fails with LOCATION_ALREADY_EXISTS —
@@ -51,11 +57,7 @@ object Tables {
   def dropManaged(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(wh, name))
+    deleteRecursively(new java.io.File(wh, name))
   }
 
   /** Register all fixture tables as temp views in `spark` for SQL access. */

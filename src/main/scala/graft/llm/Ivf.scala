@@ -41,17 +41,19 @@ object Ivf {
   }
 
   /** Nearest-centroid assignment per vector: broadcast the k-row centroid
-    * table, rank by cosine. Output: input columns + centroid_id.
+    * table, take the per-vector argmax with `max_by` — partial aggregation
+    * collapses the k candidate rows map-side, so ~one row per vector
+    * crosses the wire (a row_number window here would shuffle AND sort
+    * k× the corpus). Ties break toward the smaller centroid_id. Output:
+    * (vec_id, embedding, centroid_id).
     */
-  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("__c").desc, col("centroid_id"))
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.join(broadcast(centroids))
       .withColumn("__c", expr("graft_cosine(embedding, centroid)"))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
-      .drop("__c", "__r", "centroid")
-  }
+      .groupBy("vec_id")
+      .agg(
+        first("embedding").as("embedding"), // constant within the group
+        expr("max_by(centroid_id, struct(__c, -centroid_id))").as("centroid_id"))
 
   /** Probe side: the `nprobe` nearest centroids per probe. */
   private def shortlist(probes: DataFrame, centroids: DataFrame,

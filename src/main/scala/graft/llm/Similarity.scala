@@ -42,17 +42,21 @@ object Similarity {
        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
 
   /** Cosine similarity column (rounded to 6 decimals at the edge), via the
-    * native codegen'd [[graft.functions.CosineSimilarity]] expression
-    * (registered as `graft_cosine` by [[graft.GraftExtensions]]). Falls
-    * back to the HOF formulation when the extension isn't installed in
-    * the session. Both produce bit-identical doubles (same fold order);
-    * VectorExpressionSpec asserts the equality.
+    * native codegen'd [[graft.functions.CosineSimilarity]] expression.
+    * REQUIRES the session to carry [[graft.GraftExtensions]]
+    * (`spark.sql.extensions`, set by [[graft.Session.local]]); sessions
+    * without it should use [[cosineHof]]. For equal-length arrays the two
+    * produce bit-identical doubles (same fold order) — asserted by
+    * VectorExpressionSpec.
     */
   def cosine(a: String, b: String): Column =
     expr(s"CAST(ROUND(graft_cosine($a, $b), 6) AS DOUBLE)")
 
-  /** The higher-order-function formulation — kept as the extension-free
-    * fallback and as the differential twin for the native expression.
+  /** The higher-order-function formulation — the extension-free variant
+    * and the differential twin for the native expression. Semantics
+    * divergence on RAGGED inputs only: `zip_with` null-pads the shorter
+    * array so this yields NULL, while the native expression folds over
+    * min(len).
     */
   def cosineHof(a: String, b: String): Column =
     expr(s"CAST(ROUND(${dot(a, b)} / (${norm(a)} * ${norm(b)}), 6) AS DOUBLE)")
@@ -93,13 +97,18 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id for an embedding column: bit `p` set
     * iff dot(embedding, plane_p) > 0. Buckets are int64. The planes are
-    * array *literals* (constant-folded once per plan, not per row); `slice`
-    * guards against embeddings shorter than `dims`.
+    * array *literals* (constant-folded once per plan, not per row). BOTH
+    * sides are sliced to min(size, dims), so shorter embeddings use their
+    * own length and longer ones are bucketed on their first `dims`
+    * components (a fixed projection — still locality-sensitive). Without
+    * the embedding-side slice, a longer embedding would zip against
+    * nulls, every plane dot would go NULL, and the whole corpus would
+    * silently collapse into bucket 0 — an O(n²) candidate join.
     */
   def lshBucket(emb: String, planes: Int, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
       val lit = planeVector(p, dims).mkString("array(", "D, ", "D)")
-      val d = s"""aggregate(zip_with($emb, slice($lit, 1, size($emb)),
+      val d = s"""aggregate(zip_with(slice($emb, 1, $dims), slice($lit, 1, size($emb)),
                  |  (x, c) -> CAST(x AS DOUBLE) * c),
                  |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
       s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"

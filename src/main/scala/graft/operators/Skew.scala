@@ -42,8 +42,11 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      salts: Int = 16): DataFrame =
+    // salt over ALL columns: hashing only valueCol keeps a hot group with
+    // constant values on one salt — the exact hotspot this exists to split
     df.withColumn("__salt",
-        pmod(xxhash64(col(valueCol)), lit(salts)).cast("int"))
+        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts))
+          .cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count("*").as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

@@ -96,7 +96,8 @@ object Llm {
 
   private def duckBucket(e: String, planes: Int, dims: Int): String =
     (0 until planes).map { p =>
-      val d = s"list_reduce(list_transform(generate_series(1, len($e)), i -> CAST($e[i] AS DOUBLE) * (${duckPlane(p, dims)}[i])), (acc, v) -> acc + v)"
+      // LEAST(len, dims): mirrors lshBucket's two-sided slice exactly
+      val d = s"list_reduce(list_transform(generate_series(1, LEAST(len($e), $dims)), i -> CAST($e[i] AS DOUBLE) * (${duckPlane(p, dims)}[i])), (acc, v) -> acc + v)"
       s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
@@ -331,10 +332,13 @@ object Llm {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "llm_frame_sample" ->
-      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+        |                  LEAST(4, length(text)) AS nf
+        |           FROM documents),
         |g AS (SELECT doc_id, text, i AS frame_idx,
-        |             (n * i) // 4 AS fr, (n * (i + 1)) // 4 AS un
-        |      FROM b, unnest(generate_series(0, 3)) AS u(i))
+        |             (n * i) // nf AS fr, (n * (i + 1)) // nf AS un
+        |      FROM b, unnest(generate_series(0, 3)) AS u(i)
+        |      WHERE i < nf)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substring(text, CAST(fr + 1 AS INT), CAST(un - fr AS INT))) AS frame_md5,
         |       CAST(un - fr AS BIGINT) AS frame_bytes

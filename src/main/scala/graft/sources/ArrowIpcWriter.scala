@@ -13,11 +13,18 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
-/** Distributed Arrow IPC sink: every task streams its own partition to
-  * `dir/part-<pid>.arrows` in `batchRows`-row record batches — no driver
-  * collect, no shuffle, the mirror of [[ArrowIpcSource]]'s
-  * one-partition-per-file scan. Overwrite semantics (the directory is
-  * cleared first). Types: long/int/double/float/string/boolean.
+/** Arrow IPC sink for SHARED-filesystem deployments (local mode, NFS):
+  * every task streams its own partition to `dir/part-<pid>.arrows` in
+  * `batchRows`-row record batches — no driver collect, no shuffle, the
+  * mirror of [[ArrowIpcSource]]'s one-partition-per-file scan. Overwrite
+  * semantics (the directory is cleared first). Retry-safe: tasks write a
+  * `.tmp` file named by (partition, attempt) and atomically rename on
+  * completion, so a speculative or retried attempt never corrupts a
+  * finished file. On a multi-node cluster with per-executor local disks
+  * this needs the Hadoop FileSystem API + a commit protocol instead of
+  * java.io — the honest production path is a full DSv2
+  * `SupportsWrite`/`BatchWrite`; this sink is the harness-scale mirror.
+  * Types: long/int/double/float/string/boolean.
   */
 object ArrowIpcWriter {
 
@@ -37,20 +44,18 @@ object ArrowIpcWriter {
 
   def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
     val target = new File(dir)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(target)
+    graft.Tables.deleteRecursively(target)
     target.mkdirs()
     val schema = df.schema
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val pid = TaskContext.getPartitionId()
+        val ctx = TaskContext.get()
+        val pid = ctx.partitionId()
+        val tmp = new File(s"$dir/.part-$pid-attempt-${ctx.taskAttemptId()}.tmp")
         val alloc = new RootAllocator(Long.MaxValue)
         val aSchema = new Schema(schema.fields.map(arrowField).toSeq.asJava)
         val root = VectorSchemaRoot.create(aSchema, alloc)
-        val out = new FileOutputStream(s"$dir/part-$pid.arrows")
+        val out = new FileOutputStream(tmp)
         val writer = new ArrowStreamWriter(root, null, out)
         try {
           writer.start()
@@ -82,6 +87,10 @@ object ArrowIpcWriter {
           }
           writer.end()
         } finally { writer.close(); out.close(); root.close(); alloc.close() }
+        // atomic publish: the scan ignores dot-prefixed temp files, and a
+        // concurrent attempt's rename simply wins or loses whole-file
+        if (!tmp.renameTo(new File(s"$dir/part-$pid.arrows"))) tmp.delete()
+        ()
       }
     }
   }

@@ -39,21 +39,23 @@ class ContextSpec extends SparkSpec {
     assert(rows(0).get(0).isInstanceOf[Long] || rows(0).get(0).isInstanceOf[Int])
   }
 
-  test("multi-statement script: create view / select / drop view (q15 shape)") {
+  test("multi-statement script returns the last RESULTFUL statement (q15 shape)") {
     ctx.registerParquet("ctx_supplier", s"$sfSmoke/supplier.parquet")
     val out = ctx.sql(
       """CREATE OR REPLACE TEMP VIEW ctx_v AS SELECT s_nationkey, count(*) AS n
         |  FROM ctx_supplier GROUP BY s_nationkey;
         |SELECT max(n) AS mx FROM ctx_v;
         |DROP VIEW ctx_v""".stripMargin)
-    // last resultful statement before DROP ran; DROP returns empty df — the
-    // script helper returns the LAST statement's frame, so select explicitly:
-    val mx = ctx.sql(
-      """CREATE OR REPLACE TEMP VIEW ctx_v AS SELECT s_nationkey, count(*) AS n
-        |  FROM ctx_supplier GROUP BY s_nationkey;
-        |SELECT max(n) AS mx FROM ctx_v""".stripMargin).collect()(0).getLong(0)
-    assert(mx >= 1L)
-    assert(out.collect() != null) // script with trailing DROP executes cleanly
+    // the trailing DROP yields an empty-schema frame; the façade hands back
+    // the SELECT — exactly the reference's create/select/drop script shape
+    assert(out.schema.fieldNames.toSeq == Seq("mx"))
+    assert(out.collect()(0).getLong(0) >= 1L)
+  }
+
+  test("statement splitting respects semicolons inside string literals") {
+    val r = ctx.sql("SELECT 'a;b' AS s; SELECT 'x;''y' AS s").collect()
+    assert(r.length == 1 && r(0).getString(0) == "x;'y")
+    assert(ctx.sql("SELECT 'a;b' AS s").collect()(0).getString(0) == "a;b")
   }
 
   test("parameterized sql binds named args") {
