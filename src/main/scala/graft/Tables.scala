@@ -43,7 +43,7 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Recursive local delete (shared by dropManaged and ArrowIpcWriter). */
+  /** Recursive local delete (shared by dropManaged and the Arrow sink). */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete()

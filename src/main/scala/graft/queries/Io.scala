@@ -68,17 +68,17 @@ object Io {
         .orderBy("c_mktsegment")
     }),
 
-    // Arrow IPC round-trip through the custom DataSource V2 pair
-    // (graft.sources.ArrowIpcWriter -> ArrowIpcSource): distributed
-    // per-partition write, multi-file scan, pruned read — oracle over the
-    // original parquet proves value fidelity end to end
+    // Arrow IPC round-trip through the custom DataSource V2 (read+write):
+    // two-phase-commit distributed write, multi-file scan, pruned read —
+    // oracle over the original parquet proves value fidelity end to end
     "src_arrow_roundtrip" -> ((s, d) => {
       val sup = t(s, d, "supplier").selectExpr(
         "CAST(s_suppkey AS BIGINT) AS s_suppkey", "s_name",
         "CAST(s_nationkey AS BIGINT) AS s_nationkey",
         "CAST(s_acctbal AS DOUBLE) AS s_acctbal")
       val p = s"${base(d)}/supplier_arrow"
-      graft.sources.ArrowIpcWriter.write(sup.repartition(3), p)
+      sup.repartition(3).write.format("graft.sources.ArrowIpcSource")
+        .mode("overwrite").save(p)
       s.read.format("graft.sources.ArrowIpcSource").load(p)
         .groupBy("s_nationkey")
         .agg(count("*").as("n_supp"),

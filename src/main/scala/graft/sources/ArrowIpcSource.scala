@@ -56,8 +56,8 @@ private[sources] object ArrowIpc {
         f.listFiles().toSeq
           .filter(x => x.isFile && !x.getName.startsWith(".") &&
             !x.getName.startsWith("_"))
-      else Seq(f)
-    require(files.nonEmpty, s"no arrow files under $path")
+      else if (f.isFile) Seq(f)
+      else Seq.empty // write target that doesn't exist yet
     files.map(_.getAbsolutePath).sorted
   }
 
@@ -73,6 +73,10 @@ private[sources] object ArrowIpc {
   }
 
   def inferSchema(files: Seq[String]): StructType = {
+    // empty => a write target with nothing to infer from; the write path
+    // gets its real schema from LogicalWriteInfo, reads of an empty dir
+    // fail later with a clear empty-schema error
+    if (files.isEmpty) return new StructType()
     val alloc = new RootAllocator(Long.MaxValue)
     val in = new FileInputStream(files.head)
     val reader = new ArrowStreamReader(in, alloc)
@@ -85,13 +89,19 @@ private[sources] object ArrowIpc {
 }
 
 private[sources] class ArrowIpcTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arrow:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowScanBuilder(schema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ArrowWriteBuilder(info.schema(), path)
 }
 
 private[sources] class ArrowScanBuilder(fullSchema: StructType, path: String)

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.io.{File, FileOutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DSv2 write path for [[ArrowIpcSource]] — the real two-phase commit
+  * protocol: each task streams its rows to an attempt-named `.tmp` file
+  * and reports it in its commit message; the DRIVER publishes all temps
+  * with atomic renames only once every task has succeeded, and deletes
+  * them on abort. Speculative/retried attempts therefore never corrupt
+  * or half-publish a file. `mode("overwrite")` maps to truncate (the
+  * directory is cleared at commit time, before publishing).
+  *
+  * Types: long/int/double/float/string/boolean (mirrors the scan).
+  */
+private[sources] object ArrowWrite {
+  def arrowField(f: StructField): Field = {
+    val t = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType => new ArrowType.Utf8()
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case other =>
+        throw new UnsupportedOperationException(s"arrow write of $other")
+    }
+    new Field(f.name, FieldType.nullable(t), null)
+  }
+}
+
+private[sources] case class ArrowCommit(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+private[sources] class ArrowWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new ArrowBatchWrite(schema, path, doTruncate)
+}
+
+private[sources] class ArrowBatchWrite(schema: StructType, path: String,
+                                       truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ArrowWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    // truncate preserves _staging — the pending temps being published live
+    // there (deleting the whole dir would silently destroy this commit)
+    if (truncate) Option(dir.listFiles).foreach(_.foreach { f =>
+      if (f.getName != "_staging") graft.Tables.deleteRecursively(f)
+    })
+    dir.mkdirs()
+    messages.foreach { case ArrowCommit(tmp, fin) =>
+      if (!new File(tmp).renameTo(new File(fin)))
+        throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+    }
+    graft.Tables.deleteRecursively(new File(dir, "_staging"))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ArrowCommit(tmp, _) => new File(tmp).delete()
+      case _ =>
+    }
+}
+
+private[sources] class ArrowWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArrowDataWriter(schema, path, partitionId, taskId)
+}
+
+private[sources] class ArrowDataWriter(schema: StructType, path: String,
+                                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  new File(s"$path/_staging").mkdirs()
+  private val tmp = new File(s"$path/_staging/part-$partitionId-task-$taskId.tmp")
+  private val fin = s"$path/part-$partitionId.arrows"
+  private val alloc = new RootAllocator(Long.MaxValue)
+  private val root = VectorSchemaRoot.create(
+    new Schema(schema.fields.map(ArrowWrite.arrowField).toSeq.asJava), alloc)
+  private val out = new FileOutputStream(tmp)
+  private val writer = new ArrowStreamWriter(root, null, out)
+  private var batchRow = 0
+  private val batchRows = 4096
+  writer.start()
+
+  override def write(row: InternalRow): Unit = {
+    if (batchRow == 0) root.allocateNew()
+    var j = 0
+    while (j < schema.length) {
+      val v = root.getVector(j)
+      if (row.isNullAt(j)) v match {
+        case x: BaseFixedWidthVector => x.setNull(batchRow)
+        case x: BaseVariableWidthVector => x.setNull(batchRow)
+        case x => throw new UnsupportedOperationException(x.getClass.toString)
+      } else v match {
+        case x: BigIntVector => x.setSafe(batchRow, row.getLong(j))
+        case x: IntVector => x.setSafe(batchRow, row.getInt(j))
+        case x: Float8Vector => x.setSafe(batchRow, row.getDouble(j))
+        case x: Float4Vector => x.setSafe(batchRow, row.getFloat(j))
+        case x: BitVector => x.setSafe(batchRow, if (row.getBoolean(j)) 1 else 0)
+        case x: VarCharVector => x.setSafe(batchRow, row.getUTF8String(j).getBytes)
+        case x => throw new UnsupportedOperationException(x.getClass.toString)
+      }
+      j += 1
+    }
+    batchRow += 1
+    if (batchRow == batchRows) flush()
+  }
+
+  private def flush(): Unit = if (batchRow > 0) {
+    root.setRowCount(batchRow)
+    writer.writeBatch()
+    batchRow = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    writer.end()
+    close()
+    ArrowCommit(tmp.getAbsolutePath, fin)
+  }
+
+  override def abort(): Unit = { close(); tmp.delete() }
+
+  override def close(): Unit = {
+    writer.close(); out.close(); root.close(); alloc.close()
+  }
+}

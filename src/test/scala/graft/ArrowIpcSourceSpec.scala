@@ -90,6 +90,24 @@ class ArrowIpcSourceSpec extends SparkSpec {
 
   private def expr(s: String) = org.apache.spark.sql.functions.expr(s)
 
+  test("DSv2 write path: two-phase commit round-trip with overwrite") {
+    val out = Files.createTempDirectory("graft_arrow_w").toString
+    val src = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    src.repartition(3).write.format("graft.sources.ArrowIpcSource")
+      .mode("overwrite").save(out)
+    // overwrite again: truncate clears the first generation
+    src.repartition(2).write.format("graft.sources.ArrowIpcSource")
+      .mode("overwrite").save(out)
+    val files = new java.io.File(out).listFiles.map(_.getName).sorted
+    assert(files.forall(_.endsWith(".arrows")), files.mkString(","))
+    assert(files.length == 2, "truncate left stale files behind")
+    val got = spark.read.format("graft.sources.ArrowIpcSource").load(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val want = src.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("column pruning reaches the scan") {
     val plan = arrowDF.select("n_name").queryExecution.executedPlan.toString
     assert(plan.contains("ArrowIpcScan"), s"custom scan missing:\n$plan")
