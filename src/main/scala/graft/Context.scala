@@ -49,6 +49,13 @@ class Context(val spark: SparkSession) {
     schema.fold(spark.read)(spark.read.schema)
       .json(path).createOrReplaceTempView(name)
 
+  /** Arrow IPC registration (reference `ArrowExec`, `util.rs:504-506`),
+    * via the engine's DataSource V2 [[graft.sources.ArrowIpcSource]].
+    */
+  def registerArrow(name: String, path: String): Unit =
+    spark.read.format("graft.sources.ArrowIpcSource").load(path)
+      .createOrReplaceTempView(name)
+
   /** Split a SQL script on top-level semicolons only — a `;` inside a
     * single-/double-quoted literal or a backtick identifier is content
     * (with `''` escape handling), so `WHERE c = 'a;b'` stays one

@@ -58,6 +58,16 @@ class ContextSpec extends SparkSpec {
     assert(ctx.sql("SELECT 'a;b' AS s").collect()(0).getString(0) == "a;b")
   }
 
+  test("registerArrow serves the custom Arrow source through SQL") {
+    val dir = s"$tmp/arrow_reg"
+    spark.read.parquet(s"$sfSmoke/region.parquet")
+      .selectExpr("CAST(r_regionkey AS BIGINT) AS k", "r_name")
+      .write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(dir)
+    ctx.registerArrow("ctx_region_arrow", dir)
+    assert(ctx.sql("SELECT count(*) AS n FROM ctx_region_arrow")
+      .collect()(0).getLong(0) == 5L)
+  }
+
   test("parameterized sql binds named args") {
     ctx.registerParquet("ctx_nation2", s"$sfSmoke/nation.parquet")
     val n = ctx.sql(
