@@ -139,6 +139,30 @@ class GraftDataFrame(val df: DataFrame) {
     case p => p
   }
 
+  /** EXPLAIN ANALYZE parity (reference `AnalyzeNode`,
+    * `datafusion.proto:223-227`): execute the query, then report each
+    * physical operator with its observed output-row count. Operators
+    * without a rows metric (exchanges report data size instead) are
+    * listed with -1.
+    */
+  def analyze(): Seq[(String, Long)] = {
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[(String, Long)] = {
+      val here = (p.nodeName,
+        p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))
+      val kids = p match {
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      here +: kids
+    }
+    walk(unwrap(df.queryExecution.executedPlan))
+  }
+
   /** Exchange-delimited stage dump — the reference's `stages()` semantics
     * (`dataframe.rs:90-222`): every Exchange becomes a stage boundary; the
     * parent reads the child stage (the reference's `DFRayStageReaderExec`,

@@ -107,6 +107,17 @@ class ContextSpec extends SparkSpec {
     assert(st.exists(_.contains("[reads stage")))
   }
 
+  test("analyze() reports per-operator observed row counts") {
+    ctx.registerParquet("ctx_nation3", s"$sfSmoke/nation.parquet")
+    val m = ctx.sql(
+      "SELECT n_regionkey, count(*) AS n FROM ctx_nation3 GROUP BY n_regionkey")
+      .analyze()
+    // the final aggregate observed exactly the 5 output groups
+    assert(m.exists { case (name, rows) => name.contains("HashAggregate") && rows == 5L })
+    // the scan observed all 25 nations
+    assert(m.exists { case (name, rows) => name.contains("Scan") && rows == 25L })
+  }
+
   test("stages(): scan-only query is a single stage") {
     ctx.registerParquet("ctx_region", s"$sfSmoke/region.parquet")
     val st = ctx.sql("SELECT r_name FROM ctx_region WHERE r_regionkey = 1").stages()

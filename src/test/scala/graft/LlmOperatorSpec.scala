@@ -127,6 +127,18 @@ class LlmOperatorSpec extends SparkSpec {
     assert(fp(1L).split(",").length <= 4)
   }
 
+  test("approx_count_distinct tracks exact distinct within its error bound") {
+    Tables.register(spark, sfSmoke)
+    val r = spark.sql(
+      """SELECT approx_count_distinct(o_custkey, 0.02) AS approx,
+        |       count(DISTINCT o_custkey) AS exact
+        |FROM orders""".stripMargin).collect()(0)
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    // HLL++ at rsd=0.02: allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx=$approx exact=$exact")
+  }
+
   test("multimodal resize preserves aspect ratio within the bounding box") {
     val d = Multimodal.decode(Multimodal.attach(docs(1L -> "hello world of pixels")))
     val r = Multimodal.resize(d, maxSide = 10).collect()(0)
