@@ -56,26 +56,38 @@ class Context(val spark: SparkSession) {
     spark.read.format("graft.sources.ArrowIpcSource").load(path)
       .createOrReplaceTempView(name)
 
-  /** Split a SQL script on top-level semicolons only — a `;` inside a
-    * single-/double-quoted literal or a backtick identifier is content
-    * (with `''` escape handling), so `WHERE c = 'a;b'` stays one
-    * statement.
+  /** Split a SQL script on top-level semicolons only: a `;` inside a
+    * quoted literal (with `''` and backslash escapes), a backtick
+    * identifier, a `--` line comment or a block comment is content, so
+    * `WHERE c = 'a;b'` and `-- note; note` stay in one statement —
+    * matching Spark's lexer.
     */
   private def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    var lineComment = false
+    var blockComment = false
     var i = 0
+    def peek = if (i + 1 < script.length) script.charAt(i + 1) else 0.toChar
     while (i < script.length) {
       val c = script.charAt(i)
-      if (quote != 0) {
+      if (lineComment) {
         cur += c
-        if (c == quote)
-          if (i + 1 < script.length && script.charAt(i + 1) == quote) {
-            cur += quote; i += 1 // doubled-quote escape stays inside
-          } else quote = 0
+        if (c == '\n') lineComment = false
+      } else if (blockComment) {
+        cur += c
+        if (c == '*' && peek == '/') { cur += '/'; i += 1; blockComment = false }
+      } else if (quote != 0) {
+        cur += c
+        if (c == '\\' && i + 1 < script.length) { cur += peek; i += 1 }
+        else if (c == quote)
+          if (peek == quote) { cur += quote; i += 1 } // doubled-quote escape
+          else quote = 0
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
+        case '-' if peek == '-' => lineComment = true; cur += c
+        case '/' if peek == '*' => blockComment = true; cur += c
         case ';' => out += cur.result(); cur.clear()
         case _ => cur += c
       }
@@ -96,7 +108,13 @@ class Context(val spark: SparkSession) {
     val stmts = splitStatements(query)
     require(stmts.nonEmpty, "empty SQL script")
     val frames = stmts.map(spark.sql)
-    new GraftDataFrame(frames.findLast(_.schema.nonEmpty).getOrElse(frames.last))
+    // "resultful" = an actual query, not a command: SET/SHOW/DESCRIBE
+    // carry a non-empty schema, so a schema check alone would let a
+    // trailing SET shadow the SELECT; the logical plan's Command trait is
+    // the reliable discriminator (DROP VIEW => DropView, SET => SetCommand)
+    def isQuery(f: DataFrame): Boolean = !f.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
+    new GraftDataFrame(frames.findLast(isQuery).getOrElse(frames.last))
   }
 
   /** Parameterized SQL (reference `PrepareNode`, proto 179-183). */
@@ -146,7 +164,10 @@ class GraftDataFrame(val df: DataFrame) {
     * listed with -1.
     */
   def analyze(): Seq[(String, Long)] = {
-    df.collect()
+    // execute THIS QueryExecution's plan without materializing rows on
+    // the driver (collect() would OOM on large results; a noop write
+    // would execute a different QueryExecution whose metrics we can't see)
+    df.queryExecution.toRdd.count()
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other

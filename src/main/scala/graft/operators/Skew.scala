@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * one partition now spreads over `salts` partitions, at the price of a
   * `salts`× blow-up of the (small) replicated side.
   *
-  * The salt is derived from a hash of the big side's non-key payload
-  * (deterministic, no RNG), so re-runs produce identical partitioning.
+  * The salt mixes a content hash with the input partition id: content
+  * alone would put a hot group of IDENTICAL rows (duplicated events, the
+  * classic skew case) on a single salt, re-creating the hotspot. RESULTS
+  * stay deterministic — joins/aggregates are insensitive to which salt a
+  * row lands on — even though the salt assignment itself varies with
+  * input partitioning.
   */
 object Skew {
 
@@ -26,8 +30,8 @@ object Skew {
                  salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts))
-        .cast("int"))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*))
+        + spark_partition_id().cast("long"), lit(salts)).cast("int"))
     val saltedSmall = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
@@ -42,11 +46,11 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      salts: Int = 16): DataFrame =
-    // salt over ALL columns: hashing only valueCol keeps a hot group with
-    // constant values on one salt — the exact hotspot this exists to split
+    // content hash + partition id: either alone leaves a hot group of
+    // identical rows on one salt — the exact hotspot this exists to split
     df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts))
-          .cast("int"))
+        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+          + spark_partition_id().cast("long"), lit(salts)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count("*").as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

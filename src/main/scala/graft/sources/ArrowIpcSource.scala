@@ -101,7 +101,7 @@ private[sources] class ArrowIpcTable(schema: StructType, path: String)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new ArrowWriteBuilder(info.schema(), path)
+    new ArrowWriteBuilder(info, path)
 }
 
 private[sources] class ArrowScanBuilder(fullSchema: StructType, path: String)
@@ -116,8 +116,13 @@ private[sources] class ArrowScan(required: StructType, path: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    ArrowIpc.listFiles(path).map(ArrowFilePartition.apply).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = ArrowIpc.listFiles(path)
+    // a missing/empty path must fail the READ loudly (inferSchema stays
+    // lenient because the write path resolves the same table first)
+    require(files.nonEmpty, s"no arrow files under $path")
+    files.map(ArrowFilePartition.apply).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowReaderFactory(required)
   override def description(): String = s"ArrowIpcScan $path ${required.simpleString}"

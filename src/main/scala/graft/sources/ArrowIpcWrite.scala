@@ -42,33 +42,38 @@ private[sources] object ArrowWrite {
 private[sources] case class ArrowCommit(tmpPath: String, finalPath: String)
     extends WriterCommitMessage
 
-private[sources] class ArrowWriteBuilder(schema: StructType, path: String)
+private[sources] class ArrowWriteBuilder(info: LogicalWriteInfo, path: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new ArrowBatchWrite(schema, path, doTruncate)
+  override def build(): Write =
+    new ArrowBatchWrite(info.schema(), path, info.queryId(), doTruncate)
 }
 
 private[sources] class ArrowBatchWrite(schema: StructType, path: String,
-                                       truncate: Boolean)
+                                       queryId: String, truncate: Boolean)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ArrowWriterFactory(schema, path)
+    new ArrowWriterFactory(schema, path, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
-    // truncate preserves _staging — the pending temps being published live
-    // there (deleting the whole dir would silently destroy this commit)
-    if (truncate) Option(dir.listFiles).foreach(_.foreach { f =>
-      if (f.getName != "_staging") graft.Tables.deleteRecursively(f)
-    })
     dir.mkdirs()
-    messages.foreach { case ArrowCommit(tmp, fin) =>
+    // publish FIRST: file names carry the queryId, so the new generation
+    // never collides with existing files (append coexists, overwrite
+    // keeps the old generation readable until the new one is fully
+    // published — a mid-commit crash cannot destroy committed data)
+    val published = messages.collect { case ArrowCommit(tmp, fin) =>
       if (!new File(tmp).renameTo(new File(fin)))
         throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
-    }
+      new File(fin).getName
+    }.toSet
+    if (truncate) Option(dir.listFiles).foreach(_.foreach { f =>
+      if (f.getName != "_staging" && !published.contains(f.getName))
+        graft.Tables.deleteRecursively(f)
+    })
     graft.Tables.deleteRecursively(new File(dir, "_staging"))
   }
 
@@ -79,19 +84,21 @@ private[sources] class ArrowBatchWrite(schema: StructType, path: String,
     }
 }
 
-private[sources] class ArrowWriterFactory(schema: StructType, path: String)
+private[sources] class ArrowWriterFactory(schema: StructType, path: String,
+                                          queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArrowDataWriter(schema, path, partitionId, taskId)
+    new ArrowDataWriter(schema, path, queryId, partitionId, taskId)
 }
 
 private[sources] class ArrowDataWriter(schema: StructType, path: String,
-                                       partitionId: Int, taskId: Long)
+                                       queryId: String, partitionId: Int,
+                                       taskId: Long)
     extends DataWriter[InternalRow] {
 
   new File(s"$path/_staging").mkdirs()
   private val tmp = new File(s"$path/_staging/part-$partitionId-task-$taskId.tmp")
-  private val fin = s"$path/part-$partitionId.arrows"
+  private val fin = s"$path/part-$queryId-$partitionId.arrows"
   private val alloc = new RootAllocator(Long.MaxValue)
   private val root = VectorSchemaRoot.create(
     new Schema(schema.fields.map(ArrowWrite.arrowField).toSeq.asJava), alloc)

@@ -108,6 +108,23 @@ class ArrowIpcSourceSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("reading a missing path fails loudly instead of returning empty") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ArrowIpcSource")
+        .load("/graft_no_such_dir").collect()
+    }
+    assert(e.getMessage.contains("no arrow files under"))
+  }
+
+  test("append mode adds a generation without clobbering the previous one") {
+    val out = Files.createTempDirectory("graft_arrow_a").toString
+    val src = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    src.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(out)
+    src.write.format("graft.sources.ArrowIpcSource").mode("append").save(out)
+    val n = spark.read.format("graft.sources.ArrowIpcSource").load(out).count()
+    assert(n == 2 * src.count(), "append lost or replaced the first generation")
+  }
+
   test("column pruning reaches the scan") {
     val plan = arrowDF.select("n_name").queryExecution.executedPlan.toString
     assert(plan.contains("ArrowIpcScan"), s"custom scan missing:\n$plan")

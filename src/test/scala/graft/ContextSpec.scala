@@ -58,6 +58,23 @@ class ContextSpec extends SparkSpec {
     assert(ctx.sql("SELECT 'a;b' AS s").collect()(0).getString(0) == "a;b")
   }
 
+  test("statement splitting ignores semicolons inside comments") {
+    val r = ctx.sql("SELECT 1 AS a; -- note; with semicolon\nSELECT 2 AS b")
+      .collect()
+    assert(r.length == 1 && r(0).getInt(0) == 2)
+    val r2 = ctx.sql("SELECT /* block; comment */ 3 AS c").collect()
+    assert(r2(0).getInt(0) == 3)
+  }
+
+  test("a trailing command does not shadow the SELECT result") {
+    val prev = ctx.get("spark.sql.shuffle.partitions")
+    try {
+      val out = ctx.sql(
+        s"SELECT 5 AS v; SET spark.sql.shuffle.partitions=$prev").collect()
+      assert(out.length == 1 && out(0).getInt(0) == 5)
+    } finally ctx.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("registerArrow serves the custom Arrow source through SQL") {
     val dir = s"$tmp/arrow_reg"
     spark.read.parquet(s"$sfSmoke/region.parquet")
