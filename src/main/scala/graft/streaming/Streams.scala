@@ -71,6 +71,26 @@ object Streams {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Watermarked stream-stream inner join — the symmetric-hash-join row
+    * of the operator inventory (reference proto `datafusion.proto:
+    * 1051-1061`, never produced by its bounded configs): each `right`
+    * event joins `left` events of the same user within the trailing
+    * `window`. State on BOTH sides is bounded by the watermark plus the
+    * time-range condition — rows age out once they can no longer match.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   window: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+              |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"),
+        col("l.event_type").as("left_type"), col("r.event_type").as("right_type"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count and max value, emitted on every trigger — the
     * `KeyValueGroupedDataset` state API the brief calls for. State is

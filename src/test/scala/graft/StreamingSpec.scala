@@ -85,6 +85,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    clicks.addData(
+      Event(ts(0), 1L, "click", 1.0),
+      Event(ts(30), 2L, "click", 1.0))
+    views.addData(
+      Event(ts(10), 1L, "view", 1.0),   // 10 min after user 1's click: joins
+      Event(ts(45), 2L, "view", 1.0),   // 15 min after user 2's click: joins
+      Event(ts(50), 3L, "view", 1.0))   // no matching click: dropped (inner)
+    val q = Streams.intervalJoin(clicks.toDF(), views.toDF(), window = "30 minutes")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // append-mode stream-stream joins only emit once the watermark
+      // passes; push it far forward with a late sentinel on both sides
+      val flush = Event(Timestamp.valueOf("2026-01-02 10:00:00"), 99L, "x", 0.0)
+      clicks.addData(flush); views.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_join")
+      .where("user_id < 90").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString))
+    assert(rows.toSeq == Seq(
+      (1L, "2026-01-01 10:10:00.0"),
+      (2L, "2026-01-01 10:45:00.0")))
+  }
+
   test("mapGroupsWithState: running per-user count and max") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
