@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — each left row matched with the LATEST right row at or
+  * before its timestamp for the same key (backward, inclusive; the
+  * time-series attribution/enrichment join the brief names as a classic
+  * engine extension).
+  *
+  * Spark-first composition (preference (a) — no custom physical
+  * operator): tag both sides, union, and carry the right payload forward
+  * with a running `last(ignoreNulls)` window, then keep the left rows.
+  * ONE shuffle on the key, O(n log n) per partition, no range-condition
+  * pair explosion — a range-join formulation would enumerate every
+  * (left, right) pair within the window before picking the max.
+  *
+  * Contract: `right` must be unique per (key, ts) — pre-aggregate
+  * duplicates first — or the tie among equal right timestamps is
+  * unspecified. Right rows sort before left rows at the same instant, so
+  * a right row AT the left timestamp matches (inclusive). Inner
+  * semantics: left rows with no preceding right row are dropped (a
+  * dedicated match marker is carried, so legitimately-NULL right values
+  * do not drop rows).
+  */
+object AsOf {
+
+  def joinBackward(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, rightVals: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(c)
+
+    val l = left.select(
+      lCols.map(col) ++ Seq(lit(1).as("__side")) ++
+        rightVals.map(c => nullOf(right, c).as(s"__r_$c")): _*)
+    val r = right.select(
+      lCols.map(c => if (c == key || c == ts) col(c) else nullOf(left, c)) ++
+        Seq(lit(0).as("__side")) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the payload travels as ONE struct: non-null exactly when a right
+    // row exists, even if every field inside is null — last(ignoreNulls)
+    // over bare columns would skip a matched-but-null value and wrongly
+    // resurrect an older one
+    val packed = l.unionByName(r).withColumn("__pack",
+      when(col("__side") === 0,
+        struct(rightVals.map(c => col(s"__r_$c").as(c)): _*)))
+    val carried = packed
+      .withColumn("__c", last(col("__pack"), ignoreNulls = true).over(w))
+    carried
+      .where(col("__side") === 1 && col("__c").isNotNull)
+      .select(lCols.map(col) ++
+        rightVals.map(c => col("__c").getField(c).as(s"right_$c")): _*)
+  }
+}

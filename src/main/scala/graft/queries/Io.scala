@@ -206,6 +206,21 @@ object Io {
           |ORDER BY user_id, session_start""".stripMargin)
     }),
 
+    // as-of join: every purchase attributed to the user's latest preceding
+    // view (backward inclusive), DuckDB's native ASOF JOIN as the oracle
+    "ts_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where("event_type = 'view'")
+        .groupBy("user_id", "ts").agg(max("value").as("v_value"))
+      graft.operators.AsOf.joinBackward(purchases, views, "user_id", "ts",
+          Seq("v_value"))
+        .selectExpr("event_id", "user_id", "ts AS p_ts",
+          "CAST(right_v_value AS DOUBLE) AS v_value")
+        .orderBy("event_id")
+    }),
+
     "json_props_agg" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -305,6 +320,15 @@ object Io {
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts AS p_ts, v.v_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
 
     "json_props_agg" ->
       """SELECT event_type,

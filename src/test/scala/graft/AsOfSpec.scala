@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOf
+
+/** As-of join edge semantics: backward-inclusive match, no-match drops,
+  * and a NULL right value that must still count as a match.
+  */
+class AsOfSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s:00")
+
+  test("backward-inclusive as-of with null payloads and unmatched rows") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, t("10:30")), // between right rows -> 10:00's value
+      (101L, 1L, t("11:00")), // exact tie -> inclusive, value is NULL but matched
+      (102L, 2L, t("10:00")), // before the key's first right row -> dropped
+      (103L, 3L, t("12:00"))  // key with no right rows -> dropped
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("10:00"), Some(5.0)),
+      (1L, t("11:00"), Option.empty[Double]),
+      (2L, t("10:30"), Some(7.0))
+    ).toDF("k", "ts", "v")
+
+    val out = AsOf.joinBackward(left, right, "k", "ts", Seq("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(100L -> Some(5.0), 101L -> None))
+  }
+
+  test("each left row takes the LATEST preceding right row") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, t("12:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("09:00"), 1.0), (1L, t("10:00"), 2.0), (1L, t("11:00"), 3.0)
+    ).toDF("k", "ts", "v")
+    val out = AsOf.joinBackward(left, right, "k", "ts", Seq("v")).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 3.0)
+  }
+}
