@@ -115,6 +115,30 @@ object Streams {
       }
   }
 
+  /** flatMapGroupsWithState variant: emit 0..n updates per (user,
+    * trigger) — here, an update ONLY when the user's running max value
+    * changes, so quiet users produce no output at all (the
+    * cannot-express-with-mapGroups case: zero-or-many emissions).
+    */
+  def maxValueAlerts(events: Dataset[Event]): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserState(s.nEvents + 1, math.max(s.maxValue, e.value))
+          }
+          state.update(next)
+          if (next.maxValue > prev.maxValue)
+            Iterator(UserUpdate(userId, next.nEvents, next.maxValue))
+          else Iterator.empty
+      }
+  }
+
   /** Drive any of the above to an in-memory table and block until the
     * source drains — the test/demo harness path.
     */

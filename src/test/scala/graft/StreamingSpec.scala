@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("flatMapGroupsWithState emits only when the running max changes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.maxValueAlerts(src.toDS()).writeStream
+      .format("memory").queryName("max_alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(Event(ts(0), 1L, "click", 5.0))   // new max -> alert
+      q.processAllAvailable()
+      src.addData(Event(ts(1), 1L, "click", 3.0))   // below max -> silent
+      q.processAllAvailable()
+      src.addData(Event(ts(2), 1L, "click", 9.0))   // new max -> alert
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("max_alerts").orderBy("n_events").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(alerts.toSeq == Seq((1L, 5.0), (3L, 9.0)))
+  }
+
   test("stream-stream interval join pairs events within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
