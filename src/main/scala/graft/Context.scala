@@ -57,17 +57,18 @@ class Context(val spark: SparkSession) {
       .createOrReplaceTempView(name)
 
   /** Split a SQL script on top-level semicolons only: a `;` inside a
-    * quoted literal (with `''` and backslash escapes), a backtick
-    * identifier, a `--` line comment or a block comment is content, so
-    * `WHERE c = 'a;b'` and `-- note; note` stay in one statement —
-    * matching Spark's lexer.
+    * quoted literal (with `''` and backslash escapes — but NOT inside
+    * backticks, which have no backslash escape), a `--` line comment or a
+    * bracketed comment (nesting, as Spark's lexer does since 3.0) is
+    * content, so `WHERE c = 'a;b'` and `-- note; note` stay in one
+    * statement.
     */
   private def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
     var lineComment = false
-    var blockComment = false
+    var commentDepth = 0
     var i = 0
     def peek = if (i + 1 < script.length) script.charAt(i + 1) else 0.toChar
     while (i < script.length) {
@@ -75,19 +76,21 @@ class Context(val spark: SparkSession) {
       if (lineComment) {
         cur += c
         if (c == '\n') lineComment = false
-      } else if (blockComment) {
+      } else if (commentDepth > 0) {
         cur += c
-        if (c == '*' && peek == '/') { cur += '/'; i += 1; blockComment = false }
+        if (c == '*' && peek == '/') { cur += '/'; i += 1; commentDepth -= 1 }
+        else if (c == '/' && peek == '*') { cur += '*'; i += 1; commentDepth += 1 }
       } else if (quote != 0) {
         cur += c
-        if (c == '\\' && i + 1 < script.length) { cur += peek; i += 1 }
-        else if (c == quote)
+        if (c == '\\' && quote != '`' && i + 1 < script.length) {
+          cur += peek; i += 1
+        } else if (c == quote)
           if (peek == quote) { cur += quote; i += 1 } // doubled-quote escape
           else quote = 0
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '-' if peek == '-' => lineComment = true; cur += c
-        case '/' if peek == '*' => blockComment = true; cur += c
+        case '/' if peek == '*' => commentDepth = 1; cur += c; cur += '*'; i += 1
         case ';' => out += cur.result(); cur.clear()
         case _ => cur += c
       }
@@ -164,14 +167,21 @@ class GraftDataFrame(val df: DataFrame) {
     * listed with -1.
     */
   def analyze(): Seq[(String, Long)] = {
+    // SQLMetrics are cumulative accumulators: without a reset, a prior
+    // collect() (or a second analyze()) leaves its counts behind and the
+    // raw-RDD execution below adds on top, inflating every operator
+    def reset(p: SparkPlan): Unit = {
+      p.metrics.values.foreach(_.reset())
+      p match {
+        case q: QueryStageExec => reset(q.plan)
+        case _ => p.children.foreach(reset)
+      }
+    }
+    reset(physical)
     // execute THIS QueryExecution's plan without materializing rows on
     // the driver (collect() would OOM on large results; a noop write
     // would execute a different QueryExecution whose metrics we can't see)
     df.queryExecution.toRdd.count()
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
     def walk(p: SparkPlan): Seq[(String, Long)] = {
       val here = (p.nodeName,
         p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))
@@ -181,7 +191,7 @@ class GraftDataFrame(val df: DataFrame) {
       }
       here +: kids
     }
-    walk(unwrap(df.queryExecution.executedPlan))
+    walk(physical)
   }
 
   /** Exchange-delimited stage dump — the reference's `stages()` semantics

@@ -29,13 +29,21 @@ object AsOf {
   def joinBackward(left: DataFrame, right: DataFrame, key: String,
                    ts: String, rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    require(lCols.forall(c => !c.startsWith("__") && !c.startsWith("right_")),
+      "left columns must not use the reserved __*/right_* prefixes")
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
 
-    val l = left.select(
+    // SQL join semantics: NULL keys/timestamps never match (the window
+    // partition would group NULL keys together, and a NULL-ts right row
+    // sorts nulls-first and would become every left row's baseline match)
+    val lNN = left.where(col(key).isNotNull && col(ts).isNotNull)
+    val rNN = right.where(col(key).isNotNull && col(ts).isNotNull)
+
+    val l = lNN.select(
       lCols.map(col) ++ Seq(lit(1).as("__side")) ++
         rightVals.map(c => nullOf(right, c).as(s"__r_$c")): _*)
-    val r = right.select(
+    val r = rNN.select(
       lCols.map(c => if (c == key || c == ts) col(c) else nullOf(left, c)) ++
         Seq(lit(0).as("__side")) ++
         rightVals.map(c => col(c).as(s"__r_$c")): _*)

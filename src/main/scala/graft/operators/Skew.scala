@@ -23,15 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt: content hash + input partition id, each reduced modulo
+    * `salts` BEFORE the addition (an unbounded xxhash64 + id could
+    * overflow Long, which throws under ANSI mode). Exposed for tests —
+    * the identical-rows scatter property is the whole point of the
+    * partition-id term.
+    */
+  def saltExpr(df: org.apache.spark.sql.DataFrame, salts: Int)
+      : org.apache.spark.sql.Column =
+    pmod(pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts))
+      + spark_partition_id().cast("long"), lit(salts)).cast("int")
+
   /** Inner equi-join of `big` (skewed) with `small` on `key`, salted
     * `salts` ways. Columns out = big.* ++ small.* minus the duplicate key.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*))
-        + spark_partition_id().cast("long"), lit(salts)).cast("int"))
+    val saltedBig = big.withColumn("__salt", saltExpr(big, salts))
     val saltedSmall = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
@@ -48,9 +57,7 @@ object Skew {
                      salts: Int = 16): DataFrame =
     // content hash + partition id: either alone leaves a hot group of
     // identical rows on one salt — the exact hotspot this exists to split
-    df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-          + spark_partition_id().cast("long"), lit(salts)).cast("int"))
+    df.withColumn("__salt", saltExpr(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(count("*").as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

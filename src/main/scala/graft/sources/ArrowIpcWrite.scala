@@ -64,14 +64,30 @@ private[sources] class ArrowBatchWrite(schema: StructType, path: String,
     // publish FIRST: file names carry the queryId, so the new generation
     // never collides with existing files (append coexists, overwrite
     // keeps the old generation readable until the new one is fully
-    // published — a mid-commit crash cannot destroy committed data)
-    val published = messages.collect { case ArrowCommit(tmp, fin) =>
-      if (!new File(tmp).renameTo(new File(fin)))
-        throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
-      new File(fin).getName
-    }.toSet
+    // published — a crash cannot destroy already-committed data). Each
+    // rename is atomic per-file; a failure mid-loop rolls the published
+    // prefix back so readers never see a torn generation. (Atomicity
+    // against a DRIVER crash between renames would need a manifest file —
+    // out of scope for this sink.)
+    val real = messages.collect {
+      case c: ArrowCommit if c.tmpPath.nonEmpty => c
+    }
+    val published = scala.collection.mutable.ArrayBuffer[File]()
+    try {
+      real.foreach { case ArrowCommit(tmp, fin) =>
+        val f = new File(fin)
+        if (!new File(tmp).renameTo(f))
+          throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        published += f
+      }
+    } catch {
+      case e: Throwable =>
+        published.foreach(_.delete())
+        throw e
+    }
+    val keep = published.map(_.getName).toSet
     if (truncate) Option(dir.listFiles).foreach(_.foreach { f =>
-      if (f.getName != "_staging" && !published.contains(f.getName))
+      if (f.getName != "_staging" && !keep.contains(f.getName))
         graft.Tables.deleteRecursively(f)
     })
     graft.Tables.deleteRecursively(new File(dir, "_staging"))
@@ -105,10 +121,12 @@ private[sources] class ArrowDataWriter(schema: StructType, path: String,
   private val out = new FileOutputStream(tmp)
   private val writer = new ArrowStreamWriter(root, null, out)
   private var batchRow = 0
+  private var any = false
   private val batchRows = 4096
   writer.start()
 
   override def write(row: InternalRow): Unit = {
+    any = true
     if (batchRow == 0) root.allocateNew()
     var j = 0
     while (j < schema.length) {
@@ -142,7 +160,12 @@ private[sources] class ArrowDataWriter(schema: StructType, path: String,
     flush()
     writer.end()
     close()
-    ArrowCommit(tmp.getAbsolutePath, fin)
+    if (any) ArrowCommit(tmp.getAbsolutePath, fin)
+    else { // empty partition: publish nothing (a schema-only file would
+           // cost a scan task per read forever)
+      tmp.delete()
+      ArrowCommit("", "")
+    }
   }
 
   override def abort(): Unit = { close(); tmp.delete() }

@@ -21,12 +21,13 @@ class SkewOperatorSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("saltedJoin scatters the hot key across salt sub-keys") {
-    val big = spark.range(0, 8000).select(lit(1L).as("k"), col("id").as("payload"))
+  test("saltedJoin scatters a hot key of IDENTICAL rows across sub-keys") {
+    // byte-identical rows (duplicated-event skew): a content-only salt
+    // would park all of them on ONE salt; the partition-id term spreads them
+    val big = spark.range(0, 8000).repartition(8)
+      .select(lit(1L).as("k"), lit(0L).as("payload"))
     val small = spark.range(0, 4).select(col("id").as("k"), col("id").as("v"))
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)).cast("int"))
-    // the single hot key populates (nearly) all 8 sub-keys
+    val salted = big.withColumn("__salt", Skew.saltExpr(big, 8))
     assert(salted.select("__salt").distinct().count() >= 7)
     // and the salted join still returns exactly the plain-join rows
     assert(Skew.saltedJoin(big, small, "k", salts = 8).count()
