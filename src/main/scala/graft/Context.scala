@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.types.StructType
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 /** User-facing session façade with the surface of the reference engine's
   * context (reference `src/context.rs:57-131`, `datafusion_ray/core.py:
@@ -147,6 +148,39 @@ class GraftDataFrame(val df: DataFrame) {
   def collect(): Array[Row] = df.collect()
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
   def schema: StructType = df.schema
+
+  /** Results as one Arrow IPC stream (the reference hands clients pyarrow
+    * RecordBatches, `dataframe.rs:422-458`): rows are collected and
+    * re-encoded through the same Arrow writer the sink uses, so any Arrow
+    * consumer can read the bytes. Driver-side by design — this is the
+    * client hand-off, not a data-plane path.
+    */
+  def collectArrow(batchRows: Int = 4096): Array[Byte] = {
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.VectorSchemaRoot
+    val rows = df.collect()
+    val alloc = new RootAllocator(Long.MaxValue)
+    val aSchema = new org.apache.arrow.vector.types.pojo.Schema(
+      df.schema.fields.map(graft.sources.ArrowWrite.arrowField)
+        .toSeq.asJava)
+    val root = VectorSchemaRoot.create(aSchema, alloc)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    try {
+      writer.start()
+      rows.grouped(batchRows).foreach { chunk =>
+        root.allocateNew()
+        chunk.zipWithIndex.foreach { case (row, i) =>
+          graft.sources.ArrowWrite.setRow(root, df.schema, row, i)
+        }
+        root.setRowCount(chunk.length)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally { writer.close(); root.close(); alloc.close() }
+    out.toByteArray
+  }
 
   def logicalPlan: String = df.queryExecution.logical.toString
   def optimizedLogicalPlan: String = df.queryExecution.optimizedPlan.toString

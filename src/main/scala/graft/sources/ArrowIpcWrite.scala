@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   *
   * Types: long/int/double/float/string/boolean (mirrors the scan).
   */
-private[sources] object ArrowWrite {
+private[graft] object ArrowWrite {
   def arrowField(f: StructField): Field = {
     val t = f.dataType match {
       case LongType => new ArrowType.Int(64, true)
@@ -36,6 +36,32 @@ private[sources] object ArrowWrite {
         throw new UnsupportedOperationException(s"arrow write of $other")
     }
     new Field(f.name, FieldType.nullable(t), null)
+  }
+
+  /** Populate row `i` of an allocated VectorSchemaRoot from an external
+    * Row (driver-side encoding, e.g. GraftDataFrame.collectArrow; the
+    * executor write path uses InternalRow directly).
+    */
+  def setRow(root: VectorSchemaRoot, schema: StructType,
+             row: org.apache.spark.sql.Row, i: Int): Unit = {
+    var j = 0
+    while (j < schema.length) {
+      val v = root.getVector(j)
+      if (row.isNullAt(j)) v match {
+        case x: BaseFixedWidthVector => x.setNull(i)
+        case x: BaseVariableWidthVector => x.setNull(i)
+        case x => throw new UnsupportedOperationException(x.getClass.toString)
+      } else v match {
+        case x: BigIntVector => x.setSafe(i, row.getLong(j))
+        case x: IntVector => x.setSafe(i, row.getInt(j))
+        case x: Float8Vector => x.setSafe(i, row.getDouble(j))
+        case x: Float4Vector => x.setSafe(i, row.getFloat(j))
+        case x: BitVector => x.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+        case x: VarCharVector => x.setSafe(i, row.getString(j).getBytes("UTF-8"))
+        case x => throw new UnsupportedOperationException(x.getClass.toString)
+      }
+      j += 1
+    }
   }
 }
 

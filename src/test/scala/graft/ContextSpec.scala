@@ -124,6 +124,27 @@ class ContextSpec extends SparkSpec {
     assert(st.exists(_.contains("[reads stage")))
   }
 
+  test("collectArrow round-trips through an Arrow reader") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    ctx.registerParquet("ctx_region2", s"$sfSmoke/region.parquet")
+    val bytes = ctx.sql(
+      "SELECT CAST(r_regionkey AS BIGINT) AS k, r_name FROM ctx_region2 ORDER BY k")
+      .collectArrow()
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      var names = Seq.empty[String]
+      while (reader.loadNextBatch()) {
+        val v = root.getVector("r_name")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        names ++= (0 until root.getRowCount).map(i => new String(v.get(i), "UTF-8"))
+      }
+      assert(names.length == 5 && names.distinct.length == 5)
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("analyze() reports per-operator observed row counts") {
     ctx.registerParquet("ctx_nation3", s"$sfSmoke/nation.parquet")
     val m = ctx.sql(

@@ -49,6 +49,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), "bucket join degenerated to NLJ")
   }
 
+  test("as-of join plans one shuffle: union + window, no join operator at all") {
+    val plan = SparkEntry.queries("ts_asof_join")(spark, sfSmoke)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // one hash partitioning on the key feeds the running-last window (the
+    // right side pre-aggregation reuses the same partitioning); a range
+    // join would add a second shuffle plus a pair-enumerating join
+    assert(exchanges.size <= 2, s"as-of join shuffles too much:\n$plan")
+    assert(!plan.toString.contains("Join"), "as-of should compose without a join")
+  }
+
   test("q18/q21 flip lineitem-derived build sides to shuffled joins under a 1MB broadcast threshold at sf0.1") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
