@@ -146,6 +146,24 @@ object Relational {
       GROUP BY b.bucket
       ORDER BY b.bucket""",
 
+    // scalar-function surface (SURVEY §2 row 43): string/math/conditional
+    // built-ins shared verbatim by both engines; decimal math sticks to
+    // multiplication (cross-engine decimal DIVISION scales differ)
+    "fn_surface" -> s"""
+      SELECT p_partkey,
+        UPPER(p_name) AS up, LOWER(p_type) AS lo,
+        SUBSTR(p_name, 2, 3) AS sub,
+        CONCAT(p_brand, ':', p_type) AS cat,
+        CAST(LENGTH(p_name) AS BIGINT) AS len,
+        ABS(p_size - 25) AS ab,
+        CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 3, 2) AS DOUBLE) AS tripled,
+        COALESCE(NULLIF(p_brand, 'Brand#13'), 'OTHER') AS co,
+        GREATEST(p_size, 10) AS gr, LEAST(p_size, 10) AS le,
+        CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS par
+      FROM part
+      WHERE p_partkey <= 200
+      ORDER BY p_partkey""",
+
     // explicit NULLS FIRST/LAST: the differential compare re-sorts rows, so
     // the ordering is baked into row_number values to actually be checked
     "sort_nulls_order" -> s"""
