@@ -159,27 +159,34 @@ class GraftDataFrame(val df: DataFrame) {
     import org.apache.arrow.vector.ipc.ArrowStreamWriter
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.VectorSchemaRoot
-    val rows = df.collect()
-    val alloc = new RootAllocator(Long.MaxValue)
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
+    // validate encodability BEFORE running the job — an unsupported output
+    // type should fail at zero cost, not after a full collect
     val aSchema = new org.apache.arrow.vector.types.pojo.Schema(
       df.schema.fields.map(graft.sources.ArrowWrite.arrowField)
         .toSeq.asJava)
-    val root = VectorSchemaRoot.create(aSchema, alloc)
-    val out = new java.io.ByteArrayOutputStream()
-    val writer = new ArrowStreamWriter(root, null, out)
+    val rows = df.collect()
+    val alloc = new RootAllocator(Long.MaxValue)
     try {
-      writer.start()
-      rows.grouped(batchRows).foreach { chunk =>
-        root.allocateNew()
-        chunk.zipWithIndex.foreach { case (row, i) =>
-          graft.sources.ArrowWrite.setRow(root, df.schema, row, i)
-        }
-        root.setRowCount(chunk.length)
-        writer.writeBatch()
-      }
-      writer.end()
-    } finally { writer.close(); root.close(); alloc.close() }
-    out.toByteArray
+      val root = VectorSchemaRoot.create(aSchema, alloc)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, out)
+        try {
+          writer.start()
+          rows.grouped(batchRows).foreach { chunk =>
+            root.allocateNew()
+            chunk.zipWithIndex.foreach { case (row, i) =>
+              graft.sources.ArrowWrite.setRow(root, df.schema, row, i)
+            }
+            root.setRowCount(chunk.length)
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally writer.close()
+        out.toByteArray
+      } finally root.close()
+    } finally alloc.close()
   }
 
   def logicalPlan: String = df.queryExecution.logical.toString

@@ -49,15 +49,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), "bucket join degenerated to NLJ")
   }
 
-  test("as-of join plans one shuffle: union + window, no join operator at all") {
+  test("as-of join: at most two shuffles (right pre-agg + window), no join operator") {
     val plan = SparkEntry.queries("ts_asof_join")(spark, sfSmoke)
       .queryExecution.sparkPlan
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
-    // one hash partitioning on the key feeds the running-last window (the
-    // right side pre-aggregation reuses the same partitioning); a range
-    // join would add a second shuffle plus a pair-enumerating join
+    // the right side's (user, ts) dedup aggregation shuffles once, the
+    // running-last window once more on (user); a range-join formulation
+    // would add a pair-enumerating join on top of those
     assert(exchanges.size <= 2, s"as-of join shuffles too much:\n$plan")
     assert(!plan.toString.contains("Join"), "as-of should compose without a join")
   }
