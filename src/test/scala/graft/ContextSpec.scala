@@ -161,4 +161,28 @@ class ContextSpec extends SparkSpec {
     val st = ctx.sql("SELECT r_name FROM ctx_region WHERE r_regionkey = 1").stages()
     assert(st.length == 1)
   }
+
+  test("stages(): a broadcast join cuts the build side into its own stage") {
+    ctx.registerParquet("ctx_nat4", s"$sfSmoke/nation.parquet")
+    ctx.registerParquet("ctx_reg4", s"$sfSmoke/region.parquet")
+    val st = ctx.sql(
+      """SELECT n_name, r_name FROM ctx_nat4
+        |JOIN ctx_reg4 ON n_regionkey = r_regionkey""".stripMargin).stages()
+    assert(st.length >= 2)
+    assert(st.exists(_.contains("BroadcastExchange [reads stage")),
+      st.mkString("\n---\n"))
+  }
+
+  test("events load truncates nanosecond timestamps to microseconds") {
+    Tables.register(spark, sfSmoke)
+    val schema = spark.table("events").schema
+    assert(schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // values survive a round-trip through microseconds exactly (already
+    // truncated), so re-truncating is the identity
+    val n = spark.sql(
+      "SELECT count(*) FROM events WHERE ts <> timestamp_micros(unix_micros(ts))")
+      .collect()(0).getLong(0)
+    assert(n == 0L)
+  }
 }

@@ -127,6 +127,22 @@ class LlmOperatorSpec extends SparkSpec {
     assert(fp(1L).split(",").length <= 4)
   }
 
+  test("dedupe pipeline: exact dups collapse, near-dups drop, uniques survive") {
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient crane watches every move from the tall green tree near the river"
+    val d = docs(
+      1L -> base,
+      2L -> ("  " + base.toUpperCase + " "), // exact dup after normalization
+      3L -> (base + " tonight"),             // near dup: one appended word
+      4L -> "completely different text about spark physical plans")
+    val survivors = Dedup.dedupe(d, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 2 collapses into 1 (exact); 3 drops against 1 (J = 22/24, so the
+    // banded LSH cannot plausibly miss it); 1 keeps the minimum id;
+    // 4 is untouched
+    assert(survivors.toSeq == Seq(1L, 4L))
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     Tables.register(spark, sfSmoke)
     val r = spark.sql(
