@@ -40,4 +40,28 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.joinBackward(left, right, "k", "ts", Seq("v")).collect()
     assert(out.length == 1 && out(0).getDouble(3) == 3.0)
   }
+
+  test("randomized differential: matches a brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // right unique per (key, ts) by construction of the value map
+    val rightRows = (for {
+      k <- 1L to 5L; m <- 0 until 40 if rnd.nextBoolean()
+    } yield (k, t(f"10:$m%02d"), k * 100.0 + m)).distinct
+    val leftRows = (1 to 120).map { i =>
+      (i.toLong, 1L + rnd.nextInt(6).toLong, t(f"10:${rnd.nextInt(40)}%02d"))
+    }
+    val got = AsOf.joinBackward(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val byKey = rightRows.groupBy(_._1)
+    val want = leftRows.flatMap { case (id, k, ts) =>
+      byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(ts)) // right.ts <= left.ts (inclusive)
+        .sortBy(_._2.getTime)
+        .lastOption.map(r => id -> r._3)
+    }.toMap
+    assert(got == want)
+  }
 }
