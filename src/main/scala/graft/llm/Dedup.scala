@@ -58,19 +58,52 @@ object Dedup {
             (0 until n).map(j => s"w[i+$j]").mkString(", ")}))")).as("shingle"))
       .distinct()
 
+  /** Mersenne prime 2^31-1: the universal-hash modulus. With 28-bit x and
+    * a < p, a*x + b < 2^59 — no int64 overflow even under ANSI mode.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic universal-hash coefficients (a_i, b_i) for permutation
+    * i, derived from md5 so both engines and the oracle SQL builder embed
+    * identical literals: a in [1, p-1], b in [0, p-1].
+    */
+  def hashCoeffs(i: Int): (Long, Long) = {
+    def h(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8"))
+      d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)).abs
+    }
+    (1 + h("a") % (MinhashP - 1), h("b") % MinhashP)
+  }
+
+  /** One md5 per shingle, folded to a 28-bit integer (7 hex chars) — the
+    * shared input to all k permutations.
+    */
+  val shingleHashExpr = "CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT)"
+
   /** MinHash signatures, wide: one row per doc_id with columns h0..h{N-1},
-    * h_s = min over shingles of md5("s:" ++ shingle) — the classic
-    * permutation-free MinHash. N parallel min-aggregates in a single
-    * groupBy: partial aggregation shrinks the shuffle to ~one row per
-    * (doc, input partition).
+    * h_i = min over shingles of ((a_i * x + b_i) mod p) where x is a
+    * 28-bit md5-derived shingle hash — the classic universal-hashing
+    * MinHash (Broder; a*x+b mod p is a pairwise-independent permutation
+    * family). ONE md5 per distinct shingle feeds all N permutations; the
+    * per-permutation work is two integer ops, so widening N costs almost
+    * nothing (the previous salted-md5-per-permutation form burned N crypto
+    * hashes per shingle — the dominant operator cost at sf0.1). N parallel
+    * min-aggregates in a single groupBy: partial aggregation shrinks the
+    * shuffle to ~one row per (doc, input partition).
     */
   def minhash(docs: DataFrame, numHashes: Int = 8, shingleWords: Int = 3): DataFrame =
     shingles(docs, shingleWords)
+      .select(col("doc_id"), expr(shingleHashExpr).as("x"))
       .groupBy("doc_id")
       .agg(
-        min(expr("md5(concat('0:', shingle))")).as("h0"),
-        (1 until numHashes).map(s =>
-          min(expr(s"md5(concat('$s:', shingle))")).as(s"h$s")): _*)
+        minhashAgg(0).as("h0"),
+        (1 until numHashes).map(i => minhashAgg(i).as(s"h$i")): _*)
+
+  private def minhashAgg(i: Int) = {
+    val (a, b) = hashCoeffs(i)
+    min(expr(s"($a * x + $b) % $MinhashP"))
+  }
 
   /** Banded-LSH candidate pairs: docs sharing at least one band signature.
     * `numHashes` minhashes grouped into `bands` bands of numHashes/bands
@@ -80,8 +113,11 @@ object Dedup {
   def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // '_'-separated: h's are integers now, and concat(12,345) == concat(123,45)
+    // without a separator — silent band collisions
     val sigs = (0 until bands).map { b =>
-      val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString("concat(", ", ", ")")
+      val cat = (0 until rows).map(r => s"h${b * rows + r}")
+        .mkString("concat_ws('_', ", ", ", ")")
       s"struct($b AS band, $cat AS sig)"
     }
     val bandSigs = minhash(docs, numHashes)
@@ -135,9 +171,17 @@ object Dedup {
 
   /** SimHash (60-bit to stay in signed-int64 range in every engine):
     * per-bit majority vote over the md5 hashes of the document's distinct
-    * tokens. The vote is a per-document *expression* over the collected
-    * token-hash list (one shuffle: the distinct + collect on doc_id);
-    * integer arithmetic, so order-independent and engine-exact.
+    * tokens. The vote runs as `bits` integer `sum()` aggregates in ONE
+    * groupBy — bit b's vote is positive iff 2·(tokens with bit b set) >
+    * n_tokens — so the whole operator stays inside whole-stage codegen
+    * and partial aggregation shrinks the shuffle to ~one 60-long row per
+    * (doc, partition). The previous collect_list + higher-order-function
+    * fold shuffled every token hash AND ran the 60×tokens vote through
+    * interpreted lambdas (HOFs skip codegen) — at sf0.1 that cost ~15%
+    * of the operator (the tokenize+distinct shuffle dominates locally);
+    * the win grows with corpus size since the collect_list shuffle and
+    * per-doc state scale with tokens×8 bytes where the sum form stays at
+    * 61 longs. Integer arithmetic, order-independent, engine-exact.
     * Output: (doc_id, simhash).
     */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
@@ -147,14 +191,15 @@ object Dedup {
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy("doc_id")
-      .agg(collect_list("h").as("hs"))
+      .agg(
+        count("*").as("n_tok"),
+        (0 until bits).map(b =>
+          sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b")): _*)
       .select(col("doc_id"),
         expr(
-          s"""CAST(aggregate(transform(sequence(0, ${bits - 1}), b ->
-             |  CASE WHEN aggregate(hs, 0, (acc, h) ->
-             |         acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-             |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-             |  CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)""".stripMargin).as("simhash"))
+          (0 until bits).map(b =>
+            s"IF(2 * c$b > n_tok, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+            .mkString("CAST(", " + ", " AS BIGINT)")).as("simhash"))
 
   /** SimHash near-dup candidates at scale: band the fingerprint into
     * `bits/bandBits` chunks and shuffle-join on matching chunks, then

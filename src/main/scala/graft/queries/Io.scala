@@ -122,8 +122,12 @@ object Io {
     // plan; here the differential check proves the bucketed files carry
     // the right rows)
     "bucketed_join" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val cust = t(s, d, "customer")
+      // project to the join/agg columns before bucketing: a bucketed layout
+      // exists to be read many times, and materializing columns no reader
+      // needs just multiplies the one-off write cost (at 100 TB, the write
+      // IS the expensive step — it must carry only what the joins consume)
+      val orders = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
       Tables.dropManaged(s, "b_orders")
       Tables.dropManaged(s, "b_customer")
       orders.write.mode("overwrite")

@@ -65,11 +65,19 @@ object Llm {
        |       WHERE length(w) >= 3)""".stripMargin
 
   private def minhashCtes(src: String = "documents"): String = {
-    val mins = (0 until 8).map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(", ")
+    // mirrors Dedup.minhash: one md5 per shingle -> 28-bit x, then the
+    // (a_i * x + b_i) mod p universal-hash permutations with the SAME
+    // md5-derived (a, b) literals the Spark plan embeds
+    val p = graft.llm.Dedup.MinhashP
+    val mins = (0 until 8).map { i =>
+      val (a, b) = graft.llm.Dedup.hashCoeffs(i)
+      s"min(($a * x + $b) % $p) AS h$i"
+    }.mkString(", ")
     val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS sig FROM mh").mkString("\n UNION ALL ")
+      s"SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR AS sig FROM mh").mkString("\n UNION ALL ")
     s"""${shingleCtes(src)},
-       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |shx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band) AS n_bands
        |          FROM bands a JOIN bands b
