@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Spread a SMALL input across all cores before per-row-heavy compute.
+    * A single parquet file with one row group plans one scan partition, so
+    * a map-only operator (no shuffle anywhere downstream to restore
+    * parallelism) runs on one core no matter how many are free. The
+    * repartition is conditional: when the scan already carries >= default
+    * parallelism (any realistic multi-file table — at 100 TB, thousands
+    * of splits), this is an identity and no shuffle is added. Only worth
+    * it when per-row cost >> row width (here: ~150 md5 calls per row).
+    */
+  private[llm] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Per-document quality stats: char/token counts, average word length,
     * punctuation and whitespace ratios — the usual cheap quality filters.
     */
@@ -109,7 +123,7 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, k: Int = 4, gram: Int = 8,
                   stride: Int = 2): DataFrame =
-    docs
+    spread(docs)
       .select(col("doc_id"), expr(Dedup.normalizeExpr).as("norm"))
       .where(length(col("norm")) >= gram)
       .select(col("doc_id"), expr(
