@@ -46,7 +46,13 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_docs"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per document: (doc_id, shingle).
+    * Deliberately NOT spread (cf. TextAnalysis.spread): the explode's
+    * scan-stage cost is small and the distinct's shuffle restores
+    * parallelism one stage later — measured at sf0.1, inserting a
+    * repartition here made every shingle consumer 40-60% SLOWER (extra
+    * stage barrier + shuffle of the raw text for nothing).
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), expr(s"split($normalizeExpr, ' ')").as("w"))

@@ -21,7 +21,14 @@ object TextAnalysis {
     * repartition is conditional: when the scan already carries >= default
     * parallelism (any realistic multi-file table — at 100 TB, thousands
     * of splits), this is an identity and no shuffle is added. Only worth
-    * it when per-row cost >> row width (here: ~150 md5 calls per row).
+    * it when per-row cost >> row width (here: ~150 md5 calls per row)
+    * AND no early downstream shuffle restores parallelism anyway —
+    * measured at sf0.1, spreading the shingle/token exploders (distinct
+    * follows one stage later) made them 40-60% slower.
+    *
+    * Call ONLY on scan-level inputs: `df.rdd` on an AQE plan with
+    * upstream exchanges executes those stages eagerly just to count
+    * partitions.
     */
   private[llm] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
