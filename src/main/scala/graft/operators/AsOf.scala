@@ -26,8 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Latest right row at-or-BEFORE each left timestamp. */
   def joinBackward(left: DataFrame, right: DataFrame, key: String,
-                   ts: String, rightVals: Seq[String]): DataFrame = {
+                   ts: String, rightVals: Seq[String]): DataFrame =
+    joinDirected(left, right, key, ts, rightVals, backward = true)
+
+  /** Earliest right row at-or-AFTER each left timestamp (the mirror
+    * direction: next-event attribution, e.g. "first purchase after this
+    * campaign view"). Same one-shuffle running-carry composition — the
+    * window just scans time in reverse.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, rightVals: Seq[String]): DataFrame =
+    joinDirected(left, right, key, ts, rightVals, backward = false)
+
+  private def joinDirected(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, rightVals: Seq[String],
+                           backward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     require(lCols.forall(c => !c.startsWith("__") && !c.startsWith("right_")),
       "left columns must not use the reserved __*/right_* prefixes")
@@ -48,8 +63,13 @@ object AsOf {
         Seq(lit(0).as("__side")) ++
         rightVals.map(c => col(c).as(s"__r_$c")): _*)
 
+    // backward: scan time ascending, carry the latest preceding right row.
+    // forward: scan time DESCENDING, so the running carry holds the
+    // earliest FOLLOWING right row. Right rows (__side 0) sort before left
+    // rows at the same instant in both directions => inclusive match.
+    val tsOrd = if (backward) col(ts).asc else col(ts).desc
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the payload travels as ONE struct: non-null exactly when a right
     // row exists, even if every field inside is null — last(ignoreNulls)

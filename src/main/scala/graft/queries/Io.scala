@@ -255,6 +255,44 @@ object Io {
         .orderBy("event_id")
     }),
 
+    // forward as-of: every view attributed to the user's next purchase
+    // (at-or-after, inclusive) — the mirror of ts_asof_join, oracled by
+    // DuckDB's ASOF JOIN with the inequality flipped
+    "ts_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.where("event_type = 'view'")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+      graft.operators.AsOf.joinForward(views, purchases, "user_id", "ts",
+          Seq("p_value"))
+        .selectExpr("event_id", "user_id", "ts AS v_ts",
+          "CAST(right_p_value AS DOUBLE) AS p_value")
+        .orderBy("event_id")
+    }),
+
+    // catalog DML: CTAS + INSERT INTO a managed parquet table, then read
+    // back (reference DmlNode INSERT/CTAS, datafusion.proto:269-283) —
+    // the oracle aggregates the original rows, so a lost or duplicated
+    // insert shows up as a hash mismatch
+    "ddl_ctas_insert" -> ((s, d) => {
+      Tables.register(s, d)
+      Tables.dropManaged(s, "ctas_orders")
+      s.sql(
+        """CREATE TABLE ctas_orders USING PARQUET AS
+          |SELECT o_orderstatus, o_totalprice FROM orders
+          |WHERE o_orderstatus = 'F'""".stripMargin)
+      s.sql(
+        """INSERT INTO ctas_orders
+          |SELECT o_orderstatus, o_totalprice FROM orders
+          |WHERE o_orderstatus = 'O'""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
+          |FROM ctas_orders
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     "json_props_agg" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -374,6 +412,21 @@ object Io {
         |SELECT p.event_id, p.user_id, p.ts AS p_ts, v.v_value
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+
+    "ts_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS p_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.ts AS v_ts, p.p_value
+        |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "ddl_ctas_insert" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "json_props_agg" ->
       """SELECT event_type,

@@ -202,6 +202,15 @@ object Llm {
       Multimodal.frameSample(Multimodal.attach(docs(s, d)), nFrames = 4)
         .toDF().orderBy("doc_id", "frame_idx")),
 
+    // decode -> resize(48): aspect-preserving integer rescale of the
+    // md5-derived geometry; the oracle recomputes the same floor math
+    "llm_resize" -> ((s, d) => {
+      val dec = Multimodal.resize(
+        Multimodal.decode(Multimodal.attach(docs(s, d))), maxSide = 48)
+      dec.select(col("doc_id"), col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
     "llm_multimodal_decode" -> ((s, d) => {
       // runs the REAL typed mapPartitions decode path; the oracle recomputes
       // the md5-derived pseudo-features in SQL independently.
@@ -401,6 +410,19 @@ object Llm {
         |       md5(substring(text, CAST(fr + 1 AS INT), CAST(un - fr AS INT))) AS frame_md5,
         |       CAST(un - fr AS BIGINT) AS frame_bytes
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "llm_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |                  CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS INT) AS w,
+        |                  CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS INT) AS h
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |             CASE WHEN GREATEST(w, h) <= 48 THEN w
+        |                  ELSE GREATEST(1, CAST((w * 48) // GREATEST(w, h) AS INT)) END AS width,
+        |             CASE WHEN GREATEST(w, h) <= 48 THEN h
+        |                  ELSE GREATEST(1, CAST((h * 48) // GREATEST(w, h) AS INT)) END AS height
+        |      FROM g)
+        |SELECT doc_id, width, height FROM r ORDER BY doc_id""".stripMargin,
 
     "llm_multimodal_decode" -> {
       val feats = (0 until 8).map(j =>

@@ -231,7 +231,19 @@ object Relational {
       WHERE p_name ILIKE '%ROD%'
         AND regexp_like(p_type, '^(ECONOMY|PROMO)$')
         AND (p_size > 40) IS NOT TRUE
-      ORDER BY p_partkey"""
+      ORDER BY p_partkey""",
+    // exact percentiles (sort-based linear interpolation at (n-1)*p, the
+    // SQL-standard PERCENTILE_CONT definition): Spark spells it
+    // percentile(), DuckDB quantile_cont() — ROUND(6) absorbs any
+    // last-bit interpolation difference
+    "agg_percentile" -> """
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(ROUND(percentile(c_acctbal, 0.5), 6) AS DOUBLE) AS median_bal,
+             CAST(ROUND(percentile(c_acctbal, 0.9), 6) AS DOUBLE) AS p90_bal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
   )
 
   val oracleOnlySql: Map[String, String] = Map(
@@ -264,6 +276,14 @@ object Relational {
       WHERE p_name ILIKE '%ROD%'
         AND regexp_matches(p_type, '^(ECONOMY|PROMO)$')
         AND (p_size > 40) IS NOT TRUE
-      ORDER BY p_partkey"""
+      ORDER BY p_partkey""",
+    "agg_percentile" -> """
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(ROUND(quantile_cont(c_acctbal, 0.5), 6) AS DOUBLE) AS median_bal,
+             CAST(ROUND(quantile_cont(c_acctbal, 0.9), 6) AS DOUBLE) AS p90_bal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
   )
 }

@@ -41,6 +41,45 @@ class AsOfSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getDouble(3) == 3.0)
   }
 
+  test("forward as-of takes the EARLIEST following right row, inclusive") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, t("10:30")), // between right rows -> 11:00's value
+      (101L, 1L, t("11:00")), // exact tie -> inclusive
+      (102L, 1L, t("11:30")), // after the key's last right row -> dropped
+      (103L, 2L, t("12:00"))  // key with no right rows -> dropped
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("10:00"), 1.0), (1L, t("11:00"), 2.0)
+    ).toDF("k", "ts", "v")
+    val out = AsOf.joinForward(left, right, "k", "ts", Seq("v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(100L -> 2.0, 101L -> 2.0))
+  }
+
+  test("randomized differential: forward matches a brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rightRows = (for {
+      k <- 1L to 5L; m <- 0 until 40 if rnd.nextBoolean()
+    } yield (k, t(f"10:$m%02d"), k * 100.0 + m)).distinct
+    val leftRows = (1 to 120).map { i =>
+      (i.toLong, 1L + rnd.nextInt(6).toLong, t(f"10:${rnd.nextInt(40)}%02d"))
+    }
+    val got = AsOf.joinForward(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val byKey = rightRows.groupBy(_._1)
+    val want = leftRows.flatMap { case (id, k, ts) =>
+      byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.before(ts)) // right.ts >= left.ts (inclusive)
+        .sortBy(_._2.getTime)
+        .headOption.map(r => id -> r._3)
+    }.toMap
+    assert(got == want)
+  }
+
   test("randomized differential: matches a brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
