@@ -112,6 +112,37 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
     "es" -> Seq("el", "los", "las", "y", "es", "una"))
 
+  /** Deterministic train/validation/test assignment by CONTENT hash — the
+    * standard split discipline for training corpora: a document lands in
+    * the same split on every run, every engine, and every re-shard of the
+    * input (no RNG, no row order dependence), and exact duplicates land
+    * in the same split so near-identical text cannot straddle the
+    * train/test boundary. Pure per-row expression work — embarrassingly
+    * parallel, no shuffle.
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    docs.select(
+      col("doc_id"),
+      expr(s"CAST(conv(substr(md5(${Dedup.normalizeExpr}), 1, 15), 16, 10) % 100 AS INT)")
+        .as("bucket"))
+      .withColumn("split",
+        expr(s"CASE WHEN bucket < $trainPct THEN 'train' " +
+          s"WHEN bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END"))
+  }
+
+  /** Corpus-level n-gram statistics: document frequency of word n-grams,
+    * top-k — the contamination/boilerplate-analysis primitive (which
+    * phrases dominate the corpus?). Distinct-per-doc shingles feed ONE
+    * count aggregate; the top-k is a TakeOrdered, not a global sort.
+    */
+  def ngramStats(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    Dedup.shingles(docs, n)
+      .groupBy("shingle")
+      .agg(count("*").as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+
   /** Document fingerprint: k smallest md5 hashes of the character 8-grams
     * (a k-min sketch — winnowing-style selection without the window walk).
     * Deterministic, and two near-identical documents share most of the k.

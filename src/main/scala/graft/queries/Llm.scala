@@ -164,6 +164,12 @@ object Llm {
     "llm_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
 
+    "llm_hash_split" -> ((s, d) =>
+      TextAnalysis.hashSplit(docs(s, d)).orderBy("doc_id")),
+
+    "llm_ngram_stats" -> ((s, d) =>
+      TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
+
     "llm_cosine_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.where("vec_id < 5"), e, 3)
@@ -339,6 +345,24 @@ object Llm {
          |      WHERE length(norm) >= 8)
          |SELECT doc_id, array_to_string(list_sort(list(DISTINCT h))[1:4], ',') AS fp
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |                  CAST(('0x' || substr(md5($NORM), 1, 15))::BIGINT % 100 AS INT) AS bucket
+         |           FROM documents)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "llm_ngram_stats" ->
+      s"""WITH norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+         |       FROM norm, unnest(generate_series(1, length(w) - 1)) AS u(i)
+         |       WHERE length(w) >= 2)
+         |SELECT shingle, count(*) AS df
+         |FROM sh GROUP BY 1
+         |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
 
     "llm_cosine_topk" ->
       s"""WITH pairs AS (

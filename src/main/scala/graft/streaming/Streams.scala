@@ -91,6 +91,20 @@ object Streams {
         col("l.event_type").as("left_type"), col("r.event_type").as("right_type"))
   }
 
+  /** Streaming dedup — the continuous-ingest twin of the batch exact
+    * dedup (graft.llm.Dedup): at-least-once sources (Kafka retries,
+    * re-delivered files) re-emit records, and training corpora must not
+    * double-count them. `dropDuplicatesWithinWatermark` keeps the first
+    * arrival per key and evicts per-key state once the watermark passes —
+    * state tracks the dedup horizon, not stream history (an unbounded
+    * `dropDuplicates` would grow state forever).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count and max value, emitted on every trigger — the
     * `KeyValueGroupedDataset` state API the brief calls for. State is

@@ -136,6 +136,32 @@ class StreamingSpec extends SparkSpec {
       (2L, "2026-01-01 10:45:00.0")))
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.dedupStream(src.toDF(), Seq("user_id", "ts"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(ts(0), 1L, "click", 1.0),
+        Event(ts(0), 1L, "click", 1.0), // same-batch duplicate
+        Event(ts(5), 2L, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(
+        Event(ts(0), 1L, "click", 1.0), // re-delivery in a later batch
+        Event(ts(9), 2L, "view", 3.0))  // genuinely new
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_stream").orderBy("user_id", "ts").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0).toString))
+    assert(rows.toSeq == Seq(
+      (1L, "2026-01-01 10:00:00.0"),
+      (2L, "2026-01-01 10:05:00.0"),
+      (2L, "2026-01-01 10:09:00.0")))
+  }
+
   test("mapGroupsWithState: running per-user count and max") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
