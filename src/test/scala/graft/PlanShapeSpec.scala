@@ -62,6 +62,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toString.contains("Join"), "as-of should compose without a join")
   }
 
+  /** Every FileScan line sitting under a BroadcastExchange in a rendered
+    * plan tree (subtree = following lines with strictly longer tree
+    * prefix before the operator name).
+    */
+  private def broadcastScans(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toVector
+    def depth(l: String): Int = l.indexWhere(c => c.isLetter)
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).flatMap {
+      case (l, i) =>
+        val d = depth(l)
+        lines.drop(i + 1).takeWhile(x => depth(x) > d || x.trim.isEmpty)
+          .filter(_.contains("FileScan"))
+    }
+  }
+
+  test("llm_ivf_topk: only the k-row centroid slice broadcasts, never the corpus") {
+    val plan = staticPlan(SparkEntry.queries("llm_ivf_topk")(spark, sfSmoke))
+    assert(plan.contains("BroadcastExchange"), "centroids should broadcast")
+    // a broadcast subtree bottoming out in an UNFILTERED embeddings scan
+    // would ship the whole corpus to every executor — the centroid slice
+    // carries its vec_id < 8 pushdown right on the scan line
+    broadcastScans(plan).foreach { scan =>
+      assert(scan.contains("LessThan(vec_id"),
+        s"corpus-wide broadcast in IVF plan:\n$scan")
+    }
+  }
+
+  test("skew_salted_join: the salted big side never broadcasts") {
+    val plan = staticPlan(SparkEntry.queries("skew_salted_join")(spark, sfSmoke))
+    // lineitem (the salted side) must arrive via shuffle; broadcasting the
+    // big side would defeat the whole salting exercise
+    broadcastScans(plan).foreach { scan =>
+      assert(!scan.contains("lineitem.parquet"),
+        s"salted big side is broadcast:\n$scan")
+    }
+  }
+
+  test("llm_hash_split: map-only plan — no shuffle beyond the output sort") {
+    val plan = staticPlan(SparkEntry.queries("llm_hash_split")(spark, sfSmoke))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    // one range-partitioning exchange for the ORDER BY is the only
+    // acceptable shuffle; the split assignment itself must stay per-row
+    assert(exchanges <= 1, s"hash split shuffles more than the sort:\n$plan")
+  }
+
+  test("llm_ngram_stats: top-k is a TakeOrdered, not a global sort") {
+    val plan = staticPlan(SparkEntry.queries("llm_ngram_stats")(spark, sfSmoke))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ngram top-k plans a full sort:\n$plan")
+  }
+
   test("q18/q21 flip lineitem-derived build sides to shuffled joins under a 1MB broadcast threshold at sf0.1") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
