@@ -65,6 +65,35 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("hash split: every doc exactly one split; duplicates co-assigned") {
+    samples(corpus, 5).foreach { texts =>
+      // duplicate the corpus under fresh doc_ids: content-hash assignment
+      // must put each copy in the same split as its original
+      val doubled = texts ++ texts
+      val out = graft.llm.TextAnalysis.hashSplit(docsDF(doubled)).collect()
+      assert(out.length == doubled.length, "split must cover every doc")
+      assert(out.forall(r => Set("train", "val", "test")(r.getString(2))))
+      val byText = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+      doubled.indices.foreach { i =>
+        val twin = (i + texts.length) % doubled.length
+        if (doubled(i) == doubled(twin.toInt))
+          assert(byText(i.toLong) == byText(twin.toLong),
+            "identical content split apart")
+      }
+    }
+  }
+
+  test("ngram stats: document frequency never exceeds corpus size") {
+    samples(corpus, 5).foreach { texts =>
+      val out = graft.llm.TextAnalysis.ngramStats(docsDF(texts), n = 2, k = 50)
+        .collect()
+      assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= texts.length))
+      // df ordering is non-increasing down the top-k
+      val dfs = out.map(_.getLong(1)).toSeq
+      assert(dfs == dfs.sorted.reverse)
+    }
+  }
+
   private val vec: Gen[List[Float]] = Gen.listOfN(4,
     Gen.chooseNum(-100, 100).map(_ / 10f)).suchThat(_.exists(_ != 0f))
 
