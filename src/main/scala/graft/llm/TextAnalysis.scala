@@ -124,7 +124,10 @@ object TextAnalysis {
     require(trainPct + valPct < 100, "train+val must leave room for test")
     docs.select(
       col("doc_id"),
-      expr(s"CAST(conv(substr(md5(${Dedup.normalizeExpr}), 1, 15), 16, 10) % 100 AS INT)")
+      // explicit BIGINT before the mod: conv() returns STRING, and the
+      // arithmetic must stay exact 64-bit (a DOUBLE detour would round
+      // 60-bit hashes and diverge from the oracle's integer mod)
+      expr(s"CAST(CAST(conv(substr(md5(${Dedup.normalizeExpr}), 1, 15), 16, 10) AS BIGINT) % 100 AS INT)")
         .as("bucket"))
       .withColumn("split",
         expr(s"CASE WHEN bucket < $trainPct THEN 'train' " +
