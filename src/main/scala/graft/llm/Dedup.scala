@@ -238,14 +238,18 @@ object Dedup {
     val banded = groups.select(col("simhash"),
       explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .withColumn("chunk", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    // distinct-fingerprint pairs that band-match within the radius
+    // distinct-fingerprint pairs that band-match within the radius. The
+    // Hamming cut rides IN the join residual: xor+bit_count are codegen'd
+    // integer ops, so evaluating them on every raw band match (12.6M at
+    // sf0.1) costs less than shuffling the out-of-radius pairs into the
+    // distinct (5.7M -> 546k rows through that exchange, measured).
     val fpPairs = banded.as("a")
       .join(banded.as("b"),
-        expr("a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash"))
+        expr("a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash" +
+          s" AND bit_count(a.simhash ^ b.simhash) <= $maxHamming"))
       .select(expr("a.simhash").as("sim_a"), expr("b.simhash").as("sim_b"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
-      .where(col("hamming") <= maxHamming)
     // cross-group expansion: every member pair across the two clusters
     val cross = fpPairs
       .join(groups.as("ga"), expr("sim_a = ga.simhash"))
