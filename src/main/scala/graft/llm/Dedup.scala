@@ -156,6 +156,36 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Shingle containment (Broder): |shingles(doc) ∩ shingles(probe)| /
+    * |shingles(probe)| — the asymmetric near-dup metric and the standard
+    * DECONTAMINATION check: a probe (benchmark/eval document) with high
+    * containment in a corpus document has leaked into the training set,
+    * even when the corpus document is much larger (plain Jaccard would
+    * dilute the overlap away).
+    *
+    * Scale shape: the probe set is the SMALL side — its distinct shingles
+    * broadcast to the corpus-shingle stream, so the corpus is touched
+    * once, shuffles only on (doc, probe) hit groups, and docs sharing no
+    * shingle with any probe never leave their partition. Output: one row
+    * per (doc_id, probe_id) with at least one shared shingle.
+    */
+  def containment(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                  minContainment: Double = 0.0): DataFrame = {
+    val ps = shingles(probes, n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val sizes = ps.groupBy("probe_id").agg(count("*").as("n_probe_sh"))
+    shingles(docs, n)
+      .join(broadcast(ps), Seq("shingle"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count("*").as("n_shared"))
+      .join(broadcast(sizes), Seq("probe_id"))
+      .select(col("doc_id"), col("probe_id"), col("n_shared"),
+        expr("CAST(ROUND(CAST(n_shared AS DOUBLE) / n_probe_sh, 6) AS DOUBLE)")
+          .as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   /** End-to-end corpus dedup — the operator as a pipeline actually uses
     * it. Two passes: (1) exact dups collapse to the minimum doc_id per
     * normalized-content fingerprint; (2) LSH candidates verified by exact

@@ -164,6 +164,17 @@ object Llm {
     "llm_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
 
+    // decontamination: the first 50 documents play the benchmark set; any
+    // corpus doc sharing >= 30% of a probe's 3-word shingles is flagged
+    // (this probe range includes genuine plants: probes 31/44 sit verbatim
+    // inside other fixture docs — containment 1.0 — so the entry is
+    // non-empty and exercises the exact case the operator exists for)
+    "llm_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.containment(dd, dd.where("doc_id < 50"), minContainment = 0.3)
+        .orderBy("doc_id", "probe_id")
+    }),
+
     "llm_hash_split" -> ((s, d) =>
       TextAnalysis.hashSplit(docs(s, d)).orderBy("doc_id")),
 
@@ -345,6 +356,20 @@ object Llm {
          |      WHERE length(norm) >= 8)
          |SELECT doc_id, array_to_string(list_sort(list(DISTINCT h))[1:4], ',') AS fp
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_decontaminate" ->
+      s"""WITH ${shingleCtes("documents")},
+         |ps AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 50),
+         |sizes AS (SELECT probe_id, count(*) AS n_probe_sh FROM ps GROUP BY 1),
+         |hits AS (SELECT d.doc_id, p.probe_id, count(*) AS n_shared
+         |         FROM sh d JOIN ps p ON d.shingle = p.shingle
+         |         WHERE d.doc_id <> p.probe_id
+         |         GROUP BY 1, 2)
+         |SELECT h.doc_id, h.probe_id, h.n_shared,
+         |       CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) AS containment
+         |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
+         |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
+         |ORDER BY h.doc_id, h.probe_id""".stripMargin,
 
     "llm_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

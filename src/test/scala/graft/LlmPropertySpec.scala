@@ -65,6 +65,27 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("containment: a verbatim copy scores exactly 1; scores stay in (0, 1]") {
+    samples(corpus.suchThat(_.exists(_.split(" ").length >= 3)), 5).foreach { texts =>
+      import spark.implicits._
+      val d = docsDF(texts)
+      // probes = fresh-id copies of every doc: each probe is fully
+      // contained in its original, so a 1.0 row must exist per probe
+      // whose text has at least one shingle
+      val probes = texts.zipWithIndex
+        .map { case (t, i) => ((i + texts.length).toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.containment(d, probes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(out.forall { case (_, _, c) => c > 0.0 && c <= 1.0 })
+      texts.zipWithIndex.filter(_._1.split(" ").length >= 3).foreach { case (_, i) =>
+        assert(out.exists { case (doc, probe, c) =>
+          doc == i.toLong && probe == (i + texts.length).toLong && c == 1.0
+        }, s"copy of doc $i not flagged as contamination")
+      }
+    }
+  }
+
   test("hash split: every doc exactly one split; duplicates co-assigned") {
     samples(corpus, 5).foreach { texts =>
       // duplicate the corpus under fresh doc_ids: content-hash assignment
