@@ -13,7 +13,11 @@ object Explain {
     val spark = Session.local("graft-explain")
     try names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
-      df.collect()
+      // drive THIS QueryExecution without materializing rows on the driver
+      // (collect() would pull a multi-million-row candidate set into the
+      // tool; a noop write would execute a different QueryExecution whose
+      // final plan we couldn't render)
+      df.queryExecution.toRdd.count()
       println(s"==== $n ====")
       println(df.queryExecution.executedPlan.toString)
     } finally spark.stop()

@@ -58,8 +58,10 @@ object ScaleProbe {
       }
       val small = stage(1)
       val big = stage(factor)
-      // JIT/codegen warmup off the clock
-      llm.Dedup.exact(small).write.mode("overwrite").format("noop").save()
+      // warm EVERY operator off the clock: each has a distinct codegen'd
+      // plan, and a cold first timed run would charge its one-off
+      // Janino/JIT compile to x1, biasing the very ratios this reports
+      run(small)
 
       val t1 = run(small)
       val tX = run(big)

@@ -171,6 +171,10 @@ object Dedup {
     */
   def containment(docs: DataFrame, probes: DataFrame, n: Int = 3,
                   minContainment: Double = 0.0): DataFrame = {
+    // ps feeds two broadcasts (the join and the sizes) but its distinct's
+    // shuffle is canonically identical in both subtrees, so ReuseExchange
+    // computes the probe scan+explode once (verified in the final plan:
+    // one probe-side FileScan + Generate, sizes via ReusedExchange)
     val ps = shingles(probes, n)
       .select(col("doc_id").as("probe_id"), col("shingle"))
     val sizes = ps.groupBy("probe_id").agg(count("*").as("n_probe_sh"))

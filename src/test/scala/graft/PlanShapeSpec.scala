@@ -62,40 +62,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toString.contains("Join"), "as-of should compose without a join")
   }
 
-  /** Every FileScan line sitting under a BroadcastExchange in a rendered
-    * plan tree (subtree = following lines with strictly longer tree
-    * prefix before the operator name).
+  /** (PushedFilters, Location) of every FileSourceScanExec under a
+    * BroadcastExchange, collected from the PHYSICAL NODES with AQE off —
+    * a rendered-string walk would pass vacuously whenever plan rendering
+    * truncates the scan lines (maxToStringFields), and AQE's executedPlan
+    * hides exchanges inside un-traversable query stages until run time.
     */
-  private def broadcastScans(plan: String): Seq[String] = {
-    val lines = plan.linesIterator.toVector
-    def depth(l: String): Int = l.indexWhere(c => c.isLetter)
-    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).flatMap {
-      case (l, i) =>
-        val d = depth(l)
-        lines.drop(i + 1).takeWhile(x => depth(x) > d || x.trim.isEmpty)
-          .filter(_.contains("FileScan"))
-    }
+  private def broadcastScans(name: String): Seq[(String, String)] = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      SparkEntry.queries(name)(spark, sfSmoke).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              (f.metadata.getOrElse("PushedFilters", ""),
+                f.metadata.getOrElse("Location", ""))
+          }
+      }.flatten
+    } finally spark.conf.set(key, prev)
   }
 
   test("llm_ivf_topk: only the k-row centroid slice broadcasts, never the corpus") {
-    val plan = staticPlan(SparkEntry.queries("llm_ivf_topk")(spark, sfSmoke))
-    assert(plan.contains("BroadcastExchange"), "centroids should broadcast")
+    val scans = broadcastScans("llm_ivf_topk")
+    assert(scans.nonEmpty, "centroids should broadcast")
     // a broadcast subtree bottoming out in an UNFILTERED embeddings scan
     // would ship the whole corpus to every executor — the centroid slice
-    // carries its vec_id < 8 pushdown right on the scan line
-    broadcastScans(plan).foreach { scan =>
-      assert(scan.contains("LessThan(vec_id"),
-        s"corpus-wide broadcast in IVF plan:\n$scan")
+    // carries its vec_id pushdown on the scan node
+    scans.foreach { case (filters, loc) =>
+      assert(filters.contains("LessThan(vec_id"),
+        s"corpus-wide broadcast in IVF plan: $loc / $filters")
     }
   }
 
   test("skew_salted_join: the salted big side never broadcasts") {
-    val plan = staticPlan(SparkEntry.queries("skew_salted_join")(spark, sfSmoke))
     // lineitem (the salted side) must arrive via shuffle; broadcasting the
     // big side would defeat the whole salting exercise
-    broadcastScans(plan).foreach { scan =>
-      assert(!scan.contains("lineitem.parquet"),
-        s"salted big side is broadcast:\n$scan")
+    broadcastScans("skew_salted_join").foreach { case (_, loc) =>
+      assert(!loc.contains("lineitem.parquet"),
+        s"salted big side is broadcast: $loc")
     }
   }
 
