@@ -146,6 +146,40 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Deterministic stratified sample: the k "first" documents per stratum
+    * under a content-hash order — every run, engine, and input sharding
+    * picks the same k (an RNG sample would not be oracle-checkable, and
+    * at 100 TB resumability matters more than true randomness). Executes
+    * as WindowGroupLimit: the rank filter prunes per-partition before the
+    * per-stratum sort ships anything.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, k: Int): DataFrame =
+    docs
+      .withColumn("__h", expr("md5(CAST(doc_id AS STRING))"))
+      .withColumn("__rn", expr(
+        s"row_number() OVER (PARTITION BY $stratumCol ORDER BY __h, doc_id)"))
+      .where(col("__rn") <= k)
+      .drop("__h", "__rn")
+
+  /** Deterministic mixture sample: per-source keep rates (pct of each
+    * source's documents), applied by content-hash bucket — how a training
+    * mix is rebalanced ("keep 100% of wiki, 10% of crawl"). A document's
+    * fate depends only on its id hash and its source's rate: stable
+    * across runs and reshards, no RNG, join with the tiny rate table
+    * broadcast.
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Int],
+                    sourceCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDF = rates.toSeq.toDF(sourceCol, "keep_pct")
+    docs
+      .join(broadcast(rateDF), Seq(sourceCol))
+      .where(expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < keep_pct"))
+      .drop("keep_pct")
+  }
+
   /** Document fingerprint: k smallest md5 hashes of the character 8-grams
     * (a k-min sketch — winnowing-style selection without the window walk).
     * Deterministic, and two near-identical documents share most of the k.

@@ -175,6 +175,19 @@ object Llm {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // 5 docs per language, chosen by content-hash order — deterministic
+    // stratified sampling (WindowGroupLimit plan: rank prunes pre-shuffle)
+    "llm_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(docs(s, d), "lang", 5)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+
+    // training-mix rebalance: per-source keep rates by id-hash bucket;
+    // sources absent from the rate table drop out entirely
+    "llm_mixture_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(docs(s, d),
+          Map("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "llm_hash_split" -> ((s, d) =>
       TextAnalysis.hashSplit(docs(s, d)).orderBy("doc_id")),
 
@@ -370,6 +383,22 @@ object Llm {
          |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
          |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin,
+
+    "llm_stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents) t
+        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    "llm_mixture_sample" ->
+      """WITH rates(source, keep_pct) AS (VALUES
+        |  ('src0', 100), ('src1', 50), ('src2', 25), ('src3', 10))
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < r.keep_pct
+        |ORDER BY d.doc_id""".stripMargin,
 
     "llm_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -114,6 +114,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"hash split shuffles more than the sort:\n$plan")
   }
 
+  test("llm_stratified_sample: per-stratum rank prunes via WindowGroupLimit") {
+    val plan = staticPlan(SparkEntry.queries("llm_stratified_sample")(spark, sfSmoke))
+    assert(plan.contains("WindowGroupLimit"),
+      "stratified sample should prune before the per-stratum sort ships rows")
+  }
+
   test("llm_ngram_stats: top-k is a TakeOrdered, not a global sort") {
     val plan = staticPlan(SparkEntry.queries("llm_ngram_stats")(spark, sfSmoke))
     assert(plan.contains("TakeOrderedAndProject"),
