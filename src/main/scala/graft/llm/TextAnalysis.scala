@@ -146,6 +146,33 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Fixed-size token chunking with overlap — the context-window packing
+    * step of a training pipeline: each document becomes ceil((n-size)/
+    * stride)+1 windows of `chunkTokens` tokens advancing by stride =
+    * chunkTokens - overlap (the final window may be shorter; every token
+    * is covered). Pure per-row expression work (transform + slice over
+    * the token array, one explode) — no shuffle, no UDF; integer-only
+    * index math so the windows replay exactly in any engine.
+    * Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_md5).
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"),
+        expr(s"split(${Dedup.normalizeExpr}, ' ')").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+           |  sequence(0, CAST((GREATEST(size(w) - $chunkTokens, 0) + ${stride - 1})
+           |                   div $stride AS INT)),
+           |  i -> struct(i AS idx, slice(w, i * $stride + 1, $chunkTokens) AS cw))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"),
+        col("c.idx").cast("int").as("chunk_idx"),
+        expr("CAST(size(c.cw) AS BIGINT)").as("n_chunk_tokens"),
+        expr("md5(concat_ws(' ', c.cw))").as("chunk_md5"))
+  }
+
   /** Deterministic stratified sample: the k "first" documents per stratum
     * under a content-hash order — every run, engine, and input sharding
     * picks the same k (an RNG sample would not be oracle-checkable, and

@@ -175,6 +175,11 @@ object Llm {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // context-window packing: 64-token chunks advancing by 56 (8 overlap)
+    "llm_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(docs(s, d), chunkTokens = 64, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // 5 docs per language, chosen by content-hash order — deterministic
     // stratified sampling (WindowGroupLimit plan: rank prunes pre-shuffle)
     "llm_stratified_sample" -> ((s, d) =>
@@ -383,6 +388,17 @@ object Llm {
          |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
          |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin,
+
+    "llm_chunk" ->
+      s"""WITH n AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w, i AS chunk_idx,
+         |             w[i * 56 + 1 : i * 56 + 64] AS cw
+         |      FROM n, unnest(generate_series(0,
+         |             (GREATEST(length(w) - 64, 0) + 55) // 56)) AS u(i))
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(length(cw) AS BIGINT) AS n_chunk_tokens,
+         |       md5(array_to_string(cw, ' ')) AS chunk_md5
+         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "llm_stratified_sample" ->
       """SELECT doc_id, lang

@@ -65,6 +65,31 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking: window boundaries exact at n = 1, 63, 64, 65, 120, 121") {
+    import spark.implicits._
+    val sizes = Seq(1, 63, 64, 65, 120, 121)
+    val d = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(k => s"t$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.chunk(d, chunkTokens = 64, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // stride 56: n<=64 -> one chunk of n; 65..120 -> 64 + (n-56);
+    // 121 -> 64, 64, 121-112=9
+    assert(out(0L) == Seq(1L))
+    assert(out(1L) == Seq(63L))
+    assert(out(2L) == Seq(64L))
+    assert(out(3L) == Seq(64L, 9L))   // tokens 57..65
+    assert(out(4L) == Seq(64L, 64L))  // tokens 57..120
+    assert(out(5L) == Seq(64L, 64L, 9L))
+    // every token covered: last chunk reaches n
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val stride = 56
+      val covered = stride * (out(i.toLong).length - 1) + out(i.toLong).last
+      assert(covered == n, s"doc of $n tokens covers $covered")
+    }
+  }
+
   test("containment: a verbatim copy scores exactly 1; scores stay in (0, 1]") {
     samples(corpus.suchThat(_.exists(_.split(" ").length >= 3)), 5).foreach { texts =>
       import spark.implicits._
