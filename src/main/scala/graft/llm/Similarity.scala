@@ -61,6 +61,19 @@ object Similarity {
   def cosineHof(a: String, b: String): Column =
     expr(s"CAST(ROUND(${dot(a, b)} / (${norm(a)} * ${norm(b)}), 6) AS DOUBLE)")
 
+  /** L2-normalize embeddings to unit vectors — the standard pre-ANN
+    * transform (after it, cosine == dot product, so downstream scoring
+    * can drop the per-pair norm work). Per-row expression-only (the norm
+    * fold runs once per row, then one transform over the elements);
+    * ROUND(6) at the output edge for cross-engine stability.
+    */
+  def l2Normalize(vecs: DataFrame, embCol: String = "embedding"): DataFrame =
+    vecs
+      .withColumn("__n", expr(norm(embCol)))
+      .withColumn("unit", expr(
+        s"transform($embCol, x -> CAST(ROUND(CAST(x AS DOUBLE) / __n, 6) AS DOUBLE))"))
+      .drop("__n")
+
   /** Exact top-k by cosine: for each probe vector, the k nearest corpus
     * vectors (self excluded). Rank on the rounded value with a vec_id
     * tie-break so the cut is deterministic.

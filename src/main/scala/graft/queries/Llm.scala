@@ -211,6 +211,11 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // unit-normalize the embedding table (after this, cosine == dot)
+    "llm_normalize" -> ((s, d) =>
+      Similarity.l2Normalize(emb(s, d))
+        .select("vec_id", "unit").orderBy("vec_id")),
+
     // IVF ANN with FIXED centroids (the first 8 corpus vectors) so the
     // oracle checks the whole assign/shortlist/candidate-join/top-k query
     // path without having to oracle k-means training (round-3 ADVICE; the
@@ -459,6 +464,12 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_normalize" ->
+      s"""SELECT vec_id,
+         |       list_transform(embedding,
+         |         x -> CAST(ROUND(CAST(x AS DOUBLE) / ${duckNorm("embedding")}, 6) AS DOUBLE)) AS unit
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "llm_ivf_topk" ->
       s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid
