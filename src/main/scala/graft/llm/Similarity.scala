@@ -63,16 +63,20 @@ object Similarity {
 
   /** L2-normalize embeddings to unit vectors — the standard pre-ANN
     * transform (after it, cosine == dot product, so downstream scoring
-    * can drop the per-pair norm work). Per-row expression-only (the norm
-    * fold runs once per row, then one transform over the elements);
+    * can drop the per-pair norm work). The whole operator is ONE 4-arg
+    * `aggregate` whose finish lambda binds the accumulated squared norm
+    * once and emits the scaled array — a norm in a separate projection
+    * gets inlined into the transform lambda by CollapseProject and
+    * re-folds the array PER ELEMENT (O(d²) per row; measured 1.6 s for
+    * 2000x64 vectors on the single-split scan before this shape).
     * ROUND(6) at the output edge for cross-engine stability.
     */
   def l2Normalize(vecs: DataFrame, embCol: String = "embedding"): DataFrame =
-    vecs
-      .withColumn("__n", expr(norm(embCol)))
-      .withColumn("unit", expr(
-        s"transform($embCol, x -> CAST(ROUND(CAST(x AS DOUBLE) / __n, 6) AS DOUBLE))"))
-      .drop("__n")
+    vecs.withColumn("unit", expr(
+      s"""aggregate($embCol, CAST(0.0 AS DOUBLE),
+         |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+         |  acc -> transform($embCol,
+         |           x -> CAST(ROUND(CAST(x AS DOUBLE) / SQRT(acc), 6) AS DOUBLE)))""".stripMargin))
 
   /** Exact top-k by cosine: for each probe vector, the k nearest corpus
     * vectors (self excluded). Rank on the rounded value with a vec_id
