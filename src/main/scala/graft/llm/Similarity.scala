@@ -69,14 +69,16 @@ object Similarity {
     * gets inlined into the transform lambda by CollapseProject and
     * re-folds the array PER ELEMENT (O(d²) per row; measured 1.6 s for
     * 2000x64 vectors on the single-split scan before this shape).
-    * ROUND(6) at the output edge for cross-engine stability.
+    * ROUND(6) at the output edge for cross-engine stability; NULLIF
+    * guards the division (ANSI mode), so an all-zero vector normalizes
+    * to NULL elements instead of killing the job.
     */
   def l2Normalize(vecs: DataFrame, embCol: String = "embedding"): DataFrame =
     vecs.withColumn("unit", expr(
       s"""aggregate($embCol, CAST(0.0 AS DOUBLE),
          |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
          |  acc -> transform($embCol,
-         |           x -> CAST(ROUND(CAST(x AS DOUBLE) / SQRT(acc), 6) AS DOUBLE)))""".stripMargin))
+         |           x -> CAST(ROUND(CAST(x AS DOUBLE) / NULLIF(SQRT(acc), 0.0D), 6) AS DOUBLE)))""".stripMargin))
 
   /** Exact top-k by cosine: for each probe vector, the k nearest corpus
     * vectors (self excluded). Rank on the rounded value with a vec_id

@@ -120,15 +120,21 @@ object TextAnalysis {
     * train/test boundary. Pure per-row expression work — embarrassingly
     * parallel, no shuffle.
     */
+  /** md5-derived percent bucket (0..99) of any SQL expression — the ONE
+    * copy of the cross-engine hash idiom (DuckDB twin:
+    * `('0x'||substr(md5(e),1,15))::BIGINT % 100`). Explicit BIGINT
+    * before the mod: conv() returns STRING, and the arithmetic must stay
+    * exact 64-bit (a DOUBLE detour would round 60-bit hashes and diverge
+    * from the oracle's integer mod).
+    */
+  private[llm] def pctBucket(e: String): String =
+    s"CAST(CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT) % 100 AS INT)"
+
   def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
     docs.select(
       col("doc_id"),
-      // explicit BIGINT before the mod: conv() returns STRING, and the
-      // arithmetic must stay exact 64-bit (a DOUBLE detour would round
-      // 60-bit hashes and diverge from the oracle's integer mod)
-      expr(s"CAST(CAST(conv(substr(md5(${Dedup.normalizeExpr}), 1, 15), 16, 10) AS BIGINT) % 100 AS INT)")
-        .as("bucket"))
+      expr(pctBucket(Dedup.normalizeExpr)).as("bucket"))
       .withColumn("split",
         expr(s"CASE WHEN bucket < $trainPct THEN 'train' " +
           s"WHEN bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END"))
@@ -174,11 +180,14 @@ object TextAnalysis {
   }
 
   /** Deterministic stratified sample: the k "first" documents per stratum
-    * under a content-hash order — every run, engine, and input sharding
-    * picks the same k (an RNG sample would not be oracle-checkable, and
-    * at 100 TB resumability matters more than true randomness). Executes
-    * as WindowGroupLimit: the rank filter prunes per-partition before the
-    * per-stratum sort ships anything.
+    * under an ID-hash order — every run, engine, and input sharding picks
+    * the same k (an RNG sample would not be oracle-checkable, and at
+    * 100 TB resumability matters more than true randomness). NOTE the
+    * hash input is doc_id, not content: re-ingesting with new ids picks
+    * a different sample — use [[hashSplit]]'s content hash when
+    * duplicate-co-assignment matters. Executes as WindowGroupLimit: the
+    * rank filter prunes per-partition before the per-stratum sort ships
+    * anything.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String, k: Int): DataFrame =
     docs
@@ -189,11 +198,11 @@ object TextAnalysis {
       .drop("__h", "__rn")
 
   /** Deterministic mixture sample: per-source keep rates (pct of each
-    * source's documents), applied by content-hash bucket — how a training
+    * source's documents), applied by ID-hash bucket — how a training
     * mix is rebalanced ("keep 100% of wiki, 10% of crawl"). A document's
     * fate depends only on its id hash and its source's rate: stable
     * across runs and reshards, no RNG, join with the tiny rate table
-    * broadcast.
+    * broadcast. Sources absent from `rates` drop out entirely.
     */
   def mixtureSample(docs: DataFrame, rates: Map[String, Int],
                     sourceCol: String = "source"): DataFrame = {
@@ -202,8 +211,7 @@ object TextAnalysis {
     val rateDF = rates.toSeq.toDF(sourceCol, "keep_pct")
     docs
       .join(broadcast(rateDF), Seq(sourceCol))
-      .where(expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < keep_pct"))
+      .where(expr(s"${pctBucket("CAST(doc_id AS STRING)")} < keep_pct"))
       .drop("keep_pct")
   }
 

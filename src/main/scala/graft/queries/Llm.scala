@@ -44,8 +44,12 @@ object Llm {
   private def duckNorm(a: String): String =
     s"SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))"
 
+  /** "+ 0.0" canonicalizes -0.0: DuckDB's ROUND preserves the sign of
+    * zero, Spark's BigDecimal HALF_UP cannot produce -0.0, and the
+    * comparator hashes full-precision reprs — value-neutral otherwise.
+    */
   private def duckCosine(a: String, b: String): String =
-    s"CAST(ROUND(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6) AS DOUBLE)"
+    s"CAST(ROUND(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6) + 0.0 AS DOUBLE)"
 
   /** Unrounded cosine — for ORDERING comparisons (centroid argmax), where
     * both engines must rank on the same bit-identical doubles; rounding
@@ -465,10 +469,14 @@ object Llm {
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
 
+    // NULLIF mirrors the Spark-side ANSI guard; "+ 0.0" canonicalizes
+    // DuckDB's ROUND, which (unlike Spark's BigDecimal HALF_UP) preserves
+    // the sign of zero — a tiny negative component would otherwise hash
+    // as '-0.0' against Spark's '0.0'
     "llm_normalize" ->
       s"""SELECT vec_id,
          |       list_transform(embedding,
-         |         x -> CAST(ROUND(CAST(x AS DOUBLE) / ${duckNorm("embedding")}, 6) AS DOUBLE)) AS unit
+         |         x -> CAST(ROUND(CAST(x AS DOUBLE) / NULLIF(${duckNorm("embedding")}, 0.0), 6) + 0.0 AS DOUBLE)) AS unit
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "llm_ivf_topk" ->
