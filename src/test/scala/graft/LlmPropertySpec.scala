@@ -143,6 +143,18 @@ class LlmPropertySpec extends SparkSpec {
   private val vec: Gen[List[Float]] = Gen.listOfN(4,
     Gen.chooseNum(-100, 100).map(_ / 10f)).suchThat(_.exists(_ != 0f))
 
+  test("l2Normalize: unit norm for real vectors; zero vector -> NULLs, no ANSI error") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(3f, 4f)),          // norm 5 -> (0.6, 0.8)
+      (1L, Array(0f, 0f))           // zero vector: must not DIVIDE_BY_ZERO
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.l2Normalize(e).orderBy("vec_id").collect()
+    assert(out(0).getSeq[Double](2) == Seq(0.6, 0.8))
+    assert(out(1).getSeq[Any](2).forall(_ == null),
+      "zero vector should normalize to NULL elements")
+  }
+
   test("cosine stays in [-1, 1]; self-similarity is 1") {
     samples(Gen.listOfN(3, vec), 5).foreach { vs =>
       import spark.implicits._
