@@ -232,6 +232,29 @@ object Relational {
         AND regexp_like(p_type, '^(ECONOMY|PROMO)$')
         AND (p_size > 40) IS NOT TRUE
       ORDER BY p_partkey""",
+    // GROUPS window frame — absent from Spark 4 (probed; SURVEY §2.B) —
+    // composed Spark-first: dense_rank numbers the peer groups, the frame
+    // becomes a ROWS frame over per-group partial sums, and rows join
+    // their group's result back. DECIMAL end-to-end so the emulation is
+    // bit-identical to DuckDB's NATIVE `GROUPS BETWEEN 1 PRECEDING AND
+    // CURRENT ROW` in the oracle.
+    "win_groups_frame" -> """
+      WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                        dense_rank() OVER (PARTITION BY c_mktsegment
+                                           ORDER BY c_nationkey) AS grp
+                 FROM customer),
+      gs AS (SELECT c_mktsegment, grp, SUM(bal) AS gsum
+             FROM g GROUP BY c_mktsegment, grp),
+      gw AS (SELECT c_mktsegment, grp,
+                    SUM(gsum) OVER (PARTITION BY c_mktsegment ORDER BY grp
+                                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS wsum
+             FROM gs)
+      SELECT g.c_custkey, g.c_mktsegment, g.c_nationkey,
+             CAST(gw.wsum AS DOUBLE) AS groups_sum
+      FROM g JOIN gw ON g.c_mktsegment = gw.c_mktsegment AND g.grp = gw.grp
+      ORDER BY g.c_custkey""",
+
     // exact percentiles (sort-based linear interpolation at (n-1)*p, the
     // SQL-standard PERCENTILE_CONT definition): Spark spells it
     // percentile(), DuckDB quantile_cont() — ROUND(6) absorbs any
@@ -284,6 +307,22 @@ object Relational {
              CAST(ROUND(quantile_cont(c_acctbal, 0.9), 6) AS DOUBLE) AS p90_bal
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""
+      ORDER BY c_mktsegment""",
+    // DuckDB 1.0 lacks GROUPS frames too ("not implemented yet"), so the
+    // oracle recomputes the frame semantics INDEPENDENTLY as a dense_rank
+    // range join: sum every row of the partition whose peer-group rank is
+    // within [grp-1, grp] — a different plan shape reaching the same
+    // definition, which is exactly what a differential check wants
+    "win_groups_frame" -> """
+      WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+                        CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                        dense_rank() OVER (PARTITION BY c_mktsegment
+                                           ORDER BY c_nationkey) AS grp
+                 FROM customer)
+      SELECT a.c_custkey, a.c_mktsegment, a.c_nationkey,
+             CAST((SELECT SUM(b.bal) FROM g b
+                   WHERE b.c_mktsegment = a.c_mktsegment
+                     AND b.grp BETWEEN a.grp - 1 AND a.grp) AS DOUBLE) AS groups_sum
+      FROM g a ORDER BY a.c_custkey"""
   )
 }
