@@ -138,4 +138,24 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.conf.set(key, prev)
   }
+
+  test("jaccard verify flips its shingle joins to shuffled joins under a 100KB broadcast threshold") {
+    // the dedup family uses NO broadcast() hints, so join strategy stays
+    // threshold-driven: at real scale the corpus-sized shingle tables must
+    // shuffle, never ship to every executor. Caveat this pins around:
+    // Catalyst's static size estimate for the shingle table derives from
+    // the INPUT FILE bytes (explode amplification is invisible to the
+    // estimator, and AQE can only promote SMJ->BHJ, never demote a
+    // statically-planned broadcast), so the estimate is ~0.6MB at sf0.1 —
+    // the threshold here sits BELOW it, mirroring a corpus whose file size
+    // alone exceeds any sane threshold
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (100L * 1024).toString)
+    try {
+      val plan = finalPlan(SparkEntry.queries("llm_jaccard_verify")(spark, sfBench))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "shingle joins still broadcast above the threshold")
+    } finally spark.conf.set(key, prev)
+  }
 }
