@@ -215,10 +215,16 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
-    // unit-normalize the embedding table (after this, cosine == dot)
+    // unit-normalize the embedding table (after this, cosine == dot).
+    // The unit vector is posexploded to scalar (vec_id, pos, u) rows:
+    // the driver's pandas comparator cannot sort array-typed columns
+    // (round-4 verdict #1), and EntryContractSpec now bans them.
     "llm_normalize" -> ((s, d) =>
       Similarity.l2Normalize(emb(s, d))
-        .select("vec_id", "unit").orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(col("unit")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("u"))
+        .orderBy("vec_id", "pos")),
 
     // IVF ANN with FIXED centroids (the first 8 corpus vectors) so the
     // oracle checks the whole assign/shortlist/candidate-join/top-k query
@@ -474,10 +480,13 @@ object Llm {
     // the sign of zero — a tiny negative component would otherwise hash
     // as '-0.0' against Spark's '0.0'
     "llm_normalize" ->
-      s"""SELECT vec_id,
+      s"""WITH un AS (SELECT vec_id,
          |       list_transform(embedding,
          |         x -> CAST(ROUND(CAST(x AS DOUBLE) / NULLIF(${duckNorm("embedding")}, 0.0), 6) + 0.0 AS DOUBLE)) AS unit
-         |FROM embeddings ORDER BY vec_id""".stripMargin,
+         |FROM embeddings)
+         |SELECT vec_id, CAST(generate_subscripts(unit, 1) AS BIGINT) AS pos,
+         |       unnest(unit) AS u
+         |FROM un ORDER BY vec_id, pos""".stripMargin,
 
     "llm_ivf_topk" ->
       s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid

@@ -30,4 +30,24 @@ class EntryContractSpec extends SparkSpec {
   test("flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).collect().length > 0)
   }
+
+  // The driver's pandas comparator sort_values()s every output column and
+  // cannot order numpy arrays ("unhashable type" — round-4 verdict, the
+  // llm_normalize red row). The local check.py normalizes Python lists, so
+  // without this gate an array-typed entry passes locally and fails the
+  // driver. Declared outputs must be scalar columns, full stop.
+  test("no declared query outputs an array/map/struct column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfSmoke).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"driver comparator cannot sort complex columns: ${offenders.mkString(", ")}")
+  }
 }
