@@ -209,6 +209,86 @@ object Dedup {
     survivors.join(nearDrop, Seq("doc_id"), "left_anti")
   }
 
+  /** Duplicate-cluster connected components over verified near-dup pairs
+    * (columns doc_a, doc_b) — the standard corpus-dedup grouping the
+    * one-pass greedy rule in [[dedupe]] approximates: in a chain A~B~C
+    * where (A, C) never band-match, all three belong to ONE cluster, and
+    * only the representative (minimum doc_id in the component) survives.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every node takes the minimum label over itself and its
+    * neighbors (one shuffle join + partial-aggregated min), then jumps to
+    * its label's label (a second join) — the jump halves chain depth, so
+    * convergence is O(log n) rounds, not O(diameter). Labels are monotone
+    * non-increasing minimums, so the fixed point is exactly the component
+    * minimum and every round is deterministic (no RNG, no tie-breaks).
+    *
+    * Scale notes: each round shuffles |E| + |V| rows, bounded by the
+    * verified pair set (already LSH-pruned, never all-pairs); per-round
+    * results are checkpointed to truncate lineage — local checkpoints
+    * here (single-JVM); a real cluster deployment would point
+    * `spark.checkpoint.dir` at durable storage and use `checkpoint()`
+    * so a lost executor replays one round, not the whole loop.
+    * The convergence probe is a `limit(1)`-style existence check
+    * (isEmpty), not a count — it short-circuits on the first changed row.
+    *
+    * Output: (doc_id, cluster_rep) for every doc that appears in at least
+    * one pair; singleton docs are their own cluster by definition and are
+    * left to the caller (see [[dedupeClustered]]).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("label").as("nmin"))
+      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val jumped = prop
+        .join(prop.select(col("doc_id").as("via"), col("label").as("via_label")),
+          prop("label") === col("via"), "left")
+        .select(prop("doc_id"),
+          coalesce(col("via_label"), prop("label")).as("label"))
+        .localCheckpoint()
+      done = jumped.as("n").join(labels.as("o"), Seq("doc_id"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** [[dedupe]] with transitive-closure semantics: exact pass first, then
+    * verified near-dup pairs group into connected components and only each
+    * component's minimum doc_id survives. Docs in no pair are singleton
+    * components and survive untouched (left-anti on the non-representative
+    * set keeps them without a join against the full corpus).
+    */
+  def dedupeClustered(docs: DataFrame, jaccardThreshold: Double = 0.6,
+                      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val survivors = docs.join(
+      exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val pairs = jaccard(survivors, lshCandidates(survivors, numHashes, bands))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b")
+    val nonReps = dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select("doc_id")
+    survivors.join(nonReps, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash (60-bit to stay in signed-int64 range in every engine):
     * per-bit majority vote over the md5 hashes of the document's distinct
     * tokens. The vote runs as `bits` integer `sum()` aggregates in ONE

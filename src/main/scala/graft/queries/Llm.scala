@@ -160,6 +160,22 @@ object Llm {
     "llm_dedup_pipeline" -> ((s, d) =>
       Dedup.dedupe(docs(s, d)).select("doc_id").orderBy("doc_id")),
 
+    // connected components over verified near-dup pairs (min-label
+    // propagation + pointer jumping): every doc in at least one >=0.6
+    // Jaccard pair, labeled with its component's minimum doc_id
+    "llm_dup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    }),
+
+    // the full pipeline with transitive-closure semantics: only each
+    // duplicate component's minimum doc_id survives (vs dedupe()'s
+    // documented one-pass greedy rule)
+    "llm_dedup_cc" -> ((s, d) =>
+      Dedup.dedupeClustered(docs(s, d)).select("doc_id").orderBy("doc_id")),
+
     "llm_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
 
@@ -359,6 +375,39 @@ object Llm {
          |nd AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.6)
          |SELECT doc_id FROM docs2
          |WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+         |ORDER BY doc_id""".stripMargin,
+
+    // reachability closure: every label a doc can reach through >=0.6
+    // pairs; min over them == the component representative (the Spark
+    // side converges to the same fixed point by label propagation)
+    "llm_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS doc_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
+         |SELECT doc_id, min(lab) AS cluster_rep FROM reach
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_cc" ->
+      s"""WITH RECURSIVE fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS doc_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |nonrep AS (SELECT doc_id FROM reach GROUP BY doc_id
+         |           HAVING doc_id <> min(lab))
+         |SELECT doc_id FROM docs2
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
          |ORDER BY doc_id""".stripMargin,
 
     "llm_token_counts" ->

@@ -50,6 +50,33 @@ class LlmOperatorSpec extends SparkSpec {
       == Seq((1L, 2L, 4L)))
   }
 
+  test("dupClusters groups chains transitively to the component minimum") {
+    import spark.implicits._
+    // chain 1~2~3 (no direct 1~3 edge), separate pair 7~9, long path
+    // 10~11~12~13~14 — pointer jumping must still land every node on the
+    // component min, and 7/9 must not leak into either component
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
+  test("dedupeClustered keeps one representative per near-dup component") {
+    // a/b/c chain-similar (a~b, b~c share most shingles), d unrelated:
+    // transitive closure keeps only doc 1 and the singleton 4
+    val out = Dedup.dedupeClustered(docs(
+      1L -> "one two three four five six seven eight",
+      2L -> "one two three four five six seven nine",
+      3L -> "zero two three four five six seven nine",
+      4L -> "totally different content with no overlap at all"),
+      jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L))
+  }
+
   test("simhash: identical docs collide; candidates carry hamming 0") {
     val pairs = Dedup.simhashCandidates(docs(
       1L -> "alpha beta gamma delta epsilon zeta",
