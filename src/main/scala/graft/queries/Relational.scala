@@ -107,6 +107,19 @@ object Relational {
       ORDER BY o_orderkey
       LIMIT 20 OFFSET 40""",
 
+    // EXISTS under an OR cannot rewrite to a plain semi join (the
+    // disjunction needs rows that fail the subquery too), so Catalyst
+    // plans an ExistenceJoin — the mark join, reference JoinType LEFTMARK
+    // (datafusion_common.proto:78-88); plan-asserted in PlanShapeSpec
+    "join_existence" -> s"""
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
+         OR c.c_acctbal > 9900
+      ORDER BY c_custkey""",
+
     "join_right_outer" -> s"""
       SELECT n_name, COUNT(c_custkey) AS n_rich
       FROM customer RIGHT OUTER JOIN nation
@@ -255,6 +268,25 @@ object Relational {
       FROM g JOIN gw ON g.c_mktsegment = gw.c_mktsegment AND g.grp = gw.grp
       ORDER BY g.c_custkey""",
 
+    // MapType surface (the last proto type-lattice row Spark can express,
+    // datafusion_common.proto:320-359): per-customer status->count map
+    // built with map_from_entries, consumed with try_element_at (ANSI mode
+    // makes plain element_at THROW on a missing key) and size(); the map
+    // never reaches the output schema (driver comparator contract)
+    "map_entries_lookup" -> """
+      WITH per AS (SELECT o_custkey AS k, o_orderstatus AS st, COUNT(*) AS n
+                   FROM orders GROUP BY o_custkey, o_orderstatus),
+      m AS (SELECT k, map_from_entries(collect_list(struct(st, n))) AS sm
+            FROM per GROUP BY k)
+      SELECT k AS custkey,
+             CAST(COALESCE(try_element_at(sm, 'F'), 0) AS BIGINT) AS n_f,
+             CAST(COALESCE(try_element_at(sm, 'O'), 0) AS BIGINT) AS n_o,
+             CAST(COALESCE(try_element_at(sm, 'P'), 0) AS BIGINT) AS n_p,
+             CAST(size(sm) AS INT) AS n_statuses
+      FROM m
+      WHERE k < 500
+      ORDER BY custkey""",
+
     // exact percentiles (sort-based linear interpolation at (n-1)*p, the
     // SQL-standard PERCENTILE_CONT definition): Spark spells it
     // percentile(), DuckDB quantile_cont() — ROUND(6) absorbs any
@@ -300,6 +332,20 @@ object Relational {
         AND regexp_matches(p_type, '^(ECONOMY|PROMO)$')
         AND (p_size > 40) IS NOT TRUE
       ORDER BY p_partkey""",
+    // the oracle reaches the same numbers WITHOUT a map type at all
+    // (conditional aggregation) — an independent recomputation, which is
+    // exactly what the differential check wants for a type Spark and
+    // DuckDB spell incompatibly
+    "map_entries_lookup" -> """
+      SELECT o_custkey AS custkey,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+             CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+      FROM orders
+      WHERE o_custkey < 500
+      GROUP BY o_custkey
+      ORDER BY custkey""",
     "agg_percentile" -> """
       SELECT c_mktsegment,
              COUNT(*) AS n,

@@ -38,6 +38,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("p_comment"), "part scan reads unprojected columns")
   }
 
+  test("join_existence: EXISTS-under-OR plans the mark join (ExistenceJoin)") {
+    val plan = staticPlan(SparkEntry.queries("join_existence")(spark, sfSmoke))
+    assert(plan.contains("ExistenceJoin"),
+      s"EXISTS OR predicate did not plan an ExistenceJoin:\n$plan")
+  }
+
   test("win_row_number_topn: rank-limit pushdown (WindowGroupLimit)") {
     val plan = staticPlan(SparkEntry.queries("win_row_number_topn")(spark, sfSmoke))
     assert(plan.contains("WindowGroupLimit"),
