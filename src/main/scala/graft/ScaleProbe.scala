@@ -34,6 +34,24 @@ object ScaleProbe {
     "hash_split" -> time(llm.TextAnalysis.hashSplit(docs).write.mode("overwrite")
       .format("noop").save()))
 
+  /** Candidate-pair growth of the two simhash banding operating points
+    * (round-4 verdict #4): the wide-radius (6-bit bands, Hamming<=8)
+    * config vs the web-scale default (15-bit bands, Hamming<=3). The
+    * quadratic term lives in the band join's random collisions
+    * (~nBands/2^bandBits per fingerprint pair), so the interesting
+    * numbers are the PAIR counts side by side as the corpus grows.
+    */
+  private def simhashProbe(docs: DataFrame): Seq[(String, Double, Long)] =
+    Seq(("simhash_b15_h3", 15, 3), ("simhash_b6_h8", 6, 8)).map {
+      case (nm, bb, mh) =>
+        var pairs = 0L
+        val t = time {
+          pairs = llm.Dedup.simhashCandidates(docs, bandBits = bb, maxHamming = mh)
+            .count()
+        }
+        (nm, t, pairs)
+    }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
@@ -68,7 +86,14 @@ object ScaleProbe {
       val items = t1.zip(tX).map { case ((op, a), (_, b)) =>
         f""""$op":{"x1":$a%.2f,"x$factor":$b%.2f,"ratio":${b / a}%.2f}"""
       }
-      println(s"""{"factor":$factor,"rows_x1":$n,${items.mkString(",")}}""")
+      simhashProbe(small) // warm both codegen'd banding plans
+      val sh1 = simhashProbe(small)
+      val shX = simhashProbe(big)
+      val shItems = sh1.zip(shX).map { case ((op, a, pa), (_, b, pb)) =>
+        f""""$op":{"x1":$a%.2f,"x$factor":$b%.2f,"ratio":${b / a}%.2f,""" +
+          s""""pairs_x1":$pa,"pairs_x$factor":$pb}"""
+      }
+      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems).mkString(",")}}""")
     } finally spark.stop()
   }
 }

@@ -327,11 +327,25 @@ object Dedup {
     *
     * Recall guarantee: a pair at Hamming distance d differs in at most d
     * bands, so it agrees on at least one band — i.e. is found — only when
-    * d < bits/bandBits. The defaults (60 bits, 6-bit bands = 10 bands,
-    * maxHamming 8) satisfy maxHamming < nBands; a require enforces it so
-    * callers cannot silently drop in-threshold pairs.
+    * d < bits/bandBits; a require enforces it so callers cannot silently
+    * drop in-threshold pairs.
+    *
+    * Parameter trade-off (round-4 verdict): the banded join is quadratic
+    * in distinct fingerprints that collide on a band, and a RANDOM pair
+    * collides on some band with probability ~ nBands/2^bandBits. The old
+    * (bandBits=6, maxHamming=8) point pays 10/64 ~ 16% random-collision
+    * rate for a radius-8 recall guarantee — fine for dup-heavy template
+    * corpora (few distinct fingerprints) but quadratic-with-a-large-
+    * constant on heterogeneous web-scale text. The default is therefore
+    * the industry operating point (Manku et al., WWW'07: 64-bit simhash,
+    * Hamming <= 3, 4 bands): bandBits=15, maxHamming=3 — random collision
+    * 4/32768 ~ 0.012%, ~1300x fewer junk candidates per band join, at the
+    * cost of the narrower radius. Callers that need radius 8 pass (6, 8)
+    * explicitly and accept the cost (the llm_simhash_radius8 entry keeps
+    * that configuration differentially checked; ScaleProbe reports the
+    * candidate growth of both points side by side).
     */
-  def simhashCandidates(docs: DataFrame, bandBits: Int = 6, maxHamming: Int = 8,
+  def simhashCandidates(docs: DataFrame, bandBits: Int = 15, maxHamming: Int = 3,
                         bits: Int = 60): DataFrame = {
     val nBands = bits / bandBits
     require(maxHamming < nBands,

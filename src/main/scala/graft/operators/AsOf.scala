@@ -29,7 +29,7 @@ object AsOf {
   /** Latest right row at-or-BEFORE each left timestamp. */
   def joinBackward(left: DataFrame, right: DataFrame, key: String,
                    ts: String, rightVals: Seq[String]): DataFrame =
-    joinDirected(left, right, key, ts, rightVals, backward = true)
+    joinDirected(left, right, key, ts, rightVals, backward = true, None)
 
   /** Earliest right row at-or-AFTER each left timestamp (the mirror
     * direction: next-event attribution, e.g. "first purchase after this
@@ -38,11 +38,40 @@ object AsOf {
     */
   def joinForward(left: DataFrame, right: DataFrame, key: String,
                   ts: String, rightVals: Seq[String]): DataFrame =
-    joinDirected(left, right, key, ts, rightVals, backward = false)
+    joinDirected(left, right, key, ts, rightVals, backward = false, None)
+
+  /** Skew-safe backward as-of (round-4 verdict #8): the plain variants
+    * window-partition by the join key alone, so ONE hot key (a celebrity
+    * user, a default device id) serializes its whole timeline into one
+    * task. This variant carries within (key, coarse time bucket) first —
+    * parallel across buckets — then stitches bucket boundaries through a
+    * per-(key, bucket) summary that is |buckets| rows per key, not
+    * |events|. Identical results to [[joinBackward]] by construction
+    * (property-tested in AsOfSpec); requires a TIMESTAMP ts column.
+    * Cost: a second (tiny) shuffle of the bucket summaries + a join back
+    * on (key, bucket); the win is max task size dropping from |hot key|
+    * to |hot key ∩ bucket|. Pick bucketSeconds so a busy key's bucket
+    * fits a task comfortably (e.g. 86400 for daily buckets).
+    */
+  def joinBackwardBucketed(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, rightVals: Seq[String],
+                           bucketSeconds: Long): DataFrame =
+    joinDirected(left, right, key, ts, rightVals, backward = true,
+      Some(bucketSeconds))
+
+  /** Skew-safe forward as-of — [[joinForward]] with time-bucketed
+    * pre-carry; see [[joinBackwardBucketed]].
+    */
+  def joinForwardBucketed(left: DataFrame, right: DataFrame, key: String,
+                          ts: String, rightVals: Seq[String],
+                          bucketSeconds: Long): DataFrame =
+    joinDirected(left, right, key, ts, rightVals, backward = false,
+      Some(bucketSeconds))
 
   private def joinDirected(left: DataFrame, right: DataFrame, key: String,
                            ts: String, rightVals: Seq[String],
-                           backward: Boolean): DataFrame = {
+                           backward: Boolean,
+                           bucketSeconds: Option[Long]): DataFrame = {
     val lCols = left.columns.toSeq
     require(lCols.forall(c => !c.startsWith("__") && !c.startsWith("right_")),
       "left columns must not use the reserved __*/right_* prefixes")
@@ -78,8 +107,41 @@ object AsOf {
     val packed = l.unionByName(r).withColumn("__pack",
       when(col("__side") === 0,
         struct(rightVals.map(c => col(s"__r_$c").as(c)): _*)))
-    val carried = packed
-      .withColumn("__c", last(col("__pack"), ignoreNulls = true).over(w))
+
+    val carried = bucketSeconds match {
+      case None =>
+        packed.withColumn("__c", last(col("__pack"), ignoreNulls = true).over(w))
+
+      case Some(sec) =>
+        val us = sec * 1000000L
+        val withB = packed.withColumn("__bkt", floor(unix_micros(col(ts)) / us))
+        // phase 1: carry within (key, bucket) — parallel across buckets
+        val wLocal = Window.partitionBy(col(key), col("__bkt"))
+          .orderBy(tsOrd, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = withB.withColumn("__c_loc",
+          last(col("__pack"), ignoreNulls = true).over(wLocal))
+        // phase 2: each bucket's final carry = __c_loc of its scan-order-
+        // last row (max of (ts, side) ascending; forward scans time
+        // descending, so negate the micros to keep max_by uniform)
+        val scanOrd =
+          if (backward) unix_micros(col(ts)) else -unix_micros(col(ts))
+        val summary = local.groupBy(col(key), col("__bkt"))
+          .agg(max_by(col("__c_loc"), struct(scanOrd, col("__side")))
+            .as("__c_fin"))
+        // phase 3: carry INTO each bucket = last non-null final carry of
+        // any earlier bucket — a window over |buckets| summary rows per
+        // key, not |events|, so a hot key no longer serializes its data
+        val bktOrd = if (backward) col("__bkt").asc else col("__bkt").desc
+        val wBkt = Window.partitionBy(key).orderBy(bktOrd)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryIn = summary
+          .withColumn("__c_in", last(col("__c_fin"), ignoreNulls = true).over(wBkt))
+          .select(col(key), col("__bkt"), col("__c_in"))
+        local.join(carryIn, Seq(key, "__bkt"), "left")
+          .withColumn("__c", coalesce(col("__c_loc"), col("__c_in")))
+    }
+
     carried
       .where(col("__side") === 1 && col("__c").isNotNull)
       .select(lCols.map(col) ++

@@ -255,6 +255,22 @@ object Io {
         .orderBy("event_id")
     }),
 
+    // the skew-safe as-of (time-bucketed pre-carry, hourly buckets): must
+    // produce EXACTLY the rows of ts_asof_join — same DuckDB ASOF oracle,
+    // so the boundary stitch is differentially checked on real data
+    "ts_asof_bucketed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where("event_type = 'view'")
+        .groupBy("user_id", "ts").agg(max("value").as("v_value"))
+      graft.operators.AsOf.joinBackwardBucketed(purchases, views, "user_id",
+          "ts", Seq("v_value"), bucketSeconds = 3600L)
+        .selectExpr("event_id", "user_id", "ts AS p_ts",
+          "CAST(right_v_value AS DOUBLE) AS v_value")
+        .orderBy("event_id")
+    }),
+
     // forward as-of: every view attributed to the user's next purchase
     // (at-or-after, inclusive) — the mirror of ts_asof_join, oracled by
     // DuckDB's ASOF JOIN with the inequality flipped
@@ -405,6 +421,15 @@ object Io {
         |ORDER BY user_id, session_start""".stripMargin,
 
     "ts_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts AS p_ts, v.v_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_asof_bucketed" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v_value

@@ -148,8 +148,15 @@ object Llm {
 
     // no ORDER BY: the candidate set is ~n² in dup-heavy corpora and the
     // differential compare canonicalizes row order anyway — a global sort
-    // of the pair set would be pure benchmark overhead at scale
+    // of the pair set would be pure benchmark overhead at scale.
+    // Default banding = the web-scale point (15-bit bands, Hamming <= 3)
     "llm_simhash_near" -> ((s, d) => Dedup.simhashCandidates(docs(s, d))),
+
+    // the wide-radius configuration (6-bit bands, Hamming <= 8): higher
+    // recall radius, ~1300x higher random band-collision rate — kept
+    // differentially checked for dup-heavy corpora that can afford it
+    "llm_simhash_radius8" -> ((s, d) =>
+      Dedup.simhashCandidates(docs(s, d), bandBits = 6, maxHamming = 8)),
 
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
 
@@ -323,6 +330,24 @@ object Llm {
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_simhash_near" ->
+      s"""WITH $tokCtes,
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+         |           FROM sim, unnest(generate_series(0, 3)) AS g(band))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_simhash_radius8" ->
       s"""WITH $tokCtes,
          |votes AS (SELECT doc_id, b,
          |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v

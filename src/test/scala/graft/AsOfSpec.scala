@@ -80,6 +80,41 @@ class AsOfSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketed pre-carry equals the plain composition, both directions") {
+    import spark.implicits._
+    // 300 s buckets cut the 40-minute timeline into 8 buckets, so matches
+    // routinely cross bucket boundaries (carry-in path) AND land within
+    // one bucket (local path); empty buckets exercise the ignoreNulls
+    // stitch. Equality against the single-window composition is the whole
+    // contract of the skew refinement.
+    val rnd = new scala.util.Random(23)
+    val rightRows = (for {
+      k <- 1L to 4L; m <- 0 until 40 if rnd.nextInt(4) == 0
+    } yield (k, t(f"10:$m%02d"), k * 100.0 + m)).distinct
+    val leftRows = (1 to 150).map { i =>
+      (i.toLong, 1L + rnd.nextInt(5).toLong, t(f"10:${rnd.nextInt(40)}%02d"))
+    }
+    val l = leftRows.toDF("id", "k", "ts")
+    val r = rightRows.toDF("k", "ts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getTimestamp(2),
+        x.getDouble(3))).toSet
+    assert(rows(AsOf.joinBackwardBucketed(l, r, "k", "ts", Seq("v"), 300L))
+      == rows(AsOf.joinBackward(l, r, "k", "ts", Seq("v"))))
+    assert(rows(AsOf.joinForwardBucketed(l, r, "k", "ts", Seq("v"), 300L))
+      == rows(AsOf.joinForward(l, r, "k", "ts", Seq("v"))))
+  }
+
+  test("bucketed as-of partitions by (key, bucket), not key alone") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, t("10:00"))).toDF("id", "k", "ts")
+    val r = Seq((1L, t("09:00"), 1.0)).toDF("k", "ts", "v")
+    val plan = AsOf.joinBackwardBucketed(l, r, "k", "ts", Seq("v"), 3600L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"),
+      s"no (key, bucket) partitioning stage in plan:\n$plan")
+  }
+
   test("randomized differential: matches a brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
