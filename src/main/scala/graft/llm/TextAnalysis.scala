@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: quality statistics,
@@ -151,6 +152,43 @@ object TextAnalysis {
       .agg(count("*").as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetition"
+    * quality filters): per document, the most frequent word n-gram, the
+    * fraction of all n-grams it accounts for, and the duplicate-n-gram
+    * ratio (1 - distinct/total). Boilerplate, keyword-stuffed and
+    * template pages score high and get filtered before training.
+    *
+    * Shape: NON-distinct n-grams (frequency matters here, unlike
+    * [[Dedup.shingles]]) -> one (doc, gram) count aggregate
+    * (partial-agg'd) -> per-doc window for totals + the top-1 by
+    * (count desc, gram asc) — a deterministic tie-break, and the rank
+    * filter prunes via WindowGroupLimit before the final sort.
+    * Output: (doc_id, top_gram, top_n, n_grams, n_distinct, top_frac,
+    * dup_ratio) — all scalar columns.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr(s"split(${Dedup.normalizeExpr}, ' ')").as("w"))
+      .where(expr(s"size(w) >= $n"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${
+          (0 until n).map(j => s"w[i+$j]").mkString(", ")}))")).as("gram"))
+    val counts = grams.groupBy("doc_id", "gram").agg(count("*").as("c"))
+    val wAll = Window.partitionBy("doc_id")
+    val wTop = wAll.orderBy(col("c").desc, col("gram"))
+    counts
+      .withColumn("n_grams", sum("c").over(wAll))
+      .withColumn("n_distinct", count("*").over(wAll))
+      .withColumn("__rn", row_number().over(wTop))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"), col("c").as("top_n"),
+        col("n_grams"), col("n_distinct"),
+        expr("CAST(ROUND(CAST(c AS DOUBLE) / n_grams, 6) AS DOUBLE)")
+          .as("top_frac"),
+        expr("CAST(ROUND(1 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS DOUBLE)")
+          .as("dup_ratio"))
+  }
 
   /** Fixed-size token chunking with overlap — the context-window packing
     * step of a training pipeline: each document becomes ceil((n-size)/

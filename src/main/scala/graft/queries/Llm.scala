@@ -226,6 +226,11 @@ object Llm {
     "llm_ngram_stats" -> ((s, d) =>
       TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
 
+    // Gopher-style repetition quality signals: top 2-gram share and
+    // duplicate-2-gram ratio per document
+    "llm_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+
     "llm_cosine_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.where("vec_id < 5"), e, 3)
@@ -268,6 +273,17 @@ object Llm {
       // cosine ~0.51 at sf0.01) — the cut keeps the entry non-empty
       Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
         .orderBy("vec_a", "vec_b")),
+
+    // cross-family composition: embedding near-dup pairs grouped into
+    // connected components by the same dupClusters operator the text
+    // pipeline uses — one clustering primitive, any pair source
+    "llm_embed_clusters" -> ((s, d) => {
+      val pairs = Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.dupClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+        .orderBy("vec_id")
+    }),
 
     "llm_frame_sample" -> ((s, d) =>
       // fixture text is pure ASCII (checked: octet_length == length), so
@@ -593,6 +609,37 @@ object Llm {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "llm_embed_clusters" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
+         |           FROM embeddings),
+         |p AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |      WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4),
+         |edges AS (SELECT va AS src, vb AS dst FROM p
+         |          UNION SELECT vb, va FROM p),
+         |reach AS (SELECT src AS vec_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.vec_id = e.dst)
+         |SELECT vec_id, min(lab) AS cluster_rep FROM reach
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "llm_repetition" ->
+      s"""WITH norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |      FROM norm, unnest(generate_series(1, length(w) - 1)) AS u(i)
+         |      WHERE length(w) >= 2),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |t AS (SELECT doc_id, gram, c,
+         |             CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams,
+         |             count(*) OVER (PARTITION BY doc_id) AS n_distinct,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY c DESC, gram) AS rn
+         |      FROM cnt)
+         |SELECT doc_id, gram AS top_gram, c AS top_n, n_grams, n_distinct,
+         |       CAST(ROUND(CAST(c AS DOUBLE) / n_grams, 6) AS DOUBLE) AS top_frac,
+         |       CAST(ROUND(1 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS DOUBLE) AS dup_ratio
+         |FROM t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "llm_frame_sample" ->
       """WITH b AS (SELECT doc_id, text, length(text) AS n,

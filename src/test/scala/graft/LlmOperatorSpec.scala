@@ -50,6 +50,18 @@ class LlmOperatorSpec extends SparkSpec {
       == Seq((1L, 2L, 4L)))
   }
 
+  test("repetition: top 2-gram share and duplicate ratio, hand-computed") {
+    // "a b a b a" -> grams (a b, b a, a b, b a): top "a b" (count tie
+    // broken by gram asc), 2/4 share, dup_ratio 1 - 2/4 = 0.5
+    // "x y z" -> grams (x y, y z): all unique, dup_ratio 0
+    val out = TextAnalysis.repetition(docs(1L -> "a b a b a", 2L -> "x y z"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(out == Set(
+      (1L, "a b", 2L, 4L, 2L, 0.5, 0.5),
+      (2L, "x y", 1L, 2L, 2L, 0.5, 0.0)))
+  }
+
   test("dupClusters groups chains transitively to the component minimum") {
     import spark.implicits._
     // chain 1~2~3 (no direct 1~3 edge), separate pair 7~9, long path
