@@ -126,6 +126,12 @@ class PlanShapeSpec extends SparkSpec {
       "stratified sample should prune before the per-stratum sort ships rows")
   }
 
+  test("llm_repetition: top-gram rank filter prunes via WindowGroupLimit") {
+    val plan = staticPlan(SparkEntry.queries("llm_repetition")(spark, sfSmoke))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-doc top-1 gram is not pruning below the window sort")
+  }
+
   test("llm_ngram_stats: top-k is a TakeOrdered, not a global sort") {
     val plan = staticPlan(SparkEntry.queries("llm_ngram_stats")(spark, sfSmoke))
     assert(plan.contains("TakeOrderedAndProject"),
