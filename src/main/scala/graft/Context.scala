@@ -57,6 +57,15 @@ class Context(val spark: SparkSession) {
     spark.read.format("graft.sources.ArrowIpcSource").load(path)
       .createOrReplaceTempView(name)
 
+  /** Avro registration (reference `register_avro` via DataFusion,
+    * `datafusion.proto:1025-1027`), via the engine's DataSource V2
+    * [[graft.sources.AvroSource]] (built on the Avro core library — the
+    * spark-avro module is absent from this environment).
+    */
+  def registerAvro(name: String, path: String): Unit =
+    spark.read.format("graft.sources.AvroSource").load(path)
+      .createOrReplaceTempView(name)
+
   /** Split a SQL script on top-level semicolons only: a `;` inside a
     * quoted literal (with `''` and backslash escapes — but NOT inside
     * backticks, which have no backslash escape), a `--` line comment or a

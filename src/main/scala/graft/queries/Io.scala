@@ -87,6 +87,25 @@ object Io {
         .orderBy("s_nationkey")
     }),
 
+    // Avro round-trip through the custom DataSource V2 (read+write; the
+    // spark-avro module is absent, so the source builds on the Avro core
+    // library): two-phase-commit distributed write, multi-file scan,
+    // field-pruned decode — oracle over the original parquet
+    "src_avro_roundtrip" -> ((s, d) => {
+      val ord = t(s, d, "orders").selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS o_orderkey", "o_orderstatus",
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice")
+      val p = s"${base(d)}/orders_avro"
+      ord.repartition(3).write.format("graft.sources.AvroSource")
+        .mode("overwrite").save(p)
+      s.read.format("graft.sources.AvroSource").load(p)
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_tp"),
+          min("o_orderkey").as("first_key"))
+        .orderBy("o_orderstatus")
+    }),
+
     "src_listing_dir" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
@@ -338,6 +357,12 @@ object Io {
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |       min(s_name) AS first_name
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    "src_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "src_listing_dir" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -66,7 +66,7 @@ private[graft] object ArrowWrite {
 }
 
 private[sources] case class ArrowCommit(tmpPath: String, finalPath: String)
-    extends WriterCommitMessage
+    extends TmpFileCommit
 
 private[sources] class ArrowWriteBuilder(info: LogicalWriteInfo, path: String)
     extends WriteBuilder with SupportsTruncate {
@@ -84,46 +84,12 @@ private[sources] class ArrowBatchWrite(schema: StructType, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ArrowWriterFactory(schema, path, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new File(path)
-    dir.mkdirs()
-    // publish FIRST: file names carry the queryId, so the new generation
-    // never collides with existing files (append coexists, overwrite
-    // keeps the old generation readable until the new one is fully
-    // published — a crash cannot destroy already-committed data). Each
-    // rename is atomic per-file; a failure mid-loop rolls the published
-    // prefix back so readers never see a torn generation. (Atomicity
-    // against a DRIVER crash between renames would need a manifest file —
-    // out of scope for this sink.)
-    val real = messages.collect {
-      case c: ArrowCommit if c.tmpPath.nonEmpty => c
-    }
-    val published = scala.collection.mutable.ArrayBuffer[File]()
-    try {
-      real.foreach { case ArrowCommit(tmp, fin) =>
-        val f = new File(fin)
-        if (!new File(tmp).renameTo(f))
-          throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
-        published += f
-      }
-    } catch {
-      case e: Throwable =>
-        published.foreach(_.delete())
-        throw e
-    }
-    val keep = published.map(_.getName).toSet
-    if (truncate) Option(dir.listFiles).foreach(_.foreach { f =>
-      if (f.getName != "_staging" && !keep.contains(f.getName))
-        graft.Tables.deleteRecursively(f)
-    })
-    graft.Tables.deleteRecursively(new File(dir, "_staging"))
-  }
+  // driver-side publish shared with the Avro sink — see TwoPhaseCommit
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    TwoPhaseCommit.publish(messages, path, truncate)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ArrowCommit(tmp, _) => new File(tmp).delete()
-      case _ =>
-    }
+    TwoPhaseCommit.abort(messages)
 }
 
 private[sources] class ArrowWriterFactory(schema: StructType, path: String,

@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.io.File
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{JsonProperties, Schema => ASchema}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Avro object-container scan + sink as a DataSource V2 `TableProvider` —
+  * SURVEY §2.B's Avro row (reference `register_avro`/`AvroExec` via
+  * DataFusion, `datafusion.proto:1025-1027`). The spark-avro MODULE is
+  * absent from this environment, but the Avro core library ships in
+  * /opt/spark/jars, so the source is built directly on
+  * `org.apache.avro.file.DataFileReader/Writer` — same architecture as
+  * [[ArrowIpcSource]]. Usage:
+  *
+  * {{{ spark.read.format("graft.sources.AvroSource").load(dirOrFile) }}}
+  *
+  * Scale design: one input partition per file (container sync markers
+  * would allow intra-file splits; at 100 TB you write many files, which
+  * this sink does — so file-granular parallelism is the simpler honest
+  * choice); schema inferred from one file's header only; column pruning
+  * projects fields at record decode (Avro is row-major — pruning saves
+  * decode-to-Spark conversion, not disk IO, and the scan reports only
+  * the required schema so Catalyst never materializes dropped columns).
+  * Writes go through the same two-phase commit as the Arrow sink
+  * ([[TwoPhaseCommit]]): task-staged temp files, driver-published atomic
+  * renames, speculative attempts can never tear a generation.
+  *
+  * Types: long/int/double/float/string/boolean, nullable via
+  * union(null, T) — the fixture surface, mirroring the Arrow source.
+  */
+class AvroSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Avro.inferSchema(ArrowIpc.listFiles(options.get("path")))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new AvroTable(schema, properties.get("path"))
+}
+
+private[graft] object Avro {
+
+  /** union(null, T) or bare T -> (spark type, nullable). */
+  def sparkTypeOf(s: ASchema): (DataType, Boolean) = s.getType match {
+    case ASchema.Type.UNION =>
+      val branches = s.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
+      require(branches.size == 1,
+        s"unsupported avro union ${s}: only union(null, T) maps to Spark")
+      (primTypeOf(branches.head), true)
+    case _ => (primTypeOf(s), false)
+  }
+
+  private def primTypeOf(s: ASchema): DataType = s.getType match {
+    case ASchema.Type.LONG => LongType
+    case ASchema.Type.INT => IntegerType
+    case ASchema.Type.DOUBLE => DoubleType
+    case ASchema.Type.FLOAT => FloatType
+    case ASchema.Type.STRING => StringType
+    case ASchema.Type.BOOLEAN => BooleanType
+    case other => throw new UnsupportedOperationException(s"avro type $other")
+  }
+
+  def inferSchema(files: Seq[String]): StructType = {
+    if (files.isEmpty) return new StructType()
+    val reader = new DataFileReader[GenericRecord](
+      new File(files.head), new GenericDatumReader[GenericRecord]())
+    try {
+      StructType(reader.getSchema.getFields.asScala.map { f =>
+        val (dt, nullable) = sparkTypeOf(f.schema())
+        StructField(f.name(), dt, nullable)
+      }.toSeq)
+    } finally reader.close()
+  }
+
+  private def primOf(dt: DataType): ASchema = dt match {
+    case LongType => ASchema.create(ASchema.Type.LONG)
+    case IntegerType => ASchema.create(ASchema.Type.INT)
+    case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+    case FloatType => ASchema.create(ASchema.Type.FLOAT)
+    case StringType => ASchema.create(ASchema.Type.STRING)
+    case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+    case other => throw new UnsupportedOperationException(s"avro write of $other")
+  }
+
+  /** Spark struct -> Avro record schema; every field union(null, T) so
+    * the sink never fails on a null (Spark nullability is advisory).
+    */
+  def avroSchemaOf(schema: StructType): ASchema = {
+    val fields = schema.fields.map { f =>
+      val union = ASchema.createUnion(
+        ASchema.create(ASchema.Type.NULL), primOf(f.dataType))
+      new ASchema.Field(f.name, union, null,
+        JsonProperties.NULL_VALUE: Object)
+    }
+    ASchema.createRecord("graft_row", null, "graft.sources", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+}
+
+private[sources] class AvroTable(schema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"avro:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(info, path)
+}
+
+private[sources] class AvroScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new AvroScan(required, path)
+}
+
+private[sources] class AvroScan(required: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = ArrowIpc.listFiles(path)
+    require(files.nonEmpty, s"no avro files under $path")
+    files.map(AvroFilePartition.apply).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required)
+  override def description(): String = s"AvroScan $path ${required.simpleString}"
+}
+
+private[sources] case class AvroFilePartition(file: String) extends InputPartition
+
+private[sources] class AvroReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(required, p.asInstanceOf[AvroFilePartition].file)
+}
+
+/** Streams one container file record-by-record, decoding only projected
+  * fields; field positions resolved ONCE against the file's own schema
+  * (schema drift across a directory fails loudly, not with an NPE).
+  */
+private[sources] class AvroPartitionReader(required: StructType, file: String)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = new DataFileReader[GenericRecord](
+    new File(file), new GenericDatumReader[GenericRecord]())
+  private val positions: Array[Int] = required.fields.map { f =>
+    val fld = reader.getSchema.getField(f.name)
+    if (fld == null) throw new IllegalStateException(
+      s"column '${f.name}' missing in avro file $file (schema is inferred " +
+        "from one file's header; all files in a directory must carry the " +
+        "projected columns)")
+    fld.pos()
+  }
+  private var rec: GenericRecord = _
+
+  override def next(): Boolean =
+    if (reader.hasNext) { rec = reader.next(rec); true } else false
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var j = 0
+    while (j < required.length) {
+      val v = rec.get(positions(j))
+      if (v == null) row.setNullAt(j)
+      else row.update(j, required.fields(j).dataType match {
+        case StringType => UTF8String.fromString(v.toString)
+        case _ => v // boxed long/int/double/float/boolean pass through
+      })
+      j += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] case class AvroCommit(tmpPath: String, finalPath: String)
+    extends TmpFileCommit
+
+private[sources] class AvroWriteBuilder(info: LogicalWriteInfo, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write =
+    new AvroBatchWrite(info.schema(), path, info.queryId(), doTruncate)
+}
+
+private[sources] class AvroBatchWrite(schema: StructType, path: String,
+                                      queryId: String, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroWriterFactory(schema, path, queryId)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    TwoPhaseCommit.publish(messages, path, truncate)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TwoPhaseCommit.abort(messages)
+}
+
+private[sources] class AvroWriterFactory(schema: StructType, path: String,
+                                         queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(schema, path, queryId, partitionId, taskId)
+}
+
+private[sources] class AvroDataWriter(schema: StructType, path: String,
+                                      queryId: String, partitionId: Int,
+                                      taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  new File(s"$path/_staging").mkdirs()
+  private val tmp = new File(s"$path/_staging/part-$partitionId-task-$taskId.tmp")
+  private val fin = s"$path/part-$queryId-$partitionId.avro"
+  private val avroSchema = Avro.avroSchemaOf(schema)
+  private val writer = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](avroSchema))
+  private var any = false
+  private var closed = false
+  writer.create(avroSchema, tmp)
+
+  override def write(row: InternalRow): Unit = {
+    any = true
+    val rec = new GenericData.Record(avroSchema)
+    var j = 0
+    while (j < schema.length) {
+      if (!row.isNullAt(j)) rec.put(j, schema.fields(j).dataType match {
+        case LongType => java.lang.Long.valueOf(row.getLong(j))
+        case IntegerType => java.lang.Integer.valueOf(row.getInt(j))
+        case DoubleType => java.lang.Double.valueOf(row.getDouble(j))
+        case FloatType => java.lang.Float.valueOf(row.getFloat(j))
+        case StringType => row.getUTF8String(j).toString
+        case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(j))
+        case other =>
+          throw new UnsupportedOperationException(s"avro write of $other")
+      })
+      j += 1
+    }
+    writer.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    if (any) AvroCommit(tmp.getAbsolutePath, fin)
+    else { // empty partition: publish nothing (a schema-only file would
+           // cost a scan task per read forever)
+      tmp.delete()
+      AvroCommit("", "")
+    }
+  }
+
+  override def abort(): Unit = { close(); tmp.delete() }
+
+  // commit() closes eagerly and the DSv2 runtime closes again afterwards;
+  // DataFileWriter.close is not idempotent, so guard it
+  override def close(): Unit = if (!closed) { closed = true; writer.close() }
+}
