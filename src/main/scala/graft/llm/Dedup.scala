@@ -267,6 +267,11 @@ object Dedup {
       labels = jumped
       iter += 1
     }
+    // returning unconverged labels would be SILENTLY wrong clusters;
+    // with pointer jumping, 25 rounds cover any realistic component
+    // diameter, so hitting the cap means something is broken
+    if (!done) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIters rounds; raise maxIters")
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -85,6 +85,16 @@ class ContextSpec extends SparkSpec {
       .collect()(0).getLong(0) == 5L)
   }
 
+  test("registerAvro serves the custom Avro source through SQL") {
+    val dir = s"$tmp/avro_reg"
+    spark.read.parquet(s"$sfSmoke/region.parquet")
+      .selectExpr("CAST(r_regionkey AS BIGINT) AS k", "r_name")
+      .write.format("graft.sources.AvroSource").mode("overwrite").save(dir)
+    ctx.registerAvro("ctx_region_avro", dir)
+    assert(ctx.sql("SELECT count(*) AS n FROM ctx_region_avro")
+      .collect()(0).getLong(0) == 5L)
+  }
+
   test("parameterized sql binds named args") {
     ctx.registerParquet("ctx_nation2", s"$sfSmoke/nation.parquet")
     val n = ctx.sql(
