@@ -29,6 +29,11 @@ object ScaleProbe {
       .format("noop").save()),
     "dedupe_pipeline" -> time(llm.Dedup.dedupe(docs).write.mode("overwrite")
       .format("noop").save()),
+    // the transitive-closure variant: exact pass + LSH + Jaccard + CC
+    // label propagation — the CC rounds must track the verified-pair
+    // graph, not the corpus
+    "dedupe_cc" -> time(llm.Dedup.dedupeClustered(docs).write.mode("overwrite")
+      .format("noop").save()),
     "fingerprint" -> time(llm.TextAnalysis.fingerprint(docs).write.mode("overwrite")
       .format("noop").save()),
     "hash_split" -> time(llm.TextAnalysis.hashSplit(docs).write.mode("overwrite")

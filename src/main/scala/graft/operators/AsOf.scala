@@ -121,13 +121,20 @@ object AsOf {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = withB.withColumn("__c_loc",
           last(col("__pack"), ignoreNulls = true).over(wLocal))
-        // phase 2: each bucket's final carry = __c_loc of its scan-order-
-        // last row (max of (ts, side) ascending; forward scans time
-        // descending, so negate the micros to keep max_by uniform)
+        // phase 2: each bucket's final carry = the scan-order-last RIGHT
+        // row's pack, computed straight from `packed` as a partial-
+        // aggregated max_by (key: right-rows-first, then scan position —
+        // forward scans time descending, so negate the micros). Deriving
+        // it from the phase-1 output instead would re-run the window sort
+        // over the full union a second time (seen in the final plan
+        // before this shape). Left-only buckets keep a row with a NULL
+        // carry so the phase-3 join still finds them and passes earlier
+        // buckets' carry through.
         val scanOrd =
           if (backward) unix_micros(col(ts)) else -unix_micros(col(ts))
-        val summary = local.groupBy(col(key), col("__bkt"))
-          .agg(max_by(col("__c_loc"), struct(scanOrd, col("__side")))
+        val summary = withB.groupBy(col(key), col("__bkt"))
+          .agg(max_by(col("__pack"),
+            struct(col("__side") === 0, scanOrd, col("__side")))
             .as("__c_fin"))
         // phase 3: carry INTO each bucket = last non-null final carry of
         // any earlier bucket — a window over |buckets| summary rows per
