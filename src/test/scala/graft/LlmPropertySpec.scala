@@ -25,6 +25,22 @@ class LlmPropertySpec extends SparkSpec {
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
   }
 
+  test("clustered dedup survivors are a subset of greedy survivors") {
+    // a component's minimum is never any pair's doc_b (doc_b > doc_a >=
+    // min), so everything dedupeClustered keeps, dedupe keeps too — the
+    // transitive closure can only drop MORE (chains collapse to one
+    // representative). Dup-heavy generated corpora exercise real chains.
+    samples(corpus, 3).foreach { texts =>
+      val d = docsDF(texts ++ texts.take(texts.length / 2)) // force dups
+      val greedy = Dedup.dedupe(d, jaccardThreshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val clustered = Dedup.dedupeClustered(d, jaccardThreshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(clustered.subsetOf(greedy),
+        s"clustered kept non-greedy docs: ${clustered -- greedy}")
+    }
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to corpus size") {
     samples(corpus, 5).foreach { texts =>
       val out = Dedup.exact(docsDF(texts)).collect()
