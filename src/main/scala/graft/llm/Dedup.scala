@@ -361,11 +361,11 @@ object Dedup {
     // runs over distinct fingerprints only and group members expand back
     // into doc pairs afterwards. The naive doc-level band join enumerates
     // |cluster|² matches per band and dedupes them through a second full
-    // shuffle — measured 30M join rows for 2.5M output pairs at sf0.1;
-    // this shape emits each output pair exactly once. (Join residuals
-    // that dedupe bands in place measured worse still: HOF lambdas skip
-    // whole-stage codegen, and a 45-comparison unrolled CASE outgrows JIT
-    // method limits and runs interpreted.)
+    // shuffle — measured 30M join rows for 2.5M output pairs at sf0.1
+    // under the (6,8) banding; this shape emits each output pair exactly
+    // once. (Join residuals that dedupe bands in place measured worse
+    // still: HOF lambdas skip whole-stage codegen, and a 45-comparison
+    // unrolled CASE outgrows JIT method limits and runs interpreted.)
     val groups = simhash(docs, bits)
       .groupBy("simhash").agg(collect_list("doc_id").as("members"))
     val banded = groups.select(col("simhash"),
@@ -374,8 +374,9 @@ object Dedup {
     // distinct-fingerprint pairs that band-match within the radius. The
     // Hamming cut rides IN the join residual: xor+bit_count are codegen'd
     // integer ops, so evaluating them on every raw band match (12.6M at
-    // sf0.1) costs less than shuffling the out-of-radius pairs into the
-    // distinct (5.7M -> 546k rows through that exchange, measured).
+    // sf0.1 under the (6,8) banding) costs less than shuffling the
+    // out-of-radius pairs into the distinct (5.7M -> 546k rows through
+    // that exchange, measured at the same configuration).
     val fpPairs = banded.as("a")
       .join(banded.as("b"),
         expr("a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash" +
