@@ -78,14 +78,22 @@ object Streams {
     * `window`. State on BOTH sides is bounded by the watermark plus the
     * time-range condition — rows age out once they can no longer match.
     */
+  /** `joinType` "inner" drops unmatched left events; "left_outer" emits
+    * them null-padded once the watermark proves no match can still
+    * arrive (the time-range condition bounds both sides' state, which is
+    * what makes the outer variant legal on unbounded streams — Spark
+    * rejects outer stream-stream joins without it).
+    */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    window: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).as("l")
     val r = right.withWatermark("ts", watermark).as("r")
     l.join(r,
       expr(s"""l.user_id = r.user_id AND
-              |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window""".stripMargin))
+              |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window""".stripMargin),
+      joinType)
       .select(col("l.user_id").as("user_id"),
         col("l.ts").as("left_ts"), col("r.ts").as("right_ts"),
         col("l.event_type").as("left_type"), col("r.event_type").as("right_type"))

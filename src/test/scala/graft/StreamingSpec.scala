@@ -136,6 +136,36 @@ class StreamingSpec extends SparkSpec {
       (2L, "2026-01-01 10:45:00.0")))
   }
 
+  test("left-outer interval join null-pads unmatched events after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    clicks.addData(
+      Event(ts(0), 1L, "click", 1.0),   // matched within the window
+      Event(ts(5), 2L, "click", 1.0))   // never matched -> null-padded row
+    views.addData(Event(ts(10), 1L, "view", 1.0))
+    val q = Streams.intervalJoin(clicks.toDF(), views.toDF(),
+        window = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // the unmatched row may only surface once the watermark proves no
+      // partner can still arrive
+      val flush = Event(Timestamp.valueOf("2026-01-02 10:00:00"), 99L, "x", 0.0)
+      clicks.addData(flush); views.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_left_join")
+      .where("user_id < 90").orderBy("user_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getTimestamp(2).toString)))
+    assert(rows.toSeq == Seq(
+      1L -> Some("2026-01-01 10:10:00.0"),
+      2L -> None))
+  }
+
   test("streaming dedup drops re-delivered events across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
