@@ -153,6 +153,45 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Token-budget shard packing: assign documents to output shards so
+    * each shard carries ~`tokensPerShard` tokens — the balanced-shard
+    * writer step of a training pipeline (downstream dataloaders want
+    * shards of equal token mass, not equal document count). A doc goes
+    * to the shard where its tokens START in the global doc_id-ordered
+    * prefix sum: deterministic, reproducible across runs and engines.
+    *
+    * Scale shape: a single global running-sum window would collapse to
+    * ONE task (no partition spec). Instead the prefix sum is two-phase,
+    * the same decomposition as the bucketed as-of: intra-bucket cumsum
+    * windows partition on a coarse doc_id bucket (parallel), bucket
+    * totals prefix-sum over the tiny per-bucket summary (the only
+    * single-partition step — |buckets| rows), and a join stitches the
+    * offsets back. Output: (doc_id, n_tokens, cum_tokens, shard).
+    */
+  def packShards(docs: DataFrame, tokensPerShard: Long = 1 << 16,
+                 bucketDocs: Long = 4096): DataFrame = {
+    require(tokensPerShard > 0 && bucketDocs > 0, "budgets must be positive")
+    // `div` (exact int64 division), NOT `/`: the column `/` operator is
+    // DOUBLE division and loses exactness past 2^53 — real corpora's
+    // cumulative token counts get there
+    val toks = docs.select(col("doc_id"),
+      expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"),
+      expr(s"doc_id div $bucketDocs").as("__bkt"))
+    val wIn = Window.partitionBy("__bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = toks.withColumn("__cum_in", sum("n_tokens").over(wIn))
+    val wB = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("__bkt").agg(sum("n_tokens").as("__bsum"))
+      .withColumn("__off", coalesce(sum("__bsum").over(wB), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    intra.join(offsets, Seq("__bkt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__cum_in") + col("__off")).as("cum_tokens"))
+      .withColumn("shard",
+        expr(s"(cum_tokens - n_tokens) div $tokensPerShard"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetition"
     * quality filters): per document, the most frequent word n-gram, the
     * fraction of all n-grams it accounts for, and the duplicate-n-gram

@@ -223,6 +223,12 @@ object Llm {
     "llm_hash_split" -> ((s, d) =>
       TextAnalysis.hashSplit(docs(s, d)).orderBy("doc_id")),
 
+    // token-budget shard packing (two-phase prefix sum — the global
+    // cumsum never runs as a single-task window; plan-asserted). 4096
+    // docs per bucket, 2^16 tokens per shard
+    "llm_pack_shards" -> ((s, d) =>
+      TextAnalysis.packShards(docs(s, d)).orderBy("doc_id")),
+
     "llm_ngram_stats" -> ((s, d) =>
       TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
 
@@ -417,6 +423,20 @@ object Llm {
          |SELECT doc_id FROM docs2
          |WHERE doc_id NOT IN (SELECT doc_id FROM nd)
          |ORDER BY doc_id""".stripMargin,
+
+    // the oracle computes the SAME prefix sum as one flat window — the
+    // differential proves the two-phase decomposition stitches exactly
+    "llm_pack_shards" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             sum(n_tokens) OVER (ORDER BY doc_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens - n_tokens) // 65536 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // reachability closure: every label a doc can reach through >=0.6
     // pairs; min over them == the component representative (the Spark

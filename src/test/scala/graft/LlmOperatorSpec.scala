@@ -50,6 +50,19 @@ class LlmOperatorSpec extends SparkSpec {
       == Seq((1L, 2L, 4L)))
   }
 
+  test("packShards: budget boundaries land where the prefix sum says") {
+    // tokens: doc0=3, doc1=4, doc2=2, doc3=5; budget 6, bucket size 2
+    // (forces the two-phase stitch: docs 0-1 in bucket 0, 2-3 in bucket 1)
+    // starts: 0,3,7,9 -> shards 0,0,1,1
+    val out = TextAnalysis.packShards(docs(
+      0L -> "a b c", 1L -> "d e f g", 2L -> "h i", 3L -> "j k l m n"),
+      tokensPerShard = 6, bucketDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 3L, 3L, 0L), (1L, 4L, 7L, 0L),
+      (2L, 2L, 9L, 1L), (3L, 5L, 14L, 1L)))
+  }
+
   test("repetition: top 2-gram share and duplicate ratio, hand-computed") {
     // "a b a b a" -> grams (a b, b a, a b, b a): top "a b" (count tie
     // broken by gram asc), 2/4 share, dup_ratio 1 - 2/4 = 0.5

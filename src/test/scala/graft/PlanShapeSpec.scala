@@ -126,6 +126,14 @@ class PlanShapeSpec extends SparkSpec {
       "stratified sample should prune before the per-stratum sort ships rows")
   }
 
+  test("llm_pack_shards: the big-data cumsum window is bucket-partitioned") {
+    val plan = staticPlan(SparkEntry.queries("llm_pack_shards")(spark, sfSmoke))
+    // the intra-bucket window must carry the __bkt partition spec; the
+    // only permissible unpartitioned window is over the bucket summary
+    assert(plan.contains("windowspecdefinition(__bkt"),
+      s"prefix sum is not bucket-partitioned:\n$plan")
+  }
+
   test("llm_repetition: top-gram rank filter prunes via WindowGroupLimit") {
     val plan = staticPlan(SparkEntry.queries("llm_repetition")(spark, sfSmoke))
     assert(plan.contains("WindowGroupLimit"),
