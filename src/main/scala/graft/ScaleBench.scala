@@ -31,13 +31,19 @@ object ScaleBench {
 
   /** Stage the scaled fixture dir: fact tables replicated with offset
     * keys as 32-file parquet directories, everything else byte-copied.
+    * ONE shared key span, derived from the parent table (orders): a
+    * per-table span would silently break the orders-lineitem
+    * relationship whenever max(l_orderkey) != max(o_orderkey) (an order
+    * with no lineitems, a sampled fixture) — shard i's orders and
+    * lineitems must shift by the SAME offset to keep joins consistent.
     */
   def stage(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     new java.io.File(out).mkdirs()
+    val span = spark.read.parquet(s"$src/orders.parquet")
+      .agg(max(col("o_orderkey"))).head.get(0).toString.toLong + 1
     for ((t, keyCol) <- facts) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val keyType = base.schema(keyCol).dataType
-      val span = base.agg(max(col(keyCol))).head.get(0).toString.toLong + 1
       base.selectExpr(s"explode(sequence(0, ${factor - 1})) AS __shard", "*")
         .withColumn(keyCol,
           (col(keyCol) + col("__shard") * span).cast(keyType))

@@ -201,12 +201,25 @@ object Dedup {
     */
   def dedupe(docs: DataFrame, jaccardThreshold: Double = 0.6,
              numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val (survivors, pairs) = survivorsAndPairs(docs, jaccardThreshold,
+      numHashes, bands)
+    val nearDrop = pairs.select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(nearDrop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Shared front half of both dedup pipelines: exact-pass survivors and
+    * their verified (Jaccard >= threshold) near-dup pairs — one
+    * definition so the greedy and clustered variants can never silently
+    * diverge on survivor/pair construction.
+    */
+  private def survivorsAndPairs(docs: DataFrame, jaccardThreshold: Double,
+                                numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val survivors = docs.join(
       exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
-    val nearDrop = jaccard(survivors, lshCandidates(survivors, numHashes, bands))
+    val pairs = jaccard(survivors, lshCandidates(survivors, numHashes, bands))
       .where(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    survivors.join(nearDrop, Seq("doc_id"), "left_anti")
+      .select("doc_a", "doc_b")
+    (survivors, pairs)
   }
 
   /** Duplicate-cluster connected components over verified near-dup pairs
@@ -264,9 +277,14 @@ object Dedup {
       done = jumped.as("n").join(labels.as("o"), Seq("doc_id"))
         .where(col("n.label") =!= col("o.label"))
         .isEmpty
+      // the superseded round's checkpoint blocks would otherwise pin
+      // O(rounds x |V|) storage until driver GC — release eagerly (the
+      // convergence probe above was this DataFrame's last consumer)
+      labels.unpersist()
       labels = jumped
       iter += 1
     }
+    edges.unpersist()
     // returning unconverged labels would be SILENTLY wrong clusters;
     // with pointer jumping, 25 rounds cover any realistic component
     // diameter, so hitting the cap means something is broken
@@ -283,11 +301,8 @@ object Dedup {
     */
   def dedupeClustered(docs: DataFrame, jaccardThreshold: Double = 0.6,
                       numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val survivors = docs.join(
-      exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
-    val pairs = jaccard(survivors, lshCandidates(survivors, numHashes, bands))
-      .where(col("jaccard") >= jaccardThreshold)
-      .select("doc_a", "doc_b")
+    val (survivors, pairs) = survivorsAndPairs(docs, jaccardThreshold,
+      numHashes, bands)
     val nonReps = dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select("doc_id")

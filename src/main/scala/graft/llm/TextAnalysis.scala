@@ -167,6 +167,15 @@ object TextAnalysis {
     * totals prefix-sum over the tiny per-bucket summary (the only
     * single-partition step — |buckets| rows), and a join stitches the
     * offsets back. Output: (doc_id, n_tokens, cum_tokens, shard).
+    *
+    * PRECONDITION: doc_ids must be reasonably DENSE (sequential-ish),
+    * as fixture and crawl-reindex ids are — `doc_id div bucketDocs`
+    * then yields ~bucketDocs docs per bucket and |buckets| ~ N/4096.
+    * Hashed/UUID-derived ids would put ~one doc in each bucket and the
+    * summary window degenerates back to a per-doc single-task scan;
+    * re-key such corpora first (row_number over a sort is itself a
+    * global prefix problem — assigning dense ids at ingest is the
+    * scalable path).
     */
   def packShards(docs: DataFrame, tokensPerShard: Long = 1 << 16,
                  bucketDocs: Long = 4096): DataFrame = {

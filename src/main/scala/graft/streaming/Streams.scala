@@ -71,18 +71,17 @@ object Streams {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"))
 
-  /** Watermarked stream-stream inner join — the symmetric-hash-join row
-    * of the operator inventory (reference proto `datafusion.proto:
-    * 1051-1061`, never produced by its bounded configs): each `right`
-    * event joins `left` events of the same user within the trailing
-    * `window`. State on BOTH sides is bounded by the watermark plus the
-    * time-range condition — rows age out once they can no longer match.
-    */
-  /** `joinType` "inner" drops unmatched left events; "left_outer" emits
+  /** Watermarked stream-stream join — the symmetric-hash-join row of the
+    * operator inventory (reference proto `datafusion.proto:1051-1061`,
+    * never produced by its bounded configs): each `right` event joins
+    * `left` events of the same user within the trailing `window`. State
+    * on BOTH sides is bounded by the watermark plus the time-range
+    * condition — rows age out once they can no longer match; that bound
+    * is also what makes the outer variant legal on unbounded streams
+    * (Spark rejects outer stream-stream joins without it).
+    * `joinType` "inner" drops unmatched left events; "left_outer" emits
     * them null-padded once the watermark proves no match can still
-    * arrive (the time-range condition bounds both sides' state, which is
-    * what makes the outer variant legal on unbounded streams — Spark
-    * rejects outer stream-stream joins without it).
+    * arrive.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    window: String = "1 hour",
