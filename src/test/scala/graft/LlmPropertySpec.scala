@@ -25,6 +25,35 @@ class LlmPropertySpec extends SparkSpec {
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
   }
 
+  test("dupClusters equals a reference union-find on random pair graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong); b <- Gen.chooseNum(0L, n.toLong)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(edgeGen, 5).foreach { edges =>
+      import spark.implicits._
+      val got = Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference: path-compressed union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("clustered dedup survivors are a subset of greedy survivors") {
     // a component's minimum is never any pair's doc_b (doc_b > doc_a >=
     // min), so everything dedupeClustered keeps, dedupe keeps too — the
