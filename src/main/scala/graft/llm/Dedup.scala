@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact
@@ -188,6 +189,63 @@ object Dedup {
         expr("CAST(ROUND(CAST(n_shared AS DOUBLE) / n_probe_sh, 6) AS DOUBLE)")
           .as("containment"))
       .where(col("containment") >= minContainment)
+  }
+
+  /** Exact duplicate-SPAN detection (the signal behind Lee et al. 2021's
+    * "Deduplicating Training Data Makes Language Models Better" exact
+    * substring dedup): for every document, find the maximal token spans
+    * that appear verbatim (after normalization) in at least one OTHER
+    * document, via `gramTokens`-token gram fingerprints at every
+    * position. Within-document repetition is deliberately out of scope —
+    * that is [[TextAnalysis.repetition]]'s signal; here df counts
+    * distinct documents.
+    *
+    * Shape: position-indexed gram hashes (one md5 per position — per-row
+    * expression work), document frequency per gram hash (one partial-agg'd
+    * groupBy, the same cost class as [[shingles]] consumers), a shuffle
+    * equi-join back on the hash (never all-pairs — grams unique to one
+    * doc drop before the join), then per-doc interval union: consecutive
+    * duplicated positions closer than `gramTokens` merge into one span
+    * (flag-and-running-sum islands, the standard windowed interval
+    * merge), giving the EXACT union size — overlapping gram windows are
+    * never double-counted. Per-doc windows partition on doc_id: parallel
+    * across docs, sequential only within one (bounded by document
+    * length).
+    *
+    * Output (all scalar), one row per document with at least one
+    * duplicated span: (doc_id, n_tokens, n_spans, dup_tokens, dup_frac).
+    */
+  def dupSpans(docs: DataFrame, gramTokens: Int = 5): DataFrame = {
+    require(gramTokens >= 2, "need gramTokens >= 2")
+    val grams = docs
+      .select(col("doc_id"), expr(s"split($normalizeExpr, ' ')").as("w"))
+      .where(expr(s"size(w) >= $gramTokens"))
+      .select(col("doc_id"), expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $gramTokens),
+             |          i -> md5(concat_ws(' ', slice(w, i + 1, $gramTokens))))""".stripMargin)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("p"), col("col").as("gh"))
+    val dupHashes = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") >= 2)
+      .select("gh")
+    val wOrd = Window.partitionBy("doc_id").orderBy("p")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grams.join(dupHashes, Seq("gh"))
+      // NULL lag (first dup position) falls through to otherwise(1):
+      // every island starts with a 1-flag, islands = running flag sum
+      .withColumn("__new",
+        when(col("p") - lag("p", 1).over(wOrd) <= gramTokens, 0L).otherwise(1L))
+      .withColumn("__isl", sum("__new").over(wRun))
+      .groupBy("doc_id", "n_tokens", "__isl")
+      .agg(min("p").as("s"), max("p").as("e"))
+      .withColumn("span_tokens", col("e") - col("s") + lit(gramTokens.toLong))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+        expr("CAST(ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS DOUBLE)")
+          .as("dup_frac"))
   }
 
   /** End-to-end corpus dedup — the operator as a pipeline actually uses

@@ -301,6 +301,99 @@ object TextAnalysis {
       .drop("keep_pct")
   }
 
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb / FineWeb
+    * pre-dedup step): a LINE that recurs across >= `minDocs` distinct
+    * documents (normalized: lowercased, whitespace-collapsed) is
+    * boilerplate — headers, footers, nav bars, cookie banners — and is
+    * stripped from every document; what remains is reassembled in the
+    * original line order.
+    *
+    * Scale shape: the line document-frequency is one groupBy on the
+    * normalized line hash (bounded by the corpus's distinct-line count,
+    * partial-agg'd); the boilerplate set joins back on that same hash —
+    * a shuffle equi-join AQE flips to broadcast when the set is small,
+    * which on real web corpora it is not (millions of boilerplate
+    * lines), so no broadcast is forced here. Reassembly is a per-doc
+    * aggregate: collect the kept (line_no, line) pairs, array_sort
+    * restores original order (collect_list order is not deterministic
+    * across retries), concat back. Per-doc state is bounded by the
+    * document's own size — the same bound every per-doc operator here
+    * carries.
+    *
+    * Empty/blank lines are never counted as boilerplate (every doc has
+    * them; stripping them would mangle paragraph structure) and are
+    * always kept.
+    *
+    * Output (all scalar): (doc_id, n_lines, n_kept, kept_md5) where
+    * kept_md5 hashes the reassembled text (md5('') for a fully-stripped
+    * document).
+    */
+  def lineDedup(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+    require(minDocs >= 2, "a line is boilerplate only if it recurs: minDocs >= 2")
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"))
+      .withColumn("key",
+        md5(regexp_replace(lower(trim(col("line"))), "\\s+", " ")))
+    val boiler = lines
+      .where(length(trim(col("line"))) > 0)
+      .select("key", "doc_id").distinct()
+      .groupBy("key").agg(count(lit(1)).as("line_df"))
+      .where(col("line_df") >= minDocs)
+      .select("key")
+    lines
+      .join(boiler.withColumn("__bl", lit(true)), Seq("key"), "left")
+      .withColumn("keep", col("__bl").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        expr("""md5(concat_ws(chr(10), transform(
+               |  array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)),
+               |  s -> s.line)))""".stripMargin).as("kept_md5"))
+  }
+
+  /** PII patterns as (name, regex, replacement). The regexes restrict
+    * themselves to the syntax subset Java regex and RE2 interpret
+    * identically (char classes, greedy counted repetition, ASCII \b) so
+    * the DuckDB oracle replays them bit-for-bit; alternation is avoided
+    * entirely — Java picks the leftmost-FIRST branch, RE2 the
+    * leftmost-LONGEST, and a pattern like `\d{3}-\d{4}|\d{3}-\d{3}-\d{4}`
+    * silently diverges between engines.
+    */
+  val defaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII scrubbing: sequentially redact each pattern, counting matches as
+    * each pattern sees the text (i.e. after the previous patterns'
+    * replacements — the order is part of the semantics: emails go first
+    * so the IP pattern cannot fire inside a dotted domain). Pure per-row
+    * codegen'd regexp work — no shuffle, no UDF; embarrassingly parallel
+    * over corpus partitions at any scale.
+    *
+    * Output (all scalar): (doc_id, n_<name> per pattern, scrub_md5) —
+    * the hash of the fully-scrubbed text, so a differential check proves
+    * the replacements landed at identical offsets in both engines.
+    */
+  def piiScrub(docs: DataFrame,
+               patterns: Seq[(String, String, String)] = defaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val scrubbed = patterns.zipWithIndex.foldLeft(
+      docs.withColumn("__t0", col("text"))) {
+      case (df, ((name, pat, rep), i)) =>
+        df.withColumn(s"n_$name",
+            size(regexp_extract_all(col(s"__t$i"), lit(pat), lit(0))).cast("long"))
+          .withColumn(s"__t${i + 1}", regexp_replace(col(s"__t$i"), pat, rep))
+    }
+    scrubbed.select(
+      col("doc_id") +:
+        patterns.map { case (name, _, _) => col(s"n_$name") } :+
+        md5(col(s"__t${patterns.size}")).as("scrub_md5"): _*)
+  }
+
   /** Document fingerprint: k smallest md5 hashes of the character 8-grams
     * (a k-min sketch — winnowing-style selection without the window walk).
     * Deterministic, and two near-identical documents share most of the k.

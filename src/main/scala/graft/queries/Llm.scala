@@ -126,6 +126,26 @@ object Llm {
       s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
+  /** Deterministic PII injection for the scrub entry (the fixture text has
+    * no natural emails/phones/IPs): ids selected by modulus get a synthetic
+    * email / phone / dotted-quad appended. One SQL text for BOTH engines
+    * ($t = STRING vs VARCHAR is the only dialect delta); every CASE
+    * carries ELSE '' because Spark's concat is NULL-intolerant while
+    * DuckDB's skips NULLs — a bare CASE would silently diverge.
+    */
+  private def piiInject(t: String): String =
+    s"""concat(text,
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN concat(' contact user', CAST(doc_id AS $t), '@example.com')
+       |       ELSE '' END,
+       |  CASE WHEN doc_id % 4 = 1
+       |       THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS $t), 4, '0'))
+       |       ELSE '' END,
+       |  CASE WHEN doc_id % 5 = 2
+       |       THEN concat(' from 10.0.', CAST(doc_id % 256 AS $t), '.',
+       |                   CAST((doc_id * 7) % 256 AS $t))
+       |       ELSE '' END)""".stripMargin
+
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir); spark.table("documents")
   }
@@ -237,6 +257,33 @@ object Llm {
     "llm_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
 
+    // line-level boilerplate removal (CCNet/FineWeb pre-dedup step). The
+    // fixture text is single-line, so the wiring synthesizes line
+    // structure first — 8-token lines — exactly as the oracle does;
+    // duplicate documents then genuinely share lines, which is the case
+    // the operator exists for
+    "llm_line_dedup" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), expr(
+        """concat_ws(chr(10), transform(
+          |  sequence(0, CAST((size(split(text, ' ')) - 1) div 8 AS INT)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8))))""".stripMargin)
+        .as("text"))
+      TextAnalysis.lineDedup(dd).orderBy("doc_id")
+    }),
+
+    // PII scrubbing over deterministically-injected emails/phones/IPs;
+    // scrub_md5 proves the replacements landed at identical offsets
+    "llm_pii_scrub" -> ((s, d) => {
+      val dd = docs(s, d)
+        .select(col("doc_id"), expr(piiInject("STRING")).as("text"))
+      TextAnalysis.piiScrub(dd).orderBy("doc_id")
+    }),
+
+    // exact duplicate-span detection (Lee et al. 2021 substring dedup
+    // signal): maximal 5-token spans shared verbatim with another doc
+    "llm_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d)).orderBy("doc_id")),
+
     "llm_cosine_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.where("vec_id < 5"), e, 3)
@@ -318,6 +365,75 @@ object Llm {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 8-token lineification as the Spark wiring, then the line-df
+    // boilerplate rule recomputed with DuckDB windows/aggregates
+    "llm_line_dedup" ->
+      raw"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d2 AS (SELECT doc_id,
+         |        array_to_string(list_transform(generate_series(0, (len(w) - 1) // 8),
+         |          i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')), chr(10)) AS text
+         |       FROM w),
+         |lf AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+         |lx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line,
+         |              md5(regexp_replace(lower(trim(ls[i])), '\s+', ' ', 'g')) AS key
+         |       FROM lf, unnest(generate_series(1, len(ls))) AS u(i)),
+         |bl AS (SELECT key
+         |       FROM (SELECT DISTINCT key, doc_id FROM lx WHERE length(trim(line)) > 0)
+         |       GROUP BY key HAVING count(*) >= 2),
+         |fx AS (SELECT l.doc_id, l.line_no, l.line, (b.key IS NOT NULL) AS is_bl
+         |       FROM lx l LEFT JOIN bl b ON l.key = b.key)
+         |SELECT doc_id, count(*) AS n_lines,
+         |       count(CASE WHEN NOT is_bl THEN 1 END) AS n_kept,
+         |       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+         |                      FILTER (WHERE NOT is_bl), '')) AS kept_md5
+         |FROM fx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sequential scrub: each pattern counts matches in the text AFTER the
+    // previous patterns' replacements, exactly as piiScrub folds
+    "llm_pii_scrub" ->
+      raw"""WITH d2 AS (SELECT doc_id, ${piiInject("VARCHAR")} AS text FROM documents),
+         |s1 AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+         |       FROM d2),
+         |s2 AS (SELECT doc_id, n_email,
+         |        CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+         |        regexp_replace(t, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t
+         |       FROM s1),
+         |s3 AS (SELECT doc_id, n_email, n_phone,
+         |        CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+         |        regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+         |       FROM s2)
+         |SELECT doc_id, n_email, n_phone, n_ip, md5(t) AS scrub_md5
+         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // position-indexed 5-gram hashes -> cross-doc df -> interval union
+    // per doc, recomputed with DuckDB windows; 0-based p mirrors posexplode
+    "llm_dup_spans" ->
+      raw"""WITH tw AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
+         |       FROM tw WHERE len(w) >= 5),
+         |g AS (SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS p,
+         |             md5(array_to_string(w[i : i + 4], ' ')) AS gh
+         |      FROM tk, unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |dg AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+         |       GROUP BY gh HAVING count(*) >= 2),
+         |d AS (SELECT g.doc_id, g.n_tokens, g.p FROM g JOIN dg USING (gh)),
+         |m AS (SELECT doc_id, n_tokens, p,
+         |             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+         |                  THEN 0 ELSE 1 END AS nw
+         |      FROM d),
+         |isl AS (SELECT doc_id, n_tokens, p,
+         |               sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+         |                             ROWS UNBOUNDED PRECEDING) AS grp
+         |        FROM m),
+         |sp AS (SELECT doc_id, n_tokens, grp, max(p) - min(p) + 5 AS span_tokens
+         |       FROM isl GROUP BY doc_id, n_tokens, grp)
+         |SELECT doc_id, n_tokens, count(*) AS n_spans,
+         |       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+         |       CAST(ROUND(CAST(sum(span_tokens) AS DOUBLE) / n_tokens, 6) AS DOUBLE) AS dup_frac
+         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
     "llm_dedup_exact" ->
       s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

@@ -242,4 +242,76 @@ class LlmOperatorSpec extends SparkSpec {
     assert(d.feature(0) == 0x5d / 255.0)
     assert(d.feature.length == 8)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("lineDedup strips lines recurring across docs, keeps originals' order") {
+    val out = TextAnalysis.lineDedup(docs(
+      1L -> "Header\nunique one\nFooter",
+      2L -> "header\nanother thing\nfooter", // case-variant header/footer: same key
+      3L -> "solo line"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, md5Hex("unique one")),
+      (2L, 3L, 1L, md5Hex("another thing")),
+      (3L, 1L, 1L, md5Hex("solo line"))))
+  }
+
+  test("lineDedup never counts blank lines as boilerplate") {
+    val out = TextAnalysis.lineDedup(docs(
+      1L -> "shared\n\nkeep me", 2L -> "shared\n\nme too"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 'shared' recurs -> stripped; the blank line recurs too but is kept
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, md5Hex("\nkeep me")),
+      (2L, 3L, 2L, md5Hex("\nme too"))))
+  }
+
+  test("piiScrub counts and redacts sequentially; repeats all scrubbed") {
+    val r = TextAnalysis.piiScrub(docs(
+      1L -> "write user@test.com or 555-1234 at 10.0.0.1 twice user@test.com"))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L)))
+    assert(r.getString(4) ==
+      md5Hex("write <EMAIL> or <PHONE> at <IP> twice <EMAIL>"))
+  }
+
+  test("piiScrub leaves near-miss patterns untouched") {
+    // no boundary before 555 (digit prefix), version string is not an IP
+    val r = TextAnalysis.piiScrub(docs(1L -> "id 1555-1234 rev 1.2.3.4000"))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 0L, 0L)))
+    assert(r.getString(4) == md5Hex("id 1555-1234 rev 1.2.3.4000"))
+  }
+
+  test("dupSpans merges overlapping grams into one span, exact union size") {
+    // docs 1/2 share 5-grams at positions 0 and 1 -> ONE span of 6 tokens
+    val out = Dedup.dupSpans(docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f z1 z2 z3 z4",
+      3L -> "q r s t u v w x y z5"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L, 6L, 0.6),
+      (2L, 10L, 1L, 6L, 0.6)))
+  }
+
+  test("dupSpans splits spans separated by more than the gram width") {
+    // dup positions 0 and 11: gap > 5 -> two disjoint 5-token spans
+    val out = Dedup.dupSpans(docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e x1 x2 x3 x4 x5 x6 f g h i j"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc1: grams at 0..5; dup grams "a b c d e" (pos 0) and "f g h i j"
+    // (pos 5) -> 5-0 <= 5 merges into one span covering all 10 tokens
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L, 10L, 1.0),
+      (2L, 16L, 2L, 10L, 0.625)))
+  }
 }
