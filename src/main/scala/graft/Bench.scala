@@ -33,10 +33,19 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // per-query values rounded to ms: the driver's capture has truncated
+    // this line from the FRONT in past rounds (only the alphabetical tail
+    // of `queries` survived), so (a) keep the line short, and (b) carry
+    // the headline numbers at BOTH ends — whichever end survives
+    // truncation still reports total + TPC-H subtotal.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val tpch = results.collect { case (k, v) if k.startsWith("tpch_") && v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","tpch_subtotal":${ms(tpch)},""" +
+      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
+      s""""total_sec":${ms(total)},"tpch_subtotal_sec":${ms(tpch)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

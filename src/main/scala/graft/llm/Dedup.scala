@@ -201,16 +201,25 @@ object Dedup {
     * distinct documents.
     *
     * Shape: position-indexed gram hashes (one md5 per position — per-row
-    * expression work), document frequency per gram hash (one partial-agg'd
-    * groupBy, the same cost class as [[shingles]] consumers), a shuffle
-    * equi-join back on the hash (never all-pairs — grams unique to one
-    * doc drop before the join), then per-doc interval union: consecutive
-    * duplicated positions closer than `gramTokens` merge into one span
-    * (flag-and-running-sum islands, the standard windowed interval
-    * merge), giving the EXACT union size — overlapping gram windows are
-    * never double-counted. Per-doc windows partition on doc_id: parallel
-    * across docs, sequential only within one (bounded by document
-    * length).
+    * expression work, computed ONCE), document frequency per gram hash as
+    * a run-boundary count inside ONE window over the gram-hash shuffle
+    * (rows sort by (doc_id, p) within each gh partition; the first row of
+    * each doc run flags 1; the full-partition flag sum is the distinct-doc
+    * count — so the df aggregate and the df filter share one exchange
+    * instead of re-deriving the gram subtree for a self-join), then
+    * per-doc interval union: duplicated positions within `gramTokens` of
+    * each other (adjacent, touching spans also merge — the comparison is
+    * `<=`) merge into one span (flag-and-running-sum islands, the
+    * standard windowed interval merge), giving the EXACT union size —
+    * overlapping gram windows are never double-counted. Per-doc windows
+    * partition on doc_id: parallel across docs, sequential only within
+    * one (bounded by document length). A gram shared by very many
+    * documents concentrates its rows in one gh partition — the same skew
+    * a join-on-gh formulation has; boilerplate that hot should be
+    * stripped first ([[TextAnalysis.lineDedup]]).
+    *
+    * NULL `text` normalizes to no grams, so NULL-text documents (like any
+    * document shorter than `gramTokens`) produce no output row.
     *
     * Output (all scalar), one row per document with at least one
     * duplicated span: (doc_id, n_tokens, n_spans, dup_tokens, dup_frac).
@@ -226,13 +235,18 @@ object Dedup {
              |          i -> md5(concat_ws(' ', slice(w, i + 1, $gramTokens))))""".stripMargin)))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("p"), col("col").as("gh"))
-    val dupHashes = grams.select("doc_id", "gh").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("gram_df"))
-      .where(col("gram_df") >= 2)
-      .select("gh")
+    // distinct-doc count per gh in one pass: both window specs partition
+    // on gh, so they share a single exchange (the ordered spec sorts, the
+    // unbounded sum reuses the same partition)
+    val wGhOrd = Window.partitionBy("gh").orderBy("doc_id", "p")
+    val wGhAll = Window.partitionBy("gh")
     val wOrd = Window.partitionBy("doc_id").orderBy("p")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grams.join(dupHashes, Seq("gh"))
+    grams
+      .withColumn("__fst",
+        when(lag("doc_id", 1).over(wGhOrd) === col("doc_id"), 0L).otherwise(1L))
+      .withColumn("__df", sum("__fst").over(wGhAll))
+      .where(col("__df") >= 2)
       // NULL lag (first dup position) falls through to otherwise(1):
       // every island starts with a 1-flag, islands = running flag sum
       .withColumn("__new",
@@ -301,13 +315,22 @@ object Dedup {
     * `spark.checkpoint.dir` at durable storage and use `checkpoint()`
     * so a lost executor replays one round, not the whole loop.
     * The convergence probe is a `limit(1)`-style existence check
-    * (isEmpty), not a count — it short-circuits on the first changed row.
+    * (isEmpty), not a count — it short-circuits on the first changed row
+    * — and runs every `probeEvery` rounds, not every round: the probe is
+    * a full job over |V|, while an extra propagate+jump round on an
+    * already-converged label set is cheap by comparison, so batching
+    * probes cuts the job count ~in half (round-5 advice). Labels are
+    * monotone non-increasing, so "no change across a batch" is exactly
+    * the fixed-point test: if any round in the batch had changed a label,
+    * the batch's final labels would differ from its first.
     *
     * Output: (doc_id, cluster_rep) for every doc that appears in at least
     * one pair; singleton docs are their own cluster by definition and are
     * left to the caller (see [[dedupeClustered]]).
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+                  probeEvery: Int = 2): DataFrame = {
+    require(probeEvery >= 1, "probeEvery >= 1")
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -316,31 +339,42 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIters) {
+    def round(lbl: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .join(lbl.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("label").as("nmin"))
-      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+      val prop = lbl.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val jumped = prop
+      prop
         .join(prop.select(col("doc_id").as("via"), col("label").as("via_label")),
           prop("label") === col("via"), "left")
         .select(prop("doc_id"),
           coalesce(col("via_label"), prop("label")).as("label"))
         .localCheckpoint()
-      done = jumped.as("n").join(labels.as("o"), Seq("doc_id"))
+    }
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val batchStart = labels
+      var cur = labels
+      var k = 0
+      while (k < probeEvery && iter < maxIters) {
+        val next = round(cur)
+        // superseded intra-batch checkpoints would otherwise pin
+        // O(rounds x |V|) storage until driver GC — release eagerly
+        // (batchStart stays alive for the probe below)
+        if (cur ne batchStart) cur.unpersist()
+        cur = next
+        k += 1
+        iter += 1
+      }
+      done = cur.as("n").join(batchStart.as("o"), Seq("doc_id"))
         .where(col("n.label") =!= col("o.label"))
         .isEmpty
-      // the superseded round's checkpoint blocks would otherwise pin
-      // O(rounds x |V|) storage until driver GC — release eagerly (the
-      // convergence probe above was this DataFrame's last consumer)
-      labels.unpersist()
-      labels = jumped
-      iter += 1
+      batchStart.unpersist()
+      labels = cur
     }
     edges.unpersist()
     // returning unconverged labels would be SILENTLY wrong clusters;

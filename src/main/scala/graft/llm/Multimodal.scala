@@ -10,12 +10,22 @@ import org.apache.spark.sql.functions._
   * into. Extension surface beyond the reference engine (SURVEY.md §7
   * Phase 3).
   *
-  * The decode step itself is a STUB: this container has no image/audio
-  * codecs, so [[FakeDecoder]] derives deterministic pseudo-features from
-  * the payload's md5 — chosen so the whole pipeline stays differentially
+  * IMAGE decode is REAL: [[decodeImages]]/[[resizeImages]] run actual PNG
+  * bytes through `javax.imageio` (the JDK's built-in PNG/JPEG/GIF/BMP
+  * codecs — no external library needed) inside the batched
+  * `mapPartitions`, and the fixture wiring synthesizes deterministic PNGs
+  * whose geometry and pixels follow fixed integer formulas of `doc_id`
+  * ([[ImageSynth]]), so a SQL oracle can recompute the decoded stats
+  * independently — the differential check proves the codec round-trip,
+  * not just the plumbing.
+  *
+  * AUDIO/VIDEO decode remains a STUB: the JDK ships no audio/video
+  * codecs and this container has no ffmpeg/JNI libraries, so
+  * [[FakeDecoder]] derives deterministic pseudo-features from the
+  * payload's md5 — chosen so the pipeline shape stays differentially
   * testable against a SQL oracle. The Spark-side plumbing is real:
-  * binary column + metadata schema, partition-parallel batched execution,
-  * typed Dataset output.
+  * binary column + metadata schema, partition-parallel batched
+  * execution, typed Dataset output.
   *
   * 100 TB design: decode runs inside `mapPartitions` over whatever
   * partitioning the scan produced — no shuffle, no driver involvement,
@@ -23,6 +33,148 @@ import org.apache.spark.sql.functions._
   * matching how GPU/codec batching works).
   */
 object Multimodal {
+
+  /** An encoded image payload: opaque PNG bytes + id. */
+  case class ImageBlob(doc_id: Long, png: Array[Byte])
+
+  /** Decoded image stats — geometry straight from the codec, channel sums
+    * as exact integers (so the differential check needs no rounding at
+    * all; means are derived at the output edge).
+    */
+  case class DecodedImage(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic test-image generator: geometry and every pixel are
+    * fixed integer formulas of (doc_id, x, y), so an independent engine
+    * can recompute the decoded stats without ever seeing the bytes.
+    * Encoding is real `ImageIO.write(..., "png", ...)`; PNG is lossless,
+    * so decode must recover these exact values.
+    */
+  object ImageSynth {
+    def width(docId: Long): Int = (1 + docId % 47).toInt
+    def height(docId: Long): Int = (1 + (docId * 3) % 37).toInt
+    def r(docId: Long, x: Int, y: Int): Int = ((x * 7 + y * 11 + docId) % 256).toInt
+    def g(docId: Long, x: Int, y: Int): Int = ((x * 13 + y * 5 + docId * 3) % 256).toInt
+    def b(docId: Long, x: Int, y: Int): Int = ((x * 17 + y * 3 + docId * 7) % 256).toInt
+
+    def encodePng(docId: Long): Array[Byte] = {
+      val (w, h) = (width(docId), height(docId))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (r(docId, x, y) << 16) | (g(docId, x, y) << 8) | b(docId, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Synthesize one deterministic PNG per document id — executor-side
+    * (a `mapPartitions` over the scan, no shuffle), so the corpus of
+    * images is born distributed like a real image table would be read.
+    */
+  def synthesizeImages(docs: DataFrame): Dataset[ImageBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map(id => ImageBlob(id, ImageSynth.encodePng(id)))
+    }
+  }
+
+  private def imageStats(docId: Long, img: java.awt.image.BufferedImage): DecodedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y)
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(docId, w, h, sr, sg, sb)
+  }
+
+  /** REAL image decode: each partition's PNG payloads run through
+    * `javax.imageio` in `batchSize` groups (the unit a GPU/codec batch
+    * call would take); geometry and per-channel pixel sums come from the
+    * decoded raster, not from any metadata. Corrupt payloads fail loudly
+    * — silently skipping rows would make a decode error look like a
+    * filter.
+    */
+  def decodeImages(images: Dataset[ImageBlob], batchSize: Int = 64): Dataset[DecodedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.png))
+          if (img == null)
+            throw new IllegalArgumentException(s"undecodable image payload for doc_id=${b.doc_id}")
+          imageStats(b.doc_id, img)
+        }
+      }
+    }
+  }
+
+  /** Decode + nearest-neighbor resize to fit `maxSide` (aspect-preserving
+    * integer floor math for the target geometry; source pixel for target
+    * (x, y) is (x*w/w2, y*h/h2) — the standard nearest-neighbor map,
+    * exact in integers, so an oracle can replay it). Resampling reads the
+    * REAL decoded raster; stats are of the resized image.
+    */
+  def resizeImages(images: Dataset[ImageBlob], maxSide: Int,
+                   batchSize: Int = 64): Dataset[DecodedImage] = {
+    require(maxSide >= 1, "maxSide >= 1")
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { blob =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.png))
+          if (img == null)
+            throw new IllegalArgumentException(s"undecodable image payload for doc_id=${blob.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val longSide = math.max(w, h)
+          if (longSide <= maxSide) imageStats(blob.doc_id, img)
+          else {
+            val w2 = math.max(1, w * maxSide / longSide)
+            val h2 = math.max(1, h * maxSide / longSide)
+            val out = new java.awt.image.BufferedImage(
+              w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                out.setRGB(x, y, img.getRGB(x * w / w2, y * h / h2))
+                x += 1
+              }
+              y += 1
+            }
+            imageStats(blob.doc_id, out)
+          }
+        }
+      }
+    }
+  }
 
   /** A typed multimodal record: opaque payload + metadata. */
   case class Blob(doc_id: Long, payload: Array[Byte], n_bytes: Long)
@@ -49,9 +201,13 @@ object Multimodal {
       .as[Blob]
   }
 
-  /** STUB decoder — deterministic md5-derived fake in place of a real
-    * codec. Real deployment swaps `decodeOne` for the actual library call;
-    * everything around it (batching, schema, partitioning) is unchanged.
+  /** STUB decoder for AUDIO/VIDEO payloads — deterministic md5-derived
+    * fake in place of a real codec. The blocker is accurate for these
+    * modalities only: the JDK has no audio/video codecs and this
+    * container has no ffmpeg — whereas IMAGE decode is real, see
+    * [[decodeImages]]. Real deployment swaps `decodeOne` for the actual
+    * library call; everything around it (batching, schema, partitioning)
+    * is unchanged.
     */
   object FakeDecoder {
     def md5Hex(bytes: Array[Byte]): String =
@@ -74,9 +230,11 @@ object Multimodal {
     }
   }
 
-  /** Batched partition-parallel decode: groups each partition's rows into
-    * `batchSize` chunks (the unit a real codec/GPU call would take) and
-    * maps them through the decoder.
+  /** Batched partition-parallel pseudo-decode — the audio/video stand-in
+    * path ([[FakeDecoder]]): groups each partition's rows into `batchSize`
+    * chunks (the unit a real codec/GPU call would take) and maps them
+    * through the decoder. The image modality uses the real codec path,
+    * [[decodeImages]].
     */
   def decode(blobs: Dataset[Blob], batchSize: Int = 64): Dataset[Decoded] = {
     val spark = blobs.sparkSession

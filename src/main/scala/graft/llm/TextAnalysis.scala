@@ -326,12 +326,21 @@ object TextAnalysis {
     *
     * Output (all scalar): (doc_id, n_lines, n_kept, kept_md5) where
     * kept_md5 hashes the reassembled text (md5('') for a fully-stripped
-    * document).
+    * document). With `keepText = true` the reassembled text itself is
+    * appended as `kept_text` — the column that lets this operator FRONT a
+    * dedup pipeline (the CCNet ordering: strip boilerplate lines first,
+    * THEN dedup on what remains — `Dedup.exact(lineDedup(docs, keepText =
+    * true).select($"doc_id", $"kept_text".as("text")))`); the default
+    * stays hash-only because the declared differential entries must emit
+    * scalar digests, not full documents.
     */
-  def lineDedup(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+  def lineDedup(docs: DataFrame, minDocs: Long = 2,
+                keepText: Boolean = false): DataFrame = {
     require(minDocs >= 2, "a line is boilerplate only if it recurs: minDocs >= 2")
+    // NULL text = the empty document (one blank line, always kept) — a
+    // NULL row must not vanish from the output of a per-document operator
     val lines = docs
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), "\n")))
       .select(col("doc_id"), col("pos").cast("long").as("line_no"),
         col("col").as("line"))
       .withColumn("key",
@@ -342,16 +351,20 @@ object TextAnalysis {
       .groupBy("key").agg(count(lit(1)).as("line_df"))
       .where(col("line_df") >= minDocs)
       .select("key")
+    val reassemble =
+      """concat_ws(chr(10), transform(
+        |  array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)),
+        |  s -> s.line))""".stripMargin
+    val aggs = Seq(
+      count(lit(1)).as("n_lines"),
+      count(when(col("keep"), lit(1))).as("n_kept"),
+      expr(s"md5($reassemble)").as("kept_md5")) ++
+      (if (keepText) Seq(expr(reassemble).as("kept_text")) else Nil)
     lines
       .join(boiler.withColumn("__bl", lit(true)), Seq("key"), "left")
       .withColumn("keep", col("__bl").isNull)
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        count(when(col("keep"), lit(1))).as("n_kept"),
-        expr("""md5(concat_ws(chr(10), transform(
-               |  array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)),
-               |  s -> s.line)))""".stripMargin).as("kept_md5"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** PII patterns as (name, regex, replacement). The regexes restrict
@@ -377,12 +390,14 @@ object TextAnalysis {
     * Output (all scalar): (doc_id, n_<name> per pattern, scrub_md5) —
     * the hash of the fully-scrubbed text, so a differential check proves
     * the replacements landed at identical offsets in both engines.
+    * NULL `text` is treated as the empty document (zero matches,
+    * scrub_md5 = md5('')) — library callers never get NULL counts back.
     */
   def piiScrub(docs: DataFrame,
                patterns: Seq[(String, String, String)] = defaultPiiPatterns): DataFrame = {
     require(patterns.nonEmpty, "need at least one pattern")
     val scrubbed = patterns.zipWithIndex.foldLeft(
-      docs.withColumn("__t0", col("text"))) {
+      docs.withColumn("__t0", coalesce(col("text"), lit("")))) {
       case (df, ((name, pat, rep), i)) =>
         df.withColumn(s"n_$name",
             size(regexp_extract_all(col(s"__t$i"), lit(pat), lit(0))).cast("long"))

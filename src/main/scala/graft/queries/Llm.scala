@@ -153,6 +153,22 @@ object Llm {
     Tables.register(spark, dir); spark.table("embeddings")
   }
 
+  /** The fixture's documents are single-line; the line-dedup entries
+    * re-chunk each into 8-token lines so line-level recurrence exists.
+    */
+  /** Channel mean from the exact integer sum — one IEEE division + round
+    * at the output edge, identical in both engines.
+    */
+  private def meanChan(c: String) =
+    expr(s"CAST(ROUND(CAST($c AS DOUBLE) / (width * height), 6) AS DOUBLE)")
+
+  private def lineified(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), expr(
+      """concat_ws(chr(10), transform(
+        |  sequence(0, CAST((size(split(text, ' ')) - 1) div 8 AS INT)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8))))""".stripMargin)
+      .as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("fp")),
 
@@ -262,13 +278,16 @@ object Llm {
     // structure first — 8-token lines — exactly as the oracle does;
     // duplicate documents then genuinely share lines, which is the case
     // the operator exists for
-    "llm_line_dedup" -> ((s, d) => {
-      val dd = docs(s, d).select(col("doc_id"), expr(
-        """concat_ws(chr(10), transform(
-          |  sequence(0, CAST((size(split(text, ' ')) - 1) div 8 AS INT)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8))))""".stripMargin)
-        .as("text"))
-      TextAnalysis.lineDedup(dd).orderBy("doc_id")
+    "llm_line_dedup" -> ((s, d) =>
+      TextAnalysis.lineDedup(lineified(s, d)).orderBy("doc_id")),
+
+    // the CCNet ordering, composed: strip boilerplate lines FIRST
+    // (keepText surfaces the reassembled document), exact-dedup what
+    // remains — docs that differed only in boilerplate collapse
+    "llm_line_dedup_pipeline" -> ((s, d) => {
+      val cleaned = TextAnalysis.lineDedup(lineified(s, d), keepText = true)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      Dedup.exact(cleaned).orderBy("fp")
     }),
 
     // PII scrubbing over deterministically-injected emails/phones/IPs;
@@ -344,18 +363,35 @@ object Llm {
       Multimodal.frameSample(Multimodal.attach(docs(s, d)), nFrames = 4)
         .toDF().orderBy("doc_id", "frame_idx")),
 
-    // decode -> resize(48): aspect-preserving integer rescale of the
-    // md5-derived geometry; the oracle recomputes the same floor math
-    "llm_resize" -> ((s, d) => {
-      val dec = Multimodal.resize(
-        Multimodal.decode(Multimodal.attach(docs(s, d))), maxSide = 48)
-      dec.select(col("doc_id"), col("width"), col("height"))
+    // REAL codec round-trip: deterministic PNGs synthesized from doc_id
+    // formulas (ImageSynth), encoded AND decoded through javax.imageio;
+    // geometry + exact per-channel pixel sums come from the decoded
+    // raster, and the oracle recomputes the generation formulas over a
+    // pixel grid — a wrong decode cannot hash-match.
+    "llm_multimodal_decode" -> ((s, d) => {
+      val dec = Multimodal.decodeImages(Multimodal.synthesizeImages(docs(s, d)))
+      dec.toDF().select(col("doc_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        meanChan("sum_r").as("mean_r"), meanChan("sum_g").as("mean_g"),
+        meanChan("sum_b").as("mean_b"))
         .orderBy("doc_id")
     }),
 
-    "llm_multimodal_decode" -> ((s, d) => {
-      // runs the REAL typed mapPartitions decode path; the oracle recomputes
-      // the md5-derived pseudo-features in SQL independently.
+    // decode -> nearest-neighbor resize to fit 24px: the resample reads
+    // the real decoded raster; the oracle replays the integer source-pixel
+    // map over the target grid
+    "llm_resize" -> ((s, d) => {
+      val dec = Multimodal.resizeImages(
+        Multimodal.synthesizeImages(docs(s, d)), maxSide = 24)
+      dec.toDF().select(col("doc_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id")
+    }),
+
+    // the audio/video STAND-IN path (no such codecs in the JDK or this
+    // container): md5-derived pseudo-features through the same batched
+    // mapPartitions shape a real codec would plug into
+    "llm_av_features" -> ((s, d) => {
       val dec = Multimodal.decode(Multimodal.attach(docs(s, d)))
       val cols = Seq(col("doc_id"), col("n_bytes"), col("content_md5"),
         col("width"), col("height")) ++
@@ -364,29 +400,44 @@ object Llm {
     })
   )
 
+  /** Shared oracle CTEs for the line-dedup entries: the same 8-token
+    * lineification as the Spark wiring, then the line-df boilerplate rule
+    * recomputed with DuckDB windows/aggregates, ending in a per-line
+    * keep/strip flag (`fx`).
+    */
+  private val lineDedupCtes: String =
+    raw"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |d2 AS (SELECT doc_id,
+       |        array_to_string(list_transform(generate_series(0, (len(w) - 1) // 8),
+       |          i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')), chr(10)) AS text
+       |       FROM w),
+       |lf AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+       |lx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line,
+       |              md5(regexp_replace(lower(trim(ls[i])), '\s+', ' ', 'g')) AS key
+       |       FROM lf, unnest(generate_series(1, len(ls))) AS u(i)),
+       |bl AS (SELECT key
+       |       FROM (SELECT DISTINCT key, doc_id FROM lx WHERE length(trim(line)) > 0)
+       |       GROUP BY key HAVING count(*) >= 2),
+       |fx AS (SELECT l.doc_id, l.line_no, l.line, (b.key IS NOT NULL) AS is_bl
+       |       FROM lx l LEFT JOIN bl b ON l.key = b.key)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // same 8-token lineification as the Spark wiring, then the line-df
-    // boilerplate rule recomputed with DuckDB windows/aggregates
     "llm_line_dedup" ->
-      raw"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |d2 AS (SELECT doc_id,
-         |        array_to_string(list_transform(generate_series(0, (len(w) - 1) // 8),
-         |          i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')), chr(10)) AS text
-         |       FROM w),
-         |lf AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
-         |lx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line,
-         |              md5(regexp_replace(lower(trim(ls[i])), '\s+', ' ', 'g')) AS key
-         |       FROM lf, unnest(generate_series(1, len(ls))) AS u(i)),
-         |bl AS (SELECT key
-         |       FROM (SELECT DISTINCT key, doc_id FROM lx WHERE length(trim(line)) > 0)
-         |       GROUP BY key HAVING count(*) >= 2),
-         |fx AS (SELECT l.doc_id, l.line_no, l.line, (b.key IS NOT NULL) AS is_bl
-         |       FROM lx l LEFT JOIN bl b ON l.key = b.key)
+      s"""WITH $lineDedupCtes
          |SELECT doc_id, count(*) AS n_lines,
          |       count(CASE WHEN NOT is_bl THEN 1 END) AS n_kept,
          |       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
          |                      FILTER (WHERE NOT is_bl), '')) AS kept_md5
          |FROM fx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_line_dedup_pipeline" ->
+      s"""WITH $lineDedupCtes,
+         |kept AS (SELECT doc_id,
+         |                coalesce(string_agg(line, chr(10) ORDER BY line_no)
+         |                           FILTER (WHERE NOT is_bl), '') AS text
+         |         FROM fx GROUP BY doc_id)
+         |SELECT md5($NORM) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM kept GROUP BY 1 ORDER BY fp""".stripMargin,
 
     // sequential scrub: each pattern counts matches in the text AFTER the
     // previous patterns' replacements, exactly as piiScrub folds
@@ -790,20 +841,60 @@ object Llm {
         |       CAST(un - fr AS BIGINT) AS frame_bytes
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
 
-    "llm_resize" ->
-      """WITH g AS (SELECT doc_id,
-        |                  CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS INT) AS w,
-        |                  CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS INT) AS h
-        |           FROM documents),
-        |r AS (SELECT doc_id,
-        |             CASE WHEN GREATEST(w, h) <= 48 THEN w
-        |                  ELSE GREATEST(1, CAST((w * 48) // GREATEST(w, h) AS INT)) END AS width,
-        |             CASE WHEN GREATEST(w, h) <= 48 THEN h
-        |                  ELSE GREATEST(1, CAST((h * 48) // GREATEST(w, h) AS INT)) END AS height
-        |      FROM g)
-        |SELECT doc_id, width, height FROM r ORDER BY doc_id""".stripMargin,
+    // recompute the ImageSynth generation formulas over the pixel grid —
+    // the Spark side got these numbers by DECODING real PNG bytes, so a
+    // hash match here proves the javax.imageio round-trip, pixel-exact
+    "llm_multimodal_decode" ->
+      """WITH dims AS (SELECT doc_id,
+        |                     CAST(1 + doc_id % 47 AS INT) AS width,
+        |                     CAST(1 + (doc_id * 3) % 37 AS INT) AS height
+        |              FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |              (x * 7 + y * 11 + doc_id) % 256 AS r,
+        |              (x * 13 + y * 5 + doc_id * 3) % 256 AS g,
+        |              (x * 17 + y * 3 + doc_id * 7) % 256 AS b
+        |       FROM dims,
+        |            unnest(generate_series(0, 46)) AS ux(x),
+        |            unnest(generate_series(0, 36)) AS uy(y)
+        |       WHERE x < width AND y < height)
+        |SELECT doc_id, width, height,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b,
+        |       CAST(ROUND(CAST(sum(r) AS DOUBLE) / (width * height), 6) AS DOUBLE) AS mean_r,
+        |       CAST(ROUND(CAST(sum(g) AS DOUBLE) / (width * height), 6) AS DOUBLE) AS mean_g,
+        |       CAST(ROUND(CAST(sum(b) AS DOUBLE) / (width * height), 6) AS DOUBLE) AS mean_b
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
-    "llm_multimodal_decode" -> {
+    // target geometry by the same aspect-preserving floor math, then the
+    // nearest-neighbor source-pixel map (x*w//w2, y*h//h2) replayed over
+    // the target grid against the generation formulas
+    "llm_resize" ->
+      """WITH dims AS (SELECT doc_id,
+        |                     CAST(1 + doc_id % 47 AS INT) AS w,
+        |                     CAST(1 + (doc_id * 3) % 37 AS INT) AS h
+        |              FROM documents),
+        |rd AS (SELECT doc_id, w, h,
+        |              CASE WHEN GREATEST(w, h) <= 24 THEN w
+        |                   ELSE GREATEST(1, CAST((w * 24) // GREATEST(w, h) AS INT)) END AS w2,
+        |              CASE WHEN GREATEST(w, h) <= 24 THEN h
+        |                   ELSE GREATEST(1, CAST((h * 24) // GREATEST(w, h) AS INT)) END AS h2
+        |       FROM dims),
+        |px AS (SELECT doc_id, w2, h2,
+        |              ((x * w) // w2 * 7 + (y * h) // h2 * 11 + doc_id) % 256 AS r,
+        |              ((x * w) // w2 * 13 + (y * h) // h2 * 5 + doc_id * 3) % 256 AS g,
+        |              ((x * w) // w2 * 17 + (y * h) // h2 * 3 + doc_id * 7) % 256 AS b
+        |       FROM rd,
+        |            unnest(generate_series(0, 46)) AS ux(x),
+        |            unnest(generate_series(0, 36)) AS uy(y)
+        |       WHERE x < w2 AND y < h2)
+        |SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
+
+    "llm_av_features" -> {
       val feats = (0 until 8).map(j =>
         s"('0x' || substr(md5(text), ${j * 2 + 1}, 2))::BIGINT / CAST(255 AS DOUBLE) AS f$j").mkString(",\n  ")
       s"""SELECT doc_id,

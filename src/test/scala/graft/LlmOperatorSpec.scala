@@ -247,6 +247,57 @@ class LlmOperatorSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("image decode recovers the synthesized geometry and exact pixel sums") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 46L, 123L, 4999L)
+    val dec = Multimodal.decodeImages(
+      Multimodal.synthesizeImages(ids.toDF("doc_id")), batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- ids) {
+      val (w, h) = (Multimodal.ImageSynth.width(id), Multimodal.ImageSynth.height(id))
+      val px = for { x <- 0 until w; y <- 0 until h } yield
+        (Multimodal.ImageSynth.r(id, x, y).toLong,
+          Multimodal.ImageSynth.g(id, x, y).toLong,
+          Multimodal.ImageSynth.b(id, x, y).toLong)
+      val d = dec(id)
+      assert((d.width, d.height) == (w, h))
+      assert((d.sum_r, d.sum_g, d.sum_b) ==
+        (px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum))
+    }
+  }
+
+  test("image resize resamples the real raster with the nearest-neighbor map") {
+    import spark.implicits._
+    val id = 123L // 30x object: width 1+123%47=30, height 1+369%37=37 -> resize triggers
+    val d = Multimodal.resizeImages(
+      Multimodal.synthesizeImages(Seq(id).toDF("doc_id")), maxSide = 24)
+      .collect()(0)
+    val (w, h) = (Multimodal.ImageSynth.width(id), Multimodal.ImageSynth.height(id))
+    val long = math.max(w, h)
+    assert(long > 24, "fixture must actually trigger the resize branch")
+    val (w2, h2) = (math.max(1, w * 24 / long), math.max(1, h * 24 / long))
+    assert((d.width, d.height) == (w2, h2))
+    val px = for { x <- 0 until w2; y <- 0 until h2 } yield {
+      val (sx, sy) = (x * w / w2, y * h / h2)
+      (Multimodal.ImageSynth.r(id, sx, sy).toLong,
+        Multimodal.ImageSynth.g(id, sx, sy).toLong,
+        Multimodal.ImageSynth.b(id, sx, sy).toLong)
+    }
+    assert((d.sum_r, d.sum_g, d.sum_b) ==
+      (px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum))
+  }
+
+  test("image decode fails loudly on an undecodable payload") {
+    import spark.implicits._
+    val bad = Seq(Multimodal.ImageBlob(7L, Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[Exception] {
+      Multimodal.decodeImages(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("undecodable")), msgs(e).mkString(" | "))
+  }
+
   test("lineDedup strips lines recurring across docs, keeps originals' order") {
     val out = TextAnalysis.lineDedup(docs(
       1L -> "Header\nunique one\nFooter",
