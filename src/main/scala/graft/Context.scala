@@ -15,15 +15,78 @@ import scala.jdk.CollectionConverters._
   * config. Everything delegates to the SparkSession — registration is
   * lazy (footer/header reads only), so the same calls work unchanged
   * against a 100 TB directory tree.
+  *
+  * ==Object-store URL schemes==
+  *
+  * The reference auto-registers remote stores from the URL scheme
+  * (`util.rs:523-580`: s3://, gs://, http(s)://). In Spark the same
+  * capability is CONFIG-level: every `register*` here accepts a remote
+  * URI and delegates to the Hadoop FileSystem for its scheme, which must
+  * be on the classpath and configured:
+  *
+  * | scheme    | connector jar (matching Hadoop version)  | core config |
+  * |-----------|------------------------------------------|-------------|
+  * | `s3a://`  (use for `s3://` too) | `hadoop-aws` + AWS SDK bundle | `spark.hadoop.fs.s3a.access.key` / `.secret.key` (or an AWS credentials provider chain) |
+  * | `gs://`   | `gcs-connector` (shaded)                 | `spark.hadoop.google.cloud.auth.service.account.json.keyfile` |
+  * | `abfss://`| `hadoop-azure` + `azure-storage`         | `spark.hadoop.fs.azure.account.key.<account>.dfs.core.windows.net` |
+  * | `http(s)://` | none exists — Hadoop has no http FileSystem | fetch to local/object storage first (the reference streams http CSV through `object_store`, a capability Spark's FileSystem API does not offer) |
+  *
+  * `s3://` is rewritten to `s3a://` (the maintained Hadoop S3 connector —
+  * `s3://`'s own FileSystem was removed from Hadoop). When the scheme's
+  * FileSystem is not on the classpath (this offline build bundles none),
+  * registration fails fast with the table row above instead of a lazy
+  * `ClassNotFoundException` at first read.
   */
 class Context(val spark: SparkSession) {
+
+  /** Validate/normalize a registration path by URL scheme: local paths
+    * (no scheme, or file:) pass through; s3: rewrites to s3a:; remote
+    * schemes require their Hadoop FileSystem on the classpath — checked
+    * HERE so a missing connector fails at registration with the fix
+    * (jar + config), not at first scan.
+    */
+  private[graft] def resolvePath(path: String): String = {
+    // scheme extracted by regex, not java.net.URI — glob paths
+    // (`/data/{a,b}.parquet`) are valid registration targets but not
+    // valid URIs
+    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*".r
+    val scheme = path match {
+      case SchemeRe(s) => s.toLowerCase
+      case _ => null
+    }
+    val normalized = if (scheme == "s3") "s3a" + path.stripPrefix("s3") else path
+    scheme match {
+      case null | "file" => path
+      case "http" | "https" =>
+        throw new UnsupportedOperationException(
+          s"cannot register '$path': Hadoop has no http(s) FileSystem — fetch the " +
+            "file to local or object storage first (see Context scaladoc)")
+      case _ =>
+        val s = if (scheme == "s3") "s3a" else scheme
+        val hint = Map(
+          "s3a" -> "add the hadoop-aws + AWS SDK bundle jars and set spark.hadoop.fs.s3a.access.key/.secret.key",
+          "gs" -> "add the shaded gcs-connector jar and set spark.hadoop.google.cloud.auth.service.account.json.keyfile",
+          "abfss" -> "add hadoop-azure + azure-storage jars and set spark.hadoop.fs.azure.account.key.<account>.dfs.core.windows.net"
+        ).getOrElse(s, s"add the Hadoop FileSystem jar for scheme '$s'")
+        try {
+          org.apache.hadoop.fs.FileSystem.getFileSystemClass(
+            s, spark.sparkContext.hadoopConfiguration)
+          normalized
+        } catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(
+              s"cannot register '$path': no FileSystem for scheme '$s' on the " +
+                s"classpath — $hint (see Context scaladoc). Cause: $e")
+        }
+    }
+  }
 
   /** `register_parquet` (reference `context.rs:57-67`): a single file OR a
     * directory/glob of parquet files — Spark's listing handles both, which
     * also covers `register_listing_table` (`context.rs:82-107`).
     */
   def registerParquet(name: String, path: String): Unit =
-    spark.read.parquet(path).createOrReplaceTempView(name)
+    spark.read.parquet(resolvePath(path)).createOrReplaceTempView(name)
 
   /** Directory-of-files table (reference `register_listing_table`,
     * `context.rs:82-107`). Alias of registerParquet — a directory path IS
@@ -42,19 +105,19 @@ class Context(val spark: SparkSession) {
       .option("header", header.toString)
       .option("sep", delimiter)
     val withSchema = schema.fold(r.option("inferSchema", "true"))(r.schema)
-    withSchema.csv(path).createOrReplaceTempView(name)
+    withSchema.csv(resolvePath(path)).createOrReplaceTempView(name)
   }
 
   /** NDJSON registration (reference `NdJsonExec`, `util.rs:498-500`). */
   def registerJson(name: String, path: String, schema: Option[StructType] = None): Unit =
     schema.fold(spark.read)(spark.read.schema)
-      .json(path).createOrReplaceTempView(name)
+      .json(resolvePath(path)).createOrReplaceTempView(name)
 
   /** Arrow IPC registration (reference `ArrowExec`, `util.rs:504-506`),
     * via the engine's DataSource V2 [[graft.sources.ArrowIpcSource]].
     */
   def registerArrow(name: String, path: String): Unit =
-    spark.read.format("graft.sources.ArrowIpcSource").load(path)
+    spark.read.format("graft.sources.ArrowIpcSource").load(resolvePath(path))
       .createOrReplaceTempView(name)
 
   /** Avro registration (reference `register_avro` via DataFusion,
@@ -63,7 +126,7 @@ class Context(val spark: SparkSession) {
     * spark-avro module is absent from this environment).
     */
   def registerAvro(name: String, path: String): Unit =
-    spark.read.format("graft.sources.AvroSource").load(path)
+    spark.read.format("graft.sources.AvroSource").load(resolvePath(path))
       .createOrReplaceTempView(name)
 
   /** Split a SQL script on top-level semicolons only: a `;` inside a

@@ -195,4 +195,34 @@ class ContextSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(n == 0L)
   }
+
+  test("object-store schemes: fail fast at registration with the fix, not at scan") {
+    // no connector jars in this offline build: s3:// normalizes to s3a://
+    // and must name the missing jar + config
+    val e1 = intercept[IllegalArgumentException] {
+      ctx.registerParquet("ctx_s3", "s3://bucket/path/data.parquet")
+    }
+    assert(e1.getMessage.contains("s3a") && e1.getMessage.contains("hadoop-aws"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ctx.registerCsv("ctx_gs", "gs://bucket/t.csv")
+    }
+    assert(e2.getMessage.contains("gcs-connector"), e2.getMessage)
+    // http(s) is not a Hadoop FileSystem at all -- distinct error
+    val e3 = intercept[UnsupportedOperationException] {
+      ctx.registerJson("ctx_http", "https://example.com/data.json")
+    }
+    assert(e3.getMessage.contains("http"), e3.getMessage)
+  }
+
+  test("object-store schemes: local, file: and glob paths pass through") {
+    assert(ctx.resolvePath(s"$sfSmoke/nation.parquet") == s"$sfSmoke/nation.parquet")
+    assert(ctx.resolvePath(s"file://$sfSmoke/nation.parquet") ==
+      s"file://$sfSmoke/nation.parquet")
+    // glob braces are not URI-legal but are valid registration targets
+    assert(ctx.resolvePath("/data/{a,b}.parquet") == "/data/{a,b}.parquet")
+    ctx.registerParquet("ctx_file_scheme", s"file://$sfSmoke/nation.parquet")
+    assert(ctx.sql("SELECT count(*) AS n FROM ctx_file_scheme")
+      .collect()(0).getLong(0) == 25L)
+  }
 }
