@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   * consistent, dimension tables stay at sf0.1 (their size is not what
   * scales in TPC-H) — then times the headline queries there.
   *
+  * The documents corpus is replicated too (doc_id offset per shard, text
+  * unchanged — factor-1 exact duplicates per document, the worst
+  * realistic dedup load), so the LLM-side headline operators get the
+  * same SF~1 trajectory as TPC-H (round-5 verdict #3): any declared
+  * `SparkEntry.queries` name runs against the staged dir.
+  *
   * `runMain graft.ScaleBench [factor] [srcDir] [query...]`
-  * (defaults: 10, /root/testdata/sf0.1, q1 q5 q9 q18). Prints one JSON
-  * line; each query is warmed once off the clock (codegen/JIT), then
-  * timed through the noop sink like graft.Bench. Numbers are recorded
-  * per round in SURVEY.md's addendum so the trend — not a cross-machine
-  * quotient — is what gets graded.
+  * (defaults: 10, /root/testdata/sf0.1, tpch q1/q5/q9/q18 + the heavy
+  * LLM set: dedup_cc, simhash_near, line_dedup, pack_shards, dup_spans).
+  * Prints one JSON line; each query is warmed once off the clock
+  * (codegen/JIT), then timed through the noop sink like graft.Bench.
+  * Numbers are recorded per round in SURVEY.md's addendum so the trend —
+  * not a cross-machine quotient — is what gets graded.
   */
 object ScaleBench {
 
@@ -29,29 +36,39 @@ object ScaleBench {
 
   private val facts = Map("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
 
-  /** Stage the scaled fixture dir: fact tables replicated with offset
-    * keys as 32-file parquet directories, everything else byte-copied.
-    * ONE shared key span, derived from the parent table (orders): a
-    * per-table span would silently break the orders-lineitem
-    * relationship whenever max(l_orderkey) != max(o_orderkey) (an order
-    * with no lineitems, a sampled fixture) — shard i's orders and
-    * lineitems must shift by the SAME offset to keep joins consistent.
+  val defaultQueries: Seq[String] = Seq(
+    "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q18",
+    "llm_dedup_cc", "llm_simhash_near", "llm_line_dedup",
+    "llm_pack_shards", "llm_dup_spans")
+
+  /** Stage the scaled fixture dir: fact tables + documents replicated
+    * with offset keys as 32-file parquet directories, everything else
+    * byte-copied. The TPC-H facts share ONE key span, derived from the
+    * parent table (orders): a per-table span would silently break the
+    * orders-lineitem relationship whenever max(l_orderkey) !=
+    * max(o_orderkey) (an order with no lineitems, a sampled fixture) —
+    * shard i's orders and lineitems must shift by the SAME offset to
+    * keep joins consistent. Documents shift doc_id by their own span.
     */
   def stage(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     new java.io.File(out).mkdirs()
     val span = spark.read.parquet(s"$src/orders.parquet")
       .agg(max(col("o_orderkey"))).head.get(0).toString.toLong + 1
-    for ((t, keyCol) <- facts) {
+    val docSpan = spark.read.parquet(s"$src/documents.parquet")
+      .agg(max(col("doc_id"))).head.get(0).toString.toLong + 1
+    val keyed = facts ++ Map("documents" -> "doc_id")
+    val spans = facts.map { case (t, _) => t -> span } + ("documents" -> docSpan)
+    for ((t, keyCol) <- keyed) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val keyType = base.schema(keyCol).dataType
       base.selectExpr(s"explode(sequence(0, ${factor - 1})) AS __shard", "*")
         .withColumn(keyCol,
-          (col(keyCol) + col("__shard") * span).cast(keyType))
+          (col(keyCol) + col("__shard") * spans(t)).cast(keyType))
         .drop("__shard")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    for (t <- Tables.all if !facts.contains(t))
+    for (t <- Tables.all if !keyed.contains(t))
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$out/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
   }
@@ -60,19 +77,19 @@ object ScaleBench {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val names =
-      if (args.length > 2) args.drop(2).toSeq
-      else Seq("tpch_q1", "tpch_q5", "tpch_q9", "tpch_q18")
+      if (args.length > 2) args.drop(2).toSeq else defaultQueries
     val out = s"/tmp/graft_scalebench_x$factor"
     val spark = Session.local("graft-scale-bench")
     try {
       val tStage = time(stage(spark, src, out, factor))
       def run(q: String): Unit =
-        queries.Tpch.queries(q)(spark, out)
+        SparkEntry.queries(q)(spark, out)
           .write.mode("overwrite").format("noop").save()
       names.foreach(run) // warm every plan off the clock
       val timed = names.map(q => f""""$q":${time(run(q))}%.2f""")
       val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
-      println(s"""{"factor":$factor,"lineitem_rows":$rows,""" +
+      val docRows = spark.read.parquet(s"$out/documents.parquet").count()
+      println(s"""{"factor":$factor,"lineitem_rows":$rows,"document_rows":$docRows,""" +
         f""""stage_sec":$tStage%.1f,${timed.mkString(",")}}""")
     } finally spark.stop()
   }

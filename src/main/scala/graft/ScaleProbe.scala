@@ -57,6 +57,66 @@ object ScaleProbe {
         (nm, t, pairs)
     }
 
+  /** Cumulative max observed task wall-clock — the straggler metric the
+    * bucketed as-of exists to improve. Listener-bus delivery is async;
+    * [[drain]] sleeps briefly after the action so late TaskEnd events
+    * land before reading.
+    */
+  private class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var maxMs: Long = 0L
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val d = te.taskInfo.duration
+      if (d > maxMs) maxMs = d
+    }
+  }
+
+  /** Hot-key as-of probe (round-5 verdict #8): a synthetic where one key
+    * owns 80% of both timelines. The plain variant window-partitions by
+    * key — the hot key's whole history lands in ONE task; the bucketed
+    * variant caps tasks at |hot key ∩ bucket|. Reports wall-clock AND
+    * max single-task seconds for both — the max-task number is the claim
+    * the operator exists for (straggler/OOM immunity), wall-clock alone
+    * would hide it behind the other 31 idle-then-done cores.
+    */
+  private def asofSkewProbe(spark: SparkSession): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val n = 2000000L
+    val hot = expr("CASE WHEN id % 10 < 8 THEN 0 ELSE id % 1000 END")
+    // ~0.05 s between events => ~100k s span; 3600 s buckets => ~28
+    // buckets for the hot key
+    val left = spark.range(n).select(
+      hot.as("key"),
+      expr("timestamp_micros(id * 50000)").as("ts"),
+      col("id").as("v"))
+    val right = spark.range(n / 100).select(
+      hot.as("key"),
+      expr("timestamp_micros(id * 5000000)").as("ts"),
+      (col("id") % 997).as("quote"))
+    val dir = "/tmp/graft_scale/asof_skew"
+    left.repartition(32).write.mode("overwrite").parquet(s"$dir/left")
+    right.repartition(32).write.mode("overwrite").parquet(s"$dir/right")
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    def measure(f: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val lis = new MaxTaskListener
+      spark.sparkContext.addSparkListener(lis)
+      val t = time(f.write.mode("overwrite").format("noop").save())
+      Thread.sleep(500) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(lis)
+      (t, lis.maxMs / 1000.0)
+    }
+    def plain() = operators.AsOf.joinBackward(l, r, "key", "ts", Seq("quote"))
+    def bucketed() = operators.AsOf.joinBackwardBucketed(
+      l, r, "key", "ts", Seq("quote"), bucketSeconds = 3600)
+    measure(plain()); measure(bucketed()) // warm codegen off the clock
+    val (tp, mp) = measure(plain())
+    val (tb, mb) = measure(bucketed())
+    Seq(
+      f""""asof_plain_hotkey":{"sec":$tp%.2f,"max_task_sec":$mp%.2f}""",
+      f""""asof_bucketed_hotkey":{"sec":$tb%.2f,"max_task_sec":$mb%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
@@ -98,7 +158,8 @@ object ScaleProbe {
         f""""$op":{"x1":$a%.2f,"x$factor":$b%.2f,"ratio":${b / a}%.2f,""" +
           s""""pairs_x1":$pa,"pairs_x$factor":$pb}"""
       }
-      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems).mkString(",")}}""")
+      val asof = asofSkewProbe(spark)
+      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof).mkString(",")}}""")
     } finally spark.stop()
   }
 }

@@ -52,6 +52,17 @@ object AsOf {
     * on (key, bucket); the win is max task size dropping from |hot key|
     * to |hot key ∩ bucket|. Pick bucketSeconds so a busy key's bucket
     * fits a task comfortably (e.g. 86400 for daily buckets).
+    *
+    * WHICH VARIANT: use plain [[joinBackward]] when keys are roughly
+    * balanced — the bucketed variant's two extra (small) shuffles cost
+    * ~1.5x wall-clock on a skew-free fixture for no benefit. Switch to
+    * bucketed when one key holds a large share of the timeline (a
+    * celebrity user, a default/null-ish device id, a monitoring
+    * heartbeat): the plain variant serializes that key's entire history
+    * into ONE task (straggler, spill, possible OOM at 100 TB), while the
+    * bucketed variant caps task size at |hot key ∩ bucket| regardless of
+    * skew. `graft.ScaleProbe` measures both on a hot-key synthetic (80%
+    * of rows on one key) — see SURVEY.md addendum for per-round numbers.
     */
   def joinBackwardBucketed(left: DataFrame, right: DataFrame, key: String,
                            ts: String, rightVals: Seq[String],

@@ -35,6 +35,17 @@ class ScaleBenchSpec extends SparkSpec {
       "per-shard key offsets broke the lineitem->orders relationship")
   }
 
+  test("documents replicate factor-fold with unique doc_ids, text unchanged") {
+    val src = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val staged = spark.read.parquet(s"$out/documents.parquet")
+    assert(staged.count() == 3 * src.count())
+    assert(staged.select("doc_id").distinct().count() == staged.count(),
+      "doc_id offsets collided across shards")
+    // every document gains factor-1 exact text duplicates
+    assert(staged.select("text").distinct().count() ==
+      src.select("text").distinct().count())
+  }
+
   test("dimension tables are byte-copied, not scaled") {
     assert(spark.read.parquet(s"$out/customer.parquet").count()
       == spark.read.parquet(s"$sfSmoke/customer.parquet").count())
