@@ -71,6 +71,42 @@ object ScaleProbe {
     }
   }
 
+  private class JobCountListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var jobs = 0
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+  }
+
+  /** Measures the round-5 verdict-#4 premise: does batching the
+    * dupClusters convergence probe every 2 rounds cut the Spark job
+    * count? Same verified-pair graph for both settings, pair
+    * construction materialized off-listener (localCheckpoint) so only
+    * the CC loop's jobs count. Measured answer: NO on LSH near-dup
+    * graphs — pointer jumping converges in ~2 rounds, so batching adds
+    * extra |E|-shuffling rounds to save |V|-cheap probes (see the
+    * dupClusters scaladoc); the probe stays in the output so the trade
+    * is re-checked every round.
+    */
+  private def ccProbe(docs: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    val survivors = docs.join(
+      llm.Dedup.exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val pairs = llm.Dedup.jaccard(survivors, llm.Dedup.lshCandidates(survivors))
+      .where(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // materialize: jobs below are the CC loop only
+    Seq(1, 2).map { pe =>
+      val lis = new JobCountListener
+      spark.sparkContext.addSparkListener(lis)
+      val t = time(llm.Dedup.dupClusters(pairs, probeEvery = pe)
+        .write.mode("overwrite").format("noop").save())
+      Thread.sleep(500) // async listener bus
+      spark.sparkContext.removeSparkListener(lis)
+      f""""cc_probe_every_$pe":{"sec":$t%.2f,"jobs":${lis.jobs}}"""
+    }
+  }
+
   /** Hot-key as-of probe (round-5 verdict #8): a synthetic where one key
     * owns 80% of both timelines. The plain variant window-partitions by
     * key — the hot key's whole history lands in ONE task; the bucketed
@@ -159,7 +195,8 @@ object ScaleProbe {
           s""""pairs_x1":$pa,"pairs_x$factor":$pb}"""
       }
       val asof = asofSkewProbe(spark)
-      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof).mkString(",")}}""")
+      val cc = ccProbe(big)
+      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof ++ cc).mkString(",")}}""")
     } finally spark.stop()
   }
 }

@@ -315,21 +315,26 @@ object Dedup {
     * `spark.checkpoint.dir` at durable storage and use `checkpoint()`
     * so a lost executor replays one round, not the whole loop.
     * The convergence probe is a `limit(1)`-style existence check
-    * (isEmpty), not a count — it short-circuits on the first changed row
-    * — and runs every `probeEvery` rounds, not every round: the probe is
-    * a full job over |V|, while an extra propagate+jump round on an
-    * already-converged label set is cheap by comparison, so batching
-    * probes cuts the job count ~in half (round-5 advice). Labels are
+    * (isEmpty), not a count — it short-circuits on the first changed row.
+    *
+    * `probeEvery` batches the probe to every k-th round (labels are
     * monotone non-increasing, so "no change across a batch" is exactly
-    * the fixed-point test: if any round in the batch had changed a label,
-    * the batch's final labels would differ from its first.
+    * the fixed-point test). MEASURED (ScaleProbe cc_probe, 8x corpus):
+    * batching probes every 2 rounds runs ~60% MORE Spark jobs (49 vs 31)
+    * at equal wall-clock, because pointer jumping reaches the fixed point
+    * in ~2 rounds on LSH near-dup graphs (shallow clique-ish components)
+    * — each batched detection then wastes 1-2 EXTRA full rounds (an
+    * |E|+|V| shuffle each) to save probes that only join |V| rows. The
+    * default therefore stays 1; raise it only for high-diameter pair
+    * graphs (long chains: road-network-like, k-NN graphs) where the
+    * round count is large and probe savings accumulate.
     *
     * Output: (doc_id, cluster_rep) for every doc that appears in at least
     * one pair; singleton docs are their own cluster by definition and are
     * left to the caller (see [[dedupeClustered]]).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
-                  probeEvery: Int = 2): DataFrame = {
+                  probeEvery: Int = 1): DataFrame = {
     require(probeEvery >= 1, "probeEvery >= 1")
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -392,10 +397,11 @@ object Dedup {
     * set keeps them without a join against the full corpus).
     */
   def dedupeClustered(docs: DataFrame, jaccardThreshold: Double = 0.6,
-                      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                      numHashes: Int = 8, bands: Int = 4,
+                      probeEvery: Int = 1): DataFrame = {
     val (survivors, pairs) = survivorsAndPairs(docs, jaccardThreshold,
       numHashes, bands)
-    val nonReps = dupClusters(pairs)
+    val nonReps = dupClusters(pairs, probeEvery = probeEvery)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select("doc_id")
     survivors.join(nonReps, Seq("doc_id"), "left_anti")

@@ -146,6 +146,37 @@ class PlanShapeSpec extends SparkSpec {
       s"ngram top-k plans a full sort:\n$plan")
   }
 
+  test("llm_dup_spans: gram subtree computed once (single Generate, window-df reuse)") {
+    val plan = SparkEntry.queries("llm_dup_spans")(spark, sfSmoke)
+      .queryExecution.sparkPlan
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    // the round-5 shape re-derived the normalize/split/md5/posexplode
+    // subtree for a df-aggregate self-join — TWO Generates; the window
+    // formulation pins it at one
+    assert(generates.size == 1,
+      s"gram extraction duplicated (${generates.size} Generates):\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // gh window + doc_id windows (+ the output sort's range exchange);
+    // the two gh window specs must share one exchange
+    assert(exchanges.size <= 3, s"dup_spans shuffles too much:\n$plan")
+  }
+
+  test("llm_multimodal_decode: map-only decode — no shuffle beyond the output sort") {
+    val plan = SparkEntry.queries("llm_multimodal_decode")(spark, sfSmoke)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // synthesize + decode are per-partition codec work; only the final
+    // ORDER BY may shuffle
+    assert(exchanges.size <= 1,
+      s"image decode pipeline shuffles beyond the output sort:\n$plan")
+  }
+
   test("q18/q21 flip lineitem-derived build sides to shuffled joins under a 1MB broadcast threshold at sf0.1") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
