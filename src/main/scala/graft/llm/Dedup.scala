@@ -112,12 +112,10 @@ object Dedup {
     min(expr(s"($a * x + $b) % $MinhashP"))
   }
 
-  /** Banded-LSH candidate pairs: docs sharing at least one band signature.
-    * `numHashes` minhashes grouped into `bands` bands of numHashes/bands
-    * values; the join key is (band, signature) — a shuffle, not a broadcast.
-    * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+  /** One row per (doc_id, band, sig): the banded MinHash signatures every
+    * LSH candidate generator joins on.
     */
-  def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+  def bandSignatures(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // '_'-separated: h's are integers now, and concat(12,345) == concat(123,45)
@@ -127,9 +125,18 @@ object Dedup {
         .mkString("concat_ws('_', ", ", ", ")")
       s"struct($b AS band, $cat AS sig)"
     }
-    val bandSigs = minhash(docs, numHashes)
+    minhash(docs, numHashes)
       .select(col("doc_id"), explode(expr(sigs.mkString("array(", ", ", ")"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs: docs sharing at least one band signature.
+    * `numHashes` minhashes grouped into `bands` bands of numHashes/bands
+    * values; the join key is (band, signature) — a shuffle, not a broadcast.
+    * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    */
+  def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val bandSigs = bandSignatures(docs, numHashes, bands)
     val a = bandSigs.as("a")
     val b = bandSigs.as("b")
     a.join(b,
@@ -405,6 +412,57 @@ object Dedup {
       .where(col("doc_id") =!= col("cluster_rep"))
       .select("doc_id")
     survivors.join(nonReps, Seq("doc_id"), "left_anti")
+  }
+
+  /** INCREMENTAL corpus dedup — the filter a production pipeline runs on
+    * every NEW batch of crawled/ingested documents against the corpus it
+    * already accepted: drop incoming docs that exactly or nearly
+    * duplicate an EXISTING doc, keep the rest. Within-batch duplicates
+    * are deliberately out of scope (run [[dedupe]]/[[dedupeClustered]] on
+    * the batch first or after — the operators compose); this one never
+    * touches existing-existing pairs either, so re-running it cannot
+    * shrink the accepted corpus.
+    *
+    * Contract: doc_id must be unique ACROSS both inputs (true for any
+    * monotone ingest id); both need (doc_id, text).
+    *
+    * Scale shape, in corpus-size terms (existing |C|, incoming batch
+    * |B|, typically |B| << |C|): the exact pass is a left-anti join of
+    * the batch against the existing fingerprint set — a shuffle on the
+    * fingerprint hash, partial-agg'd distinct on the big side, no
+    * broadcast of the corpus. The near-dup pass band-joins the batch's
+    * MinHash signatures against the existing side's — the SAME banded
+    * shuffle join as [[lshCandidates]], except the quadratic term is
+    * |C∩band|·|B∩band| instead of |C∩band|², and only cross pairs
+    * survive. Jaccard verification then runs on candidate pairs only.
+    * The existing side's signatures are recomputed here; a real ingest
+    * loop would persist them once (they are deterministic md5-derived
+    * integers — see [[minhash]]) and amortize the corpus scan away,
+    * leaving per-batch cost ~O(|B| + candidates).
+    *
+    * Output: the surviving rows of `incoming`, original schema.
+    */
+  def dedupeIncremental(existing: DataFrame, incoming: DataFrame,
+                        jaccardThreshold: Double = 0.6,
+                        numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val exFp = existing.select(expr(s"md5($normalizeExpr)").as("fp")).distinct()
+    val exactSurvivors = incoming
+      .withColumn("__fp", expr(s"md5($normalizeExpr)"))
+      .join(exFp, col("__fp") === col("fp"), "left_anti")
+      .drop("__fp")
+    val cross = bandSignatures(existing, numHashes, bands).as("a")
+      .join(bandSignatures(exactSurvivors, numHashes, bands).as("b"),
+        expr("a.band = b.band AND a.sig = b.sig"))
+      .groupBy(expr("a.doc_id").as("doc_a"), expr("b.doc_id").as("doc_b"))
+      .agg(countDistinct(expr("a.band")).as("n_bands"))
+    // shingle source spans both corpora: jaccard() resolves each pair
+    // side by doc_id, and ids are unique across inputs by contract
+    val allDocs = existing.select("doc_id", "text")
+      .unionByName(exactSurvivors.select("doc_id", "text"))
+    val nearDrop = jaccard(allDocs, cross)
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exactSurvivors.join(nearDrop, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash (60-bit to stay in signed-int64 range in every engine):

@@ -68,7 +68,10 @@ object Llm {
        |       FROM norm, unnest(generate_series(1, length(w) - 2)) AS u(i)
        |       WHERE length(w) >= 3)""".stripMargin
 
-  private def minhashCtes(src: String = "documents"): String = {
+  /** shingles → minhash → banded signatures (no candidate join — callers
+    * add their own pairing rule over `bands`).
+    */
+  private def bandCtes(src: String): String = {
     // mirrors Dedup.minhash: one md5 per shingle -> 28-bit x, then the
     // (a_i * x + b_i) mod p universal-hash permutations with the SAME
     // md5-derived (a, b) literals the Spark plan embeds
@@ -82,12 +85,15 @@ object Llm {
     s"""${shingleCtes(src)},
        |shx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
        |mh AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
-       |bands AS ($bandSelects),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  private def minhashCtes(src: String = "documents"): String =
+    s"""${bandCtes(src)},
        |cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band) AS n_bands
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
-  }
 
   /** cands → exact-Jaccard CTEs (needs the `sh` CTE in scope). */
   private val jaccardCtes: String =
@@ -281,6 +287,18 @@ object Llm {
     "llm_line_dedup" -> ((s, d) =>
       TextAnalysis.lineDedup(lineified(s, d)).orderBy("doc_id")),
 
+    // incremental ingest: the batch (doc_id % 5 = 0) deduped against the
+    // accepted corpus (the rest) — exact cross-fingerprint drop + banded
+    // cross-LSH + Jaccard verify, batch survivors out
+    "llm_dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.dedupeIncremental(
+        existing = dd.where(col("doc_id") % 5 =!= 0),
+        incoming = dd.where(col("doc_id") % 5 === 0))
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // the CCNet ordering, composed: strip boilerplate lines FIRST
     // (keepText surfaces the reassembled document), exact-dedup what
     // remains — docs that differed only in boilerplate collapse
@@ -429,6 +447,25 @@ object Llm {
          |       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
          |                      FILTER (WHERE NOT is_bl), '')) AS kept_md5
          |FROM fx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cross-corpus pairing rule over the shared band CTEs: existing side
+    // a, batch side b; exact pass + near drop replayed independently
+    "llm_dedup_incremental" ->
+      s"""WITH ${bandCtes("documents")},
+         |cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band) AS n_bands
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.sig = b.sig
+         |           AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+         |          GROUP BY 1, 2),
+         |$jaccardCtes,
+         |ex_fp AS (SELECT DISTINCT md5($NORM) AS fp FROM documents WHERE doc_id % 5 <> 0),
+         |in_docs AS (SELECT doc_id, text, md5($NORM) AS fp FROM documents WHERE doc_id % 5 = 0),
+         |exact_surv AS (SELECT i.doc_id, i.text FROM in_docs i
+         |               LEFT JOIN ex_fp e ON i.fp = e.fp WHERE e.fp IS NULL),
+         |drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.6)
+         |SELECT s.doc_id, md5(s.text) AS content_md5
+         |FROM exact_surv s LEFT JOIN drop_near n ON s.doc_id = n.doc_id
+         |WHERE n.doc_id IS NULL ORDER BY s.doc_id""".stripMargin,
 
     "llm_line_dedup_pipeline" ->
       s"""WITH $lineDedupCtes,

@@ -247,6 +247,25 @@ class LlmOperatorSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("dedupeIncremental drops batch docs duplicating the corpus, keeps the rest") {
+    val existing = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten")
+    val incoming = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact dup of 1
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", // near dup of 1
+      12L -> "completely different content with no overlap whatsoever at all", // fresh
+      13L -> "within batch duplicate text that is not in the corpus",
+      14L -> "within batch duplicate text that is not in the corpus") // within-batch: BOTH survive
+    val out = Dedup.dedupeIncremental(existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(12L, 13L, 14L), s"got ${out.toSeq}")
+    // re-running on the survivors is a no-op (idempotent ingest filter)
+    val again = Dedup.dedupeIncremental(existing, incoming.where("doc_id >= 12"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == Seq(12L, 13L, 14L))
+  }
+
   test("image decode recovers the synthesized geometry and exact pixel sums") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 46L, 123L, 4999L)
