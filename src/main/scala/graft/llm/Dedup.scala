@@ -269,6 +269,81 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The REMOVAL counterpart of [[dupSpans]] (Lee et al. 2021 apply exact
+    * substring dedup as a transformation, not just a report): every
+    * maximal duplicated span is scrubbed from every document EXCEPT the
+    * first-occurrence copy — a position is redundant iff its gram occurs
+    * in >= 2 distinct documents AND this document is not the minimum
+    * doc_id holding that gram, so exactly one copy of every duplicated
+    * passage survives corpus-wide, deterministically.
+    *
+    * Shape: the gram side reuses [[dupSpans]]'s one-pass window (df and
+    * min-holder computed in the SAME gh partition — one exchange), then
+    * redundant positions merge into spans per doc. The token side
+    * re-splits the text (deliberately a second scan: the gram side's
+    * per-position md5 is the expensive half, and carrying the token
+    * array through the gh shuffle would multiply the text by its
+    * position count); tokens join the per-doc span ARRAY on doc_id —
+    * one shuffle that the reassembly groupBy then reuses — and drop
+    * positions inside any span (per-row span-array probe, bounded by
+    * the doc's span count). Docs with nothing scrubbed (including every
+    * first-occurrence holder and sub-gram docs) pass through whole.
+    *
+    * Output (all scalar, one row per document): (doc_id, n_tokens,
+    * kept_tokens, scrub_md5) where scrub_md5 hashes the space-joined
+    * kept normalized tokens (md5('') for a fully-scrubbed document).
+    */
+  def scrubDupSpans(docs: DataFrame, gramTokens: Int = 5): DataFrame = {
+    require(gramTokens >= 2, "need gramTokens >= 2")
+    val toks = docs.select(col("doc_id"), expr(s"split($normalizeExpr, ' ')").as("w"))
+    val grams = toks
+      .where(expr(s"size(w) >= $gramTokens"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $gramTokens),
+             |          i -> md5(concat_ws(' ', slice(w, i + 1, $gramTokens))))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("gh"))
+    val wGhOrd = Window.partitionBy("gh").orderBy("doc_id", "p")
+    val wGhAll = Window.partitionBy("gh")
+    val wOrd = Window.partitionBy("doc_id").orderBy("p")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = grams
+      .withColumn("__fst",
+        when(lag("doc_id", 1).over(wGhOrd) === col("doc_id"), 0L).otherwise(1L))
+      .withColumn("__df", sum("__fst").over(wGhAll))
+      .withColumn("__mind", min("doc_id").over(wGhAll))
+      .where(col("__df") >= 2 && col("doc_id") =!= col("__mind"))
+      .withColumn("__new",
+        when(col("p") - lag("p", 1).over(wOrd) <= gramTokens, 0L).otherwise(1L))
+      .withColumn("__isl", sum("__new").over(wRun))
+      .groupBy("doc_id", "__isl")
+      .agg(min("p").as("s"),
+        (max("p") + lit(gramTokens - 1).cast("long")).as("e"))
+    val spanArrs = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    val tokenRows = toks.select(col("doc_id"),
+      expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+      posexplode(col("w")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("p"), col("col").as("tok"))
+    val keptAgg = tokenRows
+      .join(spanArrs, Seq("doc_id"), "left")
+      .where(col("__spans").isNull ||
+        expr("NOT exists(__spans, x -> p >= x.s AND p <= x.e)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        expr("""md5(concat_ws(' ', transform(
+               |  array_sort(collect_list(struct(p, tok))), s -> s.tok)))""".stripMargin)
+          .as("scrub_md5"))
+    // fully-scrubbed docs vanish from keptAgg — restore them (and carry
+    // n_tokens for every doc) from the token source
+    toks.select(col("doc_id"), expr("CAST(size(w) AS BIGINT)").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("scrub_md5"), expr("md5('')")).as("scrub_md5"))
+  }
+
   /** End-to-end corpus dedup — the operator as a pipeline actually uses
     * it. Two passes: (1) exact dups collapse to the minimum doc_id per
     * normalized-content fingerprint; (2) LSH candidates verified by exact

@@ -321,6 +321,11 @@ object Llm {
     "llm_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d)).orderBy("doc_id")),
 
+    // the removal counterpart: scrub every duplicated span except the
+    // minimum-doc_id copy; one copy of every passage survives corpus-wide
+    "llm_scrub_spans" -> ((s, d) =>
+      Dedup.scrubDupSpans(docs(s, d)).orderBy("doc_id")),
+
     "llm_cosine_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.where("vec_id < 5"), e, 3)
@@ -521,6 +526,44 @@ object Llm {
          |       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
          |       CAST(ROUND(CAST(sum(span_tokens) AS DOUBLE) / n_tokens, 6) AS DOUBLE) AS dup_frac
          |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // removal replay: redundant position = gram with df >= 2 held by a
+    // non-minimum doc; islands -> covered ranges -> anti-join tokens ->
+    // ordered reassembly hash; fully-scrubbed docs fall back to md5('')
+    "llm_scrub_spans" ->
+      raw"""WITH tw AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |tk AS (SELECT doc_id, w FROM tw WHERE len(w) >= 5),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |             md5(array_to_string(w[i : i + 4], ' ')) AS gh
+         |      FROM tk, unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |gm AS (SELECT gh, count(DISTINCT doc_id) AS df, min(doc_id) AS mind
+         |       FROM g GROUP BY gh),
+         |d AS (SELECT g.doc_id, g.p FROM g JOIN gm USING (gh)
+         |      WHERE gm.df >= 2 AND g.doc_id <> gm.mind),
+         |m AS (SELECT doc_id, p,
+         |             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+         |                  THEN 0 ELSE 1 END AS nw
+         |      FROM d),
+         |isl AS (SELECT doc_id, p,
+         |               sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+         |                             ROWS UNBOUNDED PRECEDING) AS grp
+         |        FROM m),
+         |sp AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+         |       FROM isl GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, i AS p FROM sp, unnest(generate_series(s, e)) AS u(i)),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tok
+         |        FROM tw, unnest(generate_series(1, len(w))) AS u(i)),
+         |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+         |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+         |         WHERE c.p IS NULL),
+         |ka AS (SELECT doc_id, count(*) AS kept_tokens,
+         |              md5(string_agg(tok, ' ' ORDER BY p)) AS scrub_md5
+         |       FROM kept GROUP BY doc_id)
+         |SELECT tw.doc_id, CAST(len(tw.w) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       coalesce(ka.scrub_md5, md5('')) AS scrub_md5
+         |FROM tw LEFT JOIN ka ON tw.doc_id = ka.doc_id
+         |ORDER BY tw.doc_id""".stripMargin,
 
     "llm_dedup_exact" ->
       s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs

@@ -247,6 +247,26 @@ class LlmOperatorSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("scrubDupSpans removes duplicated spans everywhere but the first-occurrence doc") {
+    val shared = "one two three four five"
+    val out = Dedup.scrubDupSpans(docs(
+      1L -> s"alpha $shared beta",
+      2L -> s"gamma delta $shared epsilon zeta",
+      3L -> "totally unrelated text with no duplication here"),
+      gramTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is the minimum holder: untouched (7 tokens kept of 7)
+    assert(out(1L)._1 == 7L && out(1L)._2 == 7L)
+    assert(out(1L)._3 == md5Hex(s"alpha $shared beta"))
+    // doc 2 loses exactly the 5 shared tokens, keeps the rest in order
+    assert(out(2L)._1 == 9L && out(2L)._2 == 4L)
+    assert(out(2L)._3 == md5Hex("gamma delta epsilon zeta"))
+    // doc 3 passes through whole
+    assert(out(3L)._2 == 7L)
+    assert(out(3L)._3 == md5Hex("totally unrelated text with no duplication here"))
+  }
+
   test("dedupeIncremental drops batch docs duplicating the corpus, keeps the rest") {
     val existing = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
