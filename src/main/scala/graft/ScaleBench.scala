@@ -39,7 +39,8 @@ object ScaleBench {
   val defaultQueries: Seq[String] = Seq(
     "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q18",
     "llm_dedup_cc", "llm_simhash_near", "llm_line_dedup",
-    "llm_pack_shards", "llm_dup_spans")
+    "llm_pack_shards", "llm_dup_spans", "llm_scrub_spans",
+    "llm_dedup_incremental")
 
   /** Stage the scaled fixture dir: fact tables + documents replicated
     * with offset keys as 32-file parquet directories, everything else

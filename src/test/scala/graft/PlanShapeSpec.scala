@@ -165,6 +165,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.size <= 3, s"dup_spans shuffles too much:\n$plan")
   }
 
+  test("llm_scrub_spans: exactly two Generates (gram side + token side, no re-derive)") {
+    val plan = SparkEntry.queries("llm_scrub_spans")(spark, sfSmoke)
+      .queryExecution.sparkPlan
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    // one posexplode for the md5-gram pipeline, one for the token
+    // reassembly side — any third means a subtree got re-derived
+    assert(generates.size == 2,
+      s"scrub_spans re-derives a subtree (${generates.size} Generates):\n$plan")
+  }
+
   test("llm_multimodal_decode: map-only decode — no shuffle beyond the output sort") {
     val plan = SparkEntry.queries("llm_multimodal_decode")(spark, sfSmoke)
       .queryExecution.sparkPlan
