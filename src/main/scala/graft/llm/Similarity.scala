@@ -114,6 +114,34 @@ object Similarity {
   def planeVector(p: Int, dims: Int): IndexedSeq[Double] =
     (0 until dims).map(i => planeComponent(p, i))
 
+  /** Deterministic random projection (Johnson–Lindenstrauss-style
+    * dimensionality reduction): projected[j] = dot(embedding, plane_j)
+    * over the SAME md5-derived hyperplanes [[lshBucket]] uses — so
+    * `lshBucket` bit j is exactly the sign of `randomProject` output j
+    * for j < planes, and a pipeline can store the projection once and
+    * derive its LSH buckets for free. The usual pre-ANN compression
+    * step: 64-dim float vectors shrink to `outDims` doubles before
+    * clustering/bucketing, cutting downstream shuffle width.
+    *
+    * Per-row expression work only (plane literals constant-folded once
+    * per plan, left-to-right IEEE fold — engine-exact) — no shuffle, no
+    * UDF; embarrassingly parallel at any corpus size. Both zip sides are
+    * sliced like [[lshBucket]] so mixed-length embeddings cannot
+    * null-collapse. Output: input columns + `projected`
+    * (array<double>, ROUND 6 at the edge).
+    */
+  def randomProject(vecs: DataFrame, outDims: Int = 8, dims: Int = 64,
+                    embCol: String = "embedding"): DataFrame = {
+    require(outDims >= 1 && outDims <= 62, "1 <= outDims <= 62")
+    val comps = (0 until outDims).map { p =>
+      val lit = planeVector(p, dims).mkString("array(", "D, ", "D)")
+      s"""CAST(ROUND(aggregate(zip_with(slice($embCol, 1, $dims), slice($lit, 1, size($embCol)),
+         |  (x, c) -> CAST(x AS DOUBLE) * c),
+         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) AS DOUBLE)""".stripMargin
+    }
+    vecs.withColumn("projected", expr(comps.mkString("array(", ", ", ")")))
+  }
+
   /** Random-hyperplane LSH bucket id for an embedding column: bit `p` set
     * iff dot(embedding, plane_p) > 0. Buckets are int64. The planes are
     * array *literals* (constant-folded once per plan, not per row). BOTH

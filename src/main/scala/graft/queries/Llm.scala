@@ -349,6 +349,15 @@ object Llm {
           col("col").as("u"))
         .orderBy("vec_id", "pos")),
 
+    // JL-style dimensionality reduction over the shared md5 hyperplanes
+    // (sign of projection j == lshBucket bit j); per-row fold, no shuffle
+    "llm_random_project" -> ((s, d) =>
+      Similarity.randomProject(emb(s, d), outDims = 8)
+        .select(col("vec_id"), posexplode(col("projected")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("v"))
+        .orderBy("vec_id", "pos")),
+
     // IVF ANN with FIXED centroids (the first 8 corpus vectors) so the
     // oracle checks the whole assign/shortlist/candidate-join/top-k query
     // path without having to oracle k-means training (round-3 ADVICE; the
@@ -836,6 +845,22 @@ object Llm {
     // DuckDB's ROUND, which (unlike Spark's BigDecimal HALF_UP) preserves
     // the sign of zero — a tiny negative component would otherwise hash
     // as '-0.0' against Spark's '0.0'
+    "llm_random_project" -> {
+      // the same left-to-right fold as the Spark plan, per output dim,
+      // against the identical plane literals; + 0.0 canonicalizes -0.0
+      val comps = (0 until 8).map { p =>
+        val plane = duckPlane(p, 64)
+        s"""CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(generate_series(1, LEAST(len(embedding), 64)),
+           |    i -> CAST(embedding[i] AS DOUBLE) * ($plane)[i])),
+           |  (acc, v) -> acc + v), 6) + 0.0 AS DOUBLE)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH pr AS (SELECT vec_id, [$comps] AS projected FROM embeddings)
+         |SELECT vec_id, CAST(generate_subscripts(projected, 1) AS BIGINT) AS pos,
+         |       unnest(projected) AS v
+         |FROM pr ORDER BY vec_id, pos""".stripMargin
+    },
+
     "llm_normalize" ->
       s"""WITH un AS (SELECT vec_id,
          |       list_transform(embedding,

@@ -247,6 +247,22 @@ class LlmOperatorSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("randomProject signs match lshBucket bits (shared hyperplanes)") {
+    val vecs = Tables.load(spark, sfSmoke, "embeddings")
+    val rows = Similarity.randomProject(vecs, outDims = 8)
+      .withColumn("bucket", Similarity.lshBucket("embedding", planes = 8))
+      .select("projected", "bucket").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val proj = r.getSeq[Double](0)
+      val bucket = r.getLong(1)
+      (0 until 8).foreach { j =>
+        assert((proj(j) > 0) == ((bucket & (1L << j)) != 0),
+          s"sign/bit mismatch at plane $j: proj=${proj(j)} bucket=$bucket")
+      }
+    }
+  }
+
   test("scrubDupSpans removes duplicated spans everywhere but the first-occurrence doc") {
     val shared = "one two three four five"
     val out = Dedup.scrubDupSpans(docs(
