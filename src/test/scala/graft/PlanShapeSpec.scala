@@ -165,6 +165,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.size <= 3, s"dup_spans shuffles too much:\n$plan")
   }
 
+  test("llm_dedup_incremental: every join is an equi join, never a nested loop") {
+    val plan = staticPlan(SparkEntry.queries("llm_dedup_incremental")(spark, sfSmoke))
+    assert(!plan.contains("NestedLoopJoin"),
+      "cross-corpus candidate generation degenerated to a nested loop")
+  }
+
   test("llm_scrub_spans: exactly two Generates (gram side + token side, no re-derive)") {
     val plan = SparkEntry.queries("llm_scrub_spans")(spark, sfSmoke)
       .queryExecution.sparkPlan
