@@ -295,7 +295,11 @@ object Dedup {
     */
   def scrubDupSpans(docs: DataFrame, gramTokens: Int = 5): DataFrame = {
     require(gramTokens >= 2, "need gramTokens >= 2")
-    val toks = docs.select(col("doc_id"), expr(s"split($normalizeExpr, ' ')").as("w"))
+    // NULL text = the empty document (one empty token, nothing to scrub)
+    // — per-document operators must not emit NULL stats rows
+    val toks = docs
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .select(col("doc_id"), expr(s"split($normalizeExpr, ' ')").as("w"))
     val grams = toks
       .where(expr(s"size(w) >= $gramTokens"))
       .select(col("doc_id"),
@@ -499,7 +503,9 @@ object Dedup {
     * shrink the accepted corpus.
     *
     * Contract: doc_id must be unique ACROSS both inputs (true for any
-    * monotone ingest id); both need (doc_id, text).
+    * monotone ingest id); both need (doc_id, text). NULL-text incoming
+    * rows survive untouched (a NULL fingerprint matches nothing and
+    * yields no shingles — SQL join semantics).
     *
     * Scale shape, in corpus-size terms (existing |C|, incoming batch
     * |B|, typically |B| << |C|): the exact pass is a left-anti join of
