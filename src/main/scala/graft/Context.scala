@@ -29,13 +29,13 @@ import scala.jdk.CollectionConverters._
   * | `s3a://`  (use for `s3://` too) | `hadoop-aws` + AWS SDK bundle | `spark.hadoop.fs.s3a.access.key` / `.secret.key` (or an AWS credentials provider chain) |
   * | `gs://`   | `gcs-connector` (shaded)                 | `spark.hadoop.google.cloud.auth.service.account.json.keyfile` |
   * | `abfss://`| `hadoop-azure` + `azure-storage`         | `spark.hadoop.fs.azure.account.key.<account>.dfs.core.windows.net` |
-  * | `http(s)://` | none exists — Hadoop has no http FileSystem | fetch to local/object storage first (the reference streams http CSV through `object_store`, a capability Spark's FileSystem API does not offer) |
+  * | `http(s)://` | bundled (Hadoop's read-only `HttpFileSystem`, HADOOP-14383) | single-FILE reads only — the http FS cannot list directories or globs, so point it at one file (the reference streams http CSV through `object_store`, same single-object semantics) |
   *
   * `s3://` is rewritten to `s3a://` (the maintained Hadoop S3 connector —
   * `s3://`'s own FileSystem was removed from Hadoop). When the scheme's
-  * FileSystem is not on the classpath (this offline build bundles none),
-  * registration fails fast with the table row above instead of a lazy
-  * `ClassNotFoundException` at first read.
+  * FileSystem is not on the classpath (this offline build bundles only
+  * the http one), registration fails fast with the table row above
+  * instead of a lazy `ClassNotFoundException` at first read.
   */
 class Context(val spark: SparkSession) {
 
@@ -54,15 +54,14 @@ class Context(val spark: SparkSession) {
       case SchemeRe(s) => s.toLowerCase
       case _ => null
     }
-    val normalized = if (scheme == "s3") "s3a" + path.stripPrefix("s3") else path
     scheme match {
       case null | "file" => path
-      case "http" | "https" =>
-        throw new UnsupportedOperationException(
-          s"cannot register '$path': Hadoop has no http(s) FileSystem — fetch the " +
-            "file to local or object storage first (see Context scaladoc)")
       case _ =>
+        // schemes are case-insensitive (RFC 3986): drop the original
+        // spelling by LENGTH, never by literal prefix match
         val s = if (scheme == "s3") "s3a" else scheme
+        val normalized =
+          if (scheme == "s3") "s3a://" + path.substring("s3://".length) else path
         val hint = Map(
           "s3a" -> "add the hadoop-aws + AWS SDK bundle jars and set spark.hadoop.fs.s3a.access.key/.secret.key",
           "gs" -> "add the shaded gcs-connector jar and set spark.hadoop.google.cloud.auth.service.account.json.keyfile",

@@ -96,6 +96,11 @@ object ScaleProbe {
       .where(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b")
       .localCheckpoint() // materialize: jobs below are the CC loop only
+    // warm the whole CC-loop pipeline off the clock — otherwise the
+    // first measured setting alone carries codegen/JIT cost and the
+    // seconds comparison is asymmetric (job counts are warmth-immune)
+    llm.Dedup.dupClusters(pairs)
+      .write.mode("overwrite").format("noop").save()
     Seq(1, 2).map { pe =>
       val lis = new JobCountListener
       spark.sparkContext.addSparkListener(lis)

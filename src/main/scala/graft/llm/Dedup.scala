@@ -405,11 +405,12 @@ object Dedup {
     *
     * `probeEvery` batches the probe to every k-th round (labels are
     * monotone non-increasing, so "no change across a batch" is exactly
-    * the fixed-point test). MEASURED (ScaleProbe cc_probe, 8x corpus):
-    * batching probes every 2 rounds runs ~60% MORE Spark jobs (49 vs 31)
-    * at equal wall-clock, because pointer jumping reaches the fixed point
-    * in ~2 rounds on LSH near-dup graphs (shallow clique-ish components)
-    * — each batched detection then wastes 1-2 EXTRA full rounds (an
+    * the fixed-point test). MEASURED (ScaleProbe cc_probe, 8x corpus,
+    * both settings warmed): batching probes every 2 rounds runs ~60%
+    * MORE Spark jobs (49 vs 31) AND ~45% more wall-clock (1.49 vs
+    * 1.02 s), because pointer jumping reaches the fixed point in ~2
+    * rounds on LSH near-dup graphs (shallow clique-ish components) —
+    * each batched detection then wastes 1-2 EXTRA full rounds (an
     * |E|+|V| shuffle each) to save probes that only join |V| rows. The
     * default therefore stays 1; raise it only for high-diameter pair
     * graphs (long chains: road-network-like, k-NN graphs) where the

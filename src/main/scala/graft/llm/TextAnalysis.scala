@@ -351,20 +351,23 @@ object TextAnalysis {
       .groupBy("key").agg(count(lit(1)).as("line_df"))
       .where(col("line_df") >= minDocs)
       .select("key")
-    val reassemble =
-      """concat_ws(chr(10), transform(
-        |  array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)),
-        |  s -> s.line))""".stripMargin
-    val aggs = Seq(
-      count(lit(1)).as("n_lines"),
-      count(when(col("keep"), lit(1))).as("n_kept"),
-      expr(s"md5($reassemble)").as("kept_md5")) ++
-      (if (keepText) Seq(expr(reassemble).as("kept_text")) else Nil)
-    lines
+    // reassemble ONCE (one collect_list buffer + sort per doc), derive
+    // the hash post-agg — a second aggregate expression would build and
+    // sort a second per-doc buffer for the same bytes
+    val out = lines
       .join(boiler.withColumn("__bl", lit(true)), Seq("key"), "left")
       .withColumn("keep", col("__bl").isNull)
       .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        expr("""concat_ws(chr(10), transform(
+               |  array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)),
+               |  s -> s.line))""".stripMargin).as("kept_text"))
+      .withColumn("kept_md5", md5(col("kept_text")))
+    if (keepText)
+      out.select("doc_id", "n_lines", "n_kept", "kept_md5", "kept_text")
+    else out.drop("kept_text")
   }
 
   /** PII patterns as (name, regex, replacement). The regexes restrict

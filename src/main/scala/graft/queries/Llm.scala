@@ -30,6 +30,14 @@ object Llm {
     */
   private val NORM = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
+  /** [[NORM]] with the NULL-as-empty-document coalesce the per-document
+    * operators (piiScrub/lineDedup/scrubDupSpans) apply at their edge —
+    * oracles for those entries must mirror it or a NULL fixture row
+    * would hash-mismatch.
+    */
+  private val NORMC =
+    raw"regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')"
+
   /** DuckDB sequential left-fold dot product over list columns — matches
     * Spark's `aggregate(zip_with(...))` bit-for-bit. The prepended 0.0 is
     * Spark's initial accumulator: list_reduce without it would start the
@@ -159,15 +167,15 @@ object Llm {
     Tables.register(spark, dir); spark.table("embeddings")
   }
 
-  /** The fixture's documents are single-line; the line-dedup entries
-    * re-chunk each into 8-token lines so line-level recurrence exists.
-    */
   /** Channel mean from the exact integer sum — one IEEE division + round
     * at the output edge, identical in both engines.
     */
   private def meanChan(c: String) =
     expr(s"CAST(ROUND(CAST($c AS DOUBLE) / (width * height), 6) AS DOUBLE)")
 
+  /** The fixture's documents are single-line; the line-dedup entries
+    * re-chunk each into 8-token lines so line-level recurrence exists.
+    */
   private def lineified(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), expr(
       """concat_ws(chr(10), transform(
@@ -443,7 +451,7 @@ object Llm {
        |        array_to_string(list_transform(generate_series(0, (len(w) - 1) // 8),
        |          i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')), chr(10)) AS text
        |       FROM w),
-       |lf AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+       |lf AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM d2),
        |lx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line,
        |              md5(regexp_replace(lower(trim(ls[i])), '\s+', ' ', 'g')) AS key
        |       FROM lf, unnest(generate_series(1, len(ls))) AS u(i)),
@@ -493,7 +501,7 @@ object Llm {
     // sequential scrub: each pattern counts matches in the text AFTER the
     // previous patterns' replacements, exactly as piiScrub folds
     "llm_pii_scrub" ->
-      raw"""WITH d2 AS (SELECT doc_id, ${piiInject("VARCHAR")} AS text FROM documents),
+      raw"""WITH d2 AS (SELECT doc_id, coalesce(${piiInject("VARCHAR")}, '') AS text FROM documents),
          |s1 AS (SELECT doc_id,
          |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
          |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
@@ -512,7 +520,7 @@ object Llm {
     // position-indexed 5-gram hashes -> cross-doc df -> interval union
     // per doc, recomputed with DuckDB windows; 0-based p mirrors posexplode
     "llm_dup_spans" ->
-      raw"""WITH tw AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      raw"""WITH tw AS (SELECT doc_id, string_split($NORMC, ' ') AS w FROM documents),
          |tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
          |       FROM tw WHERE len(w) >= 5),
          |g AS (SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS p,
@@ -540,7 +548,7 @@ object Llm {
     // non-minimum doc; islands -> covered ranges -> anti-join tokens ->
     // ordered reassembly hash; fully-scrubbed docs fall back to md5('')
     "llm_scrub_spans" ->
-      raw"""WITH tw AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      raw"""WITH tw AS (SELECT doc_id, string_split($NORMC, ' ') AS w FROM documents),
          |tk AS (SELECT doc_id, w FROM tw WHERE len(w) >= 5),
          |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
          |             md5(array_to_string(w[i : i + 4], ' ')) AS gh

@@ -208,11 +208,18 @@ class ContextSpec extends SparkSpec {
       ctx.registerCsv("ctx_gs", "gs://bucket/t.csv")
     }
     assert(e2.getMessage.contains("gcs-connector"), e2.getMessage)
-    // http(s) is not a Hadoop FileSystem at all -- distinct error
-    val e3 = intercept[UnsupportedOperationException] {
-      ctx.registerJson("ctx_http", "https://example.com/data.json")
+    // scheme matching is case-insensitive: uppercase S3 still maps to the
+    // s3a connector (and the rewrite drops the original spelling by
+    // length, so it could never produce s3aS3://)
+    val e4 = intercept[IllegalArgumentException] {
+      ctx.resolvePath("S3://bucket/key.parquet")
     }
-    assert(e3.getMessage.contains("http"), e3.getMessage)
+    assert(e4.getMessage.contains("'s3a'") && e4.getMessage.contains("hadoop-aws"),
+      e4.getMessage)
+    // http(s) resolves: Hadoop bundles a read-only HttpFileSystem
+    // (HADOOP-14383) — single-file reads pass through unchanged
+    assert(ctx.resolvePath("https://example.com/data.json") ==
+      "https://example.com/data.json")
   }
 
   test("object-store schemes: local, file: and glob paths pass through") {
