@@ -208,6 +208,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("incremental dedup flips its cross-corpus joins to shuffled joins under a 100KB broadcast threshold") {
+    // same property as the jaccard gate, for the ingest filter: at real
+    // scale neither corpus's fingerprints/signatures may ship to every
+    // executor — strategy stays threshold-driven (no broadcast() hints)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (100L * 1024).toString)
+    try {
+      val plan = finalPlan(SparkEntry.queries("llm_dedup_incremental")(spark, sfBench))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "cross-corpus joins still broadcast above the threshold")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("jaccard verify flips its shingle joins to shuffled joins under a 100KB broadcast threshold") {
     // the dedup family uses NO broadcast() hints, so join strategy stays
     // threshold-driven: at real scale the corpus-sized shingle tables must
