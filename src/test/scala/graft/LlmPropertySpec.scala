@@ -211,4 +211,48 @@ class LlmPropertySpec extends SparkSpec {
       assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
     }
   }
+
+  test("scrubDupSpans equals a brute-force reference on random corpora") {
+    val gram = 3
+    // longer docs + tiny vocab => real cross-doc gram collisions
+    val longDoc = Gen.chooseNum(4, 16).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val smallCorpus = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, longDoc))
+    samples(smallCorpus, 6).foreach { texts =>
+      val got = Dedup.scrubDupSpans(docsDF(texts), gramTokens = gram)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      // reference: literal re-derivation of the documented semantics
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").toSeq
+      }.toMap
+      val gramsOf = toks.view.mapValues(w =>
+        if (w.length < gram) Seq.empty
+        else w.indices.take(w.length - gram + 1)
+          .map(p => p.toLong -> w.slice(p, p + gram).mkString(" "))).toMap
+      val holders = gramsOf.toSeq
+        .flatMap { case (d, gs) => gs.map { case (_, g) => g -> d } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val expect = toks.map { case (d, w) =>
+        val redundant = gramsOf(d).collect {
+          case (p, g) if holders(g).size >= 2 && holders(g).min != d => p
+        }.sorted
+        // islands: positions within `gram` merge; span covers [s, e+gram-1]
+        val spans = redundant.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, p) => acc match {
+            case (s, e) :: rest if p - e <= gram => (s, p) :: rest
+            case _ => (p, p) :: acc
+          }
+        }.map { case (s, e) => (s, e + gram - 1) }
+        val kept = w.indices.filterNot(i => spans.exists(sp => i >= sp._1 && i <= sp._2))
+          .map(w)
+        d -> ((w.length.toLong, kept.length.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(kept.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString))
+      }
+      assert(got == expect, s"corpus=$texts")
+    }
+  }
 }
