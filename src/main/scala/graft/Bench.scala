@@ -38,7 +38,10 @@ object Bench {
     // of `queries` survived), so (a) keep the line short, and (b) carry
     // the headline numbers at BOTH ends — whichever end survives
     // truncation still reports total + TPC-H subtotal.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: under a comma-decimal default locale (de_DE, fr_FR)
+    // f"%.3f" would print "1,234" and break the JSON line
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

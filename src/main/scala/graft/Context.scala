@@ -57,25 +57,31 @@ class Context(val spark: SparkSession) {
     scheme match {
       case null | "file" => path
       case _ =>
-        // schemes are case-insensitive (RFC 3986): drop the original
-        // spelling by LENGTH, never by literal prefix match
-        val s = if (scheme == "s3") "s3a" else scheme
-        val normalized =
-          if (scheme == "s3") "s3a://" + path.substring("s3://".length) else path
-        val hint = Map(
-          "s3a" -> "add the hadoop-aws + AWS SDK bundle jars and set spark.hadoop.fs.s3a.access.key/.secret.key",
-          "gs" -> "add the shaded gcs-connector jar and set spark.hadoop.google.cloud.auth.service.account.json.keyfile",
-          "abfss" -> "add hadoop-azure + azure-storage jars and set spark.hadoop.fs.azure.account.key.<account>.dfs.core.windows.net"
-        ).getOrElse(s, s"add the Hadoop FileSystem jar for scheme '$s'")
-        try {
-          org.apache.hadoop.fs.FileSystem.getFileSystemClass(
-            s, spark.sparkContext.hadoopConfiguration)
-          normalized
-        } catch {
-          case e: Exception =>
-            throw new IllegalArgumentException(
-              s"cannot register '$path': no FileSystem for scheme '$s' on the " +
-                s"classpath — $hint (see Context scaladoc). Cause: $e")
+        val conf = spark.sparkContext.hadoopConfiguration
+        def fsResolves(sch: String): Boolean =
+          try {
+            // consults fs.<scheme>.impl first, then the ServiceLoader
+            // registry — so a deployment-configured FileSystem (e.g. an
+            // EMRFS-style fs.s3.impl) wins over our s3->s3a rewrite
+            org.apache.hadoop.fs.FileSystem.getFileSystemClass(sch, conf)
+            true
+          } catch { case _: Exception => false }
+        if (fsResolves(scheme)) path
+        else if (scheme == "s3" && fsResolves("s3a"))
+          // no s3 FileSystem configured: fall back to the standard s3a
+          // connector. Schemes are case-insensitive (RFC 3986): drop the
+          // original spelling by LENGTH, never by literal prefix match
+          "s3a://" + path.substring("s3://".length)
+        else {
+          val s = if (scheme == "s3") "s3a" else scheme
+          val hint = Map(
+            "s3a" -> "add the hadoop-aws + AWS SDK bundle jars and set spark.hadoop.fs.s3a.access.key/.secret.key",
+            "gs" -> "add the shaded gcs-connector jar and set spark.hadoop.google.cloud.auth.service.account.json.keyfile",
+            "abfss" -> "add hadoop-azure + azure-storage jars and set spark.hadoop.fs.azure.account.key.<account>.dfs.core.windows.net"
+          ).getOrElse(s, s"add the Hadoop FileSystem jar for scheme '$s'")
+          throw new IllegalArgumentException(
+            s"cannot register '$path': no FileSystem for scheme '$s' on the " +
+              s"classpath — $hint (see Context scaladoc)")
         }
     }
   }

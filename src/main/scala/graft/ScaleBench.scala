@@ -75,6 +75,9 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // f"%.2f" below honors the default locale; pin it so a comma-decimal
+    // locale can never emit invalid JSON (same fix as Bench.ms)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val names =

@@ -159,6 +159,9 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // f"%.2f" below honors the default locale; pin it so a comma-decimal
+    // locale can never emit invalid JSON (same fix as Bench.ms)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val factor = args.headOption.map(_.toInt).getOrElse(8)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark: SparkSession = Session.local("graft-scale-probe")

@@ -270,12 +270,16 @@ object Dedup {
   }
 
   /** The REMOVAL counterpart of [[dupSpans]] (Lee et al. 2021 apply exact
-    * substring dedup as a transformation, not just a report): every
-    * maximal duplicated span is scrubbed from every document EXCEPT the
-    * first-occurrence copy — a position is redundant iff its gram occurs
-    * in >= 2 distinct documents AND this document is not the minimum
-    * doc_id holding that gram, so exactly one copy of every duplicated
-    * passage survives corpus-wide, deterministically.
+    * substring dedup as a transformation, not just a report): a position
+    * is redundant iff its gram occurs in >= 2 distinct documents AND this
+    * document is not the minimum doc_id holding that gram, so each
+    * duplicated GRAM survives only in its minimum-doc_id holder,
+    * deterministically. The guarantee is per gram, not per passage: a
+    * multi-gram passage whose grams have different minimum-doc_id holders
+    * keeps each gram in its own holder, so the surviving copy of the
+    * passage can be split across documents (the same conservative bias as
+    * Lee et al.'s span cuts — redundant text is never kept twice, but a
+    * long shared passage is not guaranteed one intact copy).
     *
     * Shape: the gram side reuses [[dupSpans]]'s one-pass window (df and
     * min-holder computed in the SAME gh partition — one exchange), then
@@ -527,10 +531,13 @@ object Dedup {
   def dedupeIncremental(existing: DataFrame, incoming: DataFrame,
                         jaccardThreshold: Double = 0.6,
                         numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val exFp = existing.select(expr(s"md5($normalizeExpr)").as("fp")).distinct()
+    // reserved dunder names: the contract only requires (doc_id, text),
+    // so extra user columns are legal — a plain "fp" here would make
+    // col(...) ambiguous against an incoming column of the same name
+    val exFp = existing.select(expr(s"md5($normalizeExpr)").as("__ex_fp")).distinct()
     val exactSurvivors = incoming
       .withColumn("__fp", expr(s"md5($normalizeExpr)"))
-      .join(exFp, col("__fp") === col("fp"), "left_anti")
+      .join(exFp, col("__fp") === exFp("__ex_fp"), "left_anti")
       .drop("__fp")
     val cross = bandSignatures(existing, numHashes, bands).as("a")
       .join(bandSignatures(exactSurvivors, numHashes, bands).as("b"),

@@ -222,6 +222,21 @@ class ContextSpec extends SparkSpec {
       "https://example.com/data.json")
   }
 
+  test("object-store schemes: a configured fs.<scheme>.impl wins over the s3a rewrite") {
+    // an EMRFS-style deployment sets fs.s3.impl to its own FileSystem —
+    // registration must pass the path through untouched, not rewrite to
+    // s3a or reject it (LocalFileSystem stands in for the custom impl)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3.impl", "org.apache.hadoop.fs.LocalFileSystem")
+    try assert(ctx.resolvePath("s3://bucket/key.parquet") ==
+      "s3://bucket/key.parquet")
+    finally conf.unset("fs.s3.impl")
+    // and with the conf removed the offline fail-fast comes back
+    intercept[IllegalArgumentException] {
+      ctx.resolvePath("s3://bucket/key.parquet")
+    }
+  }
+
   test("object-store schemes: local, file: and glob paths pass through") {
     assert(ctx.resolvePath(s"$sfSmoke/nation.parquet") == s"$sfSmoke/nation.parquet")
     assert(ctx.resolvePath(s"file://$sfSmoke/nation.parquet") ==

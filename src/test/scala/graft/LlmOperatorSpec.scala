@@ -300,6 +300,16 @@ class LlmOperatorSpec extends SparkSpec {
     val again = Dedup.dedupeIncremental(existing, incoming.where("doc_id >= 12"))
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(again.toSeq == Seq(12L, 13L, 14L))
+    // the contract only requires (doc_id, text): extra user columns —
+    // even one named "fp" — must pass through, not break the join with
+    // an ambiguous-reference error (round-6 ADVICE)
+    import org.apache.spark.sql.functions.lit
+    val withFp = Dedup.dedupeIncremental(
+      existing.withColumn("fp", lit("user-data")),
+      incoming.withColumn("fp", lit("user-data")))
+    assert(withFp.columns.toSeq == Seq("doc_id", "text", "fp"))
+    assert(withFp.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(12L, 13L, 14L))
   }
 
   test("image decode recovers the synthesized geometry and exact pixel sums") {
