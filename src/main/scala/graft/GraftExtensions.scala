@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{BloomMightContain, CosineSimilarity}
 
 /** Session extensions installing the engine's native functions — loaded by
   * name via `spark.sql.extensions` (see [[Session.local]]), the standard
@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine(arrayA, arrayB)")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain.fromChildren(children)))
   }
 }

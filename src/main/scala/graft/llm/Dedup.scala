@@ -198,6 +198,52 @@ object Dedup {
       .where(col("containment") >= minContainment)
   }
 
+  /** [[containment]] with a Bloom-filter prefilter on the corpus side —
+    * the decontamination shape for when the probe set is itself large (a
+    * full eval-suite union can reach 10^8+ distinct shingles: too big to
+    * broadcast as a join hash table, and shuffling every corpus shingle
+    * against it is the 100 TB bottleneck). Two passes over the probe
+    * shingles: (1) build a compact Bloom filter (~1.2 bytes/key at 1%
+    * fpp vs tens of bytes/entry in a broadcast relation) over their
+    * xxhash64 keys; (2) probe it INSIDE the corpus-side scan stage via
+    * [[graft.functions.BloomMightContain]] (codegen, pre-shuffle), so
+    * only corpus shingles that might hit a probe ever reach the join.
+    * The join then confirms exactly — false positives produce no pairs —
+    * so the RESULT IS BIT-IDENTICAL to [[containment]] at any fpp; fpp
+    * only tunes how much of the corpus the prefilter drops. No broadcast
+    * hint on the confirm join: post-filter sizes are data-dependent and
+    * AQE picks the strategy from measured sizes.
+    *
+    * Output: identical to [[containment]].
+    */
+  def containmentBloom(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                       minContainment: Double = 0.0,
+                       fpp: Double = 0.01): DataFrame = {
+    val ps = shingles(probes, n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    // expectedNumItems: the row count upper-bounds the distinct-key count
+    // (one small driver-side job; a production ingest loop would persist
+    // the built filter alongside the probe set and pay this once)
+    val keys = ps.select(expr("xxhash64(shingle)").as("gh"))
+    val bloom = keys.stat.bloomFilter("gh", math.max(keys.count(), 1L), fpp)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+                  bloom.writeTo(bos); bos.toByteArray }
+    val mightHit = call_function("graft_bloom_might_contain",
+      expr("xxhash64(shingle)"), lit(bytes))
+    val sizes = ps.groupBy("probe_id").agg(count("*").as("n_probe_sh"))
+    shingles(docs, n)
+      .where(mightHit)
+      .join(ps, Seq("shingle"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count("*").as("n_shared"))
+      .join(sizes, Seq("probe_id"))
+      .select(col("doc_id"), col("probe_id"), col("n_shared"),
+        expr("CAST(ROUND(CAST(n_shared AS DOUBLE) / n_probe_sh, 6) AS DOUBLE)")
+          .as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   /** Exact duplicate-SPAN detection (the signal behind Lee et al. 2021's
     * "Deduplicating Training Data Makes Language Models Better" exact
     * substring dedup): for every document, find the maximal token spans

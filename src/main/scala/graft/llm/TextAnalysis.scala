@@ -283,6 +283,31 @@ object TextAnalysis {
       .where(col("__rn") <= k)
       .drop("__h", "__rn")
 
+  /** Per-domain quota cap (the FineWeb/CCNet "no domain may dominate the
+    * mix" step): keep at most `maxPerKey` documents per `keyCol`,
+    * preferring higher-quality text — ranked by [[stats]]'s alnum_ratio
+    * (NULLs, i.e. empty docs, rank last) with doc_id as the
+    * deterministic tie-break. No RNG, no reliance on input order: the
+    * same cap survives re-shards and engine changes.
+    *
+    * Scale shape: the rank filter sits directly above its window, so
+    * Spark plans a WindowGroupLimit — each map task keeps only its
+    * per-domain top `maxPerKey` BEFORE the shuffle, and the exchange
+    * carries O(domains × maxPerKey × tasks) rows, not the corpus. A
+    * mega-domain (half the crawl on one host) costs its winners per
+    * task, never a full-domain sort on one reducer.
+    */
+  def domainCap(docs: DataFrame, maxPerKey: Int,
+                keyCol: String = "source"): DataFrame =
+    docs
+      .withColumn("__q", expr(
+        """CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '')) AS DOUBLE)
+          |     / NULLIF(length(text), 0), 6) AS DOUBLE)""".stripMargin))
+      .withColumn("__rn", expr(
+        s"row_number() OVER (PARTITION BY $keyCol ORDER BY __q DESC NULLS LAST, doc_id)"))
+      .where(col("__rn") <= maxPerKey)
+      .drop("__q", "__rn")
+
   /** Deterministic mixture sample: per-source keep rates (pct of each
     * source's documents), applied by ID-hash bucket — how a training
     * mix is rebalanced ("keep 100% of wiki, 10% of crawl"). A document's

@@ -252,6 +252,24 @@ object Llm {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // the large-probe-set decontamination path: Bloom prefilter on the
+    // corpus-shingle stream + exact confirm join — bit-identical result
+    // to containment() at any fpp (the oracle recomputes the EXACT
+    // semantics with no bloom at all, so a prefilter that dropped a true
+    // hit could never hash-match); wider probe slice than
+    // llm_decontaminate so the two entries' outputs differ
+    "llm_bloom_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.containmentBloom(dd, dd.where("doc_id < 80"), minContainment = 0.3)
+        .orderBy("doc_id", "probe_id")
+    }),
+
+    // per-domain quota: at most 8 docs per source, best alnum_ratio first
+    // (doc_id tie-break) — the FineWeb "no domain dominates" cap
+    "llm_domain_cap" -> ((s, d) =>
+      TextAnalysis.domainCap(docs(s, d), maxPerKey = 8)
+        .select("doc_id", "source").orderBy("source", "doc_id")),
+
     // context-window packing: 64-token chunks advancing by 56 (8 overlap)
     "llm_chunk" -> ((s, d) =>
       TextAnalysis.chunk(docs(s, d), chunkTokens = 64, overlap = 8)
@@ -777,6 +795,36 @@ object Llm {
          |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
          |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin,
+
+    // exact decontamination semantics — the bloom prefilter is invisible
+    // to the result by construction, so the oracle is containment() over
+    // the wider probe slice
+    "llm_bloom_decontaminate" ->
+      s"""WITH ${shingleCtes("documents")},
+         |ps AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 80),
+         |sizes AS (SELECT probe_id, count(*) AS n_probe_sh FROM ps GROUP BY 1),
+         |hits AS (SELECT d.doc_id, p.probe_id, count(*) AS n_shared
+         |         FROM sh d JOIN ps p ON d.shingle = p.shingle
+         |         WHERE d.doc_id <> p.probe_id
+         |         GROUP BY 1, 2)
+         |SELECT h.doc_id, h.probe_id, h.n_shared,
+         |       CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) AS containment
+         |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
+         |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
+         |ORDER BY h.doc_id, h.probe_id""".stripMargin,
+
+    "llm_domain_cap" ->
+      raw"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+         |              / NULLIF(length(text), 0), 6) AS DOUBLE) AS alnum
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY alnum DESC NULLS LAST, doc_id) AS rn
+         |      FROM q)
+         |SELECT doc_id, source FROM r WHERE rn <= 8
+         |ORDER BY source, doc_id""".stripMargin,
 
     "llm_chunk" ->
       s"""WITH n AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),

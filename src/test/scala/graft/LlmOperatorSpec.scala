@@ -312,6 +312,66 @@ class LlmOperatorSpec extends SparkSpec {
       Seq(12L, 13L, 14L))
   }
 
+  test("containmentBloom is bit-identical to containment, even at absurd fpp") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "a completely different document about database engines",
+      3L -> "the quick brown fox jumps over something else entirely",
+      4L -> "unrelated filler text with no shared shingles anywhere here")
+    val probes = docs(
+      100L -> "the quick brown fox jumps",
+      101L -> "database engines")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "probe_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exact = rows(Dedup.containment(corpus, probes))
+    assert(exact.nonEmpty)
+    // the confirm join must erase every bloom false positive: fpp 0.5
+    // floods the prefilter with FPs yet the result cannot change
+    assert(rows(Dedup.containmentBloom(corpus, probes)) == exact)
+    assert(rows(Dedup.containmentBloom(corpus, probes, fpp = 0.5)) == exact)
+  }
+
+  test("graft_bloom_might_contain: codegen probe matches the sketch, null key is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, expr, lit}
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 3L).foreach(bf.putLong)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+                  bf.writeTo(bos); bos.toByteArray }
+    val out = Seq[java.lang.Long](1L, 2L, 3L, 1000L, null)
+      .toDF("k")
+      .select(expr("k"), call_function("graft_bloom_might_contain",
+        expr("k"), lit(bytes)).as("hit"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toMap
+    assert(out(Some(1L)) == Some(true))
+    assert(out(Some(2L)) == Some(true))
+    assert(out(Some(3L)) == Some(true))
+    // no false-negative guarantee exists for absent keys in general, but
+    // 1000 missing at fpp 0.01 over 3 keys is deterministic for the
+    // fixed sketch seed; null key must yield null, not false
+    assert(out(Some(1000L)) == Some(false))
+    assert(out(None) == None)
+  }
+
+  test("domainCap keeps at most N per key, best alnum first, doc_id tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean alnum text here", "a"),
+      (2L, "!!!! ???? ,,,, ....", "a"),       // low alnum: capped out
+      (3L, "another clean document", "a"),
+      (4L, "solo doc in its domain", "b"),
+      (5L, null.asInstanceOf[String], "b")    // NULL ratio ranks last
+    ).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.domainCap(d, maxPerKey = 2, keyCol = "source")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L),
+      s"expected punctuation doc 2 capped out, got $kept")
+    // schema passes through untouched
+    assert(TextAnalysis.domainCap(d, 2).columns.toSeq ==
+      Seq("doc_id", "text", "source"))
+  }
+
   test("image decode recovers the synthesized geometry and exact pixel sums") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 46L, 123L, 4999L)

@@ -134,6 +134,21 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix sum is not bucket-partitioned:\n$plan")
   }
 
+  test("llm_domain_cap: per-domain quota prunes via WindowGroupLimit") {
+    val plan = staticPlan(SparkEntry.queries("llm_domain_cap")(spark, sfSmoke))
+    assert(plan.contains("WindowGroupLimit"),
+      "domain cap is not pruning below the per-domain window sort")
+  }
+
+  test("llm_bloom_decontaminate: bloom probe filters the corpus stream pre-join") {
+    val plan = staticPlan(SparkEntry.queries("llm_bloom_decontaminate")(spark, sfSmoke))
+    // the membership probe must appear as a Filter in the plan (corpus
+    // side, before the confirm join) — a plan that only joins has lost
+    // the prefilter the operator exists for
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+  }
+
   test("llm_repetition: top-gram rank filter prunes via WindowGroupLimit") {
     val plan = staticPlan(SparkEntry.queries("llm_repetition")(spark, sfSmoke))
     assert(plan.contains("WindowGroupLimit"),
