@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSimilarity}
+import graft.functions.{BloomMightContain, CmsEstimate, CosineSimilarity}
 
 /** Session extensions installing the engine's native functions — loaded by
   * name via `spark.sql.extensions` (see [[Session.local]]), the standard
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate.fromChildren(children)))
   }
 }

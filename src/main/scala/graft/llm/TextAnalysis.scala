@@ -153,6 +153,45 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Heavy-hitter n-grams by EXACT document frequency, found through a
+    * count-min-sketch prefilter — the threshold counterpart of
+    * [[ngramStats]]'s top-k for when the corpus's distinct-gram
+    * cardinality, not the row count, is the bottleneck. At 100 TB a
+    * plain groupBy over every gram occurrence must hold (then spill)
+    * billions of long-tail keys in the aggregation hash maps just to
+    * discard them against the threshold. Two passes instead: (1) one
+    * scan builds a fixed-size CMS (eps·conf bound the memory, never the
+    * key count) over the grams' xxhash64 keys; (2) the second scan keeps
+    * only grams the sketch estimates at >= minDf — a guaranteed SUPERSET
+    * of the true heavy hitters, since CMS never under-estimates (and an
+    * xxhash64 collision only merges counts upward) — and the exact
+    * count + threshold then run over candidate keys only. Result is
+    * EXACT: bit-identical to the plain GROUP BY ... HAVING at any
+    * (eps, confidence); the knobs only trade sketch size against how
+    * much of the tail leaks into the confirm pass.
+    *
+    * Like [[Dedup.containmentBloom]], the sketch rides the plan as a
+    * codegen'd expression ([[graft.functions.CmsEstimate]]) — the
+    * prefilter runs inside the scan stage, before any exchange.
+    * Output: (shingle, df) for every gram with df >= minDf.
+    */
+  def heavyHitters(docs: DataFrame, minDf: Long, n: Int = 2,
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minDf >= 1, "need minDf >= 1")
+    val keyed = Dedup.shingles(docs, n)
+      .select(col("shingle"), expr("xxhash64(shingle)").as("__gh"))
+    val cms = keyed.stat.countMinSketch("__gh", eps, confidence, seed)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+                  cms.writeTo(bos); bos.toByteArray }
+    keyed
+      .where(call_function("graft_cms_estimate", col("__gh"), lit(bytes))
+        >= minDf)
+      .groupBy("shingle")
+      .agg(count("*").as("df"))
+      .where(col("df") >= minDf)
+  }
+
   /** Token-budget shard packing: assign documents to output shards so
     * each shard carries ~`tokensPerShard` tokens — the balanced-shard
     * writer step of a training pipeline (downstream dataloaders want

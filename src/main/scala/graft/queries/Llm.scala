@@ -300,6 +300,13 @@ object Llm {
     "llm_ngram_stats" -> ((s, d) =>
       TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
 
+    // threshold heavy hitters through the CMS prefilter — exact result
+    // (the oracle is the plain GROUP BY ... HAVING; the sketch pass is
+    // invisible to it by the no-underestimate guarantee)
+    "llm_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(docs(s, d), minDf = 35L, n = 2)
+        .orderBy(col("df").desc, col("shingle"))),
+
     // Gopher-style repetition quality signals: top 2-gram share and
     // duplicate-2-gram ratio per document
     "llm_repetition" -> ((s, d) =>
@@ -870,6 +877,15 @@ object Llm {
          |SELECT shingle, count(*) AS df
          |FROM sh GROUP BY 1
          |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "llm_heavy_hitters" ->
+      s"""WITH norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+         |       FROM norm, unnest(generate_series(1, length(w) - 1)) AS u(i)
+         |       WHERE length(w) >= 2)
+         |SELECT shingle, count(*) AS df
+         |FROM sh GROUP BY 1 HAVING count(*) >= 35
+         |ORDER BY df DESC, shingle""".stripMargin,
 
     "llm_cosine_topk" ->
       s"""WITH pairs AS (

@@ -354,6 +354,41 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out(None) == None)
   }
 
+  test("heavyHitters is exactly GROUP BY ... HAVING, even with a tiny noisy sketch") {
+    val corpus = docs(
+      1L -> "spark and flink and trino walk into a bar",
+      2L -> "spark and flink are engines",
+      3L -> "spark and flink again here",
+      4L -> "nothing in common whatsoever")
+    // true df: "spark and" = 3, "and flink" = 3, everything else < 3
+    def expect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shingle").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = expect(TextAnalysis.heavyHitters(corpus, minDf = 3L))
+    assert(exact == Seq(("and flink", 3L), ("spark and", 3L)))
+    // a deliberately terrible sketch (eps 0.5 on a 4-doc corpus) floods
+    // the candidate set with over-estimates; the exact confirm must
+    // still produce the identical result
+    assert(expect(TextAnalysis.heavyHitters(corpus, minDf = 3L, eps = 0.5,
+      confidence = 0.5)) == exact)
+  }
+
+  test("graft_cms_estimate: codegen probe never under-estimates, null key is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, expr, lit}
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    Seq(7L, 7L, 7L, 9L).foreach(cms.addLong)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+                  cms.writeTo(bos); bos.toByteArray }
+    val out = Seq[java.lang.Long](7L, 9L, null).toDF("k")
+      .select(expr("k"), call_function("graft_cms_estimate",
+        expr("k"), lit(bytes)).as("est"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toMap
+    assert(out(Some(7L)).exists(_.asInstanceOf[Long] >= 3L))
+    assert(out(Some(9L)).exists(_.asInstanceOf[Long] >= 1L))
+    assert(out(None) == None)
+  }
+
   test("domainCap keeps at most N per key, best alnum first, doc_id tie-break") {
     import spark.implicits._
     val d = Seq(

@@ -149,6 +149,12 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom prefilter missing from the plan:\n$plan")
   }
 
+  test("llm_heavy_hitters: CMS prefilter runs before the exact aggregation") {
+    val plan = staticPlan(SparkEntry.queries("llm_heavy_hitters")(spark, sfSmoke))
+    assert(plan.contains("graft_cms_estimate"),
+      s"CMS prefilter missing from the plan:\n$plan")
+  }
+
   test("llm_repetition: top-gram rank filter prunes via WindowGroupLimit") {
     val plan = staticPlan(SparkEntry.queries("llm_repetition")(spark, sfSmoke))
     assert(plan.contains("WindowGroupLimit"),
