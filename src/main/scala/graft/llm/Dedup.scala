@@ -674,22 +674,8 @@ object Dedup {
     // unrolled CASE outgrows JIT method limits and runs interpreted.)
     val groups = simhash(docs, bits)
       .groupBy("simhash").agg(collect_list("doc_id").as("members"))
-    val banded = groups.select(col("simhash"),
-      explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
-      .withColumn("chunk", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    // distinct-fingerprint pairs that band-match within the radius. The
-    // Hamming cut rides IN the join residual: xor+bit_count are codegen'd
-    // integer ops, so evaluating them on every raw band match (12.6M at
-    // sf0.1 under the (6,8) banding) costs less than shuffling the
-    // out-of-radius pairs into the distinct (5.7M -> 546k rows through
-    // that exchange, measured at the same configuration).
-    val fpPairs = banded.as("a")
-      .join(banded.as("b"),
-        expr("a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash" +
-          s" AND bit_count(a.simhash ^ b.simhash) <= $maxHamming"))
-      .select(expr("a.simhash").as("sim_a"), expr("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+    val fpPairs = bandedFpPairs(groups.select("simhash"),
+      bandBits, maxHamming, bits)
     // cross-group expansion: every member pair across the two clusters
     val cross = fpPairs
       .join(groups.as("ga"), expr("sim_a = ga.simhash"))
@@ -706,6 +692,73 @@ object Dedup {
       .where(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         lit(0).cast("int").as("hamming"))
+    cross.union(intra)
+  }
+
+  /** Distinct-fingerprint near-dup pairs under the banded join — the
+    * shared front-half of [[simhashCandidates]] and [[simhashNearGroups]].
+    * The Hamming cut rides IN the join residual: xor+bit_count are
+    * codegen'd integer ops, so evaluating them on every raw band match
+    * (12.6M at sf0.1 under the (6,8) banding) costs less than shuffling
+    * the out-of-radius pairs into the distinct (5.7M -> 546k rows through
+    * that exchange, measured at the same configuration). Input: a
+    * one-column DataFrame of distinct `simhash` values.
+    */
+  private def bandedFpPairs(fps: DataFrame, bandBits: Int, maxHamming: Int,
+                            bits: Int): DataFrame = {
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val banded = fps.select(col("simhash"),
+      explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("chunk", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    banded.as("a")
+      .join(banded.as("b"),
+        expr("a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash" +
+          s" AND bit_count(a.simhash ^ b.simhash) <= $maxHamming"))
+      .select(expr("a.simhash").as("sim_a"), expr("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+  }
+
+  /** [[simhashCandidates]] with reporting COLLAPSED to the fingerprint-
+    * group level: one row per near-dup fingerprint pair (plus one row
+    * per multi-member identical-fingerprint group), carrying member
+    * counts instead of enumerating member pairs.
+    *
+    * Why this exists (measured, ScaleBench x100): doc-level pair
+    * reporting is OUTPUT-bound on dup-heavy corpora — under 100× pure
+    * replication every fingerprint pair fans out to ~10^4 doc pairs and
+    * [[simhashCandidates]] read 342.9 s at SF~10 simply because its
+    * answer was four orders of magnitude larger, while the distinct-
+    * fingerprint work underneath was unchanged. This variant's output
+    * is O(distinct fingerprint pairs) — the same dedup information
+    * (which clusters merge, how much mass each carries: pair_count is
+    * exactly the number of doc pairs the expanded form would emit) at
+    * the size a 100 TB pipeline can actually materialize. No
+    * collect_list anywhere: a mega-template group (10^6+ members at
+    * web scale) is a count here, never an in-memory array.
+    *
+    * Output: (sim_a, sim_b, hamming, docs_a, docs_b, pair_count);
+    * sim_a = sim_b with hamming 0 for the intra-group rows.
+    */
+  def simhashNearGroups(docs: DataFrame, bandBits: Int = 15, maxHamming: Int = 3,
+                        bits: Int = 60): DataFrame = {
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"recall guarantee needs maxHamming < bits/bandBits ($maxHamming >= $nBands)")
+    val groups = simhash(docs, bits)
+      .groupBy("simhash").agg(count("*").as("n_docs"))
+    val cross = bandedFpPairs(groups.select("simhash"), bandBits, maxHamming, bits)
+      .join(groups.as("ga"), expr("sim_a = ga.simhash"))
+      .join(groups.as("gb"), expr("sim_b = gb.simhash"))
+      .select(col("sim_a"), col("sim_b"), col("hamming"),
+        expr("ga.n_docs").as("docs_a"), expr("gb.n_docs").as("docs_b"),
+        expr("ga.n_docs * gb.n_docs").as("pair_count"))
+    val intra = groups.where(col("n_docs") > 1)
+      .select(col("simhash").as("sim_a"), col("simhash").as("sim_b"),
+        lit(0).cast("int").as("hamming"),
+        col("n_docs").as("docs_a"), col("n_docs").as("docs_b"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("pair_count"))
     cross.union(intra)
   }
 }

@@ -208,6 +208,14 @@ object Llm {
     "llm_simhash_radius8" -> ((s, d) =>
       Dedup.simhashCandidates(docs(s, d), bandBits = 6, maxHamming = 8)),
 
+    // fingerprint-group-level reporting: output is O(distinct near-dup
+    // fingerprint pairs) instead of O(doc pairs) — the form that stays
+    // materializable when dup mass makes the expanded pair set explode
+    // (measured at SF~10 100x replication: 342.9 s expanded vs 22.2 s
+    // grouped, same banding)
+    "llm_simhash_groups" -> ((s, d) =>
+      Dedup.simhashNearGroups(docs(s, d)).orderBy("sim_a", "sim_b")),
+
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
 
     "llm_quality_filter" -> ((s, d) =>
@@ -657,6 +665,35 @@ object Llm {
          |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_simhash_groups" ->
+      s"""WITH $tokCtes,
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |grp AS (SELECT simhash, count(*) AS n_docs FROM sim GROUP BY 1),
+         |banded AS (SELECT simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+         |           FROM grp, unnest(generate_series(0, 3)) AS g(band)),
+         |fp AS (SELECT DISTINCT a.simhash AS sim_a, b.simhash AS sim_b
+         |       FROM banded a JOIN banded b
+         |         ON a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |cross_g AS (SELECT f.sim_a, f.sim_b,
+         |                   CAST(bit_count(xor(f.sim_a, f.sim_b)) AS INT) AS hamming,
+         |                   ga.n_docs AS docs_a, gb.n_docs AS docs_b,
+         |                   ga.n_docs * gb.n_docs AS pair_count
+         |            FROM fp f JOIN grp ga ON f.sim_a = ga.simhash
+         |                      JOIN grp gb ON f.sim_b = gb.simhash),
+         |intra AS (SELECT simhash AS sim_a, simhash AS sim_b,
+         |                 CAST(0 AS INT) AS hamming, n_docs AS docs_a,
+         |                 n_docs AS docs_b, n_docs * (n_docs - 1) // 2 AS pair_count
+         |          FROM grp WHERE n_docs > 1)
+         |SELECT * FROM cross_g UNION ALL SELECT * FROM intra
+         |ORDER BY sim_a, sim_b""".stripMargin,
 
     "llm_simhash_radius8" ->
       s"""WITH $tokCtes,

@@ -354,6 +354,29 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out(None) == None)
   }
 
+  test("simhashNearGroups pair_count accounts for every expanded doc pair") {
+    // docs 1/2/3 identical (one fingerprint, 3 members), 4 a near-dup
+    // text, 5 unrelated — exercises intra rows, cross rows and absences
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "ALPHA beta GAMMA delta epsilon zeta eta theta", // same normalized
+      4L -> "alpha beta gamma delta epsilon zeta eta iota",
+      5L -> "completely unrelated words nothing shared here at all")
+    val expanded = Dedup.simhashCandidates(corpus).collect()
+    val grouped = Dedup.simhashNearGroups(corpus).collect()
+    // total mass must match exactly: every doc pair the expanded form
+    // emits is counted by exactly one group row
+    assert(grouped.map(_.getLong(5)).sum == expanded.length.toLong)
+    // the identical-fingerprint trio appears as one intra row with C(3,2)
+    val intra = grouped.filter(r => r.getLong(0) == r.getLong(1))
+    assert(intra.length == 1 && intra.head.getLong(5) == 3L
+      && intra.head.getInt(2) == 0)
+    // and groups never materialize member lists (schema is counts only)
+    assert(Dedup.simhashNearGroups(corpus).schema.fields
+      .forall(!_.dataType.typeName.contains("array")))
+  }
+
   test("heavyHitters is exactly GROUP BY ... HAVING, even with a tiny noisy sketch") {
     val corpus = docs(
       1L -> "spark and flink and trino walk into a bar",
