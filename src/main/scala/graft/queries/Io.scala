@@ -222,6 +222,38 @@ object Io {
           |ORDER BY hour_ts, event_type""".stripMargin)
     }),
 
+    // STREAMING differential entry (bounded replay): the events fixture
+    // staged as a landing directory, tailed by a REAL StreamingQuery —
+    // file source -> watermarked tumbling-window aggregate -> memory
+    // sink, Complete mode so bounded replay flushes every window (Append
+    // would hold back windows the final watermark never passes). On
+    // bounded input the streaming result is deterministic, so the same
+    // DuckDB oracle that checks the batch twin checks the streaming
+    // execution path — state store, watermark tracking and all. Sums
+    // aggregate on DECIMAL (order-independent) so micro-batch order
+    // cannot perturb the float result. COUNT(DISTINCT) is unsupported in
+    // streaming aggs, hence no n_users column here (the batch
+    // ts_window_agg keeps it).
+    "ts_stream_window_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, window}
+      val events = Tables.load(s, d, "events")
+        .select("ts", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_entry").toString
+      events.write.mode("overwrite").parquet(dir)
+      val agg = graft.streaming.Streams.fromParquet(s, dir, events.schema)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count("*").as("n_events"),
+          sum(expr("CAST(value AS DECIMAL(18,6))")).as("sv"))
+        .select(col("w.start").as("hour_ts"), col("event_type"),
+          col("n_events"), expr("CAST(sv AS DOUBLE)").as("sum_value"))
+      // unique sink name: the entry must stay re-runnable in one session
+      val sink = s"ts_stream_sink_${System.nanoTime}"
+      graft.streaming.Streams.runToMemory(agg, sink,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table(sink).orderBy("hour_ts", "event_type")
+    }),
+
     "ts_sessionize" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -409,6 +441,16 @@ object Io {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
         |       count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // bounded replay makes streaming deterministic: the oracle is the
+    // batch semantics of the same windowed aggregate
+    "ts_stream_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |       count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
