@@ -254,6 +254,29 @@ object Io {
       s.table(sink).orderBy("hour_ts", "event_type")
     }),
 
+    // the session-window twin of ts_stream_window_agg: bounded replay
+    // through the MERGING-state streaming path (session windows keep a
+    // different state implementation than tumbling windows), checked by
+    // the same lag-based DuckDB oracle the batch ts_session_window entry
+    // has proven against this fixture
+    "ts_stream_session_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, session_window}
+      val events = Tables.load(s, d, "events")
+        .select("ts", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_entry").toString
+      events.write.mode("overwrite").parquet(dir)
+      val agg = graft.streaming.Streams.fromParquet(s, dir, events.schema)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count("*").as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+      val sink = s"ts_stream_sess_sink_${System.nanoTime}"
+      graft.streaming.Streams.runToMemory(agg, sink,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table(sink).orderBy("user_id", "session_start")
+    }),
+
     "ts_sessionize" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -470,6 +493,26 @@ object Io {
         |ORDER BY user_id""".stripMargin,
 
     "ts_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM x)
+        |SELECT user_id,
+        |       MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // identical semantics to ts_session_window (the streaming path must
+    // produce the batch answer on bounded input)
+    "ts_stream_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |x AS (SELECT user_id, ts,
         |             CASE WHEN lag(ts) OVER w IS NULL
