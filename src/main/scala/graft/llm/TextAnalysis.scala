@@ -322,6 +322,67 @@ object TextAnalysis {
       .where(col("__rn") <= k)
       .drop("__h", "__rn")
 
+  /** The BM25 per-(doc, term) contribution as ONE expression string valid
+    * in BOTH Spark SQL and DuckDB (same functions, same literals, same
+    * operator sequencing => same IEEE doubles modulo ln's last ulp,
+    * which the ROUND(…, 6) absorbs). Expects columns (tf, df, dl,
+    * n_docs, tot) in scope. Lucene's positive idf variant:
+    * ln((N - df + 0.5)/(df + 0.5) + 1). The contribution rounds to 6
+    * decimals and CASTs to DECIMAL so the per-doc SUM is exact and
+    * order-independent — float summation order across partitions could
+    * otherwise flip the last bit (the repo's money-on-DECIMAL rule).
+    */
+  private[graft] def bm25Contribution(k1: Double, b: Double): String =
+    s"""CAST(ROUND(
+       |  ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + CAST(1.0 AS DOUBLE))
+       |  * (CAST(tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE))
+       |  / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
+       |     + CAST($b AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |, 6) AS DECIMAL(20, 6))""".stripMargin
+
+  /** BM25 relevance of every document against a fixed query — the
+    * retrieval-scoring primitive of targeted data curation (select the
+    * training subset most relevant to a benchmark/task description;
+    * query-conditioned quality filtering). Okapi BM25 with Lucene's
+    * non-negative idf; deterministic: no RNG, exact integer tf/df/dl
+    * statistics, contributions rounded to 6 decimals and summed on
+    * DECIMAL (order-independent).
+    *
+    * Scale shape: the query-term table (broadcast, a handful of rows)
+    * filters the token stream BEFORE the tf groupBy, so the per-term
+    * shuffle carries only matching tokens; document length and the two
+    * corpus constants (N, total tokens) come from one full-corpus
+    * aggregate each — partial-agg'd, tiny outputs, the constants frame
+    * broadcast into the score expression. No all-pairs anything; a
+    * 100 TB corpus pays two token-stream scans (dl + tf) and joins on
+    * doc_id.
+    *
+    * Output: (doc_id, n_terms, bm25) for documents matching >= 1 query
+    * term.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("tok")
+    val toks = docs.select(col("doc_id"),
+      explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count("*").as("dl"))
+    val consts = dl.agg(count("*").as("n_docs"), sum("dl").as("tot"))
+    val tf = toks.join(broadcast(q), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count("*").as("tf"))
+    // tf is one row per (doc, term), so df per term is a plain count
+    val dfreq = tf.groupBy("tok").agg(count("*").as("df"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), expr(bm25Contribution(k1, b)).as("c"))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_terms"),
+        expr("CAST(SUM(c) AS DOUBLE)").as("bm25"))
+  }
+
   /** Per-domain quota cap (the FineWeb/CCNet "no domain may dominate the
     * mix" step): keep at most `maxPerKey` documents per `keyCol`,
     * preferring higher-quality text — ranked by [[stats]]'s alnum_ratio

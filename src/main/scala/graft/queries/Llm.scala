@@ -315,6 +315,13 @@ object Llm {
       TextAnalysis.heavyHitters(docs(s, d), minDf = 35L, n = 2)
         .orderBy(col("df").desc, col("shingle"))),
 
+    // targeted-curation retrieval scoring: BM25 of every doc against a
+    // fixed 3-term query; contributions share one expression string
+    // with the oracle (bm25Contribution), summed on DECIMAL
+    "llm_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), Seq("hash", "join", "window"))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition quality signals: top 2-gram share and
     // duplicate-2-gram ratio per document
     "llm_repetition" -> ((s, d) =>
@@ -856,6 +863,23 @@ object Llm {
          |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
          |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin,
+
+    // the contribution expression is THE SAME STRING the Spark plan
+    // compiles (TextAnalysis.bm25Contribution) — one source of truth
+    // for literals and operator sequencing in both engines
+    "llm_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |consts AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dlen),
+         |tfreq AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |          WHERE tok IN ('hash', 'join', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tfreq GROUP BY 1),
+         |contrib AS (SELECT t.doc_id,
+         |                   ${TextAnalysis.bm25Contribution(1.2, 0.75)} AS c
+         |            FROM tfreq t JOIN dfreq USING (tok)
+         |                 JOIN dlen USING (doc_id) CROSS JOIN consts)
+         |SELECT doc_id, count(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS bm25
+         |FROM contrib GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "llm_domain_cap" ->
       raw"""WITH q AS (

@@ -412,6 +412,25 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out(None) == None)
   }
 
+  test("bm25 matches the hand-computed Okapi/Lucene formula") {
+    val corpus = docs(
+      1L -> "spark spark spark engine",  // tf(spark)=3, dl=4
+      2L -> "spark flink",               // tf(spark)=1, dl=2
+      3L -> "duckdb only here")          // no match: absent from output
+    val out = TextAnalysis.bm25(corpus, Seq("spark"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // N=3, tot=9, avgdl=3; df(spark)=2; idf=ln((3-2+0.5)/(2+0.5)+1)=ln(1.6)
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def c(tf: Double, dl: Double) = BigDecimal(
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.map(_._2) == Seq(1L, 1L))
+    assert(out(0)._3 == c(3, 4) && out(1)._3 == c(1, 2),
+      s"got ${out.map(_._3).toSeq}, want ${Seq(c(3, 4), c(1, 2))}")
+  }
+
   test("domainCap keeps at most N per key, best alnum first, doc_id tie-break") {
     import spark.implicits._
     val d = Seq(
