@@ -35,6 +35,16 @@ import graft.Tables
   */
 object Io {
 
+  /** Best-effort recursive delete for entry-local staging dirs (the
+    * streaming entries stage a landing-directory copy of events that
+    * nothing references once the memory sink holds the result).
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   private def base(dir: String): String =
     s"/tmp/graft_io/${new java.io.File(dir).getName}"
 
@@ -251,6 +261,9 @@ object Io {
       val sink = s"ts_stream_sink_${System.nanoTime}"
       graft.streaming.Streams.runToMemory(agg, sink,
         org.apache.spark.sql.streaming.OutputMode.Complete())
+      // the memory table holds the result rows; the staging copy of
+      // events is no longer referenced — don't leak it per invocation
+      deleteRecursively(new java.io.File(dir))
       s.table(sink).orderBy("hour_ts", "event_type")
     }),
 
@@ -274,6 +287,7 @@ object Io {
       val sink = s"ts_stream_sess_sink_${System.nanoTime}"
       graft.streaming.Streams.runToMemory(agg, sink,
         org.apache.spark.sql.streaming.OutputMode.Complete())
+      deleteRecursively(new java.io.File(dir))
       s.table(sink).orderBy("user_id", "session_start")
     }),
 
