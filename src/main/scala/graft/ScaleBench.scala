@@ -40,7 +40,12 @@ object ScaleBench {
     "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q18",
     "llm_dedup_cc", "llm_simhash_near", "llm_line_dedup",
     "llm_pack_shards", "llm_dup_spans", "llm_scrub_spans",
-    "llm_dedup_incremental")
+    "llm_dedup_incremental",
+    // round-7 additions: the sketch-prefiltered operators, the grouped
+    // simhash reporting (its raison d'être IS this staging's dup mass)
+    // and BM25's two corpus scans
+    "llm_simhash_groups", "llm_bloom_decontaminate", "llm_heavy_hitters",
+    "llm_bm25")
 
   /** Stage the scaled fixture dir: fact tables + documents replicated
     * with offset keys as 32-file parquet directories, everything else
