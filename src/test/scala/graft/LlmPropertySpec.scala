@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -209,6 +209,53 @@ class LlmPropertySpec extends SparkSpec {
       assert(top.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
       val self = e.select(Similarity.cosine("embedding", "embedding").as("c")).collect()
       assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    }
+  }
+
+  test("containmentBloom equals containment on random corpora at random fpp") {
+    // the prefilter must be invisible at ANY fpp: false positives die in
+    // the confirm join, false negatives cannot exist
+    val cases = samples(for {
+      texts <- corpus
+      nProbe <- Gen.chooseNum(1, 3)
+      fpp <- Gen.oneOf(0.01, 0.2, 0.5)
+    } yield (texts, nProbe, fpp), 4)
+    cases.foreach { case (texts, nProbe, fpp) =>
+      val d = docsDF(texts)
+      val probes = docsDF(texts.take(nProbe)) // verbatim probes => hits exist
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id", "probe_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(rows(Dedup.containmentBloom(d, probes, fpp = fpp)) ==
+        rows(Dedup.containment(d, probes)),
+        s"texts=$texts nProbe=$nProbe fpp=$fpp")
+    }
+  }
+
+  test("heavyHitters equals GROUP BY/HAVING on random corpora at random eps") {
+    val cases = samples(for {
+      texts <- corpus
+      minDf <- Gen.chooseNum(1L, 4L)
+      eps <- Gen.oneOf(0.001, 0.1, 0.5)
+    } yield (texts, minDf, eps), 4)
+    cases.foreach { case (texts, minDf, eps) =>
+      val d = docsDF(texts)
+      val got = TextAnalysis.heavyHitters(d, minDf = minDf, eps = eps)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = Dedup.shingles(d, 2).collect()
+        .map(r => r.getString(1)).groupBy(identity)
+        .collect { case (g, occ) if occ.length >= minDf => g -> occ.length.toLong }
+      assert(got == want.toMap, s"texts=$texts minDf=$minDf eps=$eps")
+    }
+  }
+
+  test("simhashNearGroups mass equals the expanded pair count on random corpora") {
+    samples(corpus, 4).foreach { texts =>
+      // duplicate half the corpus so intra-group rows appear
+      val d = docsDF(texts ++ texts.take(texts.length / 2))
+      val expanded = Dedup.simhashCandidates(d).count()
+      val mass = Dedup.simhashNearGroups(d).collect().map(_.getLong(5)).sum
+      assert(mass == expanded, s"texts=$texts mass=$mass expanded=$expanded")
     }
   }
 
