@@ -431,6 +431,35 @@ class LlmOperatorSpec extends SparkSpec {
       s"got ${out.map(_._3).toSeq}, want ${Seq(c(3, 4), c(1, 2))}")
   }
 
+  test("sketch functions work from plain SQL text with X'...' binary literals") {
+    // the registry builder path (fromChildren): a session configured with
+    // GraftExtensions can call the sketch probes from SQL strings alone
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+    bf.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val hex = bos.toByteArray.map("%02X".format(_)).mkString
+    val row = spark.sql(
+      s"""SELECT graft_bloom_might_contain(CAST(42 AS BIGINT), X'$hex') AS hit,
+         |       graft_bloom_might_contain(CAST(9999 AS BIGINT), X'$hex') AS miss
+         |""".stripMargin).collect()(0)
+    assert(row.getBoolean(0) && !row.getBoolean(1))
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 1)
+    cms.addLong(7L); cms.addLong(7L)
+    val cbos = new java.io.ByteArrayOutputStream(); cms.writeTo(cbos)
+    val chex = cbos.toByteArray.map("%02X".format(_)).mkString
+    val est = spark.sql(
+      s"SELECT graft_cms_estimate(CAST(7 AS BIGINT), X'$chex') AS e")
+      .collect()(0).getLong(0)
+    assert(est >= 2L)
+    // a non-literal filter argument must be rejected with the contract
+    // message, not a ClassCastException deep in execution
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_might_contain(CAST(1 AS BIGINT), " +
+        "CAST(CONCAT(rand(), 'x') AS BINARY))").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("domainCap keeps at most N per key, best alnum first, doc_id tie-break") {
     import spark.implicits._
     val d = Seq(
