@@ -145,6 +145,9 @@ class PlanShapeSpec extends SparkSpec {
     // the membership probe must appear as a Filter in the plan (corpus
     // side, before the confirm join) — a plan that only joins has lost
     // the prefilter the operator exists for
+    // (codegen participation is visible only in the EXECUTED plan — the
+    // post-run `graft.Explain` rendering shows `*(n) Filter graft_bloom…`;
+    // the static pre-AQE string this gate reads carries no codegen marks)
     assert(plan.contains("graft_bloom_might_contain"),
       s"bloom prefilter missing from the plan:\n$plan")
   }
