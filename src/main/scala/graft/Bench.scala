@@ -45,6 +45,10 @@ object Bench {
       graft.streaming.Streams.runToMemory(agg,
         s"bench_warm_${System.nanoTime}",
         org.apache.spark.sql.streaming.OutputMode.Complete())
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(wdir.toFile)
     }
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
