@@ -42,9 +42,9 @@ object Bench {
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count("*"))
-      graft.streaming.Streams.runToMemory(agg,
-        s"bench_warm_${System.nanoTime}",
+      graft.streaming.Streams.runToMemory(agg, "bench_warm",
         org.apache.spark.sql.streaming.OutputMode.Complete())
+      spark.catalog.dropTempView("bench_warm"): Unit
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
       }
@@ -71,17 +71,23 @@ object Bench {
     // of `queries` survived), so (a) keep the line short, and (b) carry
     // the headline numbers at BOTH ends — whichever end survives
     // truncation still reports total + TPC-H subtotal.
-    // Locale.ROOT: under a comma-decimal default locale (de_DE, fr_FR)
-    // f"%.3f" would print "1,234" and break the JSON line
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double): String = Fmt.sec(v, digits = 3)
     val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val tpch = results.collect { case (k, v) if k.startsWith("tpch_") && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","tpch_subtotal":${ms(tpch)},""" +
-      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
-      s""""total_sec":${ms(total)},"tpch_subtotal_sec":${ms(tpch)}}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","tpch_subtotal":${ms(tpch)},""" +
+        s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
+        s""""total_sec":${ms(total)},"tpch_subtotal_sec":${ms(tpch)}}"""
+    // The driver's capture keeps only a TAIL of stdout, which in past
+    // rounds started mid-object and left the artifact unparseable
+    // ("parsed": null in BENCH_r07.json). Printing the identical line
+    // twice guarantees any suffix-truncation still contains one complete
+    // JSON copy: the second line survives whole whenever the cut lands
+    // in the first.
+    println(line)
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -80,9 +80,6 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    // f"%.2f" below honors the default locale; pin it so a comma-decimal
-    // locale can never emit invalid JSON (same fix as Bench.ms)
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val names =
@@ -95,11 +92,11 @@ object ScaleBench {
         SparkEntry.queries(q)(spark, out)
           .write.mode("overwrite").format("noop").save()
       names.foreach(run) // warm every plan off the clock
-      val timed = names.map(q => f""""$q":${time(run(q))}%.2f""")
+      val timed = names.map(q => s""""$q":${Fmt.sec(time(run(q)))}""")
       val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
       val docRows = spark.read.parquet(s"$out/documents.parquet").count()
       println(s"""{"factor":$factor,"lineitem_rows":$rows,"document_rows":$docRows,""" +
-        f""""stage_sec":$tStage%.1f,${timed.mkString(",")}}""")
+        s""""stage_sec":${Fmt.sec(tStage, digits = 1)},${timed.mkString(",")}}""")
     } finally spark.stop()
   }
 }

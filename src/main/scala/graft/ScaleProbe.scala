@@ -108,7 +108,7 @@ object ScaleProbe {
         .write.mode("overwrite").format("noop").save())
       Thread.sleep(500) // async listener bus
       spark.sparkContext.removeSparkListener(lis)
-      f""""cc_probe_every_$pe":{"sec":$t%.2f,"jobs":${lis.jobs}}"""
+      s""""cc_probe_every_$pe":{"sec":${Fmt.sec(t)},"jobs":${lis.jobs}}"""
     }
   }
 
@@ -154,14 +154,11 @@ object ScaleProbe {
     val (tp, mp) = measure(plain())
     val (tb, mb) = measure(bucketed())
     Seq(
-      f""""asof_plain_hotkey":{"sec":$tp%.2f,"max_task_sec":$mp%.2f}""",
-      f""""asof_bucketed_hotkey":{"sec":$tb%.2f,"max_task_sec":$mb%.2f}""")
+      s""""asof_plain_hotkey":{"sec":${Fmt.sec(tp)},"max_task_sec":${Fmt.sec(mp)}}""",
+      s""""asof_bucketed_hotkey":{"sec":${Fmt.sec(tb)},"max_task_sec":${Fmt.sec(mb)}}""")
   }
 
   def main(args: Array[String]): Unit = {
-    // f"%.2f" below honors the default locale; pin it so a comma-decimal
-    // locale can never emit invalid JSON (same fix as Bench.ms)
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val factor = args.headOption.map(_.toInt).getOrElse(8)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark: SparkSession = Session.local("graft-scale-probe")
@@ -193,13 +190,13 @@ object ScaleProbe {
       val t1 = run(small)
       val tX = run(big)
       val items = t1.zip(tX).map { case ((op, a), (_, b)) =>
-        f""""$op":{"x1":$a%.2f,"x$factor":$b%.2f,"ratio":${b / a}%.2f}"""
+        s""""$op":{"x1":${Fmt.sec(a)},"x$factor":${Fmt.sec(b)},"ratio":${Fmt.sec(b / a)}}"""
       }
       simhashProbe(small) // warm both codegen'd banding plans
       val sh1 = simhashProbe(small)
       val shX = simhashProbe(big)
       val shItems = sh1.zip(shX).map { case ((op, a, pa), (_, b, pb)) =>
-        f""""$op":{"x1":$a%.2f,"x$factor":$b%.2f,"ratio":${b / a}%.2f,""" +
+        s""""$op":{"x1":${Fmt.sec(a)},"x$factor":${Fmt.sec(b)},"ratio":${Fmt.sec(b / a)},""" +
           s""""pairs_x1":$pa,"pairs_x$factor":$pb}"""
       }
       val asof = asofSkewProbe(spark)

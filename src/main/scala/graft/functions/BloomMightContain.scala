@@ -48,6 +48,19 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 
+  // the synthesized case-class equality compares Array[Byte] by
+  // REFERENCE, so two semantically identical probes built from the same
+  // filter bytes would never compare equal under canonicalization —
+  // subexpression elimination and exchange reuse would silently miss
+  // (conservative, but wasteful). Compare filter content instead.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def nullSafeEval(v: Any): Any =
     bloom.mightContainLong(v.asInstanceOf[Long])
 

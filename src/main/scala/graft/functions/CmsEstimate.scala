@@ -44,6 +44,18 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
     copy(child = newChild)
 
+  // content equality over the sketch bytes, for the same reason as
+  // [[BloomMightContain]]: reference equality on Array[Byte] would make
+  // semanticEquals miss identical probes and forgo subexpression
+  // elimination / exchange reuse
+  override def equals(other: Any): Boolean = other match {
+    case c: CmsEstimate =>
+      child == c.child && java.util.Arrays.equals(sketchBytes, c.sketchBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(sketchBytes)
+
   override def nullSafeEval(v: Any): Any =
     cms.estimateCount(v.asInstanceOf[java.lang.Long])
 

@@ -221,11 +221,21 @@ object Dedup {
                        fpp: Double = 0.01): DataFrame = {
     val ps = shingles(probes, n)
       .select(col("doc_id").as("probe_id"), col("shingle"))
-    // expectedNumItems: the row count upper-bounds the distinct-key count
-    // (one small driver-side job; a production ingest loop would persist
-    // the built filter alongside the probe set and pay this once)
-    val keys = ps.select(expr("xxhash64(shingle)").as("gh"))
-    val bloom = keys.stat.bloomFilter("gh", math.max(keys.count(), 1L), fpp)
+    // the filter build takes two driver-side actions — a count to size
+    // expectedNumItems (the row count upper-bounds the distinct-key
+    // count) and the aggregate build itself — so persist the
+    // probe-shingle subtree around them: the 10^8-shingle regime this
+    // operator exists for pays ONE scan+explode materialization, not
+    // two. Unpersisted before return — the lazy confirm join + sizes
+    // below share one probe-side exchange via ReuseExchange at
+    // execution, and a production ingest loop would persist the BUILT
+    // filter alongside the probe set and skip the build entirely.
+    ps.persist()
+    val bloom =
+      try {
+        val keys = ps.select(expr("xxhash64(shingle)").as("gh"))
+        keys.stat.bloomFilter("gh", math.max(ps.count(), 1L), fpp)
+      } finally { ps.unpersist(); () }
     val bytes = { val bos = new java.io.ByteArrayOutputStream()
                   bloom.writeTo(bos); bos.toByteArray }
     val mightHit = call_function("graft_bloom_might_contain",
@@ -446,12 +456,15 @@ object Dedup {
     *
     * Scale notes: each round shuffles |E| + |V| rows, bounded by the
     * verified pair set (already LSH-pruned, never all-pairs); per-round
-    * results are checkpointed to truncate lineage — local checkpoints
-    * here (single-JVM); a real cluster deployment would point
-    * `spark.checkpoint.dir` at durable storage and use `checkpoint()`
-    * so a lost executor replays one round, not the whole loop.
-    * The convergence probe is a `limit(1)`-style existence check
-    * (isEmpty), not a count — it short-circuits on the first changed row.
+    * results are checkpointed to truncate lineage. `checkpointDir = None`
+    * uses `localCheckpoint()` (executor-local storage — right for a
+    * single JVM, and what the declared entries use); a cluster
+    * deployment passes `Some(durablePath)` (HDFS/object store), which
+    * switches every round to reliable `checkpoint()` so a lost executor
+    * replays one round from durable files, not the whole loop from the
+    * source scan. The convergence probe is a `limit(1)`-style existence
+    * check (isEmpty), not a count — it short-circuits on the first
+    * changed row.
     *
     * `probeEvery` batches the probe to every k-th round (labels are
     * monotone non-increasing, so "no change across a batch" is exactly
@@ -471,16 +484,21 @@ object Dedup {
     * left to the caller (see [[dedupeClustered]]).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
-                  probeEvery: Int = 1): DataFrame = {
+                  probeEvery: Int = 1,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(probeEvery >= 1, "probeEvery >= 1")
-    val edges = pairs
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint() // eager + durable: lineage ends at the files
+      case None => df => df.localCheckpoint()
+    }
+    val edges = ckpt(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     def round(lbl: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(lbl.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
@@ -489,12 +507,11 @@ object Dedup {
       val prop = lbl.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      prop
+      ckpt(prop
         .join(prop.select(col("doc_id").as("via"), col("label").as("via_label")),
           prop("label") === col("via"), "left")
         .select(prop("doc_id"),
-          coalesce(col("via_label"), prop("label")).as("label"))
-        .localCheckpoint()
+          coalesce(col("via_label"), prop("label")).as("label")))
     }
     var iter = 0
     var done = false
@@ -535,10 +552,12 @@ object Dedup {
     */
   def dedupeClustered(docs: DataFrame, jaccardThreshold: Double = 0.6,
                       numHashes: Int = 8, bands: Int = 4,
-                      probeEvery: Int = 1): DataFrame = {
+                      probeEvery: Int = 1,
+                      checkpointDir: Option[String] = None): DataFrame = {
     val (survivors, pairs) = survivorsAndPairs(docs, jaccardThreshold,
       numHashes, bands)
-    val nonReps = dupClusters(pairs, probeEvery = probeEvery)
+    val nonReps = dupClusters(pairs, probeEvery = probeEvery,
+      checkpointDir = checkpointDir)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select("doc_id")
     survivors.join(nonReps, Seq("doc_id"), "left_anti")

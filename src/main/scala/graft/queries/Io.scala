@@ -257,8 +257,9 @@ object Io {
           sum(expr("CAST(value AS DECIMAL(18,6))")).as("sv"))
         .select(col("w.start").as("hour_ts"), col("event_type"),
           col("n_events"), expr("CAST(sv AS DOUBLE)").as("sum_value"))
-      // unique sink name: the entry must stay re-runnable in one session
-      val sink = s"ts_stream_sink_${System.nanoTime}"
+      // fixed sink name: runToMemory drops any previous run's table, so
+      // the entry stays re-runnable without accumulating result tables
+      val sink = "ts_stream_sink"
       graft.streaming.Streams.runToMemory(agg, sink,
         org.apache.spark.sql.streaming.OutputMode.Complete())
       // the memory table holds the result rows; the staging copy of
@@ -284,7 +285,7 @@ object Io {
         .agg(count("*").as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))
-      val sink = s"ts_stream_sess_sink_${System.nanoTime}"
+      val sink = "ts_stream_sess_sink"
       graft.streaming.Streams.runToMemory(agg, sink,
         org.apache.spark.sql.streaming.OutputMode.Complete())
       deleteRecursively(new java.io.File(dir))

@@ -164,6 +164,12 @@ object Streams {
     * source drains — the test/demo harness path.
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    // the memory sink registers `name` as a session temp view holding the
+    // full result; drop any previous run's table first so callers can use
+    // a FIXED sink name per entry and repeated invocations in one
+    // long-lived session (Verify loops, Bench, Explain) never accumulate
+    // result tables in driver memory
+    df.sparkSession.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable()
     finally q.stop()

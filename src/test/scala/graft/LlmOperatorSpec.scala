@@ -89,6 +89,28 @@ class LlmOperatorSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("dupClusters with a durable checkpointDir converges to the same labels") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val clustered = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+    val out = clustered.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    // the cluster-deployment property the option buys: reliable
+    // checkpoint files exist under the durable dir (a lost executor
+    // replays one round from them), and the returned plan's lineage is
+    // truncated at a scan of those files rather than reaching the
+    // original pairs input
+    val rddDirs = new java.io.File(dir).listFiles()
+    assert(rddDirs != null && rddDirs.exists(d =>
+      d.isDirectory && d.listFiles().exists(_.getName.startsWith("rdd-"))))
+    val plan = clustered.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"))
+  }
+
   test("dedupeClustered keeps one representative per near-dup component") {
     // a/b/c chain-similar (a~b, b~c share most shingles), d unrelated:
     // transitive closure keeps only doc 1 and the singleton 4
@@ -352,6 +374,34 @@ class LlmOperatorSpec extends SparkSpec {
     // fixed sketch seed; null key must yield null, not false
     assert(out(Some(1000L)) == Some(false))
     assert(out(None) == None)
+  }
+
+  test("sketch expressions compare by sketch content, so semanticEquals can fire") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(1L)
+    val bBytes = { val bos = new java.io.ByteArrayOutputStream()
+                   bf.writeTo(bos); bos.toByteArray }
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.99, 1)
+    cms.add(java.lang.Long.valueOf(7L))
+    val cBytes = { val bos = new java.io.ByteArrayOutputStream()
+                   cms.writeTo(bos); bos.toByteArray }
+    // two probes built from DISTINCT but equal byte arrays: the default
+    // case-class equality compares Array[Byte] by reference and would
+    // return false here, making subexpression elimination and exchange
+    // reuse silently miss identical probes
+    val b1 = graft.functions.BloomMightContain(Literal(42L), bBytes)
+    val b2 = graft.functions.BloomMightContain(Literal(42L), bBytes.clone())
+    assert(b1 == b2 && b1.hashCode == b2.hashCode && b1.semanticEquals(b2))
+    val c1 = graft.functions.CmsEstimate(Literal(42L), cBytes)
+    val c2 = graft.functions.CmsEstimate(Literal(42L), cBytes.clone())
+    assert(c1 == c2 && c1.hashCode == c2.hashCode && c1.semanticEquals(c2))
+    // different sketch content must still distinguish the probes
+    val other = { val f = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+                  f.putLong(2L)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  f.writeTo(bos); bos.toByteArray }
+    assert(b1 != graft.functions.BloomMightContain(Literal(42L), other))
   }
 
   test("simhashNearGroups pair_count accounts for every expanded doc pair") {

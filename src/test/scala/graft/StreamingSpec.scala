@@ -211,4 +211,21 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(last.toSeq == Seq((1L, 3L, 5.0), (2L, 2L, 4.0)))
   }
+
+  test("streaming entries reuse one fixed memory-sink table across invocations") {
+    // exact-prefix filter: other suites may legitimately have run the
+    // session-window entry (ts_stream_sess_sink) in this shared session
+    def sinkTables(): Seq[String] =
+      spark.catalog.listTables().collect().map(_.name).toSeq
+        .filter(_.startsWith("ts_stream_sink"))
+    val run = SparkEntry.queries("ts_stream_window_agg")
+    val first = run(spark, sfSmoke).collect()
+    val second = run(spark, sfSmoke).collect()
+    assert(first.length == second.length && first.length > 0)
+    // the memory sink registers its queryName as a temp view; a second
+    // invocation must REPLACE the first run's table, not add another
+    // (pre-fix, nanoTime-suffixed names accumulated one full result
+    // table per invocation for the life of the session)
+    assert(sinkTables() == Seq("ts_stream_sink"))
+  }
 }
