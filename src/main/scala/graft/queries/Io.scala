@@ -292,6 +292,85 @@ object Io {
       s.table(sink).orderBy("user_id", "session_start")
     }),
 
+    // STREAMING watermark-DROP semantics, differentially oracled: the one
+    // streaming behavior bounded Complete-mode replay cannot pin is that
+    // rows arriving LATER than the watermark horizon are dropped. Spark's
+    // late filter (probed empirically, spark-shell, Spark 4.1) drops a
+    // row iff its WINDOW END <= the watermark in effect during the
+    // PREVIOUS micro-batch (SPARK-24634 two-watermark design: late-event
+    // filtering lags eviction by one batch; eviction/emission uses the
+    // current batch's watermark; both are floor-to-ms(max event ts) -
+    // delay). So the fixture replays as FOUR landing files, one per
+    // micro-batch (maxFilesPerTrigger=1, mtime-ordered), with the on-time
+    // history split so the filter watermark is already established one
+    // batch before the late slice arrives:
+    //   f1a on-time history up to H12 = trunc-hour(max ts) - 12 h (minus
+    //       a held-back hash slice): its max event time becomes the
+    //       late-filter watermark wmF = floor-ms(max ts(f1a)) - 2 h;
+    //   f1b the rest of the on-time history (H12, H6];
+    //   f2  the held-back 10% md5 slice of the whole on-time range,
+    //       arriving two batches late: rows in windows ending <= wmF
+    //       MUST be dropped, the rest MUST be aggregated;
+    //   f3  the fresh tail (> H6), advancing the final watermark so
+    //       every window the drops affected actually emits in Append
+    //       mode (windows the final watermark never passes stay held).
+    // Every ingredient (the H12/H6 boundaries, the md5 holdback slice,
+    // the ms-floored watermark arithmetic, the emit-only-closed-windows
+    // rule) is plain SQL, so the DuckDB oracle recomputes which rows
+    // must have been dropped and which windows must have been emitted —
+    // a value-level differential check of the drop path itself. The
+    // fixture's microsecond-random timestamps guarantee no window
+    // boundary ever falls exactly ON a watermark, so strict-vs-inclusive
+    // comparisons cannot diverge silently.
+    "ts_stream_late_drop" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit, window}
+      Tables.register(s, d)
+      val evs = s.table("events").select("ts", "event_id", "event_type", "value")
+      val Array(h6, h12) = s.sql(
+        """SELECT date_trunc('HOUR', max(ts)) - INTERVAL 6 HOUR,
+          |       date_trunc('HOUR', max(ts)) - INTERVAL 12 HOUR
+          |FROM events""".stripMargin)
+        .head.toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+      val held =
+        expr("conv(substr(md5(cast(event_id AS STRING)),1,15),16,10) % 10 = 0")
+      val landing =
+        java.nio.file.Files.createTempDirectory("graft_stream_late").toString
+      // one parquet FILE per batch: the file source's unit of admission is
+      // a file, and mtime order (60 s apart) fixes the replay order
+      def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtimeMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stage_one")
+        df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(landing, name)
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        deleteRecursively(tmp.toFile)
+      }
+      val t0 = System.currentTimeMillis() - 600000
+      stageOne(evs.where(col("ts") <= lit(h12) && !held), "f1a_ontime.parquet", t0)
+      stageOne(evs.where(col("ts") > lit(h12) && col("ts") <= lit(h6) && !held),
+        "f1b_ontime.parquet", t0 + 60000)
+      stageOne(evs.where(col("ts") <= lit(h6) && held), "f2_late.parquet", t0 + 120000)
+      stageOne(evs.where(col("ts") > lit(h6)), "f3_tail.parquet", t0 + 180000)
+      val stream = s.readStream.schema(evs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count("*").as("n_events"),
+          sum(expr("CAST(value AS DECIMAL(18,6))")).as("sv"))
+        .select(col("w.start").as("hour_ts"), col("event_type"),
+          col("n_events"), expr("CAST(sv AS DOUBLE)").as("sum_value"))
+      val sink = "ts_stream_late_sink"
+      graft.streaming.Streams.runToMemory(agg, sink,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      deleteRecursively(new java.io.File(landing))
+      s.table(sink).orderBy("hour_ts", "event_type")
+    }),
+
     "ts_sessionize" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -491,6 +570,42 @@ object Io {
         |       count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // replays the entry's watermark arithmetic in SQL: f1a/f1b/f2/f3 are
+    // the same hash/boundary split the entry stages, wmf1a is the
+    // ms-floored watermark established by f1a's batch — the late filter
+    // for f2's batch, one batch later (probed: late-event filtering uses
+    // the PREVIOUS batch's watermark against the window END) — and only
+    // windows closed by the FINAL watermark may appear in Append output
+    "ts_stream_late_drop" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   event_type, value FROM events),
+        |b AS (SELECT date_trunc('hour', max(ts)) - INTERVAL 6 HOUR AS h6,
+        |             date_trunc('hour', max(ts)) - INTERVAL 12 HOUR AS h12 FROM ev),
+        |f1a AS (SELECT ev.* FROM ev, b WHERE ts <= h12
+        |        AND ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT % 10 <> 0),
+        |f1b AS (SELECT ev.* FROM ev, b WHERE ts > h12 AND ts <= h6
+        |        AND ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT % 10 <> 0),
+        |f2 AS (SELECT ev.* FROM ev, b WHERE ts <= h6
+        |       AND ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT % 10 = 0),
+        |f3 AS (SELECT ev.* FROM ev, b WHERE ts > h6),
+        |wmf1a AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS wm FROM f1a),
+        |wmfin AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS wm FROM ev),
+        |kept AS (SELECT * FROM f1a
+        |         UNION ALL
+        |         SELECT * FROM f1b
+        |         UNION ALL
+        |         SELECT f2.* FROM f2, wmf1a
+        |         WHERE date_trunc('hour', f2.ts) + INTERVAL 1 HOUR > wmf1a.wm
+        |         UNION ALL
+        |         SELECT * FROM f3)
+        |SELECT CAST(date_trunc('hour', k.ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM kept k, wmfin
+        |WHERE date_trunc('hour', k.ts) + INTERVAL 1 HOUR <= wmfin.wm
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
 
