@@ -45,7 +45,11 @@ object ScaleBench {
     // simhash reporting (its raison d'être IS this staging's dup mass)
     // and BM25's two corpus scans
     "llm_simhash_groups", "llm_bloom_decontaminate", "llm_heavy_hitters",
-    "llm_bm25")
+    "llm_bm25",
+    // round-8: exact-collapse fronting the banded join — the doc-level
+    // composition whose point is surviving exactly this staging's
+    // replication without the expanded form's output blow-up
+    "llm_simhash_pipeline")
 
   /** Stage the scaled fixture dir: fact tables + documents replicated
     * with offset keys as 32-file parquet directories, everything else

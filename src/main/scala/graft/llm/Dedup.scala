@@ -780,4 +780,46 @@ object Dedup {
         expr("n_docs * (n_docs - 1) DIV 2").as("pair_count"))
     cross.union(intra)
   }
+
+  /** Exact-collapse composed in FRONT of the simhash banding — the
+    * doc-level-pairs answer to the SF~10 output blow-up, the way
+    * [[dedupe]] fronts MinHash with [[exact]]: normalized-identical
+    * copies (the dominant dup mass in crawled corpora) collapse to one
+    * surviving representative first, [[simhashCandidates]] then runs
+    * over exact survivors only, and every reported survivor pair carries
+    * the collapsed copy counts — `pair_count = copies_a * copies_b` is
+    * exactly how many underlying doc pairs the pair expands to, and each
+    * multi-copy exact class reports its own C(n,2) mass as a
+    * (keep_id, keep_id, hamming 0) row. Total `pair_count` mass is
+    * IDENTICAL to `count(*)` of [[simhashCandidates]] on the full corpus
+    * (copies share their representative's fingerprint, so banding
+    * decisions are unchanged — property-tested), but the output is
+    * O(survivor pairs): the 100x-replication staging that made the
+    * expanded form output-bound (342.9 s at SF~10 — the answer itself
+    * was ~10^4x larger) costs this form one extra exact groupBy.
+    *
+    * Output: (doc_a, doc_b, hamming, copies_a, copies_b, pair_count);
+    * doc_a = doc_b with hamming 0 for the multi-copy exact classes.
+    */
+  def simhashPipeline(docs: DataFrame, bandBits: Int = 15, maxHamming: Int = 3,
+                      bits: Int = 60): DataFrame = {
+    val ex = exact(docs)
+    val counts = ex.select(col("keep_id").as("doc_id"),
+      col("n_docs").as("n_copies"))
+    val survivors = docs.join(counts, Seq("doc_id"))
+    val cross = simhashCandidates(survivors, bandBits, maxHamming, bits)
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_copies").as("copies_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_copies").as("copies_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("copies_a"), col("copies_b"),
+        expr("copies_a * copies_b").as("pair_count"))
+    val intra = ex.where(col("n_docs") > 1)
+      .select(col("keep_id").as("doc_a"), col("keep_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"),
+        col("n_docs").as("copies_a"), col("n_docs").as("copies_b"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("pair_count"))
+    cross.union(intra)
+  }
 }

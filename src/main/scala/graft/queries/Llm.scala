@@ -216,6 +216,13 @@ object Llm {
     "llm_simhash_groups" -> ((s, d) =>
       Dedup.simhashNearGroups(docs(s, d)).orderBy("sim_a", "sim_b")),
 
+    // exact-collapse fronting the banded join: doc-level survivor pairs
+    // with collapsed copy counts — total pair_count mass equals the
+    // expanded simhashCandidates answer, but output stays O(survivor
+    // pairs) under replication-heavy corpora (the SF~10 blow-up class)
+    "llm_simhash_pipeline" -> ((s, d) =>
+      Dedup.simhashPipeline(docs(s, d)).orderBy("doc_a", "doc_b", "hamming")),
+
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
 
     "llm_quality_filter" -> ((s, d) =>
@@ -701,6 +708,41 @@ object Llm {
          |          FROM grp WHERE n_docs > 1)
          |SELECT * FROM cross_g UNION ALL SELECT * FROM intra
          |ORDER BY sim_a, sim_b""".stripMargin,
+
+    "llm_simhash_pipeline" ->
+      s"""WITH ex AS (SELECT md5($NORM) AS fp, min(doc_id) AS keep_id,
+         |                   count(*) AS n_docs
+         |            FROM documents GROUP BY 1),
+         |surv AS (SELECT d.* FROM documents d JOIN ex ON d.doc_id = ex.keep_id),
+         |toks AS (SELECT DISTINCT doc_id, tok
+         |         FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM surv)),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+         |           FROM sim, unnest(generate_series(0, 3)) AS g(band)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |          FROM banded a JOIN banded b
+         |            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |cnt AS (SELECT keep_id AS doc_id, n_docs FROM ex),
+         |cross_p AS (SELECT p.doc_a, p.doc_b, p.hamming,
+         |                   ca.n_docs AS copies_a, cb.n_docs AS copies_b,
+         |                   ca.n_docs * cb.n_docs AS pair_count
+         |            FROM pairs p JOIN cnt ca ON p.doc_a = ca.doc_id
+         |                         JOIN cnt cb ON p.doc_b = cb.doc_id),
+         |intra AS (SELECT keep_id AS doc_a, keep_id AS doc_b,
+         |                 CAST(0 AS INT) AS hamming, n_docs AS copies_a,
+         |                 n_docs AS copies_b, n_docs * (n_docs - 1) // 2 AS pair_count
+         |          FROM ex WHERE n_docs > 1)
+         |SELECT * FROM cross_p UNION ALL SELECT * FROM intra
+         |ORDER BY doc_a, doc_b, hamming""".stripMargin,
 
     "llm_simhash_radius8" ->
       s"""WITH $tokCtes,

@@ -427,6 +427,31 @@ class LlmOperatorSpec extends SparkSpec {
       .forall(!_.dataType.typeName.contains("array")))
   }
 
+  test("simhashPipeline pair_count mass equals the expanded form on the full corpus") {
+    // docs 1/2/3 normalized-identical (one exact class, keep 1), 4 a
+    // near-dup text, 5 unrelated — copies share their representative's
+    // fingerprint, so banding decisions are unchanged by the collapse
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "ALPHA beta GAMMA delta epsilon zeta eta theta",
+      4L -> "alpha beta gamma delta epsilon zeta eta iota",
+      5L -> "completely unrelated words nothing shared here at all")
+    val expanded = Dedup.simhashCandidates(corpus).collect()
+    val out = Dedup.simhashPipeline(corpus).collect()
+    // every doc pair the expanded form emits is counted by exactly one
+    // pipeline row
+    assert(out.map(_.getLong(5)).sum == expanded.length.toLong)
+    // the exact class reports its own C(3,2) mass on the representative
+    val intra = out.filter(r => r.getLong(0) == r.getLong(1))
+    assert(intra.length == 1 && intra.head.getLong(0) == 1L
+      && intra.head.getLong(5) == 3L && intra.head.getInt(2) == 0)
+    // the survivor near-dup pair (1, 4) expands by the copy counts 3 x 1
+    val cross = out.filter(r => r.getLong(0) != r.getLong(1))
+    assert(cross.map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSet == Set((1L, 4L, 3L, 1L, 3L)))
+  }
+
   test("heavyHitters is exactly GROUP BY ... HAVING, even with a tiny noisy sketch") {
     val corpus = docs(
       1L -> "spark and flink and trino walk into a bar",
