@@ -206,6 +206,22 @@ class Context(val spark: SparkSession) {
   def set(key: String, value: String): Unit = spark.conf.set(key, value)
   def get(key: String): String = spark.conf.get(key)
 
+  /** Catalog introspection — the reference enables `information_schema`
+    * (`context.rs:44`) so clients can enumerate what they registered;
+    * the Spark-native equivalents are the catalog API (here) and
+    * `SHOW TABLES` / `DESCRIBE <table>` SQL text, which [[sql]] already
+    * executes (both SHOW and DESCRIBE return resultful frames).
+    */
+  def tables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** (column name, Spark SQL type string) per column — the
+    * `information_schema.columns` equivalent for one registered table.
+    */
+  def columns(table: String): Seq[(String, String)] =
+    spark.catalog.listColumns(table).collect()
+      .map(c => (c.name, c.dataType)).toSeq
+
   /** Reference `get_target_partitions` — the shuffle fan-out knob. */
   def targetPartitions: Int = spark.conf.get("spark.sql.shuffle.partitions").toInt
 }

@@ -26,6 +26,23 @@ class ContextSpec extends SparkSpec {
       .collect()(0).getLong(0) == 25L)
   }
 
+  test("catalog introspection mirrors the reference's information_schema") {
+    ctx.registerParquet("ctx_info_nation", s"$sfSmoke/nation.parquet")
+    // information_schema.tables equivalent: the registered name is
+    // enumerable through the facade AND through SHOW TABLES sql text
+    assert(ctx.tables().contains("ctx_info_nation"))
+    val shown = ctx.sql("SHOW TABLES").collect().map(_.getString(1))
+    assert(shown.contains("ctx_info_nation"))
+    // information_schema.columns equivalent: names + types, in schema order
+    val cols = ctx.columns("ctx_info_nation")
+    assert(cols.map(_._1) == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(cols.toMap.apply("n_name") == "string")
+    // DESCRIBE flows through sql() as a resultful frame
+    val desc = ctx.sql("DESCRIBE ctx_info_nation").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("n_nationkey") == "int")
+  }
+
   test("registerCsv honors header/delimiter and infers schema") {
     val dir = s"$tmp/csv"
     spark.read.parquet(s"$sfSmoke/region.parquet")
