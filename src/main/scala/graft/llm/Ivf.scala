@@ -68,6 +68,38 @@ object Ivf {
       .select(col("probe_id"), col("pe"), col("centroid_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding corpus (k-means centroids via [[train]], or any fixed
+    * centroid table), then prune WITHIN each cluster — a vector is
+    * dropped iff some smaller-id vector in its cluster clears
+    * `minCosine` (the same one-pass greedy min-id survivor rule
+    * [[Dedup.dedupe]] uses for text; compose [[Dedup.dupClusters]] over
+    * the dropped pairs when transitive-closure grouping is wanted
+    * instead). Engine-exact: the decision cosine is ROUND(...,6)'d the
+    * same way in the Spark plan and the oracle.
+    *
+    * Scale shape — the published SemDeDup design point: the assignment
+    * is [[assign]] (k-row centroid broadcast, map-side max_by, ~one row
+    * per vector crosses the wire), and the candidate join is a shuffle
+    * equi-join ON CLUSTER ID, so the quadratic term is bounded by
+    * cluster population — k grows with the corpus and the corpus never
+    * meets itself across clusters. No all-pairs, no corpus broadcast.
+    *
+    * Output: surviving (vec_id, centroid_id), one row per kept vector.
+    */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame,
+                    minCosine: Double): DataFrame = {
+    val a = assign(vecs, centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val dropped = a.as("x")
+      .join(a.as("y"), expr("x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id"))
+      .where(expr("CAST(ROUND(graft_cosine(x.embedding, y.embedding), 6) AS DOUBLE)")
+        >= minCosine)
+      .select(expr("y.vec_id").as("vec_id")).distinct()
+    a.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** IVF top-k: exact cosine over candidates from the probed clusters
     * only. Self-matches excluded, rank ties broken on cand_id.
     */

@@ -427,6 +427,18 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // SemDeDup composition on fixed centroids (same round-3 pattern as
+    // llm_ivf_topk: the query path is oracled without oracling k-means;
+    // the trained path is IvfSpec-covered). Threshold 0.4 drops a real
+    // slice at every scale (18/19/235 vectors at sf0.001/0.01/0.1)
+    "llm_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where("vec_id < 8")
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Ivf.semanticDedup(e, centroids, minCosine = 0.4).orderBy("vec_id")
+    }),
+
     "llm_embed_neardup" -> ((s, d) =>
       // 0.4: the synthetic embeddings have no true dups (max pairwise
       // cosine ~0.51 at sf0.01) — the cut keeps the entry non-empty
@@ -1067,6 +1079,26 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // mirrors the entry: nearest-centroid assignment ranks on the RAW
+    // cosine (both engines order the same bit-identical doubles), the
+    // drop decision compares the ROUND(...,6) cosine
+    "llm_semantic_dedup" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, embedding, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${duckCosineRaw("embedding", "centroid")} DESC, centroid_id) AS rn
+         |        FROM embeddings, cent),
+         |a AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT y.vec_id
+         |            FROM a x JOIN a y
+         |              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |            WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4)
+         |SELECT a.vec_id, a.centroid_id
+         |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY a.vec_id""".stripMargin,
 
     "llm_embed_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket

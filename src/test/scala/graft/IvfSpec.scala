@@ -54,4 +54,29 @@ class IvfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(all == exact)
   }
+
+  test("semanticDedup keeps the min-id vector per within-cluster duplicate set") {
+    import spark.implicits._
+    // two well-separated clusters on the axes; 10/11 near-identical in
+    // cluster 0 (drop 11), 20/21 near-identical in cluster 1 (drop 21),
+    // 12 in cluster 0 but dissimilar to 10/11 (survives) — cross-cluster
+    // similarity never compares (10 vs 20 are orthogonal anyway)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val cents = Seq((0, v(1.0, 0.0, 0.0)), (1, v(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val vecs = Seq(
+      (10L, v(1.0, 0.05, 0.0)),
+      (11L, v(0.99, 0.06, 0.0)),
+      (12L, v(0.6, 0.0, 0.8)),  // nearest centroid 0, cos vs 10 ~ 0.6
+      (20L, v(0.0, 1.0, 0.05)),
+      (21L, v(0.01, 0.99, 0.05)))
+      .toDF("vec_id", "embedding")
+    val out = Ivf.semanticDedup(vecs, cents, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((10L, 0), (12L, 0), (20L, 1)))
+    // at an exact-match threshold no pair clears (the near-identical
+    // pairs sit at cos ~ 0.99994 < 1.0) and everything survives
+    assert(Ivf.semanticDedup(vecs, cents, minCosine = 1.0)
+      .count() == 5L)
+  }
 }
