@@ -45,6 +45,52 @@ object Io {
     f.delete(): Unit
   }
 
+  /** Stage the events fixture as the FOUR mtime-ordered landing files the
+    * late-data streaming entries replay one micro-batch each (see the
+    * ts_stream_late_drop scaladoc for the watermark design): f1a = the
+    * on-time history up to H12 minus a held-back 10% md5 slice, f1b = the
+    * rest of the on-time history (H12, H6], f2 = the held-back slice
+    * arriving two batches late, f3 = the fresh tail (> H6). One parquet
+    * FILE per batch — the file source's unit of admission is a file, and
+    * mtime order (60 s apart) fixes the replay order. Returns the landing
+    * dir (caller deletes once the stream drains) and the staged schema.
+    */
+  private def stageLateLanding(s: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    Tables.register(s, d)
+    val evs = s.table("events").select("ts", "event_id", "event_type", "value")
+    val Array(h6, h12) = s.sql(
+      """SELECT date_trunc('HOUR', max(ts)) - INTERVAL 6 HOUR,
+        |       date_trunc('HOUR', max(ts)) - INTERVAL 12 HOUR
+        |FROM events""".stripMargin)
+      .head.toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+    val held =
+      expr("conv(substr(md5(cast(event_id AS STRING)),1,15),16,10) % 10 = 0")
+    val landing =
+      java.nio.file.Files.createTempDirectory("graft_stream_late").toString
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_one")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(landing, name)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      deleteRecursively(tmp.toFile)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stageOne(evs.where(col("ts") <= lit(h12) && !held), "f1a_ontime.parquet", t0)
+    stageOne(evs.where(col("ts") > lit(h12) && col("ts") <= lit(h6) && !held),
+      "f1b_ontime.parquet", t0 + 60000)
+    stageOne(evs.where(col("ts") <= lit(h6) && held), "f2_late.parquet", t0 + 120000)
+    stageOne(evs.where(col("ts") > lit(h6)), "f3_tail.parquet", t0 + 180000)
+    (landing, evs.schema)
+  }
+
   private def base(dir: String): String =
     s"/tmp/graft_io/${new java.io.File(dir).getName}"
 
@@ -323,40 +369,9 @@ object Io {
     // boundary ever falls exactly ON a watermark, so strict-vs-inclusive
     // comparisons cannot diverge silently.
     "ts_stream_late_drop" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, count, expr, lit, window}
-      Tables.register(s, d)
-      val evs = s.table("events").select("ts", "event_id", "event_type", "value")
-      val Array(h6, h12) = s.sql(
-        """SELECT date_trunc('HOUR', max(ts)) - INTERVAL 6 HOUR,
-          |       date_trunc('HOUR', max(ts)) - INTERVAL 12 HOUR
-          |FROM events""".stripMargin)
-        .head.toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
-      val held =
-        expr("conv(substr(md5(cast(event_id AS STRING)),1,15),16,10) % 10 = 0")
-      val landing =
-        java.nio.file.Files.createTempDirectory("graft_stream_late").toString
-      // one parquet FILE per batch: the file source's unit of admission is
-      // a file, and mtime order (60 s apart) fixes the replay order
-      def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtimeMs: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stage_one")
-        df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(f => f.getName.startsWith("part-")
-            && f.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(landing, name)
-        java.nio.file.Files.move(part.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-        deleteRecursively(tmp.toFile)
-      }
-      val t0 = System.currentTimeMillis() - 600000
-      stageOne(evs.where(col("ts") <= lit(h12) && !held), "f1a_ontime.parquet", t0)
-      stageOne(evs.where(col("ts") > lit(h12) && col("ts") <= lit(h6) && !held),
-        "f1b_ontime.parquet", t0 + 60000)
-      stageOne(evs.where(col("ts") <= lit(h6) && held), "f2_late.parquet", t0 + 120000)
-      stageOne(evs.where(col("ts") > lit(h6)), "f3_tail.parquet", t0 + 180000)
-      val stream = s.readStream.schema(evs.schema)
+      import org.apache.spark.sql.functions.{col, count, expr, window}
+      val (landing, schema) = stageLateLanding(s, d)
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
       val agg = stream.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -369,6 +384,34 @@ object Io {
         org.apache.spark.sql.streaming.OutputMode.Append())
       deleteRecursively(new java.io.File(landing))
       s.table(sink).orderBy("hour_ts", "event_type")
+    }),
+
+    // INCREMENTAL-EMISSION semantics, differentially oracled: the same
+    // four-file replay in UPDATE mode. Each micro-batch re-emits the
+    // CUMULATIVE aggregate of every group it touched (probed: dropped
+    // late rows touch nothing, eviction emits nothing, no-data batches
+    // emit nothing), so the memory sink accumulates a deterministic
+    // MULTISET — one row per (batch, touched group) carrying the
+    // group's cumulative count/sum as of that batch. The oracle tags
+    // each kept row with its batch number and replays the emission
+    // history as a windowed cumulative sum — Update mode's entire
+    // emission contract, value-checked.
+    "ts_stream_update_emit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, window}
+      val (landing, schema) = stageLateLanding(s, d)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count("*").as("n_events"),
+          sum(expr("CAST(value AS DECIMAL(18,6))")).as("sv"))
+        .select(col("w.start").as("hour_ts"), col("event_type"),
+          col("n_events"), expr("CAST(sv AS DOUBLE)").as("sum_value"))
+      val sink = "ts_stream_update_sink"
+      graft.streaming.Streams.runToMemory(agg, sink,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      deleteRecursively(new java.io.File(landing))
+      s.table(sink).orderBy("hour_ts", "event_type", "n_events")
     }),
 
     "ts_sessionize" -> ((s, d) => {
@@ -608,6 +651,39 @@ object Io {
         |WHERE date_trunc('hour', k.ts) + INTERVAL 1 HOUR <= wmfin.wm
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // Update mode's emission history: tag each kept row with its batch
+    // (the same 4-file split), then every (batch, group) with >= 1 kept
+    // row emits the group's CUMULATIVE aggregate as of that batch — a
+    // windowed cumulative sum over the batch ordering replays the
+    // multiset the memory sink accumulates
+    "ts_stream_update_emit" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   event_type, value FROM events),
+        |b AS (SELECT date_trunc('hour', max(ts)) - INTERVAL 6 HOUR AS h6,
+        |             date_trunc('hour', max(ts)) - INTERVAL 12 HOUR AS h12 FROM ev),
+        |tagged AS (SELECT ev.*, CASE
+        |             WHEN ts <= h6 AND ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT % 10 = 0 THEN 3
+        |             WHEN ts <= h12 THEN 1
+        |             WHEN ts <= h6 THEN 2
+        |             ELSE 4 END AS batch
+        |           FROM ev, b),
+        |wmf1a AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS wm
+        |          FROM tagged WHERE batch = 1),
+        |kept AS (SELECT t.* FROM tagged t, wmf1a
+        |         WHERE batch <> 3
+        |            OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wmf1a.wm),
+        |g AS (SELECT batch, date_trunc('hour', ts) AS h, event_type,
+        |             count(*) AS dn,
+        |             sum(CAST(value AS DECIMAL(18,6))) AS ds
+        |      FROM kept GROUP BY 1, 2, 3)
+        |SELECT CAST(h AS TIMESTAMP) AS hour_ts, event_type,
+        |       CAST(SUM(dn) OVER w AS BIGINT) AS n_events,
+        |       CAST(SUM(ds) OVER w AS DOUBLE) AS sum_value
+        |FROM g
+        |WINDOW w AS (PARTITION BY h, event_type ORDER BY batch
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY hour_ts, event_type, n_events""".stripMargin,
 
     "ts_sessionize" ->
       """SELECT user_id,
