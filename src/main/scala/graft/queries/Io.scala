@@ -414,6 +414,37 @@ object Io {
       s.table(sink).orderBy("hour_ts", "event_type", "n_events")
     }),
 
+    // STREAM-STREAM join execution path, differentially oracled — the
+    // third streaming family after the windowed/session aggregations and
+    // the late-data entries: the interval join keeps watermark-bounded
+    // state on BOTH sides and matches across micro-batches. On bounded,
+    // fully-drained input an INNER interval join emits exactly the batch
+    // answer, so the plain batch join is the oracle; the join itself
+    // runs through a real StreamingQuery (two file-source streams over
+    // the purchase/view slices of the fixture).
+    "ts_stream_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events").select("ts", "user_id", "event_type")
+      def side(t: String): String = {
+        val dir =
+          java.nio.file.Files.createTempDirectory(s"graft_stream_ij_$t").toString
+        evs.where(col("event_type") === t).write.mode("overwrite").parquet(dir)
+        dir
+      }
+      val pd = side("purchase")
+      val vd = side("view")
+      val joined = graft.streaming.Streams.intervalJoin(
+        graft.streaming.Streams.fromParquet(s, pd, evs.schema),
+        graft.streaming.Streams.fromParquet(s, vd, evs.schema))
+      val sink = "ts_stream_ij_sink"
+      graft.streaming.Streams.runToMemory(joined, sink,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      deleteRecursively(new java.io.File(pd))
+      deleteRecursively(new java.io.File(vd))
+      s.table(sink).orderBy("user_id", "left_ts", "right_ts")
+    }),
+
     "ts_sessionize" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -684,6 +715,19 @@ object Io {
         |WINDOW w AS (PARTITION BY h, event_type ORDER BY batch
         |             ROWS UNBOUNDED PRECEDING)
         |ORDER BY hour_ts, event_type, n_events""".stripMargin,
+
+    // bounded replay of a drained stream-stream INNER join equals the
+    // batch join — the oracle is the plain interval join
+    "ts_stream_interval_join" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |           FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view')
+        |SELECT l.user_id, l.ts AS left_ts, r.ts AS right_ts,
+        |       l.event_type AS left_type, r.event_type AS right_type
+        |FROM p l JOIN v r ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |ORDER BY l.user_id, left_ts, right_ts""".stripMargin,
 
     "ts_sessionize" ->
       """SELECT user_id,
