@@ -563,6 +563,49 @@ object Dedup {
     survivors.join(nonReps, Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupeClustered]] with QUALITY-RANKED survivor selection — the
+    * curation rule real corpus pipelines want: where the min-id rule
+    * keeps an arbitrary cluster member, scrapes that capture the same
+    * page from several mirrors should keep the CLEANEST, LONGEST copy
+    * (boilerplate-stripped mirrors rank above ad-littered ones). The
+    * survivor per duplicate component is argmax over (alnum_ratio,
+    * n_tokens, -doc_id) — the same alnum/token signals
+    * TextAnalysis.stats computes, ROUND(…,6)'d so both engines rank on
+    * identical values; doc_id breaks exact ties deterministically.
+    *
+    * Exact copies collapse to their min-id representative FIRST (shared
+    * [[survivorsAndPairs]] front half), which cannot change the outcome:
+    * a verbatim copy scores identically to its representative and
+    * carries a larger doc_id, so it could never have won the tie-break.
+    *
+    * Scale shape: identical to [[dedupeClustered]] plus one window over
+    * `cluster_rep` partitions — cluster populations are bounded by the
+    * verified near-dup cliques (LSH-pruned, never corpus-sized), so no
+    * partition of the window is a straggler; the scoring expressions are
+    * per-row codegen on the clustered docs only, and the final anti-join
+    * touches the drop set, not the corpus.
+    */
+  def dedupeByQuality(docs: DataFrame, jaccardThreshold: Double = 0.6,
+                      numHashes: Int = 8, bands: Int = 4,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val (survivors, pairs) = survivorsAndPairs(docs, jaccardThreshold,
+      numHashes, bands)
+    val labeled = dupClusters(pairs, checkpointDir = checkpointDir)
+    val scored = survivors.join(labeled, Seq("doc_id"))
+      .withColumn("__q_alnum", expr(
+        """ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '')) AS DOUBLE)
+          |      / NULLIF(length(text), 0), 6)""".stripMargin))
+      .withColumn("__q_tokens", expr("size(split(trim(text), '\\\\s+'))"))
+    val best = scored
+      .withColumn("__rn", expr(
+        """row_number() OVER (PARTITION BY cluster_rep
+          |  ORDER BY __q_alnum DESC NULLS LAST, __q_tokens DESC, doc_id)""".stripMargin))
+      .where(col("__rn") === 1)
+      .select("doc_id")
+    val drops = labeled.select("doc_id").join(best, Seq("doc_id"), "left_anti")
+    survivors.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** INCREMENTAL corpus dedup — the filter a production pipeline runs on
     * every NEW batch of crawled/ingested documents against the corpus it
     * already accepted: drop incoming docs that exactly or nearly

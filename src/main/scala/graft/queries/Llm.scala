@@ -248,6 +248,12 @@ object Llm {
     "llm_dedup_cc" -> ((s, d) =>
       Dedup.dedupeClustered(docs(s, d)).select("doc_id").orderBy("doc_id")),
 
+    // quality-ranked survivor selection: per duplicate component keep the
+    // cleanest/longest member (alnum ratio, then token count, then min
+    // doc_id) instead of dedupeClustered's arbitrary min-id rule
+    "llm_dedup_quality" -> ((s, d) =>
+      Dedup.dedupeByQuality(docs(s, d)).select("doc_id").orderBy("doc_id")),
+
     "llm_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
 
@@ -856,6 +862,36 @@ object Llm {
          |           HAVING doc_id <> min(lab))
          |SELECT doc_id FROM docs2
          |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
+         |ORDER BY doc_id""".stripMargin,
+
+    // same reachability closure, but the survivor per component is the
+    // quality argmax (alnum ratio, token count, min doc_id) — the oracle
+    // recomputes the scoring and the window rule independently
+    "llm_dedup_quality" ->
+      s"""WITH RECURSIVE fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS doc_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |comp AS (SELECT doc_id, min(lab) AS cluster_rep FROM reach GROUP BY doc_id),
+         |q AS (SELECT c.doc_id, c.cluster_rep,
+         |             ROUND(CAST(length(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                   / NULLIF(length(d.text), 0), 6) AS q_alnum,
+         |             length(string_split_regex(trim(d.text), '\\s+')) AS q_tokens
+         |      FROM comp c JOIN docs2 d ON d.doc_id = c.doc_id),
+         |best AS (SELECT doc_id FROM (
+         |           SELECT doc_id, row_number() OVER (PARTITION BY cluster_rep
+         |             ORDER BY q_alnum DESC NULLS LAST, q_tokens DESC, doc_id) AS rn
+         |           FROM q)
+         |         WHERE rn = 1),
+         |drops AS (SELECT doc_id FROM comp WHERE doc_id NOT IN (SELECT doc_id FROM best))
+         |SELECT doc_id FROM docs2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          |ORDER BY doc_id""".stripMargin,
 
     "llm_token_counts" ->

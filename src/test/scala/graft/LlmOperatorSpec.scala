@@ -124,6 +124,34 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("dedupeByQuality keeps the cleanest cluster member, not the min id") {
+    // docs 1-3 are one near-dup cluster; doc 2 is the punctuation-free
+    // (highest alnum ratio) member, so it wins over min-id doc 1; the
+    // singleton 4 survives untouched
+    val out = Dedup.dedupeByQuality(docs(
+      1L -> "one two three four five six seven eight !!! ###",
+      2L -> "one two three four five six seven eight",
+      3L -> "one two three four five six seven eight ... ???",
+      4L -> "totally different content with no overlap at all"),
+      jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L))
+  }
+
+  test("dedupeByQuality quality tie falls back to token count then min id") {
+    // equal alnum ratios: doc 6 is longer (more tokens) than near-dup 5,
+    // so it wins; survivor COUNT always equals dedupeClustered's
+    val d = docs(
+      5L -> "one two three four five six seven eight",
+      6L -> "one two three four five six seven eight nine",
+      7L -> "totally different content with no overlap at all")
+    val out = Dedup.dedupeByQuality(d, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(6L, 7L))
+    val nClustered = Dedup.dedupeClustered(d, jaccardThreshold = 0.5).count()
+    assert(out.size.toLong == nClustered)
+  }
+
   test("simhash: identical docs collide; candidates carry hamming 0") {
     val pairs = Dedup.simhashCandidates(docs(
       1L -> "alpha beta gamma delta epsilon zeta",
