@@ -153,6 +153,41 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Per-document NOVELTY scoring against the corpus — the doc-level
+    * counterpart of [[ngramStats]]/[[heavyHitters]]'s corpus-level views:
+    * for each document, the fraction of its distinct word n-grams whose
+    * corpus document frequency is <= `maxDf`. High rare_ratio marks
+    * content the corpus has not seen elsewhere (worth keeping for
+    * diversity); near-zero marks template/boilerplate mass that
+    * contributes nothing new — the standard cheap diversity filter next
+    * to the dedup family (which only acts on near-IDENTICAL docs; this
+    * scores partial overlap without needing a candidate pair).
+    *
+    * All-integer arithmetic until the final ROUND(…,6) ratio, so the
+    * score is deterministic under any aggregation order. Scale shape:
+    * the DF table is one shuffle on shingle with map-side partial
+    * counts; the join back is shingle-keyed (both sides already
+    * distinct per doc, never corpus×corpus); the per-doc rollup shuffles
+    * on doc_id. No broadcast of corpus state, no all-pairs term — cost
+    * tracks the shingle count linearly, same as the MinHash front half.
+    * Docs too short to shingle (< n words) surface with 0/0 counts and
+    * a NULL ratio rather than dropping out.
+    */
+  def novelty(docs: DataFrame, n: Int = 3, maxDf: Long = 2): DataFrame = {
+    val sh = Dedup.shingles(docs, n)
+    val dfTab = sh.groupBy("shingle").agg(count("*").as("__df"))
+    val perDoc = sh.join(dfTab, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_shingles"),
+        sum(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_ratio", expr(
+        "CAST(ROUND(CAST(n_rare AS DOUBLE) / NULLIF(n_shingles, 0), 6) AS DOUBLE)"))
+  }
+
   /** Heavy-hitter n-grams by EXACT document frequency, found through a
     * count-min-sketch prefilter — the threshold counterpart of
     * [[ngramStats]]'s top-k for when the corpus's distinct-gram

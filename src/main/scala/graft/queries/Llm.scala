@@ -321,6 +321,12 @@ object Llm {
     "llm_ngram_stats" -> ((s, d) =>
       TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
 
+    // per-doc novelty against the corpus: fraction of a doc's distinct
+    // 3-gram shingles with corpus document frequency <= 2 — integer
+    // counts until the final rounded ratio
+    "llm_novelty" -> ((s, d) =>
+      TextAnalysis.novelty(docs(s, d)).orderBy("doc_id")),
+
     // threshold heavy hitters through the CMS prefilter — exact result
     // (the oracle is the plain GROUP BY ... HAVING; the sketch pass is
     // invisible to it by the no-underestimate guarantee)
@@ -1028,6 +1034,19 @@ object Llm {
          |SELECT shingle, count(*) AS df
          |FROM sh GROUP BY 1
          |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "llm_novelty" ->
+      s"""WITH ${shingleCtes("documents")},
+         |f AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |pd AS (SELECT s.doc_id, count(*) AS n_shingles,
+         |              sum(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS n_rare
+         |       FROM sh s JOIN f USING (shingle) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(pd.n_rare, 0) AS BIGINT) AS n_rare,
+         |       CAST(ROUND(CAST(pd.n_rare AS DOUBLE) / NULLIF(pd.n_shingles, 0), 6) AS DOUBLE) AS rare_ratio
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_heavy_hitters" ->
       s"""WITH norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),

@@ -480,6 +480,23 @@ class LlmOperatorSpec extends SparkSpec {
       r.getLong(4), r.getLong(5))).toSet == Set((1L, 4L, 3L, 1L, 3L)))
   }
 
+  test("novelty scores rare-shingle fraction; short docs get NULL ratio") {
+    // shingle dfs: "a b c" = 3 docs (common), "b c d" = 2, "b c x" = 1;
+    // with maxDf = 2 both docs 1/2 score 1-of-2 rare, doc 3 likewise;
+    // doc 4 is too short to shingle -> 0/0/NULL
+    val out = TextAnalysis.novelty(docs(
+      1L -> "a b c d",
+      2L -> "a b c d",
+      3L -> "a b c x",
+      4L -> "x y"), n = 3, maxDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 1L, 0.5),
+      (4L, 0L, 0L, null)))
+  }
+
   test("heavyHitters is exactly GROUP BY ... HAVING, even with a tiny noisy sketch") {
     val corpus = docs(
       1L -> "spark and flink and trino walk into a bar",
