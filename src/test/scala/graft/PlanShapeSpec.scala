@@ -140,6 +140,12 @@ class PlanShapeSpec extends SparkSpec {
       "domain cap is not pruning below the per-domain window sort")
   }
 
+  test("llm_dedup_quality: cluster argmax prunes via WindowGroupLimit") {
+    val plan = staticPlan(SparkEntry.queries("llm_dedup_quality")(spark, sfSmoke))
+    assert(plan.contains("WindowGroupLimit"),
+      "quality survivor selection is not pruning below the per-cluster window sort")
+  }
+
   test("llm_bloom_decontaminate: bloom probe filters the corpus stream pre-join") {
     val plan = staticPlan(SparkEntry.queries("llm_bloom_decontaminate")(spark, sfSmoke))
     // the membership probe must appear as a Filter in the plan (corpus
