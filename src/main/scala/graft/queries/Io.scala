@@ -91,6 +91,40 @@ object Io {
     (landing, evs.schema)
   }
 
+  /** Shared body of the two stream-stream join entries: stage the
+    * purchase/view slices of events as two file-source landing dirs,
+    * drive [[graft.streaming.Streams.intervalJoin]] through a real
+    * StreamingQuery to a fixed-name memory sink, clean up the staging.
+    * On bounded, fully-drained input the INNER join emits exactly the
+    * batch answer; LEFT-OUTER additionally emits null-padded unmatched
+    * left rows once the final watermark evicts their join window (the
+    * no-data closing batch advances the watermark, so the emission set
+    * is deterministic).
+    */
+  private def streamIntervalJoin(s: SparkSession, d: String,
+                                 joinType: String, sink: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.register(s, d)
+    val evs = s.table("events").select("ts", "user_id", "event_type")
+    def side(t: String): String = {
+      val dir =
+        java.nio.file.Files.createTempDirectory(s"graft_stream_ij_$t").toString
+      evs.where(col("event_type") === t).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val pd = side("purchase")
+    val vd = side("view")
+    val joined = graft.streaming.Streams.intervalJoin(
+      graft.streaming.Streams.fromParquet(s, pd, evs.schema),
+      graft.streaming.Streams.fromParquet(s, vd, evs.schema),
+      joinType = joinType)
+    graft.streaming.Streams.runToMemory(joined, sink,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    deleteRecursively(new java.io.File(pd))
+    deleteRecursively(new java.io.File(vd))
+    s.table(sink).orderBy("user_id", "left_ts", "right_ts")
+  }
+
   private def base(dir: String): String =
     s"/tmp/graft_io/${new java.io.File(dir).getName}"
 
@@ -422,28 +456,20 @@ object Io {
     // answer, so the plain batch join is the oracle; the join itself
     // runs through a real StreamingQuery (two file-source streams over
     // the purchase/view slices of the fixture).
-    "ts_stream_interval_join" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      Tables.register(s, d)
-      val evs = s.table("events").select("ts", "user_id", "event_type")
-      def side(t: String): String = {
-        val dir =
-          java.nio.file.Files.createTempDirectory(s"graft_stream_ij_$t").toString
-        evs.where(col("event_type") === t).write.mode("overwrite").parquet(dir)
-        dir
-      }
-      val pd = side("purchase")
-      val vd = side("view")
-      val joined = graft.streaming.Streams.intervalJoin(
-        graft.streaming.Streams.fromParquet(s, pd, evs.schema),
-        graft.streaming.Streams.fromParquet(s, vd, evs.schema))
-      val sink = "ts_stream_ij_sink"
-      graft.streaming.Streams.runToMemory(joined, sink,
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      deleteRecursively(new java.io.File(pd))
-      deleteRecursively(new java.io.File(vd))
-      s.table(sink).orderBy("user_id", "left_ts", "right_ts")
-    }),
+    "ts_stream_interval_join" -> ((s, d) =>
+      streamIntervalJoin(s, d, "inner", "ts_stream_ij_sink")),
+
+    // LEFT-OUTER stream-stream join: the WATERMARK-EVICTION emission
+    // contract, differentially oracled. An unmatched left row emits
+    // null-padded only once the watermark PROVES no match can still
+    // arrive — probed empirically (sf0.001: of 202 purchases, 5 match,
+    // 195 emit outer, 2 stay unemitted): the row emits iff its join
+    // window upper bound (l.ts + 1h) is below the final watermark
+    // (min of both streams' ms-floored max ts, minus the 2h delay).
+    // The oracle recomputes match set, watermark, and eviction rule in
+    // SQL, so the emitted/held-back split is value-checked.
+    "ts_stream_outer_join" -> ((s, d) =>
+      streamIntervalJoin(s, d, "left_outer", "ts_stream_oj_sink")),
 
     "ts_sessionize" -> ((s, d) => {
       Tables.register(s, d)
@@ -728,6 +754,38 @@ object Io {
         |FROM p l JOIN v r ON l.user_id = r.user_id
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |ORDER BY l.user_id, left_ts, right_ts""".stripMargin,
+
+    // left-outer replay: matched rows are the batch join; an UNMATCHED
+    // left row emits null-padded iff its join window's upper bound
+    // (l.ts + 1h) is below the final watermark — min of both streams'
+    // ms-floored max event time minus the 2h delay (Spark's default
+    // multiple-watermark policy is min; flooring pinned by the
+    // late-drop entries)
+    "ts_stream_outer_join" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |           FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least(
+        |         (SELECT date_trunc('milliseconds', max(ts)) FROM p),
+        |         (SELECT date_trunc('milliseconds', max(ts)) FROM v))
+        |       - INTERVAL 2 HOUR AS w),
+        |m AS (SELECT l.user_id, l.ts AS left_ts, r.ts AS right_ts,
+        |             l.event_type AS left_type, r.event_type AS right_type
+        |      FROM p l JOIN v r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR),
+        |o AS (SELECT l.user_id, l.ts AS left_ts,
+        |             CAST(NULL AS TIMESTAMP) AS right_ts,
+        |             l.event_type AS left_type,
+        |             CAST(NULL AS VARCHAR) AS right_type
+        |      FROM p l
+        |      WHERE NOT EXISTS (SELECT 1 FROM v r
+        |                        WHERE r.user_id = l.user_id
+        |                          AND r.ts >= l.ts
+        |                          AND r.ts <= l.ts + INTERVAL 1 HOUR)
+        |        AND l.ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+        |SELECT * FROM m UNION ALL SELECT * FROM o
+        |ORDER BY user_id, left_ts, right_ts""".stripMargin,
 
     "ts_sessionize" ->
       """SELECT user_id,
