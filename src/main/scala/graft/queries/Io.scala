@@ -459,6 +459,71 @@ object Io {
     "ts_stream_interval_join" -> ((s, d) =>
       streamIntervalJoin(s, d, "inner", "ts_stream_ij_sink")),
 
+    // EXACTLY-ONCE dedup under at-least-once delivery, differentially
+    // oracled: the same events file lands TWICE (two identical files,
+    // mtime-ordered, one micro-batch each); dropDuplicatesWithinWatermark
+    // on event_id must keep each record exactly once — batch 1 admits
+    // every row, batch 2's verbatim re-delivery is dropped via keyed
+    // state. A broken dedup doubles every row and cannot hash-match the
+    // oracle (the plain distinct selection of the fixture).
+    "ts_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events").select("ts", "event_id", "event_type", "value")
+      val landing =
+        java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dd_stage")
+      evs.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      val t0 = System.currentTimeMillis() - 600000
+      Seq("f1_first.parquet" -> t0, "f2_redelivery.parquet" -> (t0 + 60000))
+        .foreach { case (name, mtime) =>
+          val dest = java.nio.file.Paths.get(landing, name)
+          java.nio.file.Files.copy(part.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+      deleteRecursively(tmp.toFile)
+      val stream = s.readStream.schema(evs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val deduped = graft.streaming.Streams.dedupStream(
+        stream, Seq("event_id"))
+      val sink = "ts_stream_dd_sink"
+      graft.streaming.Streams.runToMemory(deduped, sink,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      deleteRecursively(new java.io.File(landing))
+      s.table(sink).orderBy("event_id").select(
+        col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // CUSTOM KEYED STATE (mapGroupsWithState), differentially oracled:
+    // the typed Dataset[Event] path through runningUserStats — per-user
+    // state updated by a real StreamingQuery. One micro-batch over the
+    // drained fixture makes each user emit exactly one cumulative
+    // update, so the oracle is the plain per-user aggregate (count +
+    // max are aggregation-order independent, so the check is exact).
+    "ts_stream_running_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_mgs").toString
+      evs.write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(evs.schema).parquet(dir)
+      import s.implicits._
+      val updates = graft.streaming.Streams.runningUserStats(
+        stream.as[graft.streaming.Streams.Event])
+      val sink = "ts_stream_mgs_sink"
+      graft.streaming.Streams.runToMemory(updates.toDF(), sink,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      deleteRecursively(new java.io.File(dir))
+      s.table(sink).orderBy("user_id")
+    }),
+
     // LEFT-OUTER stream-stream join: the WATERMARK-EVICTION emission
     // contract, differentially oracled. An unmatched left row emits
     // null-padded only once the watermark PROVES no match can still
@@ -754,6 +819,17 @@ object Io {
         |FROM p l JOIN v r ON l.user_id = r.user_id
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |ORDER BY l.user_id, left_ts, right_ts""".stripMargin,
+
+    // exactly-once output from a doubled delivery == the plain fixture
+    "ts_stream_dedup" ->
+      """SELECT event_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // one drained micro-batch => one cumulative update per user; count
+    // and max are aggregation-order independent, so the check is exact
+    "ts_stream_running_stats" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // left-outer replay: matched rows are the batch join; an UNMATCHED
     // left row emits null-padded iff its join window's upper bound
