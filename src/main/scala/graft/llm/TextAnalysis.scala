@@ -289,6 +289,36 @@ object TextAnalysis {
     * Output: (doc_id, top_gram, top_n, n_grams, n_distinct, top_frac,
     * dup_ratio) — all scalar columns.
     */
+  /** Token-distribution DIVERSITY per document: the Gini–Simpson index
+    * (1 - Σp²) and the effective vocabulary size (inverse Simpson,
+    * n²/Σcnt² — the Hill number of order 2), the perplexity-style
+    * "how concentrated is this doc's token distribution" signal next to
+    * [[repetition]]'s top-1/distinct-count gram views. Low eff_vocab on
+    * a long doc marks keyword-stuffing / generated loops that unigram
+    * counts alone miss. Deliberately NOT Shannon entropy: log is not
+    * correctly-rounded IEEE, so a JVM-vs-C log2 can differ in the last
+    * ulp and break the cross-engine differential — Σcnt² stays exact
+    * 64-bit integer all the way, so both indices are bit-identical in
+    * any engine after the single final division. Scale shape: one
+    * explode + two keyed aggregations (both with map-side partials);
+    * no window, no join, no corpus state.
+    */
+  def tokenDiversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count("*").as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("cnt * cnt")).as("__s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("""CAST(ROUND(1.0 - CAST(__s2 AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+                AS DOUBLE)""").as("simpson"),
+        expr("""CAST(ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                / CAST(__s2 AS DOUBLE), 6) AS DOUBLE)""").as("eff_vocab"))
+
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
     val grams = docs
       .select(col("doc_id"), expr(s"split(${Dedup.normalizeExpr}, ' ')").as("w"))

@@ -327,6 +327,11 @@ object Llm {
     "llm_novelty" -> ((s, d) =>
       TextAnalysis.novelty(docs(s, d)).orderBy("doc_id")),
 
+    // Gini–Simpson + effective vocabulary (Σcnt² stays exact integer —
+    // the log-free perplexity proxy)
+    "llm_token_diversity" -> ((s, d) =>
+      TextAnalysis.tokenDiversity(docs(s, d)).orderBy("doc_id")),
+
     // threshold heavy hitters through the CMS prefilter — exact result
     // (the oracle is the plain GROUP BY ... HAVING; the sketch pass is
     // invisible to it by the no-underestimate guarantee)
@@ -1047,6 +1052,22 @@ object Llm {
          |       CAST(ROUND(CAST(pd.n_rare AS DOUBLE) / NULLIF(pd.n_shingles, 0), 6) AS DOUBLE) AS rare_ratio
          |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_token_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |              FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+         |             sum(cnt * cnt) AS s2
+         |      FROM tc GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct,
+         |       CAST(ROUND(1.0 - CAST(s2 AS DOUBLE)
+         |            / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+         |            AS DOUBLE) AS simpson,
+         |       CAST(ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+         |            / CAST(s2 AS DOUBLE), 6) AS DOUBLE) AS eff_vocab
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "llm_heavy_hitters" ->
       s"""WITH norm AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),

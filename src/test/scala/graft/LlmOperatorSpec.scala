@@ -480,6 +480,17 @@ class LlmOperatorSpec extends SparkSpec {
       r.getLong(4), r.getLong(5))).toSet == Set((1L, 4L, 3L, 1L, 3L)))
   }
 
+  test("tokenDiversity: Simpson and effective vocabulary, hand-computed") {
+    // doc 1 "a a b": counts {a:2, b:1}, n=3, s2=5 -> simpson = 1 - 5/9,
+    // eff_vocab = 9/5; doc 2 "a b c": uniform -> 1 - 3/9, eff = 3
+    val out = TextAnalysis.tokenDiversity(docs(1L -> "a a b", 2L -> "a b c"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 0.444444, 1.8), (2L, 3L, 3L, 0.666667, 3.0)))
+  }
+
   test("novelty scores rare-shingle fraction; short docs get NULL ratio") {
     // shingle dfs: "a b c" = 3 docs (common), "b c d" = 2, "b c x" = 1;
     // with maxDf = 2 both docs 1/2 score 1-of-2 rare, doc 3 likewise;
