@@ -197,4 +197,27 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id"))
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * EVALUATION operator every ANN deployment needs before trusting an
+    * index: both inputs are (probe_id, cand_id, ...) result sets (any of
+    * [[bruteForceTopK]] / [[lshTopK]] / [[graft.llm.Ivf.topK]]); output
+    * is per-probe n_exact / n_hit / recall. All-integer until the final
+    * ROUND(…,6) ratio, so the score is deterministic as long as both
+    * result sets are (both rank with the cand_id tie-break). Scale
+    * shape: one equi-join on (probe_id, cand_id) + keyed counts — cost
+    * tracks |probes|·k, never the corpus.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select("probe_id", "cand_id")
+      .join(approx.select("probe_id", "cand_id"),
+        Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count("*").as("n_hit"))
+    exact.groupBy("probe_id").agg(count("*").as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", expr(
+        "CAST(ROUND(CAST(n_hit AS DOUBLE) / NULLIF(n_exact, 0), 6) AS DOUBLE)"))
+  }
 }

@@ -444,6 +444,22 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // ANN EVALUATION: recall@3 of the LSH-bucketed ANN against the exact
+    // brute-force top-3, per probe — the accept/reject measurement an
+    // index deployment runs before trusting approximate results. The
+    // 8-plane single-band bucketing genuinely misses neighbors outside
+    // the probe's bucket, so the entry exercises the partial-recall and
+    // zero-hit paths, not just agreement. Integer hit counts until the
+    // final rounded ratio; both rankings tie-break on cand_id, so both
+    // result sets (and hence the recall) are deterministic.
+    "llm_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.where("vec_id < 16")
+      val exact = Similarity.bruteForceTopK(probes, e, 3)
+      val approx = Similarity.lshTopK(probes, e, 3, planes = 8)
+      Similarity.annRecall(exact, approx).orderBy("probe_id")
+    }),
+
     // SemDeDup composition on fixed centroids (same round-3 pattern as
     // llm_ivf_topk: the query path is oracled without oracling k-means;
     // the trained path is IvfSpec-covered). Threshold 0.4 drops a real
@@ -1155,6 +1171,43 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // exact top-3 (cosine_topk CTEs, probes < 16) vs the LSH-bucketed
+    // ANN (ann_bucketed CTEs) -> per-probe hit counts -> rounded recall
+    "llm_ann_recall" ->
+      s"""WITH ex_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ex_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ex_pairs),
+         |ex AS (SELECT probe_id, cand_id FROM ex_ranked WHERE rank <= 3),
+         |b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
+         |      FROM embeddings),
+         |ap_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ap_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ap_pairs),
+         |ap AS (SELECT probe_id, cand_id FROM ap_ranked WHERE rank <= 3),
+         |hits AS (SELECT e.probe_id, count(*) AS n_hit
+         |         FROM ex e JOIN ap a
+         |           ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+         |         GROUP BY e.probe_id),
+         |tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+         |SELECT t.probe_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
+         |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
+         |ORDER BY t.probe_id""".stripMargin,
 
     // mirrors the entry: nearest-centroid assignment ranks on the RAW
     // cosine (both engines order the same bit-identical doubles), the

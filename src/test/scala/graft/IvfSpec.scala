@@ -44,6 +44,19 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall ($hits/${exact1.size})")
   }
 
+  test("annRecall: hand-built result sets score hit/partial/zero probes") {
+    import spark.implicits._
+    // probe 1: approx found both exact neighbors; probe 2: one of two;
+    // probe 3: none (absent from approx entirely -> left-join zero path)
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("probe_id", "cand_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("probe_id", "cand_id")
+    val out = Similarity.annRecall(exact, approx).orderBy("probe_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
   test("nprobe = k degenerates to exact search") {
     val probes = emb.where("vec_id < 10")
     val all = Ivf.topK(probes, emb, centroids, k = 3, nprobe = 8)
