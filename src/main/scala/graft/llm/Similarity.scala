@@ -152,13 +152,17 @@ object Similarity {
     * nulls, every plane dot would go NULL, and the whole corpus would
     * silently collapse into bucket 0 — an O(n²) candidate join.
     */
-  def lshBucket(emb: String, planes: Int, dims: Int = 64): Column = {
-    val bits = (0 until planes).map { p =>
+  def lshBucket(emb: String, planes: Int, dims: Int = 64,
+                planeOffset: Int = 0): Column = {
+    val bits = (0 until planes).map { j =>
+      val p = planeOffset + j
       val lit = planeVector(p, dims).mkString("array(", "D, ", "D)")
       val d = s"""aggregate(zip_with(slice($emb, 1, $dims), slice($lit, 1, size($emb)),
                  |  (x, c) -> CAST(x AS DOUBLE) * c),
                  |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-      s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      // bit position is j (0 until planes), NOT the plane index: with a
+      // planeOffset the bucket id stays a dense `planes`-bit code
+      s"CASE WHEN ($d) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }
     expr(bits.mkString(" + "))
   }
@@ -192,6 +196,47 @@ object Similarity {
     val cb = corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("ce"), lshBucket("embedding", planes, dims).as("bucket"))
     val pairs = pb.join(cb, Seq("bucket")).where(expr("cand_id <> probe_id"))
+      .select(col("probe_id"), col("cand_id"), cosine("pe", "ce").as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Multi-band LSH top-k — the production form of [[lshTopK]]: a
+    * single `planes`-bit band demands agreement on every bit, so recall
+    * collapses as the corpus grows (measured: the one-band index scores
+    * recall 0 at sf0.1 — see `llm_ann_recall`). Banding ORs the match
+    * condition instead: `bands` independent 2^planesPerBand-bucket
+    * codes over DISJOINT hyperplane sets (band b uses planes
+    * [b·q, (b+1)·q)), a pair is a candidate if ANY band agrees, and
+    * candidates dedup before the exact-cosine ranking — the same
+    * OR-of-ANDs amplification MinHash banding uses for text.
+    *
+    * Scale shape: each side explodes to `bands` rows (linear, stays in
+    * the scan stage), the candidate join is an equi-join on
+    * (band, bucket) — never all-pairs — and the dedup + rank touch only
+    * candidate pairs. Recall/cost tune independently of the fingerprint
+    * width: more bands -> more recall, more candidates.
+    */
+  def lshTopKBanded(probes: DataFrame, corpus: DataFrame, k: Int,
+                    bands: Int = 4, planesPerBand: Int = 8,
+                    dims: Int = 64): DataFrame = {
+    def banded(df: DataFrame, id: String, e: String): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          lshBucket("embedding", planesPerBand, dims,
+            planeOffset = b * planesPerBand).as("bucket"))
+      }
+      df.select(col("vec_id").as(id), col("embedding").as(e),
+        explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(e), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
+    val pairs = banded(probes, "probe_id", "pe")
+      .join(banded(corpus, "cand_id", "ce"), Seq("band", "bucket"))
+      .where(expr("cand_id <> probe_id"))
+      .select("probe_id", "pe", "cand_id", "ce")
+      .distinct()
       .select(col("probe_id"), col("cand_id"), cosine("pe", "ce").as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("cand_id"))

@@ -133,12 +133,27 @@ object Llm {
   private def duckPlane(p: Int, dims: Int): String =
     Similarity.planeVector(p, dims).mkString("[", ", ", "]")
 
-  private def duckBucket(e: String, planes: Int, dims: Int): String =
-    (0 until planes).map { p =>
+  private def duckBucket(e: String, planes: Int, dims: Int,
+                         planeOffset: Int = 0): String =
+    (0 until planes).map { j =>
+      val p = planeOffset + j
       // LEAST(len, dims): mirrors lshBucket's two-sided slice exactly
       val d = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, LEAST(len($e), $dims)), i -> CAST($e[i] AS DOUBLE) * (${duckPlane(p, dims)}[i]))), (acc, v) -> acc + v)"
-      s"CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      // bit position j, not plane index — mirrors lshBucket's dense code
+      s"CASE WHEN ($d) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
+
+  /** Banded-bucket CTE: every vector exploded to (vec_id, embedding,
+    * band, bucket) rows over `bands` DISJOINT plane sets — the oracle
+    * twin of [[graft.llm.Similarity.lshTopKBanded]]'s candidate side.
+    */
+  private def duckBandedCte(bands: Int, planesPerBand: Int,
+                            dims: Int): String =
+    (0 until bands).map { b =>
+      s"""SELECT vec_id, embedding, $b AS band,
+         |${duckBucket("embedding", planesPerBand, dims, b * planesPerBand)} AS bucket
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** Deterministic PII injection for the scrub entry (the fixture text has
     * no natural emails/phones/IPs): ids selected by modulus get a synthetic
@@ -408,6 +423,28 @@ object Llm {
       val e = emb(s, d)
       Similarity.lshTopK(e.where("vec_id < 16"), e, 3, planes = 8)
         .orderBy("probe_id", "rank")
+    }),
+
+    // multi-band LSH ANN: 4 bands of 8 disjoint hyperplanes, candidate
+    // if ANY band agrees (OR-of-ANDs amplification) — the production
+    // answer to the one-band index's recall collapse
+    "llm_ann_banded" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopKBanded(e.where("vec_id < 16"), e, 3,
+        bands = 4, planesPerBand = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // the measurement pair: recall@3 of the banded index against brute
+    // force — quantifies how much the OR-of-bands recovers over
+    // llm_ann_recall's one-band baseline
+    "llm_ann_recall_banded" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.where("vec_id < 16")
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(probes, e, 3),
+        Similarity.lshTopKBanded(probes, e, 3, bands = 4, planesPerBand = 8))
+        .orderBy("probe_id")
     }),
 
     // unit-normalize the embedding table (after this, cosine == dot).
@@ -1171,6 +1208,66 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // candidates = DISTINCT pairs agreeing in ANY of the 4 disjoint
+    // 8-plane bands, then exact-cosine rank — mirrors lshTopKBanded
+    "llm_ann_banded" ->
+      s"""WITH bb AS (${duckBandedCte(4, 8, 64)}),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+         |         FROM bb p JOIN bb c
+         |           ON p.band = c.band AND p.bucket = c.bucket
+         |          AND c.vec_id <> p.vec_id
+         |         WHERE p.vec_id < 16),
+         |pairs AS (SELECT k.probe_id, k.cand_id,
+         |                 ${duckCosine("pe.embedding", "ce.embedding")} AS cos
+         |          FROM cand k
+         |          JOIN embeddings pe ON pe.vec_id = k.probe_id
+         |          JOIN embeddings ce ON ce.vec_id = k.cand_id),
+         |ranked AS (SELECT probe_id, cand_id, cos,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id
+         |                    ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_ann_recall_banded" ->
+      s"""WITH ex_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ex_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ex_pairs),
+         |ex AS (SELECT probe_id, cand_id FROM ex_ranked WHERE rank <= 3),
+         |bb AS (${duckBandedCte(4, 8, 64)}),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+         |         FROM bb p JOIN bb c
+         |           ON p.band = c.band AND p.bucket = c.bucket
+         |          AND c.vec_id <> p.vec_id
+         |         WHERE p.vec_id < 16),
+         |ap_pairs AS (SELECT k.probe_id, k.cand_id,
+         |                    ${duckCosine("pe.embedding", "ce.embedding")} AS cos
+         |             FROM cand k
+         |             JOIN embeddings pe ON pe.vec_id = k.probe_id
+         |             JOIN embeddings ce ON ce.vec_id = k.cand_id),
+         |ap_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ap_pairs),
+         |ap AS (SELECT probe_id, cand_id FROM ap_ranked WHERE rank <= 3),
+         |hits AS (SELECT e.probe_id, count(*) AS n_hit
+         |         FROM ex e JOIN ap a
+         |           ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+         |         GROUP BY e.probe_id),
+         |tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+         |SELECT t.probe_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
+         |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
+         |ORDER BY t.probe_id""".stripMargin,
 
     // exact top-3 (cosine_topk CTEs, probes < 16) vs the LSH-bucketed
     // ANN (ann_bucketed CTEs) -> per-probe hit counts -> rounded recall

@@ -297,6 +297,30 @@ class LlmOperatorSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("lshTopKBanded with one band is exactly lshTopK; more bands only add") {
+    val vecs = Tables.load(spark, sfSmoke, "embeddings")
+    val probes = vecs.where("vec_id < 16")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val one = keyed(Similarity.lshTopK(probes, vecs, 3, planes = 8))
+    val oneBanded = keyed(
+      Similarity.lshTopKBanded(probes, vecs, 3, bands = 1, planesPerBand = 8))
+    assert(oneBanded == one)
+    // band 0 of the 4-band index IS the one-band bucket, so the banded
+    // candidate set is a superset: per-probe hit count cannot decrease
+    val exact = Similarity.bruteForceTopK(probes, vecs, 3)
+    def recallByProbe(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.annRecall(exact, approx).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r1 = recallByProbe(Similarity.lshTopK(probes, vecs, 3, planes = 8))
+    val r4 = recallByProbe(
+      Similarity.lshTopKBanded(probes, vecs, 3, bands = 4, planesPerBand = 8))
+    r1.foreach { case (p, hits1) =>
+      assert(r4(p) >= hits1, s"probe $p lost hits going one-band -> banded")
+    }
+  }
+
   test("randomProject signs match lshBucket bits (shared hyperplanes)") {
     val vecs = Tables.load(spark, sfSmoke, "embeddings")
     val rows = Similarity.randomProject(vecs, outDims = 8)
