@@ -74,15 +74,22 @@ class StreamingSpec extends SparkSpec {
       .select("ts", "user_id", "event_type", "value")
     // stage the fixture as a "landing directory" the stream tails
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    batchEvents.write.mode("overwrite").parquet(dir)
-    val stream = Streams.fromParquet(spark, dir, batchEvents.schema)
-    Streams.runToMemory(
-      Streams.windowedCounts(stream), "evt_stream_agg", OutputMode.Complete())
-    val streamed = spark.table("evt_stream_agg")
-      .orderBy("window_start", "event_type").collect().toSeq
-    val batch = Streams.windowedCounts(batchEvents)
-      .orderBy("window_start", "event_type").collect().toSeq
-    assert(streamed.nonEmpty && streamed == batch)
+    try {
+      batchEvents.write.mode("overwrite").parquet(dir)
+      val stream = Streams.fromParquet(spark, dir, batchEvents.schema)
+      Streams.runToMemory(
+        Streams.windowedCounts(stream), "evt_stream_agg", OutputMode.Complete())
+      val streamed = spark.table("evt_stream_agg")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = Streams.windowedCounts(batchEvents)
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("flatMapGroupsWithState emits only when the running max changes") {
