@@ -498,6 +498,54 @@ object Io {
         col("event_id"), col("event_type"), col("value"))
     }),
 
+    // CONDITIONAL EMISSION (flatMapGroupsWithState), differentially
+    // oracled: the zero-or-many path mapGroups cannot express. Events
+    // replay as TWO ts-split micro-batches (history up to H12 =
+    // trunc-hour(max ts) - 12h, then the tail); a user emits in batch 1
+    // iff they have any history (first max always beats the initial
+    // state) and in batch 2 iff their tail max EXCEEDS their history
+    // max — quiet users stay silent. The oracle recomputes both halves'
+    // per-user count/max and the strict-improvement rule in SQL, so the
+    // emitted multiset (including the silent users) is value-checked.
+    "ts_stream_alerts" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val Array(h12) = s.sql(
+        """SELECT date_trunc('HOUR', max(ts)) - INTERVAL 12 HOUR
+          |FROM events""".stripMargin)
+        .head.toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+      val landing =
+        java.nio.file.Files.createTempDirectory("graft_stream_al").toString
+      val t0 = System.currentTimeMillis() - 600000
+      Seq(("f1_history.parquet", col("ts") <= lit(h12), t0),
+        ("f2_tail.parquet", col("ts") > lit(h12), t0 + 60000))
+        .foreach { case (name, pred, mtime) =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_stream_al_s")
+          evs.where(pred).repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-")
+              && f.getName.endsWith(".parquet")).get
+          val dest = java.nio.file.Paths.get(landing, name)
+          java.nio.file.Files.move(part.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+          deleteRecursively(tmp.toFile)
+        }
+      val stream = s.readStream.schema(evs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      import s.implicits._
+      val alerts = graft.streaming.Streams.maxValueAlerts(
+        stream.as[graft.streaming.Streams.Event])
+      val sink = "ts_stream_al_sink"
+      graft.streaming.Streams.runToMemory(alerts.toDF(), sink,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      deleteRecursively(new java.io.File(landing))
+      s.table(sink).orderBy("user_id", "n_events")
+    }),
+
     // CUSTOM KEYED STATE (mapGroupsWithState), differentially oracled:
     // the typed Dataset[Event] path through runningUserStats — per-user
     // state updated by a real StreamingQuery. One micro-batch over the
@@ -830,6 +878,29 @@ object Io {
     "ts_stream_running_stats" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch 1 emits every user with history; batch 2 emits only strict
+    // max improvements (cumulative count, overall max)
+    "ts_stream_alerts" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |                  CAST(value AS DOUBLE) AS value
+        |           FROM events),
+        |b AS (SELECT date_trunc('HOUR', max(ts)) - INTERVAL 12 HOUR AS h12
+        |      FROM e),
+        |h1 AS (SELECT user_id, count(*) AS n1, max(value) AS m1
+        |       FROM e, b WHERE ts <= h12 GROUP BY user_id),
+        |h2 AS (SELECT user_id, count(*) AS n2, max(value) AS m2
+        |       FROM e, b WHERE ts > h12 GROUP BY user_id),
+        |e1 AS (SELECT user_id, CAST(n1 AS BIGINT) AS n_events,
+        |              m1 AS max_value
+        |       FROM h1),
+        |e2 AS (SELECT h2.user_id,
+        |              CAST(COALESCE(h1.n1, 0) + h2.n2 AS BIGINT) AS n_events,
+        |              GREATEST(COALESCE(h1.m1, h2.m2), h2.m2) AS max_value
+        |       FROM h2 LEFT JOIN h1 ON h1.user_id = h2.user_id
+        |       WHERE h1.user_id IS NULL OR h2.m2 > h1.m1)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |ORDER BY user_id, n_events""".stripMargin,
 
     // left-outer replay: matched rows are the batch join; an UNMATCHED
     // left row emits null-padded iff its join window's upper bound
