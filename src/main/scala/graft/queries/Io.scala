@@ -251,6 +251,72 @@ object Io {
         .orderBy("c_mktsegment")
     }),
 
+    // schema evolution: two parquet generations of the same table — the
+    // later one grew a column — read as ONE table via mergeSchema (the
+    // listing-table reality after any live pipeline adds a field; reference
+    // users rely on the scan-level schema union). Early-generation rows
+    // surface the new column as NULL; the oracle recomputes the same split
+    // from the original fixture, so a dropped generation, a misaligned
+    // column, or default-filled-instead-of-NULL all hash-mismatch.
+    "src_merge_schema" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = s"${base(d)}/orders_evolved"
+      orders.where("o_orderkey % 2 = 0")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      orders.where("o_orderkey % 2 = 1")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("__pre_evolution")).as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_tp"))
+        .orderBy("status")
+    }),
+
+    // small-file compaction (operators/Compact): 64 tiny files coalesced —
+    // no shuffle — to the byte-target count, then the compacted copy is
+    // aggregated against an oracle over the ORIGINAL fixture, so any row
+    // lost or duplicated by the rewrite hash-mismatches. File-count
+    // mechanics are pinned by CompactSpec; this entry proves losslessness.
+    "sink_compact_small_files" -> ((s, d) => {
+      val staged = s"${base(d)}/compact_in"
+      val compacted = s"${base(d)}/compact_out"
+      t(s, d, "events").repartition(64)
+        .write.mode("overwrite").parquet(staged)
+      graft.operators.Compact.parquetDir(s, staged, compacted,
+        targetBytes = 64L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // z-order layout (operators/ZOrder): Morton-interleave
+    // (l_partkey, l_suppkey), then bucket the z-range with exact integer
+    // arithmetic (z * 8 div (max+1) — `div`, not `/`: float division could
+    // round a near-integer quotient the wrong way) and report each
+    // bucket's bounding box in BOTH dimensions. Every row's 42-bit
+    // interleave feeds some bucket's min/max, so one wrong bit anywhere
+    // hash-mismatches; the per-file locality the layout buys is asserted
+    // in ZOrderSpec.
+    "layout_zorder" -> ((s, d) => {
+      import graft.operators.ZOrder
+      val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .withColumn("z", ZOrder.zvalue(col("l_partkey"), col("l_suppkey")))
+      val zmax = li.agg(max("z").as("zmax"))
+      li.crossJoin(broadcast(zmax))
+        .withColumn("bucket", expr("z * 8 div (zmax + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"),
+          min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("bucket")
+    }),
+
     // ---- partitioning surface -------------------------------------------
     "repartition_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -668,6 +734,43 @@ object Io {
         .orderBy("event_id")
     }),
 
+    // ordered conversion funnel view → click → purchase, 7-day max gap per
+    // step (operators/Funnel): per-user frontier timestamps as exact epoch
+    // micros + step_reached. The oracle replays the frontier-greedy rule as
+    // three chained min-aggregates in SQL — a wrong strictness ('>=' for
+    // '>'), a wrong horizon bound, or a lost stalling user all change the
+    // multiset. Micros-exact: both engines work in the micro-truncated
+    // domain (CAST(ts AS TIMESTAMP) in DuckDB) and epoch_us/unix_micros
+    // are integer, so no rounding anywhere.
+    "ts_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val steps = Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"))
+      graft.operators.Funnel.ordered(ev, "user_id", "ts", steps,
+          Some("INTERVAL 7 DAYS"))
+        .selectExpr("user_id",
+          "unix_micros(view_ts) AS view_us",
+          "unix_micros(click_ts) AS click_us",
+          "unix_micros(purchase_ts) AS purchase_us",
+          ("CAST(1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END" +
+            " + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END AS INT)" +
+            " AS step_reached"))
+        .orderBy("user_id")
+    }),
+
+    // daily resample + gap fill with LOCF (operators/Resample): the dense
+    // per-user day spine materializes missing days as zero-count rows and
+    // carries the last observed daily sum forward. The oracle rebuilds the
+    // spine with generate_series and the carry with IGNORE NULLS window
+    // SQL; sums ride DECIMAL until the output edge.
+    "ts_gap_fill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Resample.locfDaily(ev, "user_id", "ts", "value")
+        .orderBy("user_id", "day")
+    }),
+
     // catalog DML: CTAS + INSERT INTO a managed parquet table, then read
     // back (reference DmlNode INSERT/CTAS, datafusion.proto:269-283) —
     // the oracle aggregates the original rows, so a lost or duplicated
@@ -744,6 +847,31 @@ object Io {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "src_merge_schema" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |            ELSE '__pre_evolution' END AS status,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "sink_compact_small_files" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "layout_zorder" -> {
+      val z = graft.operators.ZOrder.zvalueSql("l_partkey", "l_suppkey")
+      s"""WITH li AS (SELECT l_partkey, l_suppkey, $z AS z FROM lineitem),
+         |m AS (SELECT max(z) AS zmax FROM li)
+         |SELECT (z * 8) // (zmax + 1) AS bucket, count(*) AS n_rows,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+         |       min(z) AS min_z, max(z) AS max_z
+         |FROM li CROSS JOIN m
+         |GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "repartition_agg" ->
       """SELECT l_linestatus, count(*) AS n_items,
@@ -1011,6 +1139,42 @@ object Io {
         |SELECT v.event_id, v.user_id, v.ts AS v_ts, p.p_value
         |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
+
+    "ts_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT s1.user_id, epoch_us(t1) AS view_us, epoch_us(t2) AS click_us,
+        |       epoch_us(t3) AS purchase_us,
+        |       CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT) AS step_reached
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "ts_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |            FROM events),
+        |daily AS (SELECT user_id, day, count(*) AS n_events,
+        |                 SUM(CAST(value AS DECIMAL(18,2))) AS s
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT u.user_id, CAST(gs.g AS DATE) AS day
+        |          FROM (SELECT DISTINCT user_id FROM ev) u
+        |          CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g
+        |                      FROM b) gs)
+        |SELECT sp.user_id, sp.day,
+        |       COALESCE(dl.n_events, 0) AS n_events,
+        |       CAST(COALESCE(dl.s, 0) AS DOUBLE) AS day_sum,
+        |       CAST(last_value(dl.s IGNORE NULLS)
+        |              OVER (PARTITION BY sp.user_id ORDER BY sp.day) AS DOUBLE) AS locf_sum
+        |FROM spine sp LEFT JOIN daily dl ON sp.user_id = dl.user_id AND sp.day = dl.day
+        |ORDER BY sp.user_id, sp.day""".stripMargin,
 
     "ddl_ctas_insert" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
