@@ -18,21 +18,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and floor-divide to
-    * microsecond TimestampType — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
-    * (Fixture timestamps are all post-epoch, so `div` == floor division.)
+  /** `events.ts` has shipped in two parquet generations: TIMESTAMP(NANOS)
+    * (read as raw nanos via the legacy conf, floor-divided to micros — the
+    * truncation DuckDB applies when casting TIMESTAMP_NS down) and, since
+    * the round-9 fixtures, plain micros with isAdjustedToUTC=false, which
+    * Spark infers as TIMESTAMP_NTZ. Event-time streaming (watermarks) and
+    * unix_micros demand TimestampType, so the NTZ generation is cast to
+    * session-time TIMESTAMP — the session is pinned UTC, so wall-clock
+    * values are unchanged and stay identical to DuckDB's naive read.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // `div` is exact int64 division (a double divide would lose precision
-      // above 2^53 ns); fixture timestamps are post-epoch so trunc == floor.
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` is exact int64 division (a double divide would lose
+        // precision above 2^53 ns); post-epoch fixtures, trunc == floor.
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   // Registration is idempotent per (session, dir): queries call register

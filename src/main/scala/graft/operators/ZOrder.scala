@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Morton (Z-order) interleave of two integer keys — the multi-dimensional
+  * data-layout primitive: sorting by z-value clusters rows that are close
+  * in BOTH dimensions into the same file/row-group, so min/max file
+  * statistics prune scans with predicates on either key. (An extension
+  * family: the reference ships file-level parquet layout via its shuffle
+  * writer, `src/shuffle.rs`, but no multi-dimensional clustering; this is
+  * the standard lakehouse technique built Spark-first.)
+  *
+  * 21 bits per dimension → a 42-bit z-value that stays well inside an
+  * exact BIGINT in both Spark and DuckDB (the differential oracle
+  * recomputes it via [[zvalueSql]]). The interleave uses the classic
+  * magic-mask spread — O(log bits) shifts, codegen-friendly, no loops —
+  * and BOTH engines evaluate the same mask table, so one wrong constant
+  * breaks the `layout_zorder` hash compare.
+  */
+object ZOrder {
+
+  /** Bits kept per dimension. 2^21 = 2,097,152 covers TPC-H part/supp
+    * keys up to SF~10; beyond that, bucket the key first (the layout only
+    * needs relative order, not full key fidelity).
+    */
+  val Bits = 21
+
+  private val lowMask: Long = (1L << Bits) - 1
+
+  /** Shift/mask pairs that spread bit i of a 21-bit value to bit 2i. */
+  private val spreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  private def spread(c: Column): Column =
+    spreadSteps.foldLeft(c.cast("bigint").bitwiseAND(lit(lowMask))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** z = interleave(a → even bits, b → odd bits). */
+  def zvalue(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** The same interleave as a SQL expression string (DuckDB-compatible
+    * operators only: CAST / & / | / <<), generated from the SAME mask
+    * table as [[zvalue]] so the two engines cannot drift.
+    */
+  def zvalueSql(a: String, b: String): String = {
+    def spreadSql(col: String): String =
+      spreadSteps.foldLeft(s"(CAST($col AS BIGINT) & $lowMask)") {
+        case (x, (s, m)) => s"(($x | ($x << $s)) & $m)"
+      }
+    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+  }
+
+  /** Plain-Scala reference interleave for property tests. */
+  def zvalueRef(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < Bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}

@@ -278,7 +278,8 @@ object Io {
     // no shuffle — to the byte-target count, then the compacted copy is
     // aggregated against an oracle over the ORIGINAL fixture, so any row
     // lost or duplicated by the rewrite hash-mismatches. File-count
-    // mechanics are pinned by CompactSpec; this entry proves losslessness.
+    // mechanics are pinned by LayoutOperatorSpec; this entry proves
+    // losslessness.
     "sink_compact_small_files" -> ((s, d) => {
       val staged = s"${base(d)}/compact_in"
       val compacted = s"${base(d)}/compact_out"
@@ -301,7 +302,7 @@ object Io {
     // bucket's bounding box in BOTH dimensions. Every row's 42-bit
     // interleave feeds some bucket's min/max, so one wrong bit anywhere
     // hash-mismatches; the per-file locality the layout buys is asserted
-    // in ZOrderSpec.
+    // in LayoutOperatorSpec.
     "layout_zorder" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")

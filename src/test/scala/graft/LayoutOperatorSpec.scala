@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Compact, ZOrder}
+
+/** Compact (small-file rewrite) + ZOrder (Morton layout) mechanics.
+  * The `sink_compact_small_files` / `layout_zorder` differential entries
+  * prove losslessness / cross-engine bit-identity; these tests pin the
+  * parts an oracle cannot see — file counts, plan shape (no exchange),
+  * and the spatial locality the layout exists to buy.
+  */
+class LayoutOperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue matches the plain-Scala bit interleave") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.tabulate(512) { _ =>
+      (rnd.nextLong().abs % (1L << ZOrder.Bits),
+        rnd.nextLong().abs % (1L << ZOrder.Bits))
+    } ++ Seq((0L, 0L), (1L, 0L), (0L, 1L),
+      ((1L << ZOrder.Bits) - 1, (1L << ZOrder.Bits) - 1))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == ZOrder.zvalueRef(a, b), s"interleave($a,$b)")
+    }
+  }
+
+  test("zvalue is monotone on each dimension within the other fixed") {
+    // z-order's pruning power rests on: fixing one key, z grows with the
+    // other — so a file's [min_z, max_z] bounds both dimensions
+    val zs = Seq.tabulate(100)(i => ZOrder.zvalueRef(i.toLong, 42L))
+    assert(zs == zs.sorted)
+    val zsB = Seq.tabulate(100)(i => ZOrder.zvalueRef(42L, i.toLong))
+    assert(zsB == zsB.sorted)
+  }
+
+  test("z-sorted chunks are square-ish; row-major chunks are stripes") {
+    // 64x64 grid, 64 chunks of 64 points: z-order yields exact 8x8 dyadic
+    // blocks (max extent 8 per side); key-major sorting yields 64x1
+    // stripes. This IS the locality the layout buys — a predicate on
+    // EITHER key prunes z-chunks, only one key prunes stripes.
+    val pts = for (a <- 0 until 64; b <- 0 until 64) yield (a, b)
+    def maxExtent(sorted: Seq[(Int, Int)]): Int =
+      sorted.grouped(64).map { chunk =>
+        val as = chunk.map(_._1); val bs = chunk.map(_._2)
+        math.max(as.max - as.min, bs.max - bs.min)
+      }.max
+    val zSorted = pts.sortBy { case (a, b) => ZOrder.zvalueRef(a, b) }
+    assert(maxExtent(zSorted) == 7, "z chunks are 8x8 blocks")
+    val rowMajor = pts.sortBy(identity)
+    assert(maxExtent(rowMajor) == 63, "key-major chunks are full stripes")
+  }
+
+  test("compact bin-packs small files to the byte target without a shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      val df = spark.range(0, 20000).select(
+        col("id"), md5(col("id").cast("string")).as("payload"))
+      df.repartition(32).write.mode("overwrite").parquet(s"$dir/in")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def files(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      assert(files(s"$dir/in").length == 32)
+      val totalIn = files(s"$dir/in").map(_.getLen).sum
+
+      // generous target -> everything fits one file
+      val nOne = Compact.parquetDir(spark, s"$dir/in", s"$dir/one",
+        targetBytes = 256L * 1024 * 1024)
+      assert(nOne == 1 && files(s"$dir/one").length == 1)
+
+      // target ~ quarter of the corpus -> a handful of files, each below
+      // target + one input file of slack (greedy packing closes a bin
+      // only after it overflows)
+      val target = totalIn / 4
+      val nFew = Compact.parquetDir(spark, s"$dir/in", s"$dir/few", target)
+      assert(nFew == files(s"$dir/few").length)
+      assert(nFew > 1 && nFew < 32, s"packed 32 -> $nFew")
+      val maxIn = files(s"$dir/in").map(_.getLen).max
+      files(s"$dir/few").foreach(f =>
+        assert(f.getLen <= target + maxIn + (totalIn / 10),
+          s"${f.getPath.getName} overshoots the byte target"))
+
+      // lossless: same rows back, and conf restored after the rewrite
+      assert(spark.read.parquet(s"$dir/few").except(df).isEmpty &&
+        df.except(spark.read.parquet(s"$dir/few")).isEmpty)
+      assert(spark.conf.get("spark.sql.files.openCostInBytes") != "0")
+
+      // no exchange anywhere in the rewrite's read side
+      val plan = staticPlan(spark.read.parquet(s"$dir/few"))
+      assert(!plan.contains("Exchange"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
