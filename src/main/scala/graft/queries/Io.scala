@@ -772,6 +772,28 @@ object Io {
         .orderBy("user_id", "day")
     }),
 
+    // binned range join (operators/RangeJoin): clicks inside 10-minute
+    // error-incident windows — NO equi key, so Catalyst alone plans a
+    // nested loop; the bin discretization turns it into a hash equi-join
+    // (plan-gated in RangeJoinSpec). The oracle is the plain interval
+    // predicate in DuckDB, so a bin off-by-one at either edge, a dropped
+    // multi-bin interval, or a double-counted pair all hash-mismatch.
+    "join_range_binned" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val incidents = ev.where("event_type = 'error'")
+        .select(col("event_id").as("incident_id"), col("ts").as("inc_s"),
+          expr("ts + INTERVAL 10 MINUTES").as("inc_e"))
+      val clicks = ev.where("event_type = 'click'")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.operators.RangeJoin.pointInInterval(
+          clicks, "ts", incidents, "inc_s", "inc_e", binSeconds = 600L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("click_value"))
+        .orderBy("incident_id")
+    }),
+
     // catalog DML: CTAS + INSERT INTO a managed parquet table, then read
     // back (reference DmlNode INSERT/CTAS, datafusion.proto:269-283) —
     // the oracle aggregates the original rows, so a lost or duplicated
@@ -1176,6 +1198,16 @@ object Io {
         |              OVER (PARTITION BY sp.user_id ORDER BY sp.day) AS DOUBLE) AS locf_sum
         |FROM spine sp LEFT JOIN daily dl ON sp.user_id = dl.user_id AND sp.day = dl.day
         |ORDER BY sp.user_id, sp.day""".stripMargin,
+
+    "join_range_binned" ->
+      """WITH inc AS (SELECT event_id AS incident_id, ts AS s,
+        |                    ts + INTERVAL 10 MINUTE AS e
+        |             FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT ts, value FROM events WHERE event_type = 'click')
+        |SELECT incident_id, count(*) AS n_clicks,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM inc JOIN clk ON clk.ts >= inc.s AND clk.ts < inc.e
+        |GROUP BY 1 ORDER BY incident_id""".stripMargin,
 
     "ddl_ctas_insert" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

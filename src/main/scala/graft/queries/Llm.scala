@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis, TrainOrder}
 
 /** Correctness wiring for the graft.llm operator families (round-2 verdict
   * item #1): every operator gets a `queries` entry running the REAL Scala
@@ -335,6 +335,18 @@ object Llm {
 
     "llm_ngram_stats" -> ((s, d) =>
       TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
+
+    // deterministic training order (llm/TrainOrder): seeded md5
+    // permutation + 1024-doc shard assignment, computed with the
+    // hash-prefix two-phase prefix sum — no single-task global window
+    // (plan-asserted in TrainOrderSpec). The oracle recomputes the
+    // permutation as ONE flat row_number, so a mis-stitched bucket
+    // offset, an unstable tiebreak, or a biased bucket key all
+    // hash-mismatch.
+    "llm_shuffle_order" -> ((s, d) =>
+      TrainOrder.shuffleShards(docs(s, d), seed = "graft-r9",
+          shardDocs = 1024L)
+        .orderBy("doc_id")),
 
     // per-doc novelty against the corpus: fraction of a doc's distinct
     // 3-gram shingles with corpus document frequency <= 2 — integer
@@ -894,6 +906,16 @@ object Llm {
          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
          |       CAST((cum_tokens - n_tokens) // 65536 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_shuffle_order" ->
+      """WITH k AS (SELECT doc_id,
+        |                  md5('graft-r9:' || CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos,
+        |       CAST((row_number() OVER (ORDER BY key, doc_id) - 1) // 1024
+        |            AS BIGINT) AS shard
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // reachability closure: every label a doc can reach through >=0.6
     // pairs; min over them == the component representative (the Spark

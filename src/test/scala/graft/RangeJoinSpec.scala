@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** RangeJoin == the nested-loop join it replaces, on adversarial data
+  * (edge-exact points, empty/short/multi-bin intervals), plus the plan
+  * shape that is the operator's whole point: an equi-join on the bin
+  * key, never a nested loop or cartesian.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsOf(us: Long) = expr(s"timestamp_micros($us)")
+
+  test("pointInInterval equals the nested-loop join on adversarial data") {
+    val rnd = new scala.util.Random(11)
+    // quarter-second grid over ~20 one-second bins: edge hits guaranteed
+    val points = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(80) * 250000L)).toDF("p_id", "p_us")
+      .select(col("p_id"), expr("timestamp_micros(p_us)").as("p_ts"))
+    val intervals = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(80) * 250000L
+      // lengths 0 (empty), sub-bin, exactly one bin, 3.5 bins
+      val len = Seq(0L, 300000L, 1000000L, 3500000L)(i % 4)
+      (i.toLong, s, s + len)
+    }.toDF("i_id", "s_us", "e_us")
+      .select(col("i_id"), expr("timestamp_micros(s_us)").as("s_ts"),
+        expr("timestamp_micros(e_us)").as("e_ts"))
+
+    val binned = RangeJoin.pointInInterval(
+        points, "p_ts", intervals, "s_ts", "e_ts", binSeconds = 1L)
+      .select("p_id", "i_id")
+    val naive = points.join(intervals,
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts"))
+      .select("p_id", "i_id")
+    assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty)
+    // exactly-once: no pair appears twice
+    val dup = binned.groupBy("p_id", "i_id").count().where("count > 1")
+    assert(dup.isEmpty, "a pair met in more than one bin")
+    assert(naive.count() > 0, "fixture degenerate: nothing matched")
+  }
+
+  test("proximityPairs equals the brute-force tolerance pairing") {
+    val rnd = new scala.util.Random(23)
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(120) * 500000L)).toDF("id", "us")
+      .select(col("id"), expr("timestamp_micros(us)").as("ts"))
+    val got = RangeJoin.proximityPairs(df, "id", "ts", toleranceSeconds = 2L)
+      .select("a_id", "b_id")
+    val a = df.select(col("id").as("a_id"), col("ts").as("a_ts"))
+    val b = df.select(col("id").as("b_id"), col("ts").as("b_ts"))
+    val naive = a.join(b, col("a_id") < col("b_id") &&
+        abs(expr("unix_micros(a_ts) - unix_micros(b_ts)")) <= lit(2000000L))
+      .select("a_id", "b_id")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    assert(naive.count() > 0)
+  }
+
+  test("join_range_binned plans as a hash equi-join on the bin, not NLJ") {
+    val df = queries.Io.queries("join_range_binned")(spark, sfSmoke)
+    val plan = staticPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "NLJ leaked back in")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("__bin"), "bin key missing from the join plan")
+  }
+}
