@@ -49,6 +49,33 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval × interval overlap join, same discretization: each side
+    * registers in every bin its half-open span touches, the join keys on
+    * the shared bin, and the pair is ATTRIBUTED to exactly one bin — the
+    * later interval's start bin (`greatest` of the two start bins),
+    * which overlapping intervals provably share — so each qualifying
+    * pair meets exactly once with no dedup pass. Residual:
+    * `ls < re AND rs < le` (the exact overlap test).
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val w = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String, binCol: String,
+               startBinCol: String) =
+      df.withColumn(startBinCol, expr(s"unix_micros($s) div $w"))
+        .withColumn(binCol, explode(sequence(col(startBinCol),
+          expr(s"greatest(unix_micros($s) div $w," +
+            s" (unix_micros($e) - 1) div $w)"))))
+    val l = binned(left, lStart, lEnd, "__lbin", "__lsb")
+    val r = binned(right, rStart, rEnd, "__rbin", "__rsb")
+    l.join(r, l("__lbin") === r("__rbin") &&
+        l("__lbin") === greatest(l("__lsb"), r("__rsb")) &&
+        l(lStart) < r(rEnd) && r(rStart) < l(lEnd))
+      .drop("__lbin", "__rbin", "__lsb", "__rsb")
+  }
+
   /** Proximity self-pairing: all (a, b) pairs with
     * |a.ts - b.ts| <= toleranceSeconds and a.id < b.id (each unordered
     * pair once), with no key to equi-join on. Expressed through

@@ -68,4 +68,24 @@ object ZOrder {
     }
     z
   }
+
+  /** The write side: cluster `df` by z(a, b) into `numFiles` parquet
+    * files. `repartitionByRange` samples the z distribution (one extra
+    * pass over a sample, not the data) so file boundaries are z-range
+    * splits — each file's parquet min/max footer stats then bound BOTH
+    * key columns, and a predicate on either key prunes whole files
+    * before any row is read. The intra-file sort keeps row groups
+    * equally clustered for row-group-level pruning. Scales as one range
+    * shuffle + local sort — the same cost as any global sort, which is
+    * what clustering IS.
+    */
+  def writeClustered(df: org.apache.spark.sql.DataFrame, a: String,
+                     b: String, outDir: String, numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__z", zvalue(col(a), col(b)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

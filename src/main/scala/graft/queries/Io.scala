@@ -794,6 +794,26 @@ object Io {
         .orderBy("incident_id")
     }),
 
+    // interval × interval overlap through the same binning (attributed
+    // to the shared max-start bin — exactly-once, no dedup): error
+    // windows overlapping purchase windows, counted per incident
+    "join_interval_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val inc = ev.where("event_type = 'error'")
+        .select(col("event_id").as("incident_id"), col("ts").as("inc_s"),
+          expr("ts + INTERVAL 10 MINUTES").as("inc_e"))
+      val pur = ev.where("event_type = 'purchase'")
+        .select(col("event_id").as("p_id"), col("ts").as("p_s"),
+          expr("ts + INTERVAL 10 MINUTES").as("p_e"), col("value"))
+      graft.operators.RangeJoin.intervalOverlap(
+          inc, "inc_s", "inc_e", pur, "p_s", "p_e", binSeconds = 600L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("purchase_value"))
+        .orderBy("incident_id")
+    }),
+
     // catalog DML: CTAS + INSERT INTO a managed parquet table, then read
     // back (reference DmlNode INSERT/CTAS, datafusion.proto:269-283) —
     // the oracle aggregates the original rows, so a lost or duplicated
@@ -1207,6 +1227,17 @@ object Io {
         |SELECT incident_id, count(*) AS n_clicks,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
         |FROM inc JOIN clk ON clk.ts >= inc.s AND clk.ts < inc.e
+        |GROUP BY 1 ORDER BY incident_id""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH inc AS (SELECT event_id AS incident_id, ts AS s,
+        |                    ts + INTERVAL 10 MINUTE AS e
+        |             FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e, value
+        |        FROM events WHERE event_type = 'purchase')
+        |SELECT incident_id, count(*) AS n_overlaps,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |FROM inc JOIN pur ON inc.s < pur.e AND pur.s < inc.e
         |GROUP BY 1 ORDER BY incident_id""".stripMargin,
 
     "ddl_ctas_insert" ->

@@ -170,8 +170,21 @@ object Streams {
     // long-lived session (Verify loops, Bench, Explain) never accumulate
     // result tables in driver memory
     df.sparkSession.catalog.dropTempView(name)
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // Size state partitions to state volume: every stateful operator runs
+    // one state store (open/commit/fsync) per shuffle partition per
+    // micro-batch, so the session's scan-sized default (32) pays 32×
+    // store overhead for kilobytes of replay state. 8 is plenty for the
+    // bounded replays and is the same sizing call a real deployment makes
+    // per streaming job; a fresh query starts from a fresh temp
+    // checkpoint each run, so rescaling between invocations is safe.
+    val conf = df.sparkSession.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

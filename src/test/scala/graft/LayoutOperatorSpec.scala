@@ -54,6 +54,36 @@ class LayoutOperatorSpec extends SparkSpec {
     assert(maxExtent(rowMajor) == 63, "key-major chunks are full stripes")
   }
 
+  test("writeClustered bounds both keys per file; random layout bounds neither") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwrite").toString
+    try {
+      val grid = spark.range(0, 4096).select(
+        (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+      ZOrder.writeClustered(grid, "a", "b", s"$dir/z", numFiles = 16)
+      // a deliberately scattered layout: round-robin by id
+      grid.repartition(16).write.mode("overwrite").parquet(s"$dir/rand")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def filesTouching(sub: String, lo: Long, hi: Long): Int =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .count { f =>
+            val r = spark.read.parquet(f.getPath.toString)
+              .agg(min("a"), max("a")).collect()(0)
+            r.getLong(1) >= lo && r.getLong(0) <= hi
+          }
+      // file-footer min/max is what a scan prunes on: a predicate over
+      // ONE eighth of `a`'s range must skip most z-clustered files but
+      // can skip nothing in the scattered layout
+      assert(filesTouching("z", 0, 7) <= 6,
+        "z files do not bound the a dimension")
+      assert(filesTouching("rand", 0, 7) == 16,
+        "baseline unexpectedly clustered — test fixture broken")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("compact bin-packs small files to the byte target without a shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {

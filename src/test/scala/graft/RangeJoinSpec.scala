@@ -41,6 +41,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.count() > 0, "fixture degenerate: nothing matched")
   }
 
+  test("intervalOverlap equals the nested-loop overlap join") {
+    val rnd = new scala.util.Random(37)
+    def ivs(n: Int, tag: String) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(80) * 250000L
+      val len = Seq(0L, 400000L, 1000000L, 2750000L)(rnd.nextInt(4))
+      (i.toLong, s, s + len)
+    }.toDF(s"${tag}_id", "s_us", "e_us")
+      .select(col(s"${tag}_id"),
+        expr("timestamp_micros(s_us)").as(s"${tag}_s"),
+        expr("timestamp_micros(e_us)").as(s"${tag}_e"))
+    val lhs = ivs(80, "l"); val rhs = ivs(60, "r")
+    val got = RangeJoin.intervalOverlap(
+        lhs, "l_s", "l_e", rhs, "r_s", "r_e", binSeconds = 1L)
+      .select("l_id", "r_id")
+    val naive = lhs.join(rhs,
+        col("l_s") < col("r_e") && col("r_s") < col("l_e"))
+      .select("l_id", "r_id")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    val dup = got.groupBy("l_id", "r_id").count().where("count > 1")
+    assert(dup.isEmpty, "a pair was attributed to more than one bin")
+    assert(naive.count() > 0)
+  }
+
   test("proximityPairs equals the brute-force tolerance pairing") {
     val rnd = new scala.util.Random(23)
     val df = Seq.tabulate(200)(i =>
