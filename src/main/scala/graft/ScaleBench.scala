@@ -78,7 +78,26 @@ object ScaleBench {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    for (t <- Tables.all if !keyed.contains(t))
+    // events replicate along the TIME axis (event_id offset + ts shifted
+    // by one whole fixture period per shard): 10x data means 10x history
+    // at the same arrival density, so range/as-of/funnel outputs scale
+    // linearly — replicating into the SAME window would instead densify
+    // pair joins quadratically and measure the wrong thing
+    val ev = spark.read.parquet(s"$src/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val evSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val Array(tsLo, tsHi) = ev.agg(
+      min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val periodUs = (tsHi - tsLo) + 86400L * 1000000L
+    ev.selectExpr(s"explode(sequence(0, ${factor - 1})) AS __shard", "*")
+      .withColumn("event_id", col("event_id") + col("__shard") * evSpan)
+      .withColumn("ts",
+        expr(s"timestamp_micros(unix_micros(ts) + __shard * ${periodUs}L)"))
+      .drop("__shard")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    for (t <- Tables.all if !keyed.contains(t) && t != "events")
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$out/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
   }

@@ -814,6 +814,39 @@ object Io {
         .orderBy("incident_id")
     }),
 
+    // tolerance self-pairing (RangeJoin.proximityPairs): error events
+    // within 5 minutes of each other across ALL users — no equi key, the
+    // classic coincidence-correlation query. Micros-exact output, each
+    // unordered pair exactly once (a_id < b_id)
+    "join_proximity_pairs" -> ((s, d) => {
+      val errs = t(s, d, "events").where("event_type = 'error'")
+        .select("event_id", "ts")
+      graft.operators.RangeJoin.proximityPairs(errs, "event_id", "ts",
+          toleranceSeconds = 300L)
+        .selectExpr("a_id", "b_id",
+          "unix_micros(b_ts) - unix_micros(a_ts) AS gap_us")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // z-order clustered WRITE (ZOrder.writeClustered): range-partitioned
+    // by z, sorted within files; reading it back must reproduce the
+    // original lineitem aggregate exactly — the layout rewrite is
+    // lossless (the per-file locality it buys is LayoutOperatorSpec's
+    // footer-stat assertion)
+    "sink_zorder_clustered" -> ((s, d) => {
+      val out = s"${base(d)}/zorder_out"
+      graft.operators.ZOrder.writeClustered(
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        "l_partkey", "l_suppkey", out, numFiles = 8)
+      s.read.parquet(out)
+        .groupBy(expr("l_partkey % 10").as("pk_mod"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)")
+            .as("sum_qty"),
+          max("l_suppkey").as("max_sk"))
+        .orderBy("pk_mod")
+    }),
+
     // catalog DML: CTAS + INSERT INTO a managed parquet table, then read
     // back (reference DmlNode INSERT/CTAS, datafusion.proto:269-283) —
     // the oracle aggregates the original rows, so a lost or duplicated
@@ -1239,6 +1272,21 @@ object Io {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
         |FROM inc JOIN pur ON inc.s < pur.e AND pur.s < inc.e
         |GROUP BY 1 ORDER BY incident_id""".stripMargin,
+
+    "join_proximity_pairs" ->
+      """WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        |FROM e a JOIN e b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 300000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "sink_zorder_clustered" ->
+      """SELECT l_partkey % 10 AS pk_mod, count(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |       max(l_suppkey) AS max_sk
+        |FROM lineitem GROUP BY 1 ORDER BY pk_mod""".stripMargin,
 
     "ddl_ctas_insert" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

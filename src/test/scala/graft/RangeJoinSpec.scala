@@ -80,6 +80,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.count() > 0)
   }
 
+  test("with broadcast disabled the bin join flips to a shuffled join") {
+    // the 100 TB regime: both sides too big to broadcast — the bin key
+    // must carry a shuffled equi-join, not degrade to NLJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = staticPlan(
+        queries.Io.queries("join_range_binned")(spark, sfSmoke))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.linesIterator.take(5).mkString)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("join_range_binned plans as a hash equi-join on the bin, not NLJ") {
     val df = queries.Io.queries("join_range_binned")(spark, sfSmoke)
     val plan = staticPlan(df)
