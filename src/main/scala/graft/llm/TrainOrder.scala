@@ -57,4 +57,66 @@ object TrainOrder {
     shuffleOrder(docs, seed, bucketHexChars)
       .withColumn("shard", expr(s"pos div $shardDocs"))
   }
+
+  private def lcm(a: Long, b: Long): Long = {
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
+
+  /** Weighted source interleave — stride scheduling (Waldspurger's
+    * lottery/stride work, the standard proportional-share discipline):
+    * a source with integer weight w emits at virtual times
+    * (p+1)·(LCM/w), so EVERY prefix of the training order holds each
+    * source in ≈ its weight proportion — the curriculum-mixing
+    * guarantee temperature sampling only gives in expectation.
+    * Deterministic: within-source order is the seeded md5 permutation.
+    *
+    * Scale shape: no global window anywhere. Within-source ranks
+    * partition by source; the GLOBAL position is then computed in
+    * CLOSED FORM — doc's stride key K beats exactly
+    * min(n_s', ⌊(K−1)/stride_s'⌋ + tie) docs of each other source, so
+    * pos is a per-row O(|sources|) arithmetic sum over a constant-folded
+    * literal term list (sources are metadata-scale: one tiny driver agg,
+    * like the IVF centroid collect). The differential oracle computes
+    * the same order as ONE flat row_number — green means the closed
+    * form IS the rank.
+    *
+    * `weight` must be a pure function of the source column (checked per
+    * source via max == min) and positive.
+    */
+  def interleaveStride(docs: DataFrame, sourceCol: String,
+                       weight: org.apache.spark.sql.Column,
+                       seed: String): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col(sourceCol).as("__src"),
+        weight.cast("long").as("__w"))
+      .withColumn("__key",
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+    val wIn = Window.partitionBy("__src").orderBy("__key", "doc_id")
+    val ranked = keyed.withColumn("__p",
+      row_number().over(wIn).cast("long") - 1)
+    val info = ranked.groupBy("__src")
+      .agg(max("__w").as("w"), min("__w").as("w2"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), { require(r.getLong(1) == r.getLong(2),
+        s"weight not constant within source ${r.getString(0)}")
+        r.getLong(1) }, r.getLong(3)))
+      .sortBy(_._1)
+    require(info.nonEmpty && info.forall(_._2 > 0),
+      "weights must be positive")
+    val base = info.map(_._2).distinct.foldLeft(1L)(lcm)
+    val strideOf = info.map { case (s, w, _) => s -> base / w }.toMap
+    val rankOf = info.map(_._1).zipWithIndex.toMap
+    val withK = ranked
+      .withColumn("__stride", element_at(typedLit(strideOf), col("__src")))
+      .withColumn("__K", (col("__p") + 1) * col("__stride"))
+      .withColumn("__r", element_at(typedLit(rankOf), col("__src")))
+    val terms = info.map { case (s, _, n) =>
+      val st = strideOf(s); val r = rankOf(s)
+      s"least(${n}L, ((__K - 1L) div ${st}L) + " +
+        s"(CASE WHEN __K % ${st}L = 0 AND $r < __r THEN 1L ELSE 0L END))"
+    }
+    withK.withColumn("pos", expr(terms.mkString("(", ") + (", ")")))
+      .select(col("doc_id"), col("__src").as(sourceCol), col("pos"))
+  }
 }

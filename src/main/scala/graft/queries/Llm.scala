@@ -348,6 +348,18 @@ object Llm {
           shardDocs = 1024L)
         .orderBy("doc_id")),
 
+    // stride-scheduled mixture interleave: source weights 1/2/3 (by
+    // source index mod 3), every training-order prefix holds each source
+    // in weight proportion. Spark computes pos in closed form (per-row
+    // arithmetic over the constant-folded source list); the oracle is
+    // the flat row_number over the stride keys — green proves the
+    // closed-form rank identity.
+    "llm_mixture_interleave" -> ((s, d) =>
+      TrainOrder.interleaveStride(docs(s, d), "source",
+          expr("1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3"),
+          seed = "graft-mix")
+        .orderBy("doc_id")),
+
     // per-doc novelty against the corpus: fraction of a doc's distinct
     // 3-gram shingles with corpus document frequency <= 2 — integer
     // counts until the final rounded ratio
@@ -915,6 +927,19 @@ object Llm {
         |       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos,
         |       CAST((row_number() OVER (ORDER BY key, doc_id) - 1) // 1024
         |            AS BIGINT) AS shard
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "llm_mixture_interleave" ->
+      """WITH w AS (SELECT doc_id, source,
+        |                  1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 AS wt,
+        |                  md5('graft-mix:' || CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |p AS (SELECT doc_id, source, wt,
+        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) - 1 AS p
+        |      FROM w),
+        |k AS (SELECT doc_id, source, (p + 1) * (6 // wt) AS kk FROM p)
+        |SELECT doc_id, source,
+        |       CAST(row_number() OVER (ORDER BY kk, source) - 1 AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
 
     // reachability closure: every label a doc can reach through >=0.6

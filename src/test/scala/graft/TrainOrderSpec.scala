@@ -45,6 +45,47 @@ class TrainOrderSpec extends SparkSpec {
     rows.foreach { case (pos, shard) => assert(shard == pos / 64) }
   }
 
+  test("interleaveStride closed form equals the flat stride rank") {
+    val mixed = Seq.tabulate(90)(i =>
+      (i.toLong, s"s${i % 3}", s"doc $i")).toDF("doc_id", "source", "text")
+    val wExpr = expr(
+      "CASE source WHEN 's0' THEN 1 WHEN 's1' THEN 2 ELSE 3 END")
+    val got = TrainOrder.interleaveStride(mixed, "source", wExpr, "mix")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // flat reference: same keys, one global sort
+    val weights = Map("s0" -> 1L, "s1" -> 2L, "s2" -> 3L)
+    val ranked = mixed.select(col("doc_id"), col("source"),
+        md5(concat(lit("mix"), lit(":"), col("doc_id").cast("string")))
+          .as("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, p) =>
+          (r._1, src, (p + 1L) * (6L / weights(src)))
+        }
+      }
+    val flat = ranked.sortBy { case (_, src, k) => (k, src) }
+      .zipWithIndex.map { case ((id, _, _), pos) => id -> pos.toLong }.toMap
+    assert(got == flat)
+    assert(got.values.toSeq.sorted == (0L until 90L))
+  }
+
+  test("every prefix holds each source near its weight proportion") {
+    val mixed = Seq.tabulate(120)(i =>
+      (i.toLong, s"s${i % 2}", "")).toDF("doc_id", "source", "text")
+    val wExpr = expr("CASE source WHEN 's0' THEN 1 ELSE 3 END")
+    val order = TrainOrder.interleaveStride(mixed, "source", wExpr, "mx")
+      .collect().sortBy(_.getLong(2)).map(_.getString(1))
+    // s1 carries weight 3 of 4: any prefix while both sources remain
+    // live holds s1 within ±2 of 3/4 — the stride-scheduling bound
+    var n1 = 0
+    order.take(80).zipWithIndex.foreach { case (src, i) =>
+      if (src == "s1") n1 += 1
+      val expected = (i + 1) * 3.0 / 4.0
+      assert(math.abs(n1 - expected) <= 2.0,
+        s"prefix ${i + 1}: s1=$n1, expected ~$expected")
+    }
+  }
+
   test("the row-level window partitions by hash bucket") {
     val plan = staticPlan(TrainOrder.shuffleOrder(docs, "s1"))
     assert(plan.contains("hashpartitioning(__bkt"),
