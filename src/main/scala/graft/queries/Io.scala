@@ -439,6 +439,67 @@ object Io {
       s.table(sink).orderBy("user_id", "session_start")
     }),
 
+    // stream-static enrichment join: each streamed event joins the
+    // per-user lifetime stats computed BATCH-side from the same fixture
+    // — the micro-batch BroadcastHashJoin path every streaming pipeline
+    // uses for dimension lookup, distinct from the stream-stream joins
+    // oracled below. On drained bounded input the enriched aggregate
+    // must equal the plain batch join, which is the DuckDB oracle.
+    "ts_stream_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+      val events = Tables.load(s, d, "events")
+        .select("ts", "user_id", "event_type", "value")
+      val userStats = events.groupBy("user_id")
+        .agg(count(lit(1)).as("u_events"),
+          expr("SUM(CAST(value AS DECIMAL(18,2)))").as("u_value"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_entry").toString
+      events.write.mode("overwrite").parquet(dir)
+      val enriched = graft.streaming.Streams.fromParquet(s, dir, events.schema)
+        .join(userStats, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum("u_events").as("sum_user_events"),
+          expr("CAST(SUM(u_value) AS DOUBLE)").as("sum_user_value"))
+      val sink = "ts_stream_enrich_sink"
+      graft.streaming.Streams.runToMemory(enriched, sink,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      deleteRecursively(new java.io.File(dir))
+      s.table(sink).orderBy("event_type")
+    }),
+
+    // transactional FILE sink: the stream lands purchases as parquet
+    // through the _spark_metadata commit log (the exactly-once landing
+    // path a 100 TB ingest uses), and the batch read-back honors only
+    // manifest-committed files — a duplicated, lost or uncommitted batch
+    // file changes the aggregate and hash-mismatches the plain oracle
+    "ts_stream_file_sink" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, expr, lit}
+      val events = Tables.load(s, d, "events")
+        .select("ts", "user_id", "event_type", "value")
+      val root = s"${base(d)}/stream_file_sink"
+      deleteRecursively(new java.io.File(root))
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_entry").toString
+      events.write.mode("overwrite").parquet(inDir)
+      val purchases = graft.streaming.Streams
+        .fromParquet(s, inDir, events.schema)
+        .where("event_type = 'purchase'")
+        .select("ts", "user_id", "value")
+      graft.streaming.Streams.runToParquet(purchases,
+        s"$root/out", s"$root/ck")
+      deleteRecursively(new java.io.File(inDir))
+      // out/ lives until the NEXT invocation's cleanup: the returned
+      // frame reads it lazily at the caller's action
+      s.read.parquet(s"$root/out")
+        .groupBy(expr("user_id % 10").as("user_mod"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sum_value"),
+          expr("max(unix_micros(ts))").as("max_ts_us"))
+        .orderBy("user_mod")
+    }),
+
     // STREAMING watermark-DROP semantics, differentially oracled: the one
     // streaming behavior bounded Complete-mode replay cannot pin is that
     // rows arriving LATER than the watermark horizon are dropped. Spark's
@@ -1188,6 +1249,23 @@ object Io {
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_stream_enrich" ->
+      """WITH u AS (SELECT user_id, count(*) AS u_events,
+        |                  SUM(CAST(value AS DECIMAL(18,2))) AS u_value
+        |           FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(SUM(u_events) AS BIGINT) AS sum_user_events,
+        |       CAST(SUM(u_value) AS DOUBLE) AS sum_user_value
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "ts_stream_file_sink" ->
+      """SELECT user_id % 10 AS user_mod, count(*) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY user_mod""".stripMargin,
 
     "ts_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

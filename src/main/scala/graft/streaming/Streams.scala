@@ -187,4 +187,29 @@ object Streams {
       finally q.stop()
     } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** Append-mode parquet FILE sink: exactly-once landing via the sink's
+    * `_spark_metadata` commit log — a batch read of `outDir` sees only
+    * manifest-committed files, so a crashed batch's orphans are
+    * invisible. This is the landing path a continuous ingest uses at
+    * scale; `checkpointDir` carries source offsets + the sink log and
+    * must outlive the query for resume (callers here replay bounded
+    * input, so they own both dirs' lifecycle). Same state-partition
+    * sizing rationale as [[runToMemory]].
+    */
+  def runToParquet(df: DataFrame, outDir: String,
+                   checkpointDir: String): Unit = {
+    val conf = df.sparkSession.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
 }

@@ -235,4 +235,34 @@ class StreamingSpec extends SparkSpec {
     // table per invocation for the life of the session)
     assert(sinkTables() == Seq("ts_stream_sink"))
   }
+
+  test("file sink's manifest makes the batch read ignore orphan files") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_filesink").toString
+    try {
+      val rows = spark.range(0, 100)
+        .select(expr("timestamp_micros(id * 1000000)").as("ts"),
+          col("id").as("user_id"))
+      rows.write.mode("overwrite").parquet(s"$root/in")
+      val stream = Streams.fromParquet(spark, s"$root/in", rows.schema)
+      Streams.runToParquet(stream, s"$root/out", s"$root/ck")
+      assert(new java.io.File(s"$root/out/_spark_metadata").exists(),
+        "sink commit log missing")
+      assert(spark.read.parquet(s"$root/out").count() == 100)
+      // simulate a crashed batch's orphan: a valid parquet file in the
+      // directory but absent from the manifest — exactly-once means the
+      // batch reader must NOT see its rows
+      rows.limit(7).coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/orphan")
+      val part = new java.io.File(s"$root/orphan").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$root/out/part-orphan.parquet"))
+      assert(spark.read.parquet(s"$root/out").count() == 100,
+        "batch read leaked uncommitted orphan rows")
+    } finally {
+      graft.Tables.deleteRecursively(new java.io.File(root))
+    }
+  }
 }
