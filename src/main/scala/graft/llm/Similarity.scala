@@ -174,6 +174,29 @@ object Similarity {
     * like any LSH method, recall is bounded by bucket agreement, which is
     * why the differential oracle replicates the same buckets.
     */
+  /** Benchmark decontamination at the EMBEDDING level — flag every
+    * corpus vector whose max cosine against the (small) benchmark/eval
+    * probe set reaches `minCosine`, the semantic counterpart of the
+    * n-gram `Dedup.decontaminate` (which catches verbatim leakage but
+    * not paraphrase). Probe set broadcasts — it is benchmark-sized by
+    * definition — so the corpus is touched once, map-side, with partial
+    * max aggregation before any shuffle: |corpus|·|probes| cosine
+    * evaluations but only |corpus| rows ever move. max is
+    * order-insensitive over the ROUND(6) values, so the score is
+    * deterministic across any partitioning.
+    */
+  def semanticDecontaminate(corpus: DataFrame, probes: DataFrame,
+                            minCosine: Double): DataFrame = {
+    val pairs = corpus.select(col("vec_id"), col("embedding").as("__ce"))
+      .crossJoin(broadcast(probes
+        .select(col("vec_id").as("__probe_id"), col("embedding").as("__pe"))))
+      .select(col("vec_id"), cosine("__ce", "__pe").as("__cos"))
+    pairs.groupBy("vec_id")
+      .agg(max("__cos").as("max_cos"))
+      .withColumn("contaminated",
+        (col("max_cos") >= lit(minCosine)).cast("int"))
+  }
+
   def cosineNearDups(vecs: DataFrame, minCosine: Double, planes: Int = 8,
                      dims: Int = 64): DataFrame = {
     val b = vecs.select(col("vec_id"), col("embedding"),

@@ -539,6 +539,19 @@ object Llm {
       Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
         .orderBy("vec_a", "vec_b")),
 
+    // semantic decontamination: every corpus vector scored by max cosine
+    // against the broadcast benchmark slice (vec_id < 8) — the
+    // embedding-level counterpart of llm_decontaminate's n-gram
+    // containment (verbatim leakage) and llm_bloom_decontaminate's
+    // at-scale probe set; 0.2 flags a real slice of the near-orthogonal
+    // synthetic embeddings at every scale
+    "llm_semantic_decontaminate" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.semanticDecontaminate(
+          e.where("vec_id >= 8"), e.where("vec_id < 8"), minCosine = 0.2)
+        .orderBy("vec_id")
+    }),
+
     // cross-family composition: embedding near-dup pairs grouped into
     // connected components by the same dupClusters operator the text
     // pipeline uses — one clustering primitive, any pair source
@@ -1381,6 +1394,17 @@ object Llm {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "llm_semantic_decontaminate" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+         |           WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+         |pairs AS (SELECT c.vec_id,
+         |                 ${duckCosine("c.embedding", "p.embedding")} AS cos
+         |          FROM c CROSS JOIN p)
+         |SELECT vec_id, MAX(cos) AS max_cos,
+         |       CAST(MAX(cos) >= 0.2 AS INT) AS contaminated
+         |FROM pairs GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     "llm_embed_clusters" ->
       s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket

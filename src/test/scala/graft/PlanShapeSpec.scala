@@ -146,6 +146,16 @@ class PlanShapeSpec extends SparkSpec {
       "quality survivor selection is not pruning below the per-cluster window sort")
   }
 
+  test("llm_semantic_decontaminate: probe set broadcasts, corpus never shuffles pre-agg") {
+    val plan = staticPlan(
+      SparkEntry.queries("llm_semantic_decontaminate")(spark, sfSmoke))
+    // the benchmark slice must ride a BroadcastExchange into the
+    // pairing; the only shuffle is the final per-vector max aggregate
+    assert(plan.contains("BroadcastExchange"),
+      s"probe set is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("llm_bloom_decontaminate: bloom probe filters the corpus stream pre-join") {
     val plan = staticPlan(SparkEntry.queries("llm_bloom_decontaminate")(spark, sfSmoke))
     // the membership probe must appear as a Filter in the plan (corpus
