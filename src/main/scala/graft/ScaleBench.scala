@@ -66,8 +66,14 @@ object ScaleBench {
       .agg(max(col("o_orderkey"))).head.get(0).toString.toLong + 1
     val docSpan = spark.read.parquet(s"$src/documents.parquet")
       .agg(max(col("doc_id"))).head.get(0).toString.toLong + 1
-    val keyed = facts ++ Map("documents" -> "doc_id")
-    val spans = facts.map { case (t, _) => t -> span } + ("documents" -> docSpan)
+    // embeddings replicate like documents (vec_id offset, vectors
+    // verbatim): every copy is an exact semantic dup of its original —
+    // the dup-heavy stress the ANN/semantic-dedup family exists for
+    val embSpan = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("vec_id"))).head.get(0).toString.toLong + 1
+    val keyed = facts ++ Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+    val spans = facts.map { case (t, _) => t -> span } +
+      ("documents" -> docSpan) + ("embeddings" -> embSpan)
     for ((t, keyCol) <- keyed) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val keyType = base.schema(keyCol).dataType

@@ -89,7 +89,20 @@ object Ivf {
     */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame,
                     minCosine: Double): DataFrame = {
-    val a = assign(vecs, centroids)
+    require(minCosine <= 1.0, "a cosine threshold above 1 matches nothing")
+    // Exact-collapse first (the same principle Dedup.dedupe applies
+    // before MinHash and simhashPipeline before banding): a verbatim
+    // copy can never survive — its group's min id is a cos=1.0 smaller
+    // neighbor — and a representative drops iff some other GROUP's
+    // representative (= that group's min id, which bounds every member
+    // id from below at the same cosine) clears the threshold. So the
+    // quadratic within-cluster prune runs on DISTINCT vectors only:
+    // under an n-copy corpus that is n² less pair work, identical
+    // survivors by construction (IvfSpec pins the equivalence).
+    val reps = vecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val a = assign(reps, centroids)
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
     val dropped = a.as("x")
       .join(a.as("y"), expr("x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id"))

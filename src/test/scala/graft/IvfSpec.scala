@@ -92,4 +92,41 @@ class IvfSpec extends SparkSpec {
     assert(Ivf.semanticDedup(vecs, cents, minCosine = 1.0)
       .count() == 5L)
   }
+
+  test("exact-collapse keeps semanticDedup identical under verbatim copies") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val cents = Seq((0, v(1.0, 0.0, 0.0)), (1, v(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val base = Seq(
+      10L -> v(1.0, 0.05, 0.0), 11L -> v(0.99, 0.06, 0.0),
+      12L -> v(0.6, 0.0, 0.8), 20L -> v(0.0, 1.0, 0.05))
+    // interleave verbatim copies with ids BELOW and ABOVE the originals:
+    // copy ids must never change which representative survives
+    val copies = base.flatMap { case (id, e) =>
+      Seq((id + 100L) -> e, (id + 200L) -> e)
+    } ++ Seq(5L -> v(0.99, 0.06, 0.0)) // a copy with the SMALLEST id wins
+    val vecs = (base ++ copies).toDF("vec_id", "embedding")
+    val got = Ivf.semanticDedup(vecs, cents, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // reference: the uncollapsed rule computed by brute force in Scala
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(u: Seq[Float]) = math.sqrt(u.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (n(a) * n(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = (base ++ copies)
+    val cluster = all.map { case (id, e) =>
+      id -> (if (cos(e, v(1.0, 0.0, 0.0)) >= cos(e, v(0.0, 1.0, 0.0))) 0 else 1)
+    }.toMap
+    val expect = all.filter { case (y, ey) =>
+      !all.exists { case (x, ex) =>
+        x < y && cluster(x) == cluster(y) && cos(ex, ey) >= 0.9
+      }
+    }.map { case (id, _) => (id, cluster(id)) }.toSet
+    assert(got == expect)
+    // the id-5 copy displaced 11 AND its later copies
+    assert(got.map(_._1).contains(5L) && !got.map(_._1).exists(Set(11L, 111L, 211L)))
+  }
 }
