@@ -31,7 +31,8 @@ object SparkEntry {
       fromSql(Windows.sql) ++
       fromSql(Relational.sql) ++ fromSql(Relational.sparkSql) ++
       Llm.queries ++
-      Io.queries
+      Io.queries ++
+      Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -41,5 +42,6 @@ object SparkEntry {
       Windows.sql ++
       Relational.sql ++ Relational.oracleOnlySql ++
       Llm.oracles ++
-      Io.oracles
+      Io.oracles ++
+      Ops.oracles
 }

@@ -58,6 +58,39 @@ object TrainOrder {
       .withColumn("shard", expr(s"pos div $shardDocs"))
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor doc draws `k` pseudorandom partners from the corpus id
+    * domain [0, max_id], indexed by a seeded md5 of (anchor, draw) —
+    * reproducible across cluster sizes and engines (the oracle replays
+    * the identical arithmetic), unlike `rand()`. Draws that land on the
+    * anchor itself or on an unoccupied id are dropped (inner join), the
+    * standard rejection step.
+    *
+    * Scale shape: NO cartesian anywhere — the probe side is
+    * |anchors|·k rows of (anchor_id, neg_id) that hash-join the corpus
+    * on its id; the id-domain bound rides a broadcast 1-row aggregate.
+    * Corpus is scanned twice (domain bound + join), shuffled never when
+    * the probe side broadcasts.
+    */
+  def negativeSamples(docs: DataFrame, anchors: DataFrame, k: Int,
+                      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dom = docs.agg((max(col("doc_id")) + 1L).as("__dom"))
+    val probes = anchors.select(col("doc_id").as("anchor_id"))
+      .crossJoin(broadcast(dom))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("neg_id",
+        conv(substring(md5(concat(lit(seed), lit(":"),
+          col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long")
+          % col("__dom"))
+      .where(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+    probes.join(docs.select(col("doc_id").as("neg_id"),
+        md5(col("text")).as("neg_fp")), Seq("neg_id"))
+      .select(col("anchor_id"), col("j"), col("neg_id"), col("neg_fp"))
+  }
+
   private def lcm(a: Long, b: Long): Long = {
     @annotation.tailrec def gcd(x: Long, y: Long): Long =
       if (y == 0) x else gcd(y, x % y)

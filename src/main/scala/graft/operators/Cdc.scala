@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture primitives — the ingest edge of a continuously
+  * refreshed corpus: apply a keyed changelog to materialize the current
+  * snapshot, and diff two snapshots to find what a pipeline rebuild
+  * actually changed. The reference's surface stops at immutable
+  * registered tables (`context.rs:57-107`); a training-data pipeline
+  * re-lands sources daily, so upsert-apply and snapshot-diff are the two
+  * operations that make incremental refresh auditable.
+  *
+  * Scale shape: `applyChangelog` is one hash aggregation (map-side
+  * partial max) to find each key's latest sequence plus one equi-join
+  * back — no window, so no per-key sort and no single hot reducer; both
+  * exchanges hash-partition on the key. `snapshotDiff` fingerprints each
+  * side map-side (md5 — the one hash the differential oracle shares) so
+  * the full-outer join shuffles 2 fixed-width columns per row, never the
+  * payload.
+  */
+object Cdc {
+
+  /** Materialize the current snapshot from a changelog: for each key keep
+    * the change with the highest `seqCol`; if that winning change is a
+    * delete (`opCol == deleteOp`) the key is absent from the snapshot.
+    * `seqCol` must be unique per key (a commit LSN / kafka offset is) —
+    * the join-back on (key, max seq) then selects exactly one row.
+    */
+  def applyChangelog(changes: DataFrame, keyCol: String, seqCol: String,
+                     opCol: String, deleteOp: String = "D"): DataFrame = {
+    val latest = changes.groupBy(col(keyCol)).agg(max(col(seqCol)).as(seqCol))
+    changes.join(latest, Seq(keyCol, seqCol))
+      .where(col(opCol) =!= lit(deleteOp))
+  }
+
+  /** Row-level diff of two snapshots keyed by `keyCol`: one row per key
+    * whose membership or content changed, with status
+    * 'added' / 'removed' / 'changed' (identical rows are dropped).
+    * Content identity is md5 over `contentCols` joined with '|'.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    def fp(df: DataFrame, out: String) = df.select(
+      col(keyCol),
+      md5(concat_ws("|", contentCols.map(c => col(c).cast("string")): _*))
+        .as(out))
+    fp(before, "__before").join(fp(after, "__after"), Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__before").isNull, lit("added"))
+          .when(col("__after").isNull, lit("removed"))
+          .when(col("__before") =!= col("__after"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(keyCol), col("status"))
+  }
+}

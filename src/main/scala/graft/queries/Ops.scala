@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Cdc, OrderStats}
+import graft.llm.TrainOrder
+
+/** Incremental-pipeline operator entries: CDC changelog apply, snapshot
+  * diff, global order statistics without a global sort, and deterministic
+  * negative sampling. Each pairs a Scala operator (graft.operators /
+  * graft.llm) with an independently-recomputed DuckDB oracle — the
+  * oracle never mirrors the implementation's plan shape (row_number
+  * where the operator aggregates, flat sort where it histogram-narrows).
+  */
+object Ops {
+
+  // the changelog synthesized from orders: key = customer, sequence =
+  // orderkey (unique per key by construction), op mixed I/U/D
+  private val ChangelogSql = """
+    SELECT o_custkey AS k, o_orderkey AS seq,
+      CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0 THEN 'D'
+           WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+      CAST(o_totalprice AS DECIMAL(12,2)) AS total
+    FROM orders"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply" -> ((s, d) => {
+      Tables.register(s, d)
+      val changes = s.sql(ChangelogSql)
+      Cdc.applyChangelog(changes, "k", "seq", "op")
+        .selectExpr("k", "seq", "op", "CAST(total AS DOUBLE) AS total")
+        .orderBy("k")
+    }),
+
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val before = docs.select(col("doc_id"), col("text"))
+      // the rebuilt snapshot: %97 keys dropped, %31 docs edited, %53
+      // re-landed under a shifted id — same derivation in the oracle
+      val after = docs.where(expr("doc_id % 97 <> 0"))
+        .select(col("doc_id"),
+          when(expr("doc_id % 31 = 1"), concat(col("text"), lit("!")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.where(expr("doc_id % 53 = 2"))
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(lit("new:"), col("doc_id").cast("string")).as("text")))
+      Cdc.snapshotDiff(before, after, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
+
+    "agg_order_stat" -> ((s, d) => {
+      OrderStats.exactQuantiles(Tables.load(s, d, "lineitem"),
+          "l_extendedprice", Seq(0.5, 0.9, 0.99), bins = 4096)
+        .orderBy("p")
+    }),
+
+    "llm_negative_sample" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TrainOrder.negativeSamples(docs, docs.where(col("doc_id") < 200),
+          k = 5, seed = "negs9")
+        .selectExpr("anchor_id", "CAST(j AS INT) AS j", "neg_id", "neg_fp")
+        .orderBy("anchor_id", "j")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // independent recomputation: window row_number picks the latest
+    // change where the operator uses max-agg + join-back
+    "cdc_apply" -> s"""
+      WITH ch AS ($ChangelogSql),
+      last AS (SELECT k, seq, op, total,
+                 row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+               FROM ch)
+      SELECT k, seq, op, CAST(total AS DOUBLE) AS total
+      FROM last WHERE rn = 1 AND op <> 'D'
+      ORDER BY k""",
+
+    // the oracle compares text directly — no md5 fingerprint anywhere,
+    // so a fingerprint-collision bug could not self-confirm
+    "cdc_snapshot_diff" -> """
+      WITH a AS (SELECT doc_id, text FROM documents),
+      b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 1 THEN text || '!' ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new:' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 53 = 2)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text <> b.text THEN 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+      ORDER BY doc_id""",
+
+    // flat global sort + row_number — the plan shape the operator
+    // exists to avoid — reaching the same pinned definition
+    "agg_order_stat" -> """
+      WITH s AS (SELECT l_extendedprice AS v,
+                        row_number() OVER (ORDER BY l_extendedprice) - 1 AS rnk
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      n AS (SELECT COUNT(l_extendedprice) AS n FROM lineitem),
+      ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+      SELECT p, CAST(v AS DOUBLE) AS value
+      FROM ps CROSS JOIN n
+      JOIN s ON s.rnk = CAST(floor(p * (n - 1)) AS BIGINT)
+      ORDER BY p""",
+
+    "llm_negative_sample" -> """
+      WITH dom AS (SELECT MAX(doc_id) + 1 AS d FROM documents),
+      probes AS (
+        SELECT doc_id AS anchor_id, j,
+          ('0x' || substr(md5('negs9:' || CAST(doc_id AS VARCHAR)
+                               || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+            % d AS neg_id
+        FROM documents CROSS JOIN dom
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS j) js
+        WHERE doc_id < 200)
+      SELECT p.anchor_id, CAST(p.j AS INT) AS j, p.neg_id,
+             md5(t.text) AS neg_fp
+      FROM probes p JOIN documents t ON t.doc_id = p.neg_id
+      WHERE p.neg_id <> p.anchor_id
+      ORDER BY p.anchor_id, p.j"""
+  )
+}

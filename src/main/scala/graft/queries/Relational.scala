@@ -148,6 +148,21 @@ object Relational {
       FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
       ORDER BY lo_nation, hi_nation""",
 
+    // correlated LATERAL subquery join (reference surface: DataFusion
+    // plans lateral via subquery decorrelation, as Catalyst does) —
+    // per-customer top-2 orders, the canonical lateral idiom; shared
+    // verbatim with DuckDB, which executes the same decorrelation
+    "join_lateral" -> s"""
+      SELECT c_custkey, o_orderkey, CAST(tp AS DOUBLE) AS tp
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, $TP AS tp
+               FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2) t
+      WHERE c_custkey < 200
+      ORDER BY c_custkey, tp DESC, o_orderkey""",
+
     // VALUES inline relation + range (BETWEEN) join against it
     "join_values_range" -> s"""
       SELECT b.bucket, COUNT(*) AS n_parts,
@@ -287,6 +302,31 @@ object Relational {
       WHERE k < 500
       ORDER BY custkey""",
 
+    // PIVOT (reference surface: wide-format reshaping; Spark's native
+    // PIVOT clause, 2.4+). Aggregates DECIMAL under the pivot, casts to
+    // DOUBLE at the edge; a (pri, status) combination with no orders
+    // yields NULL in both engines.
+    "agg_pivot" -> """
+      SELECT pri, CAST(f AS DOUBLE) AS sum_f, CAST(o AS DOUBLE) AS sum_o,
+             CAST(p AS DOUBLE) AS sum_p
+      FROM (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS tp FROM orders)
+      PIVOT (SUM(tp) FOR st IN ('F' AS f, 'O' AS o, 'P' AS p))
+      ORDER BY pri""",
+    // UNPIVOT back to long format (Spark's UNPIVOT clause, 3.4+); the
+    // wide input is built by conditional aggregation so the entry
+    // exercises both reshapes in one plan
+    "agg_unpivot" -> """
+      WITH wide AS (
+        SELECT o_orderpriority AS pri,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT pri, st, cnt
+      FROM wide UNPIVOT (cnt FOR st IN (n_f, n_o, n_p))
+      ORDER BY pri, st""",
+
     // exact percentiles (sort-based linear interpolation at (n-1)*p, the
     // SQL-standard PERCENTILE_CONT definition): Spark spells it
     // percentile(), DuckDB quantile_cont() — ROUND(6) absorbs any
@@ -302,6 +342,32 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // conditional aggregation — the pivot recomputed without a PIVOT
+    // clause anywhere (independent recomputation)
+    "agg_pivot" -> """
+      SELECT o_orderpriority AS pri,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_p
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY pri""",
+    // UNION ALL of labeled counts — the unpivot recomputed long-form
+    "agg_unpivot" -> """
+      WITH base AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders)
+      SELECT pri, lbl AS st, cnt FROM (
+        SELECT pri, 'n_f' AS lbl, COUNT(*) FILTER (WHERE st = 'F') AS cnt
+        FROM base GROUP BY pri
+        UNION ALL
+        SELECT pri, 'n_o' AS lbl, COUNT(*) FILTER (WHERE st = 'O') AS cnt
+        FROM base GROUP BY pri
+        UNION ALL
+        SELECT pri, 'n_p' AS lbl, COUNT(*) FILTER (WHERE st = 'P') AS cnt
+        FROM base GROUP BY pri) u
+      ORDER BY pri, st""",
     "unnest_pos" -> """
       SELECT vec_id, pos, CAST(ROUND(val, 6) AS DOUBLE) AS val
       FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, OrderStats}
+import graft.llm.TrainOrder
+
+/** Property tests for the incremental-pipeline operators: changelog apply
+  * vs a window-based reference, snapshot diff semantics, histogram-
+  * narrowed order statistics vs a flat sort, and negative-sampling
+  * determinism/rejection.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random changelog: 60 keys, ~6 changes each
+  private lazy val changelog = Seq.tabulate(400) { i =>
+    val key = (i * 131) % 60
+    val op = (i * 37) % 10 match {
+      case 0 | 1 => "D"
+      case 2 | 3 | 4 => "U"
+      case _ => "I"
+    }
+    (key.toLong, i.toLong, op, i * 1.5)
+  }.toDF("k", "seq", "op", "v")
+
+  test("applyChangelog == window-based latest-change reference") {
+    val got = Cdc.applyChangelog(changelog, "k", "seq", "op")
+      .select("k", "seq", "op", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val ref = changelog
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("seq").desc)))
+      .where(col("rn") === 1 && col("op") =!= "D")
+      .select("k", "seq", "op", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == ref)
+    assert(got.nonEmpty, "fixture should keep some keys")
+    assert(got.size < 60, "fixture should delete some keys")
+  }
+
+  test("applyChangelog drops exactly the keys whose last change is a delete") {
+    val ch = Seq(
+      (1L, 1L, "I", 1.0), (1L, 2L, "D", 0.0),
+      (2L, 1L, "D", 0.0), (2L, 5L, "U", 2.0),
+      (3L, 9L, "I", 3.0)).toDF("k", "seq", "op", "v")
+    val keys = Cdc.applyChangelog(ch, "k", "seq", "op")
+      .select("k").as[Long].collect().sorted
+    assert(keys.toSeq == Seq(2L, 3L))
+  }
+
+  test("snapshotDiff labels added/removed/changed and drops identical rows") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Cdc.snapshotDiff(before, after, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  private def checkQuantiles(values: Seq[Double], ps: Seq[Double],
+                             bins: Int): Unit = {
+    val df = values.toDF("v")
+    val got = OrderStats.exactQuantiles(df, "v", ps, bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = values.sorted
+    val want = ps.map(p =>
+      p -> sorted(math.floor(p * (values.size - 1)).toInt)).toMap
+    assert(got == want, s"bins=$bins ps=$ps")
+  }
+
+  test("exactQuantiles == flat-sort rank selection (ties, odd/even n, bin counts)") {
+    val vals = Seq.tabulate(257)(i => ((i * 193) % 97).toDouble / 3.0)
+    for (bins <- Seq(1, 7, 4096))
+      checkQuantiles(vals, Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0), bins)
+    checkQuantiles(vals.take(256), Seq(0.5, 0.95), 16)
+    // heavy ties: many values share bins and ranks
+    checkQuantiles(Seq.tabulate(100)(i => (i % 5).toDouble), Seq(0.5, 0.8), 8)
+  }
+
+  test("exactQuantiles on a constant column (zero histogram width)") {
+    checkQuantiles(Seq.fill(40)(7.25), Seq(0.0, 0.5, 1.0), 64)
+  }
+
+  test("exactQuantiles plans no global range sort over the data") {
+    val df = spark.range(1000).select((col("id") % 31).cast("double").as("v"))
+    val plan = staticPlan(OrderStats.exactQuantiles(df, "v", Seq(0.5, 0.99)))
+    assert(!plan.contains("rangepartitioning"),
+      s"histogram narrowing must not global-sort the corpus:\n$plan")
+  }
+
+  test("negativeSamples: deterministic, in-domain, never the anchor") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val anchors = docs.where(col("doc_id") < 40)
+    val a = TrainOrder.negativeSamples(docs, anchors, k = 4, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = TrainOrder.negativeSamples(docs, anchors, k = 4, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "same seed must reproduce the same draws")
+    assert(a.forall { case (anchor, _, neg) =>
+      neg >= 0 && neg < 300 && neg != anchor })
+    // rejection only removes self-hits: each anchor keeps nearly k draws
+    val perAnchor = a.groupBy(_._1).map(_._2.size)
+    assert(perAnchor.forall(n => n >= 3 && n <= 4))
+    assert(a.size >= 40 * 4 - 5)
+    val c = TrainOrder.negativeSamples(docs, anchors, k = 4, seed = "u")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a != c, "different seeds should draw differently")
+  }
+}

@@ -23,6 +23,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("cdc_apply: latest-change selection is agg+join, never a window sort") {
+    val plan = staticPlan(SparkEntry.queries("cdc_apply")(spark, sfSmoke))
+    assert(!plan.contains("Window"),
+      s"changelog apply fell back to a per-key window sort:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      "latest-sequence selection should be a hash aggregation")
+  }
+
+  test("llm_negative_sample: probes broadcast into the corpus join") {
+    val plan = staticPlan(SparkEntry.queries("llm_negative_sample")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe-side lookup should broadcast, corpus stays in place:\n$plan")
+  }
+
   test("q6: filters pushed into the lineitem parquet scan") {
     val pushed = pushedFilters(Tpch.queries("tpch_q6")(spark, sfSmoke))
     assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
