@@ -61,6 +61,23 @@ object Ops {
           k = 5, seed = "negs9")
         .selectExpr("anchor_id", "CAST(j AS INT) AS j", "neg_id", "neg_fp")
         .orderBy("anchor_id", "j")
+    }),
+
+    // schema-aligning union across heterogeneous inputs (unionByName with
+    // allowMissingColumns — the multi-source landing-zone merge; missing
+    // columns fill with NULL, matching is by NAME not position). Map-side
+    // only: the union itself adds no shuffle, the NULL fill is a
+    // projection.
+    "set_union_by_name" -> ((s, d) => {
+      Tables.register(s, d)
+      val a = s.sql("""SELECT o_custkey AS k, COUNT(*) AS n_orders,
+                              'orders' AS src
+                       FROM orders WHERE o_orderstatus = 'P'
+                       GROUP BY o_custkey""")
+      val b = s.sql("""SELECT 'customer' AS src, c_custkey AS k,
+                              CAST(c_acctbal AS DOUBLE) AS bal
+                       FROM customer WHERE c_acctbal > 9500""")
+      a.unionByName(b, allowMissingColumns = true).orderBy("src", "k")
     })
   )
 
@@ -122,6 +139,18 @@ object Ops {
              md5(t.text) AS neg_fp
       FROM probes p JOIN documents t ON t.doc_id = p.neg_id
       WHERE p.neg_id <> p.anchor_id
-      ORDER BY p.anchor_id, p.j"""
+      ORDER BY p.anchor_id, p.j""",
+
+    // the union recomputed positionally with explicit NULL padding — no
+    // BY NAME resolution anywhere in the oracle
+    "set_union_by_name" -> """
+      SELECT o_custkey AS k, COUNT(*) AS n_orders, 'orders' AS src,
+             CAST(NULL AS DOUBLE) AS bal
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+      UNION ALL
+      SELECT c_custkey, CAST(NULL AS BIGINT), 'customer',
+             CAST(c_acctbal AS DOUBLE)
+      FROM customer WHERE c_acctbal > 9500
+      ORDER BY src, k"""
   )
 }

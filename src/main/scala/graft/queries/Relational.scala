@@ -215,7 +215,30 @@ object Relational {
              CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       FROM sizes LEFT JOIN part ON p_size = n
       GROUP BY n
-      ORDER BY n"""
+      ORDER BY n""",
+
+    // per-group anomaly flagging over hourly event counts, in EXACT integer
+    // arithmetic: |cnt - mean| > 2*stddev_pop rewritten as
+    // (n*cnt - s)^2 > 4*(n*s2 - s^2) — every term an integer, so the flag
+    // is bit-identical cross-engine with no sqrt/double anywhere (the same
+    // log-free discipline as tokenDiversity). Headroom: BIGINT holds
+    // (n*cnt)^2 up to n*cnt < 3e9 — at 100 TB event scale the hourly count
+    // per type stays ~1e6 and hours ~1e5, inside the bound; beyond it the
+    // same SQL runs on DECIMAL(38,0). Plan: two hash aggregations + a
+    // broadcast-sized per-type stats join — no window, no global sort.
+    "ts_anomaly_zscore" -> s"""
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                        COUNT(*) AS cnt
+                 FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      st AS (SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(cnt) AS BIGINT) AS s,
+                    CAST(SUM(cnt*cnt) AS BIGINT) AS s2
+             FROM h GROUP BY event_type)
+      SELECT h.event_type, h.hr, h.cnt,
+             CAST((st.n*h.cnt - st.s)*(st.n*h.cnt - st.s)
+                    > 4*(st.n*st.s2 - st.s*st.s) AS BOOLEAN) AS is_anomaly
+      FROM h JOIN st ON h.event_type = st.event_type
+      ORDER BY h.event_type, h.hr"""
   )
 
   /** Engine-specific pair: Spark uses LATERAL VIEW posexplode (0-based),
@@ -327,6 +350,25 @@ object Relational {
       FROM wide UNPIVOT (cnt FOR st IN (n_f, n_o, n_p))
       ORDER BY pri, st""",
 
+    // null-safe equi-join (SQL-standard IS NOT DISTINCT FROM; reference
+    // surface: DataFusion plans eq_null_safe as a hash-join key exactly as
+    // Catalyst's EqualNullSafe does — NOT a nested loop). Spark spells the
+    // operator `<=>`; the NULL lookup row only matches because of it — a
+    // plain `=` would leave `delinquent` at zero, so the semantics are
+    // actually under test.
+    "join_null_safe" -> """
+      WITH c AS (SELECT c_custkey,
+                        CASE WHEN c_acctbal < 0 THEN NULL
+                             ELSE c_mktsegment END AS seg
+                 FROM customer),
+      l AS (SELECT seg, lbl FROM VALUES
+              ('AUTOMOBILE', 'auto'), ('BUILDING', 'bldg'),
+              (CAST(NULL AS STRING), 'delinquent') AS t(seg, lbl))
+      SELECT l.lbl, COUNT(c.c_custkey) AS n_cust
+      FROM l LEFT JOIN c ON c.seg <=> l.seg
+      GROUP BY l.lbl
+      ORDER BY l.lbl""",
+
     // exact percentiles (sort-based linear interpolation at (n-1)*p, the
     // SQL-standard PERCENTILE_CONT definition): Spark spells it
     // percentile(), DuckDB quantile_cont() — ROUND(6) absorbs any
@@ -420,6 +462,18 @@ object Relational {
       FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+    // DuckDB's ANSI spelling of the null-safe comparison
+    "join_null_safe" -> """
+      WITH c AS (SELECT c_custkey,
+                        CASE WHEN c_acctbal < 0 THEN NULL
+                             ELSE c_mktsegment END AS seg
+                 FROM customer),
+      l AS (SELECT * FROM (VALUES ('AUTOMOBILE', 'auto'), ('BUILDING', 'bldg'),
+                                  (NULL, 'delinquent')) t(seg, lbl))
+      SELECT l.lbl, COUNT(c.c_custkey) AS n_cust
+      FROM l LEFT JOIN c ON c.seg IS NOT DISTINCT FROM l.seg
+      GROUP BY l.lbl
+      ORDER BY l.lbl""",
     // DuckDB 1.0 lacks GROUPS frames too ("not implemented yet"), so the
     // oracle recomputes the frame semantics INDEPENDENTLY as a dense_rank
     // range join: sum every row of the partition whose peer-group rank is
