@@ -68,6 +68,30 @@ object Ivf {
       .select(col("probe_id"), col("pe"), col("centroid_id"))
   }
 
+  /** One Lloyd iteration in pure DataFrame algebra — the differential
+    * window into the k-means training [[train]] wraps in spark.ml: assign
+    * every vector to its nearest centroid (cosine; ties toward the
+    * smaller centroid_id, the same rule as [[assign]]), then recompute
+    * each centroid component as an exact DECIMAL(18,9) sum over members
+    * divided (one correctly-rounded double division) by the member count.
+    *
+    * Scale shape: assignment is the [[assign]] broadcast + map-side
+    * max_by; the recompute shuffles k×dims partial sums (map-side
+    * combine), never the corpus. Output long-form:
+    * (centroid_id, dim 0-based, component, n_members) — empty clusters
+    * simply emit no rows (no 0/0 anywhere).
+    */
+  def lloydIterate(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vecs, centroids)
+      .select(col("centroid_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("centroid_id", "dim")
+      .agg(sum(col("v").cast("double").cast("decimal(18,9)")).as("s"),
+        count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("dim").cast("int").as("dim"),
+        round(col("s").cast("double") / col("n_members"), 6).as("component"),
+        col("n_members"))
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding corpus (k-means centroids via [[train]], or any fixed
     * centroid table), then prune WITHIN each cluster — a vector is

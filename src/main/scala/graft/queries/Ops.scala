@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Cdc, OrderStats}
+import graft.operators.{Cdc, Constraints, OrderStats}
 import graft.llm.TrainOrder
 
 /** Incremental-pipeline operator entries: CDC changelog apply, snapshot
@@ -78,6 +78,29 @@ object Ops {
                               CAST(c_acctbal AS DOUBLE) AS bal
                        FROM customer WHERE c_acctbal > 9500""")
       a.unionByName(b, allowMissingColumns = true).orderBy("src", "k")
+    }),
+
+    // data-quality admission gate: 4 row rules on one lineitem scan, two
+    // uniqueness checks, two referential checks (one deliberately failing
+    // against a restricted parent) — mixed pass/fail so both verdict paths
+    // are under test
+    "qc_constraints" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val ord = Tables.load(s, d, "orders")
+      val cust = Tables.load(s, d, "customer")
+      Constraints.report(Seq(
+        Constraints.checkPredicates(li, Seq(
+          "li_qty_range" -> expr("l_quantity BETWEEN 1 AND 50"),
+          "li_price_positive" -> expr("l_extendedprice > 0"),
+          "li_qty_small" -> expr("l_quantity <= 10"),
+          "li_discount_range" -> expr("l_discount BETWEEN 0 AND 0.1"))),
+        Constraints.checkUnique(ord, Seq("o_orderkey"), "orders_pk_unique"),
+        Constraints.checkUnique(li, Seq("l_orderkey"), "li_orderkey_unique"),
+        Constraints.checkForeignKey(li, "l_orderkey", ord, "o_orderkey",
+          "li_fk_orders"),
+        Constraints.checkForeignKey(ord, "o_custkey",
+          cust.where(expr("c_acctbal > 9000")), "c_custkey",
+          "orders_fk_rich_customer")))
     })
   )
 
@@ -151,6 +174,47 @@ object Ops {
       SELECT c_custkey, CAST(NULL AS BIGINT), 'customer',
              CAST(c_acctbal AS DOUBLE)
       FROM customer WHERE c_acctbal > 9500
-      ORDER BY src, k"""
+      ORDER BY src, k""",
+
+    // every check recomputed as an independent scalar subquery — FILTER
+    // counts for the row rules, NOT EXISTS for the referential checks
+    // (the operator uses conditional sums and anti joins)
+    "qc_constraints" -> """
+      WITH p AS (
+        SELECT COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) AS v_range,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_extendedprice > 0, FALSE)) AS v_pos,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity <= 10, FALSE)) AS v_small,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE)) AS v_disc
+        FROM lineitem)
+      SELECT 'li_qty_range' AS rule, n AS n_checked, v_range AS n_violations,
+             v_range = 0 AS pass FROM p
+      UNION ALL SELECT 'li_price_positive', n, v_pos, v_pos = 0 FROM p
+      UNION ALL SELECT 'li_qty_small', n, v_small, v_small = 0 FROM p
+      UNION ALL SELECT 'li_discount_range', n, v_disc, v_disc = 0 FROM p
+      UNION ALL
+      SELECT 'orders_pk_unique', (SELECT COUNT(*) FROM orders), x.v, x.v = 0
+      FROM (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v FROM
+              (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+            WHERE c > 1) x
+      UNION ALL
+      SELECT 'li_orderkey_unique', (SELECT COUNT(*) FROM lineitem), y.v, y.v = 0
+      FROM (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v FROM
+              (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey) g
+            WHERE c > 1) y
+      UNION ALL
+      SELECT 'li_fk_orders', (SELECT COUNT(l_orderkey) FROM lineitem), z.v,
+             z.v = 0
+      FROM (SELECT COUNT(*) AS v FROM lineitem li
+            WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)) z
+      UNION ALL
+      SELECT 'orders_fk_rich_customer', (SELECT COUNT(o_custkey) FROM orders),
+             w.v, w.v = 0
+      FROM (SELECT COUNT(*) AS v FROM orders od
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey
+                 AND c.c_acctbal > 9000)) w
+      ORDER BY rule"""
   )
 }

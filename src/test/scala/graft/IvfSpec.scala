@@ -129,4 +129,23 @@ class IvfSpec extends SparkSpec {
     // the id-5 copy displaced 11 AND its later copies
     assert(got.map(_._1).contains(5L) && !got.map(_._1).exists(Set(11L, 111L, 211L)))
   }
+
+  test("lloydIterate computes per-cluster member means exactly") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val vecs = Seq(
+      (1L, v(1.0, 0.0)), (2L, v(0.9, 0.1)),   // cluster 10
+      (3L, v(0.0, 1.0)), (4L, v(0.1, 0.9)))   // cluster 20
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, v(1.0, 0.0)), (20L, v(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    val got = Ivf.lloydIterate(vecs, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got((10L, 0)) == ((0.95, 2L)))
+    assert(got((10L, 1)) == ((0.05, 2L)))
+    assert(got((20L, 0)) == ((0.05, 2L)))
+    assert(got((20L, 1)) == ((0.95, 2L)))
+    assert(got.size == 4)
+  }
 }

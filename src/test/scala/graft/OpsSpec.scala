@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, OrderStats}
+import graft.operators.{Cdc, Constraints, OrderStats}
 import graft.llm.TrainOrder
 
 /** Property tests for the incremental-pipeline operators: changelog apply
@@ -108,5 +108,41 @@ class OpsSpec extends SparkSpec {
     val c = TrainOrder.negativeSamples(docs, anchors, k = 4, seed = "u")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a != c, "different seeds should draw differently")
+  }
+
+  test("constraints: predicate/unique/fk verdicts with pinned NULL semantics") {
+    val t = Seq((1L, Option(5.0), "a"), (2L, Option(50.0), "b"),
+        (3L, Option.empty[Double], "a"), (4L, Option(-1.0), "c"),
+        (4L, Option(2.0), "d"))
+      .toDF("id", "v", "tag")
+    val pred = Constraints.checkPredicates(t, Seq(
+        "v_range" -> expr("v BETWEEN 0 AND 10"), // 50.0, NULL, -1.0 violate
+        "id_pos" -> expr("id > 0")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(pred("v_range") == ((5L, 3L, false)), "NULL predicate = violation")
+    assert(pred("id_pos") == ((5L, 0L, true)))
+
+    val uniq = Constraints.checkUnique(t, Seq("id"), "id_unique").collect().head
+    assert((uniq.getLong(1), uniq.getLong(2), uniq.getBoolean(3)) ==
+      ((5L, 2L, false)), "both members of the duplicated key count")
+
+    val parent = Seq(1L, 2L, 4L).toDF("pid")
+    val fk = Constraints.checkForeignKey(t, "id", parent, "pid", "fk")
+      .collect().head
+    assert((fk.getLong(1), fk.getLong(2), fk.getBoolean(3)) == ((5L, 1L, false)))
+  }
+
+  test("checkPredicates: N rules cost one aggregation over one scan") {
+    val li = Tables.load(spark, sfSmoke, "lineitem")
+    val plan = staticPlan(Constraints.checkPredicates(li, Seq(
+      "a" -> expr("l_quantity > 0"),
+      "b" -> expr("l_extendedprice > 0"),
+      "c" -> expr("l_discount <= 1"))))
+    assert("HashAggregate".r.findAllMatchIn(plan).size == 2,
+      s"expected exactly partial+final aggregation:\n$plan")
+    assert("FileScan".r.findAllMatchIn(plan).size == 1,
+      s"three rules must share one scan:\n$plan")
   }
 }
