@@ -98,6 +98,32 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * k most-similar corpus vectors carrying a DIFFERENT label — the
+    * negatives that actually teach a margin, mined from the corpus
+    * rather than sampled blind (the ANN-mining step of a dense-retriever
+    * training loop). Probe-bounded brute force like [[bruteForceTopK]]
+    * (probes are batch-sized by definition); at corpus scale compose the
+    * same label predicate over [[lshTopKBanded]]'s banded candidates
+    * instead — the filter pushes inside the candidate join either way.
+    */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = probes.as("a")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("label").as("probe_label"))
+      .join(corpus.as("b")
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("label").as("neg_label")),
+        expr("cand_id <> probe_id AND neg_label <> probe_label"))
+      .select(col("probe_id"), col("probe_label"), col("cand_id"),
+        col("neg_label"), cosine("pe", "ce").as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic md5-derived hyperplane component for plane `p`, dim `i`:
     * uniform-ish half-integer in [-32767.5, 32767.5]. Computed once on the
     * driver; a float×half-integer product is exact in double (24+17 bit

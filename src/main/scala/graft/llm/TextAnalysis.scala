@@ -628,4 +628,38 @@ object TextAnalysis {
            |  transform(sequence(1, length(norm) - ${gram - 1}, $stride),
            |            i -> md5(substring(norm, i, $gram))))), 1, $k))""".stripMargin)
         .as("fp"))
+
+  /** Winnowing fingerprints (Schleimer et al., the MOSS scheme): hash
+    * every `gram`-char window of the normalized text, then keep the
+    * MINIMUM hash of each run of `window` consecutive gram hashes — any
+    * shared substring of length >= gram + window - 1 is guaranteed to
+    * contribute a shared fingerprint, while only ~2/(window+1) of grams
+    * survive. The value-SET of window minima is reported (positions
+    * dropped at the output edge, which also makes the selection
+    * tie-break-free): per doc, the number of windows, distinct
+    * fingerprints kept, and their exact integer sum as a comparable
+    * digest.
+    *
+    * Per-row expression work + one per-doc window over the doc's own
+    * grams (never corpus-wide) + one aggregation — no corpus shuffle
+    * beyond the per-doc groupBy, embarrassingly parallel at 100 TB.
+    * Hashes are the repo-standard 28-bit md5 prefix, so sums stay exact
+    * BIGINTs in both engines.
+    */
+  def winnow(docs: DataFrame, gram: Int = 8, window: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), expr(Dedup.normalizeExpr).as("norm"))
+      .where(length(col("norm")) >= gram + window - 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(norm) - ${gram - 1}), " +
+          s"i -> CAST(conv(substr(md5(substring(norm, i, $gram)), 1, 7), 16, 10) AS BIGINT))"))
+        .as(Seq("pos", "h")))
+      .withColumn("wmin", min(col("h")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(1 - window, 0)))
+      .where(col("pos") >= window - 1) // first complete window
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("wmin")).as("n_fps"),
+        sum_distinct(col("wmin")).as("fp_sum"))
 }

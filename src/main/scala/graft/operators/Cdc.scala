@@ -28,10 +28,22 @@ object Cdc {
     * the join-back on (key, max seq) then selects exactly one row.
     */
   def applyChangelog(changes: DataFrame, keyCol: String, seqCol: String,
-                     opCol: String, deleteOp: String = "D"): DataFrame = {
+                     opCol: String, deleteOp: String = "D"): DataFrame =
+    latestChanges(changes, keyCol, seqCol)
+      .where(col(opCol) =!= lit(deleteOp))
+
+  /** Each key's winning change INCLUDING delete tombstones — the
+    * intermediate state an INCREMENTAL merge must carry: dropping a
+    * winning delete early would let an out-of-order older change
+    * resurrect the key in a later batch. latest-seq-wins is associative
+    * and commutative, so `latestChanges(state ∪ batch)` converges to the
+    * full-changelog answer under ANY batch split — the property the
+    * streaming upsert entry pins differentially.
+    */
+  def latestChanges(changes: DataFrame, keyCol: String,
+                    seqCol: String): DataFrame = {
     val latest = changes.groupBy(col(keyCol)).agg(max(col(seqCol)).as(seqCol))
     changes.join(latest, Seq(keyCol, seqCol))
-      .where(col(opCol) =!= lit(deleteOp))
   }
 
   /** Row-level diff of two snapshots keyed by `keyCol`: one row per key

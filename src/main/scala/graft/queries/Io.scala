@@ -500,6 +500,50 @@ object Io {
         .orderBy("user_mod")
     }),
 
+    // STREAMING MERGE/upsert materialization: a keyed changelog arrives
+    // in micro-batches (3 landing files, maxFilesPerTrigger=1) and
+    // foreachBatch folds each batch into a serving snapshot with
+    // latest-seq-wins INCLUDING delete tombstones (dropping a winning
+    // delete early would let an out-of-order older change resurrect the
+    // key in a later batch — Cdc.latestChanges scaladoc). Dirs alternate
+    // per batch (read state N, write state N+1) — the no-transactional-
+    // table MERGE; with Delta/Iceberg the rewrite becomes a keyed MERGE
+    // INTO, the fold logic unchanged. The oracle applies the WHOLE
+    // changelog at once: green proves batch-split-invariant convergence
+    // of the incremental fold, tombstones and all.
+    "ts_stream_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val root = s"${base(d)}/stream_upsert"
+      deleteRecursively(new java.io.File(root))
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft_upsert_in").toString
+      events.repartition(3).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .selectExpr("user_id AS k", "event_id AS seq",
+          """CASE WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'D'
+                  WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op""",
+          "CAST(value AS DECIMAL(18,2)) AS total")
+      var last: Option[String] = None
+      graft.streaming.Streams.runForeachBatch(stream, s"$root/ck") {
+        (batch, id) =>
+          val merged = graft.operators.Cdc.latestChanges(
+            last.map(p => s.read.parquet(p).unionByName(batch))
+              .getOrElse(batch), "k", "seq")
+          val next = s"$root/state_${id % 2}"
+          merged.write.mode("overwrite").parquet(next)
+          last = Some(next)
+      }
+      deleteRecursively(new java.io.File(inDir))
+      s.read.parquet(last.getOrElse(
+          sys.error("upsert stream produced no batches")))
+        .where("op <> 'D'")
+        .selectExpr("k", "seq", "op", "CAST(total AS DOUBLE) AS total")
+        .orderBy("k")
+    }),
+
     // STREAMING watermark-DROP semantics, differentially oracled: the one
     // streaming behavior bounded Complete-mode replay cannot pin is that
     // rows arriving LATER than the watermark horizon are dropped. Spark's
@@ -1266,6 +1310,22 @@ object Io {
         |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY user_mod""".stripMargin,
+
+    // the WHOLE changelog applied in one shot (window rank, no
+    // incremental fold, no tombstone carrying) — green proves the
+    // 3-batch foreachBatch merge converged to the same snapshot
+    "ts_stream_upsert" ->
+      """WITH ch AS (SELECT user_id AS k, event_id AS seq,
+        |    CASE WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'D'
+        |         WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+        |    CAST(value AS DECIMAL(18,2)) AS total
+        |  FROM events),
+        |last AS (SELECT k, seq, op, total,
+        |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |         FROM ch)
+        |SELECT k, seq, op, CAST(total AS DOUBLE) AS total
+        |FROM last WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
 
     "ts_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -605,6 +605,20 @@ object Llm {
       dec.select(cols: _*).orderBy("doc_id")
     }),
 
+    // hard-negative mining: nearest different-label corpus vectors per
+    // probe — the ANN-mining step of contrastive training loops
+    "llm_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e.where("vec_id < 16"), e, 3)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // winnowing fingerprints (MOSS): per-doc window-minima digest over
+    // 8-char gram hashes — shared substrings of >= 11 chars must share
+    // a fingerprint
+    "llm_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
+
     // one k-means Lloyd iteration, differentially: 4 fixture vectors seed
     // the centroids, assignment is the broadcast argmax Ivf.assign uses,
     // and the recomputed centroid means are DECIMAL-exact sums over one
@@ -1538,6 +1552,42 @@ object Llm {
          |  $feats
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // same ranking recomputation as llm_cosine_topk with the label
+    // disagreement predicate inside the pair join
+    "llm_hard_negatives" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |         c.vec_id AS cand_id, c.label AS neg_label,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c
+         |    ON c.vec_id <> p.vec_id AND c.label <> p.label
+         |  WHERE p.vec_id < 16),
+         |ranked AS (SELECT probe_id, probe_label, cand_id, neg_label, cos,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT probe_id, probe_label, cand_id, neg_label, cos, rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    // the window-minima selection replayed over 1-based gram positions
+    // (Spark's posexplode is 0-based: its pos >= 3 == i >= 4 here)
+    "llm_winnow" ->
+      s"""WITH nrm AS (SELECT doc_id, $NORM AS t FROM documents),
+         |ok AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 11),
+         |g AS (SELECT doc_id, i,
+         |             ('0x' || substr(md5(substr(t, i, 8)), 1, 7))::BIGINT AS h
+         |      FROM ok, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+         |wm AS (SELECT doc_id, i,
+         |              min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+         |       FROM g)
+         |SELECT doc_id, COUNT(*) AS n_windows,
+         |       COUNT(DISTINCT wmin) AS n_fps,
+         |       CAST(SUM(DISTINCT wmin) AS BIGINT) AS fp_sum
+         |FROM wm WHERE i >= 4
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // assignment argmax recomputed on the UNROUNDED cosine (both engines
     // rank the same bit-identical doubles; min cid breaks exact ties),

@@ -188,6 +188,30 @@ object Streams {
     } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Drive a stream through a foreachBatch sink and block until the
+    * source drains — the MERGE/upsert deployment shape: each micro-batch
+    * runs arbitrary batch logic (join against the serving table, rewrite
+    * it) with the batch id for idempotence. Same state-partition sizing
+    * rationale as [[runToMemory]].
+    */
+  def runForeachBatch(df: DataFrame, checkpointDir: String)
+                     (fn: (DataFrame, Long) => Unit): Unit = {
+    val conf = df.sparkSession.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          fn(b.toDF(), id)
+        }
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Append-mode parquet FILE sink: exactly-once landing via the sink's
     * `_spark_metadata` commit log — a batch read of `outDir` sees only
     * manifest-committed files, so a crashed batch's orphans are

@@ -51,6 +51,26 @@ class OpsSpec extends SparkSpec {
     assert(keys.toSeq == Seq(2L, 3L))
   }
 
+  test("latestChanges fold is batch-split invariant (tombstones carried)") {
+    // the delete wins at seq 5; an OLDER insert for the same key arrives
+    // in a LATER batch — without the tombstone it would resurrect key 1
+    val b1 = Seq((1L, 5L, "D", 0.0)).toDF("k", "seq", "op", "v")
+    val b2 = Seq((1L, 3L, "I", 1.0), (2L, 1L, "I", 2.0))
+      .toDF("k", "seq", "op", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "seq", "op", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+    val whole = Cdc.applyChangelog(b1.unionAll(b2), "k", "seq", "op")
+    val folded = Cdc.latestChanges(
+        Cdc.latestChanges(b1, "k", "seq").unionAll(b2), "k", "seq")
+      .where(col("op") =!= "D")
+    assert(rows(folded) == rows(whole))
+    assert(!rows(folded).exists(_._1 == 1L),
+      "tombstone must prevent resurrection by an older change")
+    assert(rows(folded).exists(_._1 == 2L))
+  }
+
   test("snapshotDiff labels added/removed/changed and drops identical rows") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
