@@ -619,6 +619,24 @@ object Llm {
     "llm_winnow" -> ((s, d) =>
       TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
 
+    // retrieval evaluation: first same-label hit rank in the exact top-10
+    // per probe, with its reciprocal — the MRR ingredient; probes whose
+    // top-10 holds no relevant result emit no row (both engines)
+    "llm_retrieval_mrr" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e.where("vec_id < 32"), e, 10)
+        .join(e.select(col("vec_id").as("probe_id"),
+          col("label").as("probe_label")), "probe_id")
+        .join(e.select(col("vec_id").as("cand_id"),
+          col("label").as("cand_label")), "cand_id")
+        .where("cand_label = probe_label")
+        .groupBy("probe_id")
+        .agg(min("rank").as("first_hit_rank"))
+        .selectExpr("probe_id", "first_hit_rank",
+          "CAST(ROUND(1.0 / first_hit_rank, 6) AS DOUBLE) AS rr")
+        .orderBy("probe_id")
+    }),
+
     // one k-means Lloyd iteration, differentially: 4 fixture vectors seed
     // the centroids, assignment is the broadcast argmax Ivf.assign uses,
     // and the recomputed centroid means are DECIMAL-exact sums over one
@@ -1570,6 +1588,26 @@ object Llm {
          |SELECT probe_id, probe_label, cand_id, neg_label, cos, rank
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // top-10 ranking recomputed from scratch, label relevance applied
+    // AFTER the rank cut (a hit outside the top-10 must not count)
+    "llm_retrieval_mrr" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |         c.vec_id AS cand_id, c.label AS cand_label,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 32),
+         |ranked AS (SELECT probe_id, probe_label, cand_label,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT probe_id, MIN(rank) AS first_hit_rank,
+         |       CAST(ROUND(CAST(1.0 AS DOUBLE) / MIN(rank), 6) AS DOUBLE) AS rr
+         |FROM ranked
+         |WHERE rank <= 10 AND cand_label = probe_label
+         |GROUP BY probe_id
+         |ORDER BY probe_id""".stripMargin,
 
     // the window-minima selection replayed over 1-based gram positions
     // (Spark's posexplode is 0-based: its pos >= 3 == i >= 4 here)

@@ -55,6 +55,29 @@ object Ops {
         .orderBy("p")
     }),
 
+    // winsorization: clip the value column at its exact [p1, p99] — the
+    // robust-stats composition over exactQuantiles (histogram-narrowed
+    // thresholds, never a global sort), thresholds broadcast back over
+    // one clipping scan
+    "agg_winsorize" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val qs = OrderStats.exactQuantiles(li, "l_extendedprice",
+        Seq(0.01, 0.99), bins = 1024)
+      val lims = qs.agg(
+        min(when(col("p") === 0.01, col("value"))).as("lo"),
+        min(when(col("p") === 0.99, col("value"))).as("hi"))
+      li.crossJoin(broadcast(lims))
+        .selectExpr(
+          "least(greatest(l_extendedprice, lo), hi) AS clipped",
+          "CAST(l_extendedprice < lo AS INT) AS is_lo",
+          "CAST(l_extendedprice > hi AS INT) AS is_hi")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_lo")).as("n_clipped_lo"),
+          sum(col("is_hi")).as("n_clipped_hi"),
+          expr("CAST(SUM(CAST(clipped AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sum_winsorized"))
+    }),
+
     "llm_negative_sample" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       TrainOrder.negativeSamples(docs, docs.where(col("doc_id") < 200),
@@ -147,6 +170,23 @@ object Ops {
       FROM ps CROSS JOIN n
       JOIN s ON s.rnk = CAST(floor(p * (n - 1)) AS BIGINT)
       ORDER BY p""",
+
+    // thresholds recomputed by flat row_number rank (same pinned
+    // floor(p*(n-1)) definition), clipping and sums from scratch
+    "agg_winsorize" -> """
+      WITH s AS (SELECT l_extendedprice AS v,
+                        row_number() OVER (ORDER BY l_extendedprice) - 1 AS rnk
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      nn AS (SELECT COUNT(v) AS n FROM s),
+      lims AS (SELECT
+        (SELECT v FROM s, nn WHERE rnk = CAST(floor(0.01 * (n - 1)) AS BIGINT)) AS lo,
+        (SELECT v FROM s, nn WHERE rnk = CAST(floor(0.99 * (n - 1)) AS BIGINT)) AS hi)
+      SELECT COUNT(*) AS n,
+        CAST(COUNT(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_clipped_lo,
+        CAST(COUNT(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_clipped_hi,
+        CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,2)))
+             AS DOUBLE) AS sum_winsorized
+      FROM lineitem, lims""",
 
     "llm_negative_sample" -> """
       WITH dom AS (SELECT MAX(doc_id) + 1 AS d FROM documents),

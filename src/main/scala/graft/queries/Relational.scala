@@ -369,6 +369,24 @@ object Relational {
       GROUP BY l.lbl
       ORDER BY l.lbl""",
 
+    // cohort retention (the classic event-analytics matrix): users keyed
+    // by first-active day, activity counted at day offsets. Two hash
+    // aggregations + one equi-join on user_id — the first-day table is
+    // user-sized and joins on the same key layout, no window anywhere.
+    // Engine-specific only in the datediff spelling.
+    "ts_retention_cohorts" -> """
+      WITH act AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS day
+                   FROM events),
+      first AS (SELECT user_id, MIN(day) AS cohort_day
+                FROM act GROUP BY user_id)
+      SELECT f.cohort_day,
+             CAST(datediff(a.day, f.cohort_day) AS INT) AS offset_days,
+             COUNT(*) AS n_users
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, datediff(a.day, f.cohort_day)
+      ORDER BY cohort_day, offset_days""",
+
     // exact percentiles (sort-based linear interpolation at (n-1)*p, the
     // SQL-standard PERCENTILE_CONT definition): Spark spells it
     // percentile(), DuckDB quantile_cont() — ROUND(6) absorbs any
@@ -462,6 +480,20 @@ object Relational {
       FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+    // DuckDB's datediff takes the unit first and the endpoints reversed
+    "ts_retention_cohorts" -> """
+      WITH act AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS day
+                   FROM events),
+      first AS (SELECT user_id, MIN(day) AS cohort_day
+                FROM act GROUP BY user_id)
+      SELECT f.cohort_day,
+             CAST(datediff('day', f.cohort_day, a.day) AS INT) AS offset_days,
+             COUNT(*) AS n_users
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+      ORDER BY cohort_day, offset_days""",
+
     // DuckDB's ANSI spelling of the null-safe comparison
     "join_null_safe" -> """
       WITH c AS (SELECT c_custkey,
