@@ -647,7 +647,7 @@ object TextAnalysis {
     * BIGINTs in both engines.
     */
   def winnow(docs: DataFrame, gram: Int = 8, window: Int = 4): DataFrame =
-    docs
+    spread(docs)
       .select(col("doc_id"), expr(Dedup.normalizeExpr).as("norm"))
       .where(length(col("norm")) >= gram + window - 1)
       .select(col("doc_id"), posexplode(expr(
