@@ -70,4 +70,55 @@ object OrderStats {
       .where(col("__rn") === col("__r") - col("__prev"))
       .select(col("p"), col("__v").as("value"))
   }
+
+  /** Per-GROUP exact quantiles by the same histogram narrowing — the
+    * scale path for grouped percentiles: Spark's `percentile()` buffers
+    * every value of a group inside one aggregation state, so a
+    * mega-group OOMs an executor at 100 TB. Here every pass is a hash
+    * aggregation keyed by (group[, bin]) — per-group state is `bins`
+    * counters regardless of group size — and the only sort ranks the
+    * target bins' rows (expected n_g/bins per group per quantile). The
+    * cumulative-histogram window runs over at most `bins` rows per
+    * group; the final rank window over target-bin populations, never a
+    * whole group. Groups with no non-null values emit no rows.
+    * Output: (group, p, value); same pinned floor(p*(n-1)) definition.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, ps: Seq[Double],
+                            bins: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantiles must be in [0, 1]")
+    require(bins > 0, "bins must be positive")
+    val data = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val stats = data.groupBy("__g").agg(min("__v").as("__min"),
+      max("__v").as("__max"), count(lit(1)).as("__n"))
+
+    val width = (col("__max") - col("__min")) / lit(bins.toDouble)
+    val binOf = when(col("__max") === col("__min"), lit(0L))
+      .otherwise(least(floor((col("__v") - col("__min")) / width),
+        lit(bins.toLong - 1L)).cast("long"))
+    val binned = data.join(stats, "__g").withColumn("__bin", binOf)
+    val hist = binned.groupBy("__g", "__bin").agg(count(lit(1)).as("__cnt"))
+    val cum = hist.withColumn("__cum",
+      sum("__cnt").over(Window.partitionBy("__g").orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", col("__cum") - col("__cnt"))
+
+    val ranks = stats.select(col("__g"), explode(array(ps.map(p =>
+      struct(lit(p).as("p"),
+        floor(lit(p) * (col("__n") - 1).cast("double")).cast("long")
+          .as("__r"))): _*)).as("pr"))
+      .select(col("__g"), col("pr.p").as("p"), col("pr.__r").as("__r"))
+    val targets = ranks.join(cum, Seq("__g"))
+      .where(col("__r") >= col("__prev") && col("__r") < col("__cum"))
+      .select(col("__g"), col("p"), col("__r"), col("__bin"), col("__prev"))
+
+    binned.join(broadcast(targets), Seq("__g", "__bin"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g", "p").orderBy("__v")).cast("long") - 1L)
+      .where(col("__rn") === col("__r") - col("__prev"))
+      .select(col("__g").as(groupCol), col("p"), col("__v").as("value"))
+  }
 }

@@ -55,6 +55,15 @@ object Ops {
         .orderBy("p")
     }),
 
+    // per-group exact quantiles via the same histogram narrowing —
+    // per-group aggregation state is `bins` counters regardless of group
+    // size, where percentile() would buffer the whole group
+    "agg_order_stat_grouped" -> ((s, d) => {
+      OrderStats.exactQuantilesByGroup(Tables.load(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice", Seq(0.5, 0.95), bins = 1024)
+        .orderBy("l_returnflag", "p")
+    }),
+
     // winsorization: clip the value column at its exact [p1, p99] — the
     // robust-stats composition over exactQuantiles (histogram-narrowed
     // thresholds, never a global sort), thresholds broadcast back over
@@ -170,6 +179,22 @@ object Ops {
       FROM ps CROSS JOIN n
       JOIN s ON s.rnk = CAST(floor(p * (n - 1)) AS BIGINT)
       ORDER BY p""",
+
+    // flat per-group window sort — the per-group shape the operator
+    // avoids — reaching the same pinned definition
+    "agg_order_stat_grouped" -> """
+      WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                        row_number() OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_extendedprice) - 1 AS rnk
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      cnts AS (SELECT l_returnflag AS g, COUNT(l_extendedprice) AS cnt
+               FROM lineitem GROUP BY l_returnflag),
+      ps AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p)
+      SELECT s.g AS l_returnflag, p, CAST(s.v AS DOUBLE) AS value
+      FROM ps CROSS JOIN cnts
+      JOIN s ON s.g = cnts.g
+            AND s.rnk = CAST(floor(p * (cnts.cnt - 1)) AS BIGINT)
+      ORDER BY l_returnflag, p""",
 
     // thresholds recomputed by flat row_number rank (same pinned
     // floor(p*(n-1)) definition), clipping and sums from scratch

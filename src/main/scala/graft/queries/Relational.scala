@@ -217,6 +217,18 @@ object Relational {
       GROUP BY n
       ORDER BY n""",
 
+    // fixed-width histogram: integer bin ids from floor(v / width) — one
+    // hash aggregation, bin math exact in both engines (correctly-rounded
+    // double divide + floor)
+    "agg_histogram" -> s"""
+      SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem
+      GROUP BY CAST(floor(l_extendedprice / 5000) AS BIGINT)
+      ORDER BY bin""",
+
     // per-group anomaly flagging over hourly event counts, in EXACT integer
     // arithmetic: |cnt - mean| > 2*stddev_pop rewritten as
     // (n*cnt - s)^2 > 4*(n*s2 - s^2) — every term an integer, so the flag
@@ -369,6 +381,22 @@ object Relational {
       GROUP BY l.lbl
       ORDER BY l.lbl""",
 
+    // higher-order collection functions over the embedding lists
+    // (filter/exists/min/max/left-fold) — scalar outputs only per the
+    // driver-comparator contract; the fold mirrors the cosine
+    // determinism rules (0.0 init, left-to-right)
+    "fn_collection_surface" -> """
+      SELECT vec_id,
+        CAST(size(filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        CAST(exists(embedding, x -> x > 0.5) AS BOOLEAN) AS has_big,
+        CAST(ROUND(CAST(array_max(embedding) AS DOUBLE), 6) AS DOUBLE) AS mx,
+        CAST(ROUND(CAST(array_min(embedding) AS DOUBLE), 6) AS DOUBLE) AS mn,
+        CAST(ROUND(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE),
+                             (acc, x) -> acc + x), 6) AS DOUBLE) AS head_sum
+      FROM embeddings
+      WHERE vec_id < 50
+      ORDER BY vec_id""",
+
     // cohort retention (the classic event-analytics matrix): users keyed
     // by first-active day, activity counted at day offsets. Two hash
     // aggregations + one equi-join on user_id — the first-day table is
@@ -480,6 +508,20 @@ object Relational {
       FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+    // DuckDB's list-lambda spellings; + 0.0 canonicalizes ROUND's -0.0
+    "fn_collection_surface" -> """
+      SELECT vec_id,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        CAST(len(list_filter(embedding, x -> x > 0.5)) > 0 AS BOOLEAN) AS has_big,
+        CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS DOUBLE) AS mx,
+        CAST(ROUND(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS DOUBLE) AS mn,
+        CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x), 6) + 0.0 AS DOUBLE) AS head_sum
+      FROM embeddings
+      WHERE vec_id < 50
+      ORDER BY vec_id""",
+
     // DuckDB's datediff takes the unit first and the endpoints reversed
     "ts_retention_cohorts" -> """
       WITH act AS (SELECT DISTINCT user_id,

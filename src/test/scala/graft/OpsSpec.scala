@@ -110,6 +110,49 @@ class OpsSpec extends SparkSpec {
       s"histogram narrowing must not global-sort the corpus:\n$plan")
   }
 
+  test("exactQuantilesByGroup == per-group flat-sort reference") {
+    val df = Seq.tabulate(900) { i =>
+      val g = "g" + (i % 3)
+      // skewed, tied, and negative values across uneven group sizes
+      val v = ((i * 37) % 101) * (if (i % 3 == 0) -1.5 else 2.25)
+      (g, v)
+    }.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.99, 1.0)
+    for (bins <- Seq(1, 7, 512)) {
+      val got = OrderStats.exactQuantilesByGroup(df, "g", "v", ps, bins)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      val ref = df.withColumn("rnk", row_number().over(
+          Window.partitionBy("g").orderBy("v")) - 1)
+        .groupBy("g").agg(count(lit(1)).as("n"),
+          collect_list(struct(col("rnk"), col("v"))).as("vs"))
+        .collect().flatMap { r =>
+          val g = r.getString(0); val n = r.getLong(1)
+          val byRank = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => x.getInt(0).toLong -> x.getDouble(1)).toMap
+          ps.map(p => (g, p) -> byRank(math.floor(p * (n - 1)).toLong))
+        }.toMap
+      assert(got == ref, s"bins=$bins")
+    }
+  }
+
+  test("exactQuantilesByGroup on a constant group (zero histogram width)") {
+    val df = (Seq.fill(50)(("a", 3.5)) ++ Seq(("b", 1.0), ("b", 2.0)))
+      .toDF("g", "v")
+    val got = OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(0.5), 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 3.5, "b" -> 1.0))
+  }
+
+  test("exactQuantilesByGroup plans no per-group range sort over the data") {
+    val df = spark.range(2000).select((col("id") % 5).cast("string").as("g"),
+      (col("id") % 31).cast("double").as("v"))
+    val plan = staticPlan(
+      OrderStats.exactQuantilesByGroup(df, "g", "v", Seq(0.5, 0.99)))
+    assert(!plan.contains("rangepartitioning"),
+      s"histogram narrowing must not range-sort the corpus:\n$plan")
+  }
+
   test("negativeSamples: deterministic, in-domain, never the anchor") {
     val docs = Seq.tabulate(300)(i => (i.toLong, s"text $i"))
       .toDF("doc_id", "text")
