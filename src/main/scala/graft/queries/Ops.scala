@@ -64,6 +64,29 @@ object Ops {
         .orderBy("l_returnflag", "p")
     }),
 
+    // robust outlier detection per group: median/MAD (|v - med| > 3*MAD)
+    // — two passes of the grouped histogram-narrowed quantiles, no
+    // per-group sort anywhere; med/MAD broadcast back over counting scans
+    "agg_robust_outliers" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val med = OrderStats.exactQuantilesByGroup(li, "l_returnflag",
+          "l_extendedprice", Seq(0.5), bins = 1024)
+        .select(col("l_returnflag"), col("value").as("med"))
+      val withMed = li.join(broadcast(med), "l_returnflag")
+        .withColumn("absdev", abs(col("l_extendedprice") - col("med")))
+      val mad = OrderStats.exactQuantilesByGroup(withMed, "l_returnflag",
+          "absdev", Seq(0.5), bins = 1024)
+        .select(col("l_returnflag"), col("value").as("mad"))
+      withMed.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          expr("CAST(MIN(med) AS DOUBLE)").as("med"),
+          expr("CAST(MIN(mad) AS DOUBLE)").as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     // winsorization: clip the value column at its exact [p1, p99] — the
     // robust-stats composition over exactQuantiles (histogram-narrowed
     // thresholds, never a global sort), thresholds broadcast back over
@@ -179,6 +202,35 @@ object Ops {
       FROM ps CROSS JOIN n
       JOIN s ON s.rnk = CAST(floor(p * (n - 1)) AS BIGINT)
       ORDER BY p""",
+
+    // med and MAD recomputed by flat per-group window ranks, the outlier
+    // rule re-applied from scratch
+    "agg_robust_outliers" -> """
+      WITH med AS (
+        SELECT g, v FROM (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) - 1 AS rnk,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+          FROM lineitem WHERE l_extendedprice IS NOT NULL) t
+        WHERE rnk = CAST(floor(0.5 * (cnt - 1)) AS BIGINT)),
+      dev AS (SELECT l.l_returnflag AS g, abs(l.l_extendedprice - m.v) AS ad,
+                     m.v AS med
+              FROM lineitem l JOIN med m ON l.l_returnflag = m.g),
+      m2 AS (
+        SELECT g, ad AS mad FROM (
+          SELECT g, ad, row_number() OVER (PARTITION BY g ORDER BY ad) - 1 AS rnk,
+                 COUNT(*) OVER (PARTITION BY g) AS cnt
+          FROM dev) t
+        WHERE rnk = CAST(floor(0.5 * (cnt - 1)) AS BIGINT))
+      SELECT d.g AS l_returnflag, COUNT(*) AS n,
+             CAST(COUNT(*) FILTER (WHERE d.ad > 3.0 * m2.mad) AS BIGINT)
+               AS n_outliers,
+             CAST(MIN(d.med) AS DOUBLE) AS med,
+             CAST(MIN(m2.mad) AS DOUBLE) AS mad
+      FROM dev d JOIN m2 ON d.g = m2.g
+      GROUP BY d.g
+      ORDER BY l_returnflag""",
 
     // flat per-group window sort — the per-group shape the operator
     // avoids — reaching the same pinned definition

@@ -42,4 +42,30 @@ class BucketedJoinSpec extends SparkSpec {
       assert(plan.toString.contains("Bucketed: true"))
     } finally spark.conf.set(key, prev)
   }
+
+  test("equality filter on the bucket key prunes to one bucket") {
+    Tables.register(spark, sfSmoke)
+    // bt_orders persists from the co-location test when suites share the
+    // session; rebuild defensively if a lone run starts here
+    if (!spark.catalog.tableExists("bt_orders")) {
+      Tables.dropManaged(spark, "bt_orders")
+      spark.table("orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bt_orders")
+    }
+    // autoBucketedScan only weighs join/agg interest, not pruning — a
+    // plain filter query must pin the bucketed read to get it (the same
+    // setting a deployment uses for point-lookup-heavy bucketed tables)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val probe = spark.table("bt_orders").where(col("o_custkey") === 42L)
+      val scan = probe.queryExecution.executedPlan.toString
+      // the scan must read 1 of 8 buckets, not the whole table — the
+      // predicate-to-bucket pruning that makes bucketed layouts pay at
+      // read time, not only at join time
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n$scan")
+    } finally spark.conf.set(key, prev)
+  }
 }
