@@ -177,6 +177,25 @@ object Io {
         .orderBy("s_nationkey")
     }),
 
+    // embedding vectors through the Arrow DSv2 LIST type (the standard
+    // vector-interchange format of embedding pipelines): per-vector fold
+    // over the read-back list must be bit-identical to the parquet
+    // original — a dropped/reordered/precision-damaged element cannot
+    // hash-match
+    "src_arrow_vectors" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val p = s"${base(d)}/embeddings_arrow"
+      e.repartition(3).write.format("graft.sources.ArrowIpcSource")
+        .mode("overwrite").save(p)
+      s.read.format("graft.sources.ArrowIpcSource").load(p)
+        .selectExpr("vec_id",
+          "CAST(size(embedding) AS INT) AS n_dims",
+          """CAST(ROUND(aggregate(embedding, CAST(0.0 AS DOUBLE),
+            |(acc, x) -> acc + x), 6) AS DOUBLE) AS vsum""".stripMargin,
+          "label")
+        .orderBy("vec_id")
+    }),
+
     // Avro round-trip through the custom DataSource V2 (read+write; the
     // spark-avro module is absent, so the source builds on the Avro core
     // library): two-phase-commit distributed write, multi-file scan,
@@ -1003,6 +1022,16 @@ object Io {
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |       min(s_name) AS first_name
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // recomputed over the ORIGINAL parquet — green means the arrow list
+    // write+read preserved every element bit-for-bit, in order
+    "src_arrow_vectors" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+        |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |         (acc, x) -> acc + x), 6) + 0.0 AS DOUBLE) AS vsum,
+        |       label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "src_avro_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -32,8 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * — unprojected vectors are never copied out of the batch).
   *
   * Supported Arrow types: Int(64/32), FloatingPoint(single/double),
-  * Utf8, Bool — the fixture surface. Extend `sparkTypeOf`/`valueAt` for
-  * more.
+  * Utf8, Bool, and List of any of these (array columns — the embedding
+  * interchange case). Extend `sparkTypeOf`/`valueAt` for more.
   */
 class ArrowIpcSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -68,6 +68,9 @@ private[sources] object ArrowIpc {
       if (t.getPrecision.name == "DOUBLE") DoubleType else FloatType
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.List =>
+      val child = field.getChildren.get(0)
+      ArrayType(sparkTypeOf(child), child.isNullable)
     case other =>
       throw new UnsupportedOperationException(s"arrow type $other")
   }
@@ -178,6 +181,18 @@ private[sources] class ArrowPartitionReader(required: StructType, file: String)
     case x: Float4Vector => x.get(i)
     case x: BitVector => x.get(i) == 1
     case x: VarCharVector => UTF8String.fromBytes(x.get(i))
+    case x: org.apache.arrow.vector.complex.ListVector =>
+      // list row i = elements [start, end) of the child data vector
+      val start = x.getElementStartIndex(i)
+      val end = x.getElementEndIndex(i)
+      val dv = x.getDataVector
+      val out = new Array[Any](end - start)
+      var k = 0
+      while (k < out.length) {
+        out(k) = if (dv.isNull(start + k)) null else valueAt(dv, start + k)
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     case other =>
       throw new UnsupportedOperationException(s"arrow vector ${other.getClass}")
   }

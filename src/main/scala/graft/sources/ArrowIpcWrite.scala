@@ -21,21 +21,52 @@ import org.apache.spark.sql.types._
   * or half-publish a file. `mode("overwrite")` maps to truncate (the
   * directory is cleared at commit time, before publishing).
   *
-  * Types: long/int/double/float/string/boolean (mirrors the scan).
+  * Types: long/int/double/float/string/boolean plus arrays of these
+  * (Arrow List — mirrors the scan).
   */
 private[graft] object ArrowWrite {
-  def arrowField(f: StructField): Field = {
-    val t = f.dataType match {
-      case LongType => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case StringType => new ArrowType.Utf8()
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case other =>
-        throw new UnsupportedOperationException(s"arrow write of $other")
+  def arrowField(f: StructField): Field = f.dataType match {
+    case ArrayType(et, containsNull) =>
+      val child = arrowField(StructField("item", et, containsNull))
+      new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(child))
+    case dt =>
+      val t = dt match {
+        case LongType => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case StringType => new ArrowType.Utf8()
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case other =>
+          throw new UnsupportedOperationException(s"arrow write of $other")
+      }
+      new Field(f.name, FieldType.nullable(t), null)
+  }
+
+  /** Append one Spark ArrayData as list row `i` of a ListVector. */
+  def setList(x: org.apache.arrow.vector.complex.ListVector, i: Int,
+              arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val start = x.startNewValue(i)
+    val dv = x.getDataVector
+    val n = arr.numElements()
+    var k = 0
+    while (k < n) {
+      if (arr.isNullAt(k)) dv match {
+        case d: BaseFixedWidthVector => d.setNull(start + k)
+        case d: BaseVariableWidthVector => d.setNull(start + k)
+        case d => throw new UnsupportedOperationException(d.getClass.toString)
+      } else dv match {
+        case d: BigIntVector => d.setSafe(start + k, arr.getLong(k))
+        case d: IntVector => d.setSafe(start + k, arr.getInt(k))
+        case d: Float8Vector => d.setSafe(start + k, arr.getDouble(k))
+        case d: Float4Vector => d.setSafe(start + k, arr.getFloat(k))
+        case d: BitVector => d.setSafe(start + k, if (arr.getBoolean(k)) 1 else 0)
+        case d => throw new UnsupportedOperationException(d.getClass.toString)
+      }
+      k += 1
     }
-    new Field(f.name, FieldType.nullable(t), null)
+    x.endValue(i, n)
   }
 
   /** Populate row `i` of an allocated VectorSchemaRoot from an external
@@ -50,6 +81,7 @@ private[graft] object ArrowWrite {
       if (row.isNullAt(j)) v match {
         case x: BaseFixedWidthVector => x.setNull(i)
         case x: BaseVariableWidthVector => x.setNull(i)
+        case x: org.apache.arrow.vector.complex.ListVector => x.setNull(i)
         case x => throw new UnsupportedOperationException(x.getClass.toString)
       } else v match {
         case x: BigIntVector => x.setSafe(i, row.getLong(j))
@@ -58,6 +90,9 @@ private[graft] object ArrowWrite {
         case x: Float4Vector => x.setSafe(i, row.getFloat(j))
         case x: BitVector => x.setSafe(i, if (row.getBoolean(j)) 1 else 0)
         case x: VarCharVector => x.setSafe(i, row.getString(j).getBytes("UTF-8"))
+        case x: org.apache.arrow.vector.complex.ListVector =>
+          setList(x, i, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            row.getSeq[Any](j).toArray))
         case x => throw new UnsupportedOperationException(x.getClass.toString)
       }
       j += 1
@@ -126,6 +161,7 @@ private[sources] class ArrowDataWriter(schema: StructType, path: String,
       if (row.isNullAt(j)) v match {
         case x: BaseFixedWidthVector => x.setNull(batchRow)
         case x: BaseVariableWidthVector => x.setNull(batchRow)
+        case x: org.apache.arrow.vector.complex.ListVector => x.setNull(batchRow)
         case x => throw new UnsupportedOperationException(x.getClass.toString)
       } else v match {
         case x: BigIntVector => x.setSafe(batchRow, row.getLong(j))
@@ -134,6 +170,8 @@ private[sources] class ArrowDataWriter(schema: StructType, path: String,
         case x: Float4Vector => x.setSafe(batchRow, row.getFloat(j))
         case x: BitVector => x.setSafe(batchRow, if (row.getBoolean(j)) 1 else 0)
         case x: VarCharVector => x.setSafe(batchRow, row.getUTF8String(j).getBytes)
+        case x: org.apache.arrow.vector.complex.ListVector =>
+          ArrowWrite.setList(x, batchRow, row.getArray(j))
         case x => throw new UnsupportedOperationException(x.getClass.toString)
       }
       j += 1

@@ -131,4 +131,27 @@ class ArrowIpcSourceSpec extends SparkSpec {
     assert(plan.contains("struct<n_name:string>"),
       s"scan reads unprojected columns:\n$plan")
   }
+
+  test("list columns round-trip with null lists, null elements, empty lists") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Option(Seq(Option(1.5f), None, Option(-2.25f)))),
+      (2L, Option(Seq.empty[Option[Float]])),
+      (3L, Option.empty[Seq[Option[Float]]]),
+      (4L, Option(Seq(Option(7.125f)))))
+    val df = rows.toDF("id", "xs")
+    val out = Files.createTempDirectory("graft_arrow_l").toString
+    df.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(out)
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(out)
+    assert(back.schema("xs").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+    val got = back.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1).toList)).toMap
+    assert(got(1L) == List(1.5f, null, -2.25f))
+    assert(got(2L) == Nil)
+    assert(got(3L) == null)
+    assert(got(4L) == List(7.125f))
+  }
 }
