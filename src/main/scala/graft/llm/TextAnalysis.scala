@@ -629,6 +629,41 @@ object TextAnalysis {
            |            i -> md5(substring(norm, i, $gram))))), 1, $k))""".stripMargin)
         .as("fp"))
 
+  /** Vocabulary encode — the tokenizer-vocab step of a training-data
+    * pipeline: build the top-`vocabSize` word vocabulary (document-count
+    * ranked, ties on the word so the id assignment is total and
+    * deterministic), then map every document's token stream to ids
+    * (out-of-vocabulary -> -1). The vocabulary is corpus-derived yet
+    * BROADCAST-sized by construction, so the encode join never shuffles
+    * the corpus: tokens explode map-side, hit the broadcast dictionary,
+    * and re-assemble per doc in one groupBy. Output per doc:
+    * (doc_id, n_tokens, n_oov, ids_fp) where ids_fp is the md5 of the
+    * comma-joined id sequence IN TOKEN ORDER — a scalar digest of the
+    * exact encoding (driver-comparator contract: no array columns out).
+    */
+  def vocabEncode(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), posexplode(expr(
+        s"split(${Dedup.normalizeExpr}, ' ')")).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), (row_number().over(
+        Window.orderBy(col("df").desc, col("tok"))) - 1).as("tok_id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(-1)).as("tok_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id") === -1, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(pos, tok_id)))," +
+            " s -> CAST(s.tok_id AS STRING))")))
+          .as("ids_fp"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., the MOSS scheme): hash
     * every `gram`-char window of the normalized text, then keep the
     * MINIMUM hash of each run of `window` consecutive gram hashes — any

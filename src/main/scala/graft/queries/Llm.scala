@@ -619,6 +619,11 @@ object Llm {
     "llm_winnow" -> ((s, d) =>
       TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
 
+    // vocabulary encode: corpus-derived top-100 dictionary broadcast over
+    // the token stream; ids_fp digests the exact id sequence per doc
+    "llm_vocab_map" -> ((s, d) =>
+      TextAnalysis.vocabEncode(docs(s, d)).orderBy("doc_id")),
+
     // retrieval evaluation: first same-label hit rank in the exact top-10
     // per probe, with its reciprocal — the MRR ingredient; probes whose
     // top-10 holds no relevant result emit no row (both engines)
@@ -1588,6 +1593,29 @@ object Llm {
          |SELECT probe_id, probe_label, cand_id, neg_label, cos, rank
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // same derivation via string_split/window rank; the per-doc id
+    // sequence digest uses ORDER BY pos inside string_agg where Spark
+    // sorts the collected (pos, id) structs
+    "llm_vocab_map" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+         |  FROM (SELECT doc_id, string_split($NORM, ' ') AS w
+         |        FROM documents) t,
+         |       unnest(generate_series(1, len(w))) AS u(i)
+         |  WHERE length(w[i]) > 0),
+         |vocab AS (
+         |  SELECT tok, row_number() OVER (ORDER BY df DESC, tok) - 1 AS tok_id
+         |  FROM (SELECT tok, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, tok FROM toks)
+         |        GROUP BY tok ORDER BY df DESC, tok LIMIT 100)),
+         |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.tok_id, -1) AS tok_id
+         |        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       CAST(COUNT(*) FILTER (WHERE tok_id = -1) AS BIGINT) AS n_oov,
+         |       md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+         |FROM enc GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // top-10 ranking recomputed from scratch, label relevance applied
     // AFTER the rank cut (a hit outside the top-10 must not count)

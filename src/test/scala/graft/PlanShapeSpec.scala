@@ -37,6 +37,21 @@ class PlanShapeSpec extends SparkSpec {
       s"probe-side lookup should broadcast, corpus stays in place:\n$plan")
   }
 
+  test("llm_edit_distance_join: candidates are an equi join on segment text") {
+    val plan = staticPlan(
+      SparkEntry.queries("llm_edit_distance_join")(spark, sfSmoke))
+    val segJoin =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[la#\d+, i#\d+, seg#""".r
+    assert(segJoin.findFirstIn(plan).isDefined,
+      s"segment candidates must hash-join on (la, i, seg):\n$plan")
+  }
+
+  test("llm_vocab_map: the dictionary broadcasts into the token stream") {
+    val plan = staticPlan(SparkEntry.queries("llm_vocab_map")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary lookup should broadcast, tokens stay in place:\n$plan")
+  }
+
   test("q6: filters pushed into the lineitem parquet scan") {
     val pushed = pushedFilters(Tpch.queries("tpch_q6")(spark, sfSmoke))
     assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
