@@ -865,4 +865,40 @@ object Dedup {
         expr("n_docs * (n_docs - 1) DIV 2").as("pair_count"))
     cross.union(intra)
   }
+
+  /** Corpus-source similarity via group-level MinHash: which crawls / dumps
+    * / sources substantially duplicate each other, answered WITHOUT ever
+    * comparing documents.
+    *
+    * min() is associative, so the per-group minimum of each permutation's
+    * per-shingle hash IS the MinHash signature of the UNION of the group's
+    * shingle sets — re-keying documents by `groupCol` before [[minhash]]
+    * collapses the whole corpus map-side (partial aggregation) into
+    * |groups| × numHashes integers: a few hundred bytes per group at ANY
+    * corpus size. The pairwise stage unpivots signatures to (group,
+    * permutation, hash) rows and hash-joins on the permutation index —
+    * tiny × tiny, never an NLJ over documents. The agreement fraction
+    * estimates the Jaccard similarity of the groups' union shingle sets
+    * (the classic MinHash estimator, Broder 1997).
+    *
+    * Output: (src_a, src_b, n_agree, est_jaccard) with src_a < src_b.
+    */
+  def groupSimilarity(docs: DataFrame, groupCol: String,
+                      numHashes: Int = 8): DataFrame = {
+    val sigs = minhash(docs.select(col(groupCol).as("doc_id"), col("text")),
+      numHashes)
+    val unpivot = (0 until numHashes)
+      .map(i => s"struct($i AS i, h$i AS h)")
+      .mkString("array(", ", ", ")")
+    val long = sigs
+      .select(col("doc_id").as("grp"), explode(expr(unpivot)).as("ih"))
+      .select(col("grp"), col("ih.i").as("i"), col("ih.h").as("h"))
+    val a = long.as("a")
+    val b = long.as("b")
+    a.join(b, expr("a.i = b.i AND a.grp < b.grp"))
+      .groupBy(expr("a.grp").as("src_a"), expr("b.grp").as("src_b"))
+      .agg(count(when(expr("a.h = b.h"), true)).as("n_agree"))
+      .withColumn("est_jaccard",
+        expr(s"CAST(n_agree AS DOUBLE) / $numHashes"))
+  }
 }

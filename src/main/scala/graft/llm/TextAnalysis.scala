@@ -697,4 +697,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_windows"),
         countDistinct(col("wmin")).as("n_fps"),
         sum_distinct(col("wmin")).as("fp_sum"))
+
+  /** Deterministic per-bucket weights for [[classifierScore]]: Knuth
+    * multiplicative mix of the bucket index folded to [-500, 500]. Stands
+    * in for trained coefficients — the DISTRIBUTION shape (a broadcast
+    * bucket->weight table) is the part under test, and being closed-form
+    * lets the DuckDB oracle embed the identical integers.
+    */
+  def hashedWeights(spark: org.apache.spark.sql.SparkSession,
+                    buckets: Int): DataFrame =
+    spark.range(buckets.toLong).selectExpr(
+      "CAST(id AS BIGINT) AS bucket",
+      "(id * 2654435761) % 1001 - 500 AS w")
+
+  /** Feature-hashed linear-classifier inference — the quality-model scoring
+    * pass every corpus-curation pipeline runs over 100 TB (fastText-style:
+    * bag of hashed tokens x weight vector).
+    *
+    * Tokens hash to `buckets` feature buckets (low bits of the shared
+    * 60-bit md5 token hash); the weight table rides a BroadcastHashJoin
+    * (it is model-sized, never corpus-sized), and the only shuffle is the
+    * per-document partial-aggregated logit sum. Scoring is pure integer
+    * arithmetic end to end — no sigmoid (monotone in the logit, so the
+    * decision `logit > 0` is identical and nothing non-correctly-rounded
+    * crosses engines; callers wanting probabilities apply it downstream).
+    */
+  def classifierScore(docs: DataFrame, weights: DataFrame,
+                      buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % $buckets")
+          .as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit"))
+      .withColumn("pred", col("logit") > 0)
 }

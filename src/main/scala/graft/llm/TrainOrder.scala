@@ -152,4 +152,28 @@ object TrainOrder {
     withK.withColumn("pos", expr(terms.mkString("(", ") + (", ")")))
       .select(col("doc_id"), col("__src").as(sourceCol), col("pos"))
   }
+
+  /** Deterministic weighted corpus subsample WITHOUT a global sort:
+    * priority(d) = u(d) / w(d) with u the seeded 60-bit md5 integer and
+    * w the (positive) weight column; the k SMALLEST priorities win, so
+    * selection likelihood rises with weight while membership stays a pure
+    * function of (seed, id) — re-runs, retries and engines all pick the
+    * same subsample (the reproducibility property RAND()-based sampling
+    * loses under partition re-planning).
+    *
+    * Plan shape: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * per-partition top-k heaps then a k-row merge, no rangepartitioning
+    * and no corpus-wide sort at any scale (plan-gated). The 60-bit
+    * integer and the weight both convert to double exactly once
+    * (correctly-rounded IEEE in both engines) before the one division.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     seed: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("priority",
+        expr(s"CAST(CAST(conv(substr(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)" +
+          s" / CAST($weightCol AS DOUBLE)"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

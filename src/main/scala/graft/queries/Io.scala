@@ -215,6 +215,23 @@ object Io {
         .orderBy("o_orderstatus")
     }),
 
+    // ORC roundtrip through Spark's native columnar ORC source (predicate
+    // pushdown + column pruning like parquet); the aggregate of the
+    // read-back must equal the parquet-side oracle, so a lossy write or a
+    // mis-read row hash-mismatches
+    "src_orc_roundtrip" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val p = s"${base(d)}/part_orc"
+      part.repartition(3).write.mode("overwrite").orc(p)
+      s.read.orc(p)
+        .where(col("p_size") <= 25)
+        .groupBy("p_brand")
+        .agg(count("*").as("n_parts"),
+          expr("CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_price"),
+          min("p_name").as("first_name"))
+        .orderBy("p_brand")
+    }),
+
     "src_listing_dir" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
@@ -1038,6 +1055,13 @@ object Io {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp,
         |       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |       min(p_name) AS first_name
+        |FROM part WHERE p_size <= 25
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "src_listing_dir" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -79,20 +79,26 @@ object Llm {
   /** shingles → minhash → banded signatures (no candidate join — callers
     * add their own pairing rule over `bands`).
     */
-  private def bandCtes(src: String): String = {
-    // mirrors Dedup.minhash: one md5 per shingle -> 28-bit x, then the
-    // (a_i * x + b_i) mod p universal-hash permutations with the SAME
-    // md5-derived (a, b) literals the Spark plan embeds
+  /** shingles → per-doc MinHash signature columns h0..h7 (CTE `mh`) —
+    * mirrors Dedup.minhash: one md5 per shingle -> 28-bit x, then the
+    * (a_i * x + b_i) mod p universal-hash permutations with the SAME
+    * md5-derived (a, b) literals the Spark plan embeds.
+    */
+  private def mhCtes(src: String): String = {
     val p = graft.llm.Dedup.MinhashP
     val mins = (0 until 8).map { i =>
       val (a, b) = graft.llm.Dedup.hashCoeffs(i)
       s"min(($a * x + $b) % $p) AS h$i"
     }.mkString(", ")
-    val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR AS sig FROM mh").mkString("\n UNION ALL ")
     s"""${shingleCtes(src)},
        |shx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
-       |mh AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandCtes(src: String): String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR AS sig FROM mh").mkString("\n UNION ALL ")
+    s"""${mhCtes(src)},
        |bands AS ($bandSelects)""".stripMargin
   }
 
@@ -664,7 +670,30 @@ object Llm {
       Fuzzy.editDistanceJoin(keyed, "doc_id", "st", k = 3)
         .selectExpr("a_id", "b_id", "CAST(dist AS INT) AS dist")
         .orderBy("a_id", "b_id")
-    })
+    }),
+
+    // which SOURCES duplicate each other: group-level MinHash — min() is
+    // associative, so re-keying docs by source before the minhash groupBy
+    // yields the signature of each source's union shingle set; pairwise
+    // agreement over 8 permutations estimates cross-source Jaccard
+    "llm_source_similarity" -> ((s, d) =>
+      Dedup.groupSimilarity(docs(s, d), "source").orderBy("src_a", "src_b")),
+
+    // feature-hashed linear quality-classifier inference: 64-bucket token
+    // hashing, broadcast weight table, integer-exact logits
+    "llm_quality_classifier" -> ((s, d) =>
+      TextAnalysis.classifierScore(docs(s, d),
+        TextAnalysis.hashedWeights(s, 64), 64).orderBy("doc_id")),
+
+    // deterministic weighted subsample: 120 docs drawn with probability
+    // rising in n_chars, membership a pure function of (seed, doc_id);
+    // TakeOrderedAndProject — no global sort (plan-gated)
+    // priority is raw (no ROUND-6 edge): one conversion + one division is
+    // bit-identical by IEEE, while DuckDB's ROUND perturbs ULPs at 1e14
+    "llm_weighted_sample" -> ((s, d) =>
+      TrainOrder.weightedSample(docs(s, d), "doc_id", "n_chars", "s42", 120)
+        .selectExpr("doc_id", "n_chars", "priority")
+        .orderBy("doc_id"))
   )
 
   /** Shared oracle CTEs for the line-dedup entries: the same 8-token
@@ -1690,6 +1719,54 @@ object Llm {
       FROM s a JOIN s b ON a.id < b.id
       WHERE abs(length(a.st) - length(b.st)) <= 3
         AND levenshtein(a.st, b.st) <= 3
-      ORDER BY a_id, b_id"""
+      ORDER BY a_id, b_id""",
+
+    // re-keys docs by source and replays the identical minhash pipeline:
+    // the per-source signature must equal the union-set signature, and
+    // the agreement count is the MinHash Jaccard estimator
+    "llm_source_similarity" -> {
+      val unpivot = (0 until 8)
+        .map(i => s"SELECT doc_id AS grp, $i AS i, h$i AS h FROM mh")
+        .mkString("\n UNION ALL ")
+      s"""WITH srcdocs AS (SELECT source AS doc_id, text FROM documents),
+         |${mhCtes("srcdocs")},
+         |long AS ($unpivot)
+         |SELECT a.grp AS src_a, b.grp AS src_b,
+         |       COUNT(CASE WHEN a.h = b.h THEN 1 END) AS n_agree,
+         |       CAST(COUNT(CASE WHEN a.h = b.h THEN 1 END) AS DOUBLE) / 8
+         |         AS est_jaccard
+         |FROM long a JOIN long b ON a.i = b.i AND a.grp < b.grp
+         |GROUP BY 1, 2
+         |ORDER BY src_a, src_b""".stripMargin
+    },
+
+    // identical 60-bit token hash, bucket fold and closed-form weight
+    // table — the logit is an integer sum, so any hashing/join/weight
+    // drift hash-mismatches exactly
+    "llm_quality_classifier" ->
+      s"""WITH toksm AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |              FROM documents),
+         |tb AS (SELECT doc_id,
+         |              ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+         |       FROM toksm WHERE length(tok) > 0),
+         |w AS (SELECT i AS bucket, (i * 2654435761) % 1001 - 500 AS w
+         |      FROM unnest(generate_series(0, 63)) AS t(i)),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              CAST(SUM(w.w) AS BIGINT) AS logit
+         |       FROM tb JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, logit, logit > 0 AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the flat recomputation: every doc's priority, one global ORDER BY +
+    // LIMIT — green proves the per-partition top-k merge selects the
+    // identical membership at the cutoff boundary
+    "llm_weighted_sample" ->
+      """WITH pr AS (SELECT doc_id, n_chars,
+        |        ('0x' || substr(md5('s42:' || doc_id), 1, 15))::BIGINT::DOUBLE
+        |          / n_chars::DOUBLE AS priority
+        |      FROM documents),
+        |top AS (SELECT * FROM pr ORDER BY priority, doc_id LIMIT 120)
+        |SELECT doc_id, n_chars, priority
+        |FROM top ORDER BY doc_id""".stripMargin
   )
 }

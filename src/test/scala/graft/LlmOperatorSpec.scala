@@ -751,4 +751,61 @@ class LlmOperatorSpec extends SparkSpec {
       (1L, 10L, 1L, 10L, 1.0),
       (2L, 16L, 2L, 10L, 0.625)))
   }
+
+  test("groupSimilarity: content-identical sources agree on all permutations") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "A"),
+      (2L, "pack my box with five dozen liquor jugs", "A"),
+      (3L, "the quick brown fox jumps over the lazy dog", "B"),
+      (4L, "pack my box with five dozen liquor jugs", "B"),
+      (5L, "completely unrelated filler content sits in this third source", "C")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.groupSimilarity(d, "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // A and B hold the same shingle union -> identical signatures
+    assert(rows(("A", "B")) == ((8L, 1.0)))
+    // C shares no shingle with A: agreement only by 28-bit hash accident
+    assert(rows(("A", "C"))._1 == 0L)
+    assert(rows.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+  }
+
+  test("groupSimilarity signature is the union signature (doc split invariant)") {
+    import spark.implicits._
+    // one source holding both texts vs the same content as ONE concatenated
+    // doc: min over docs == min over the union shingle set, so pairing the
+    // two layouts agrees everywhere
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "split"),
+      (2L, "eta theta iota kappa lambda mu", "split"),
+      (3L, "alpha beta gamma delta epsilon zeta", "merged"),
+      (4L, "eta theta iota kappa lambda mu", "merged")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.groupSimilarity(d, "source").collect()
+    assert(out.length == 1 && out.head.getLong(2) == 8L)
+  }
+
+  test("classifierScore logit equals an independent md5 recomputation") {
+    val d = docs(1L -> "Hello  hello world", 2L -> "a b a", 3L -> "")
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def weight(b: Long): Long = (b * 2654435761L) % 1001 - 500
+    def logit(text: String): Long =
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(t => weight(bucket(t))).sum
+    val got = TextAnalysis
+      .classifierScore(d, TextAnalysis.hashedWeights(spark, 64), 64)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == ((3L, logit("hello hello world"),
+      logit("hello hello world") > 0)))
+    assert(got(2L) == ((3L, logit("a b a"), logit("a b a") > 0)))
+    assert(!got.contains(3L), "token-free docs produce no score row")
+  }
 }

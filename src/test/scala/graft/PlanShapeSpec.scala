@@ -52,6 +52,25 @@ class PlanShapeSpec extends SparkSpec {
       s"vocabulary lookup should broadcast, tokens stay in place:\n$plan")
   }
 
+  test("llm_quality_classifier: weight table broadcasts; only the doc agg shuffles") {
+    val plan = staticPlan(
+      SparkEntry.queries("llm_quality_classifier")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model weights must broadcast into the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a model-sized table shuffled the corpus:\n$plan")
+  }
+
+  test("llm_source_similarity: corpus collapses via partial min-aggregation") {
+    val plan = staticPlan(
+      SparkEntry.queries("llm_source_similarity")(spark, sfSmoke))
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"group signatures lost map-side partial aggregation — the shuffle " +
+        s"would carry shingle rows instead of |groups|x8 integers:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"signature pairing must stay an equi join on the permutation index:\n$plan")
+  }
+
   test("q6: filters pushed into the lineitem parquet scan") {
     val pushed = pushedFilters(Tpch.queries("tpch_q6")(spark, sfSmoke))
     assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),

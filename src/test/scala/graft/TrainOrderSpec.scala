@@ -92,4 +92,39 @@ class TrainOrderSpec extends SparkSpec {
       "per-bucket rank lost its bucket partitioning — would collapse " +
         "to one window task at scale")
   }
+
+  test("weightedSample selects exactly the k smallest priorities") {
+    import spark.implicits._
+    val d = Seq.tabulate(300)(i => (i.toLong, 1L + i % 7)).toDF("doc_id", "wt")
+    val got = TrainOrder.weightedSample(d, "doc_id", "wt", "sA", 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flat = d.withColumn("priority", expr(
+        "CAST(CAST(conv(substr(md5(concat('sA', ':', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS DOUBLE) / CAST(wt AS DOUBLE)"))
+      .orderBy("priority", "doc_id").limit(40)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == flat && got.size == 40)
+  }
+
+  test("weightedSample favors heavy rows and reproduces exactly") {
+    import spark.implicits._
+    val d = Seq.tabulate(400)(i =>
+      (i.toLong, if (i < 200) 1L else 100L)).toDF("doc_id", "wt")
+    val pick = TrainOrder.weightedSample(d, "doc_id", "wt", "sB", 100)
+      .select("doc_id").collect().map(_.getLong(0))
+    val heavy = pick.count(_ >= 200)
+    assert(heavy > 80, s"weight-100 rows underrepresented: $heavy of 100")
+    val again = TrainOrder.weightedSample(d, "doc_id", "wt", "sB", 100)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(pick.toSeq == again.toSeq, "membership must be a pure function of (seed, id)")
+  }
+
+  test("weightedSample plans TakeOrdered — no global range sort") {
+    val plan = staticPlan(
+      TrainOrder.weightedSample(docs.withColumn("wt", expr("doc_id + 1")),
+        "doc_id", "wt", "s1", 20))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back from the per-partition heap merge:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"weighted sample plans a corpus-wide range sort:\n$plan")
+  }
 }
