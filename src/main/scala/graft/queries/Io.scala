@@ -215,6 +215,29 @@ object Io {
         .orderBy("o_orderstatus")
     }),
 
+    // line-oriented text source with gzip codec (the raw-corpus landing
+    // format): write tab-joined lines compressed, read back and re-split.
+    // Scale note carried in the operator choice: gzip files are
+    // NON-splittable — one file = one read task — so the writer controls
+    // read parallelism via repartition(n) at write time; splittable
+    // codecs or parquet are the right call once shards exceed ~1 GB
+    "src_text_gzip" -> ((s, d) => {
+      val lines = t(s, d, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("n_chars"))
+          .as("value"))
+      val p = s"${base(d)}/docs_txt_gz"
+      lines.repartition(2).write.mode("overwrite")
+        .option("compression", "gzip").text(p)
+      s.read.text(p)
+        .select(split(col("value"), "\t").as("f"))
+        .selectExpr("CAST(f[0] AS BIGINT) AS doc_id", "f[1] AS lang",
+          "CAST(f[2] AS BIGINT) AS n_chars")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+
     // ORC roundtrip through Spark's native columnar ORC source (predicate
     // pushdown + column pruning like parquet); the aggregate of the
     // read-back must equal the parquet-side oracle, so a lossy write or a
@@ -1055,6 +1078,12 @@ object Io {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp,
         |       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "src_text_gzip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "src_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n_parts,

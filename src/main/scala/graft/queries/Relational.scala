@@ -25,6 +25,57 @@ object Relational {
 
   /** SQL shared verbatim between Spark and the DuckDB oracle. */
   val sql: Map[String, String] = Map(
+    // Bit-exact Pearson correlation: the five sufficient statistics are
+    // EXACT integer sums (quantities, price cents; DECIMAL(18,0) products
+    // stay inside precision 38, so ANSI overflows loudly instead of
+    // rounding), each converts to DOUBLE once, and the closing formula is
+    // a fixed tree of correctly-rounded IEEE ops (sqrt included) — the
+    // tokenDiversity discipline applied to corr, which neither engine's
+    // native corr() gives (streaming covariance folds in partition order).
+    // One scan, two-phase aggregation; NULLIF guards zero variance.
+    "agg_corr_exact" -> s"""
+      WITH b AS (
+        SELECT l_suppkey,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM lineitem WHERE l_suppkey < 25),
+      s AS (
+        SELECT l_suppkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(q AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS DOUBLE) AS sy2
+        FROM b GROUP BY l_suppkey)
+      SELECT l_suppkey, n,
+             CAST(ROUND((n * sxy - sx * sy) /
+                    NULLIF(sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy), 0.0),
+                  6) AS DOUBLE) AS corr_qp
+      FROM s ORDER BY l_suppkey""",
+
+    // Truncated dyadic EWMA (alpha = 1/2, 4 lags): the weighted numerator
+    // is an exact INTEGER (micro-unit values x powers of two), so the one
+    // closing division is the only rounding and it is correctly rounded
+    // identically in both engines. LAG chain instead of a frame SUM on
+    // purpose: windowed double SUMs fold in engine-specific order (DuckDB
+    // segment tree vs sequential) and cannot cross engines bit-exactly.
+    "ts_ewma" -> s"""
+      WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v
+        FROM events WHERE user_id < 50),
+      l AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS rn,
+               v * 16 + (LAG(v, 1) OVER w) * 8 + (LAG(v, 2) OVER w) * 4
+                 + (LAG(v, 3) OVER w) * 2 + (LAG(v, 4) OVER w) AS num
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id, CAST(num AS DOUBLE) / 31000000.0 AS ewma
+      FROM l WHERE rn > 4
+      ORDER BY user_id, event_id""",
+
     // UNION ALL of two labeled segments
     "set_union_all" -> s"""
       SELECT k, seg FROM (

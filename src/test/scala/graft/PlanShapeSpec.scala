@@ -71,6 +71,31 @@ class PlanShapeSpec extends SparkSpec {
       s"signature pairing must stay an equi join on the permutation index:\n$plan")
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
+    // the AQE-era runtime filter: a selective dim-side predicate grows a
+    // bloom filter that is pushed into the fact-side scan stage BEFORE the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~1% that can match. Thresholds
+    // are relaxed because the fixture is toy-sized; the mechanism (and
+    // that our query shapes stay eligible for it) is what's under test.
+    val overrides = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k => k -> spark.conf.get(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Tables.register(spark, sfBench)
+      val plan = staticPlan(spark.sql(
+        """SELECT l.l_orderkey, l.l_quantity
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice > 550000""".stripMargin))
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter reached the lineitem scan stage:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q6: filters pushed into the lineitem parquet scan") {
     val pushed = pushedFilters(Tpch.queries("tpch_q6")(spark, sfSmoke))
     assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
