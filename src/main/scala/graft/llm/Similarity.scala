@@ -302,6 +302,50 @@ object Similarity {
     * shape: one equi-join on (probe_id, cand_id) + keyed counts — cost
     * tracks |probes|·k, never the corpus.
     */
+  /** Global symmetric scalar quantization of embeddings to small integer
+    * codes — the memory lever that makes a 100 TB ANN corpus fit:
+    * code = round(x · levels / amp) with amp the corpus-wide max |x|, so
+    * float32 dims become int8-range codes (4× smaller, SIMD-friendly
+    * integer dot products downstream) and zero stays zero (symmetric —
+    * no offset bias distorting dot-product ranking on unit vectors).
+    *
+    * Scale shape: amp is ONE partially-aggregated max over the exploded
+    * corpus, reduced to a 1-row broadcast (the negativeSamples __dom
+    * pattern); coding itself is a map-side `transform` — no shuffle
+    * touches the vectors. Every arithmetic step is a correctly-rounded
+    * IEEE op in a fixed order, so codes are deterministic cross-engine.
+    */
+  def quantizeCodes(vecs: DataFrame, levels: Int = 127,
+                    embCol: String = "embedding"): DataFrame = {
+    val amp = vecs
+      .select(posexplode(col(embCol)).as(Seq("dim", "x")))
+      .agg(max(expr("abs(CAST(x AS DOUBLE))")).as("__amp"))
+    vecs.crossJoin(broadcast(amp))
+      .withColumn("codes", expr(
+        s"transform($embCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${levels}.0 / __amp) AS INT))"))
+      .drop("__amp")
+  }
+
+  /** Exact top-k by INTEGER code dot product over [[quantizeCodes]] output
+    * — the quantized counterpart of [[bruteForceTopK]] (probe-bounded
+    * evaluation baseline; the scale path composes codes with the LSH/IVF
+    * bucketing the same way float vectors do). The score is a pure
+    * integer fold — no floating point anywhere, so ranking is exact and
+    * the deterministic (qdot, cand_id) cut needs no rounding edge.
+    */
+  def quantizedTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = probes
+      .select(col("vec_id").as("probe_id"), col("codes").as("pc"))
+      .join(corpus.select(col("vec_id").as("cand_id"), col("codes").as("cc")),
+        expr("cand_id <> probe_id"))
+      .select(col("probe_id"), col("cand_id"), expr(
+        """aggregate(zip_with(pc, cc, (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("qdot"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("qdot").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = exact.select("probe_id", "cand_id")
       .join(approx.select("probe_id", "cand_id"),

@@ -527,6 +527,29 @@ object Llm {
       Similarity.annRecall(exact, approx).orderBy("probe_id")
     }),
 
+    // int8-range scalar quantization: per-vector code signature (sum /
+    // zeros / min / max) pins every code of every vector — a one-ULP
+    // drift in the amp reduction or the rounding step hash-mismatches
+    "llm_quantize_embed" -> ((s, d) =>
+      Similarity.quantizeCodes(emb(s, d)).selectExpr(
+          "vec_id",
+          "aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v) AS code_sum",
+          "CAST(size(filter(codes, v -> v = 0)) AS INT) AS n_zero",
+          "array_min(codes) AS code_min",
+          "array_max(codes) AS code_max")
+        .orderBy("vec_id")),
+
+    // recall@3 of integer-code dot-product ranking against exact float
+    // cosine — measures what the 4x memory saving costs in ranking
+    // quality, the acceptance gate before deploying quantized ANN
+    "llm_quantize_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Similarity.bruteForceTopK(e.where("vec_id < 16"), e, 3)
+      val q = Similarity.quantizeCodes(e)
+      val approx = Similarity.quantizedTopK(q.where("vec_id < 16"), q, 3)
+      Similarity.annRecall(exact, approx).orderBy("probe_id")
+    }),
+
     // SemDeDup composition on fixed centroids (same round-3 pattern as
     // llm_ivf_topk: the query path is oracled without oracling k-means;
     // the trained path is IvfSpec-covered). Threshold 0.4 drops a real
@@ -1442,6 +1465,64 @@ object Llm {
          |ap_ranked AS (SELECT probe_id, cand_id,
          |                     row_number() OVER (PARTITION BY probe_id
          |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ap_pairs),
+         |ap AS (SELECT probe_id, cand_id FROM ap_ranked WHERE rank <= 3),
+         |hits AS (SELECT e.probe_id, count(*) AS n_hit
+         |         FROM ex e JOIN ap a
+         |           ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+         |         GROUP BY e.probe_id),
+         |tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+         |SELECT t.probe_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
+         |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
+         |ORDER BY t.probe_id""".stripMargin,
+
+    // identical amp reduction, scaling tree and round — codes replayed
+    // element-by-element through DuckDB list functions
+    "llm_quantize_embed" ->
+      s"""WITH amp AS (SELECT max(abs(CAST(x AS DOUBLE))) AS a
+         |             FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+         |q AS (SELECT vec_id,
+         |             list_transform(embedding,
+         |               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amp.a) AS INT)) AS codes
+         |      FROM embeddings, amp)
+         |SELECT vec_id,
+         |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |       CAST(len(list_filter(codes, v -> v = 0)) AS INT) AS n_zero,
+         |       CAST(list_min(codes) AS INT) AS code_min,
+         |       CAST(list_max(codes) AS INT) AS code_max
+         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // exact float-cosine top-3 vs integer-code-dot top-3, both ranked
+    // with the cand_id tie-break; the integer dot needs no rounding edge
+    "llm_quantize_recall" ->
+      s"""WITH ex_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ex_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ex_pairs),
+         |ex AS (SELECT probe_id, cand_id FROM ex_ranked WHERE rank <= 3),
+         |amp AS (SELECT max(abs(CAST(x AS DOUBLE))) AS a
+         |        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+         |q AS (SELECT vec_id,
+         |             list_transform(embedding,
+         |               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amp.a) AS INT)) AS codes
+         |      FROM embeddings, amp),
+         |ap_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         list_sum(list_transform(generate_series(1, len(p.codes)),
+         |           i -> CAST(p.codes[i] AS BIGINT) * CAST(c.codes[i] AS BIGINT))) AS qdot
+         |  FROM q p JOIN q c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ap_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY qdot DESC, cand_id) AS rank
          |              FROM ap_pairs),
          |ap AS (SELECT probe_id, cand_id FROM ap_ranked WHERE rank <= 3),
          |hits AS (SELECT e.probe_id, count(*) AS n_hit

@@ -200,6 +200,35 @@ class LlmPropertySpec extends SparkSpec {
       "zero vector should normalize to NULL elements")
   }
 
+  test("quantizeCodes: symmetric, bounded, zero-preserving, extremum hits ±levels") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(0.5f, -1.0f, 0f, 0.25f)),
+      (1L, Array(2.0f, 1.0f, -0.5f, 0f))   // amp = 2.0
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.quantizeCodes(e).orderBy("vec_id").collect()
+      .map(_.getSeq[Int](2))
+    // amp=2: code = round(x * 127 / 2) = round(x * 63.5)
+    assert(codes(0) == Seq(32, -64, 0, 16))   // 31.75->32, -63.5->-64, 0, 15.875->16
+    assert(codes(1) == Seq(127, 64, -32, 0))  // the max-|x| element hits exactly 127
+    assert(codes.flatten.forall(c => c >= -127 && c <= 127))
+  }
+
+  test("quantizedTopK ranking matches float ranking when codes are lossless") {
+    import spark.implicits._
+    // components are exact multiples of amp/127 -> quantization is a pure
+    // scale, so integer-dot order == float-dot order (unit-norm free case)
+    val base = Seq(
+      (0L, Array(127f, 0f)), (1L, Array(90f, 90f)),
+      (2L, Array(0f, 127f)), (3L, Array(-127f, 0f)), (4L, Array(100f, 50f)))
+    val e = base.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeCodes(e)
+    val got = Similarity.quantizedTopK(q.where("vec_id = 0"), q, 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // dot vs (127,0): v4=12700, v1=11430, v2=0, v3=-16129
+    assert(got == Seq(4L, 1L, 2L, 3L))
+  }
+
   test("cosine stays in [-1, 1]; self-similarity is 1") {
     samples(Gen.listOfN(3, vec), 5).foreach { vs =>
       import spark.implicits._
