@@ -66,4 +66,29 @@ object Cdc {
       .where(col("status").isNotNull)
       .select(col(keyCol), col("status"))
   }
+
+  /** Incremental maintenance of a grouped count/sum aggregate — the
+    * materialized-view refresh that never rescans the base table. `state`
+    * is yesterday's aggregate (groupCol, cntCol, sumCol); `delta` carries
+    * signed contribution rows (groupCol, d_cnt, d_val): an insert is
+    * (+1, +v), a delete (−1, −v_old), an update (0, v_new − v_old). The
+    * merge aggregates the delta batch, unions it with the state and
+    * re-aggregates — sum/count form a commutative monoid, so the result
+    * equals the full recompute under ANY batch split (the differential
+    * oracle recomputes from scratch; green IS that identity). Groups
+    * whose count reaches zero leave the view.
+    *
+    * Scale shape: cost is O(|state| + |delta|) — state is
+    * group-cardinality-sized and the delta is batch-sized, so refreshing
+    * a 100 TB base costs the day's changes, not the corpus. Both inputs
+    * partial-aggregate map-side before one hash exchange on the group.
+    */
+  def incrementalAgg(state: DataFrame, delta: DataFrame, groupCol: String,
+                     cntCol: String = "cnt", sumCol: String = "total"): DataFrame =
+    state.select(col(groupCol), col(cntCol), col(sumCol))
+      .unionByName(delta.groupBy(col(groupCol)).agg(
+        sum(col("d_cnt")).as(cntCol), sum(col("d_val")).as(sumCol)))
+      .groupBy(col(groupCol))
+      .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol))
+      .where(col(cntCol) > 0)
 }

@@ -83,4 +83,18 @@ object Constraints {
     checks.map(_.select(verdictCols.map(col): _*))
       .reduce(_.unionAll(_)).orderBy("rule")
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: one row per
+    * equivalence class with its size and whether it meets the k floor —
+    * the privacy admission gate a corpus with user-derived metadata runs
+    * before release (classes below k re-identify individuals; their rows
+    * must be suppressed or generalized). One scan + one partial-aggregated
+    * groupBy, like every other admission rule here.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_ok", col("class_size") >= k)
+  }
 }

@@ -612,6 +612,23 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // header-only metadata extraction: the PNG signature + IHDR fields
+    // parsed from the REAL ImageIO-encoded bytes by pure binary slicing
+    // (substring/hex/conv — codegen'd, no decoder anywhere in the path).
+    // At 100 TB this is how an image size/type index is built for the
+    // cost of reading 26 bytes per blob; the oracle recomputes the
+    // dimensions from the generator's closed form, so agreement proves
+    // the real encoder wrote the header the spec promises
+    "llm_image_meta" -> ((s, d) =>
+      Multimodal.synthesizeImages(docs(s, d)).toDF()
+        .selectExpr("doc_id",
+          "hex(substring(png, 1, 8)) = '89504E470D0A1A0A' AS sig_ok",
+          "CAST(conv(hex(substring(png, 17, 4)), 16, 10) AS INT) AS width",
+          "CAST(conv(hex(substring(png, 21, 4)), 16, 10) AS INT) AS height",
+          "CAST(conv(hex(substring(png, 25, 1)), 16, 10) AS INT) AS bit_depth",
+          "CAST(conv(hex(substring(png, 26, 1)), 16, 10) AS INT) AS color_type")
+        .orderBy("doc_id")),
+
     // decode -> nearest-neighbor resize to fit 24px: the resample reads
     // the real decoded raster; the oracle replays the integer source-pixel
     // map over the target grid
@@ -1478,6 +1495,16 @@ object Llm {
          |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
          |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
          |ORDER BY t.probe_id""".stripMargin,
+
+    // closed-form IHDR expectation: ImageIO writes 8-bit truecolor
+    // (bit depth 8, color type 2) for TYPE_INT_RGB input per the PNG spec
+    "llm_image_meta" ->
+      """SELECT doc_id, TRUE AS sig_ok,
+        |       CAST(1 + doc_id % 47 AS INT) AS width,
+        |       CAST(1 + (doc_id * 3) % 37 AS INT) AS height,
+        |       CAST(8 AS INT) AS bit_depth,
+        |       CAST(2 AS INT) AS color_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical amp reduction, scaling tree and round — codes replayed
     // element-by-element through DuckDB list functions

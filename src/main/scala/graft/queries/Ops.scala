@@ -33,6 +33,41 @@ object Ops {
         .orderBy("k")
     }),
 
+    // materialized-view refresh: yesterday's aggregate + today's signed
+    // delta batch (inserts/updates/deletes over disjoint key classes)
+    // merged WITHOUT rescanning the base; the oracle recomputes the view
+    // from the full final table — green is the monoid-merge identity
+    "cdc_incremental_agg" -> ((s, d) => {
+      Tables.register(s, d)
+      val orders = s.table("orders")
+      val base = orders.where("o_orderkey % 5 <> 0")
+      val state = base.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("total"))
+      val inserts = orders.where("o_orderkey % 5 = 0")
+        .selectExpr("o_custkey AS k", "CAST(1 AS BIGINT) AS d_cnt",
+          "CAST(o_totalprice AS DECIMAL(12,2)) AS d_val")
+      val updates = base.where("o_orderkey % 7 = 0 AND o_orderkey % 11 <> 3")
+        .selectExpr("o_custkey AS k", "CAST(0 AS BIGINT) AS d_cnt",
+          "CAST(10.00 AS DECIMAL(12,2)) AS d_val")
+      val deletes = base.where("o_orderkey % 11 = 3")
+        .selectExpr("o_custkey AS k", "CAST(-1 AS BIGINT) AS d_cnt",
+          "CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS d_val")
+      Cdc.incrementalAgg(state,
+          inserts.unionByName(updates).unionByName(deletes), "k")
+        .selectExpr("k", "cnt", "CAST(total AS DOUBLE) AS total")
+        .orderBy("k")
+    }),
+
+    // privacy admission: every (nation, segment) equivalence class sized
+    // against the k floor
+    "qc_k_anonymity" -> ((s, d) =>
+      Constraints.kAnonymity(Tables.load(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 40)
+        .selectExpr("CAST(c_nationkey AS BIGINT) AS c_nationkey",
+          "c_mktsegment", "class_size", "k_ok")
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     "cdc_snapshot_diff" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val before = docs.select(col("doc_id"), col("text"))
@@ -170,6 +205,26 @@ object Ops {
       SELECT k, seq, op, CAST(total AS DOUBLE) AS total
       FROM last WHERE rn = 1 AND op <> 'D'
       ORDER BY k""",
+
+    // full recompute of the final table (inserts applied, updates added,
+    // deletes removed) — never touches the state/delta decomposition
+    "cdc_incremental_agg" -> """
+      WITH fin AS (
+        SELECT o_custkey AS k,
+               CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0
+                         AND o_orderkey % 11 <> 3
+                    THEN CAST(o_totalprice AS DECIMAL(12,2)) + 10.00
+                    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS v
+        FROM orders
+        WHERE o_orderkey % 5 = 0 OR o_orderkey % 11 <> 3)
+      SELECT k, count(*) AS cnt, CAST(SUM(v) AS DOUBLE) AS total
+      FROM fin GROUP BY k ORDER BY k""",
+
+    "qc_k_anonymity" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+             count(*) AS class_size, count(*) >= 40 AS k_ok
+      FROM customer GROUP BY 1, 2
+      ORDER BY c_nationkey, c_mktsegment""",
 
     // the oracle compares text directly — no md5 fingerprint anywhere,
     // so a fingerprint-collision bug could not self-confirm

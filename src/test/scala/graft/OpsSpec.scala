@@ -208,4 +208,39 @@ class OpsSpec extends SparkSpec {
     assert("FileScan".r.findAllMatchIn(plan).size == 1,
       s"three rules must share one scan:\n$plan")
   }
+
+  test("incrementalAgg merge == full recompute; exhausted groups leave the view") {
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L))
+      .toDF("g", "v")
+    val state = base.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    // delete both of a's rows, update b (+3), insert into c and new d
+    val delta = Seq(
+      ("a", -1L, -10L), ("a", -1L, -20L),
+      ("b", 0L, 3L),
+      ("c", 1L, 2L), ("d", 1L, 9L)
+    ).toDF("g", "d_cnt", "d_val")
+    val got = Cdc.incrementalAgg(state, delta, "g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("b", 1L, 8L), ("c", 2L, 9L), ("d", 1L, 9L)),
+      s"merge drifted from the recompute: $got")
+  }
+
+  test("incrementalAgg with an empty delta is the identity") {
+    val base = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    val state = base.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "d_cnt", "d_val")
+    val got = Cdc.incrementalAgg(state, empty, "g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1L, 1L), ("b", 1L, 2L)))
+  }
+
+  test("kAnonymity flags exactly the classes under the floor") {
+    val rows = Seq.tabulate(10)(i => (if (i < 7) "x" else "y", i))
+      .toDF("qid", "payload")
+    val got = Constraints.kAnonymity(rows, Seq("qid"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(("x", 7L, true), ("y", 3L, false)))
+  }
 }
