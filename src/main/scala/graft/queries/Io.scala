@@ -474,6 +474,31 @@ object Io {
       s.table(sink).orderBy("hour_ts", "event_type")
     }),
 
+    // sliding (overlapping) windows through the real streaming engine:
+    // each event contributes to length/slide = 4 window rows in the SAME
+    // state store — the multi-assignment path the tumbling twin never
+    // exercises; the oracle expands the epoch-aligned membership
+    // arithmetic per event and re-aggregates from scratch
+    "ts_stream_sliding_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, window}
+      val events = Tables.load(s, d, "events")
+        .select("ts", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_entry").toString
+      events.write.mode("overwrite").parquet(dir)
+      val agg = graft.streaming.Streams.fromParquet(s, dir, events.schema)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count("*").as("n_events"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"))
+      val sink = "ts_stream_sliding_sink"
+      graft.streaming.Streams.runToMemory(agg, sink,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      deleteRecursively(new java.io.File(dir))
+      s.table(sink).orderBy("win_start", "event_type")
+    }),
+
     // the session-window twin of ts_stream_window_agg: bounded replay
     // through the MERGING-state streaming path (session windows keep a
     // different state implementation than tumbling windows), checked by
@@ -1176,6 +1201,20 @@ object Io {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // epoch-aligned sliding membership, expanded flat: an event at t sits
+    // in the 4 windows starting at 30-min grid points (t's bucket, minus
+    // 0..3 slides)
+    "ts_stream_sliding_agg" ->
+      """WITH x AS (SELECT event_type,
+        |                  (epoch_us(ts) // 1800000000) * 1800000000 AS b
+        |           FROM events),
+        |w AS (SELECT event_type, b - k * 1800000000 AS ws
+        |      FROM x, unnest(generate_series(0, 3)) AS u(k))
+        |SELECT make_timestamp(ws) AS win_start, event_type,
+        |       count(*) AS n_events
+        |FROM w GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     // replays the entry's watermark arithmetic in SQL: f1a/f1b/f2/f3 are
     // the same hash/boundary split the entry stages, wmf1a is the
