@@ -92,6 +92,38 @@ object Ivf {
         round(col("s").cast("double") / col("n_members"), 6).as("component"),
         col("n_members"))
 
+  /** `iters` chained Lloyd steps — the full training loop, differentially
+    * checkable end to end. Between iterations the k×dims model state is
+    * collected to the driver and re-broadcast as the next centroid table:
+    * this is the spark.ml KMeans pattern, and it is correct at any corpus
+    * scale because the model is metadata-sized BY CONSTRUCTION (it must
+    * fit in a broadcast every iteration regardless) — the corpus itself
+    * is never collected and is scanned exactly once per iteration.
+    * Components round-trip through FLOAT (the embedding element type) so
+    * each iteration's input is bit-identical to what the oracle's chained
+    * replay feeds its next stage. A centroid that loses every member
+    * emits no rows and drops out of later iterations in both engines.
+    */
+  def lloydLoop(vecs: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents = centroids
+    var out = lloydIterate(vecs, cents)
+    for (_ <- 2 to iters) {
+      val model = out
+        .select(col("centroid_id"), col("dim"),
+          col("component").cast("float").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rs) => (cid, rs.sortBy(_._2).map(_._3).toArray) }
+      cents = model.toDF("centroid_id", "centroid")
+      out = lloydIterate(vecs, cents)
+    }
+    out
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding corpus (k-means centroids via [[train]], or any fixed
     * centroid table), then prune WITHIN each cluster — a vector is

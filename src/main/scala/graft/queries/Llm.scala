@@ -700,6 +700,18 @@ object Llm {
       Ivf.lloydIterate(e, cents).orderBy("centroid_id", "dim")
     }),
 
+    // three chained Lloyd steps — the full training loop differentially:
+    // each iteration's rounded means feed the next through a FLOAT
+    // round-trip, so one drifting component anywhere in the chain
+    // hash-mismatches the final state
+    "llm_kmeans_converged" -> ((s, d) => {
+      val e = emb(s, d)
+      val seed = e.where(col("vec_id").isin(3, 17, 31, 59))
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Ivf.lloydLoop(e, seed, iters = 3).orderBy("centroid_id", "dim")
+    }),
+
     // exact edit-distance join over 30-char document prefixes (fuzzy key
     // matching): Ed-Join prefix filtering on rarest q-grams, threshold
     // levenshtein verify — the oracle brute-forces every pair, so a
@@ -1815,6 +1827,40 @@ object Llm {
          |       COUNT(*) AS n_members
          |FROM px GROUP BY cid, dim
          |ORDER BY centroid_id, dim""".stripMargin,
+
+    // the whole 3-step chain replayed: assignment (unrounded-cosine
+    // argmax, min-cid ties), DECIMAL-exact means, FLOAT round-trip into
+    // the next stage — the same per-stage arithmetic llm_kmeans_iter
+    // pins once, composed
+    "llm_kmeans_converged" -> {
+      val init =
+        """cent0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          |          WHERE vec_id IN (3, 17, 31, 59))""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""a$i AS (SELECT v.vec_id, c.cid,
+           |        ${duckCosineRaw("v.embedding", "c.ce")} AS cos
+           |     FROM embeddings v CROSS JOIN cent${i - 1} c),
+           |mx$i AS (SELECT vec_id, MAX(cos) AS m FROM a$i GROUP BY vec_id),
+           |asg$i AS (SELECT a.vec_id, MIN(a.cid) AS cid
+           |       FROM a$i a JOIN mx$i mx
+           |         ON a.vec_id = mx.vec_id AND a.cos = mx.m
+           |       GROUP BY a.vec_id),
+           |px$i AS (SELECT g.cid, CAST(i - 1 AS INT) AS dim,
+           |             CAST(e.embedding[i] AS DOUBLE) AS v
+           |      FROM asg$i g JOIN embeddings e ON e.vec_id = g.vec_id,
+           |           unnest(generate_series(1, len(e.embedding))) AS u(i)),
+           |m$i AS (SELECT cid, dim,
+           |       CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+           |                    / COUNT(*), 6) + 0.0 AS DOUBLE) AS component,
+           |       COUNT(*) AS n_members
+           |      FROM px$i GROUP BY cid, dim),
+           |cent$i AS (SELECT cid, list(CAST(component AS FLOAT) ORDER BY dim) AS ce
+           |        FROM m$i GROUP BY cid)""".stripMargin
+      }
+      s"""WITH ${(init +: steps).mkString(",\n")}
+         |SELECT cid AS centroid_id, dim, component, n_members
+         |FROM m3 ORDER BY centroid_id, dim""".stripMargin
+    },
 
     // brute force over every pair — no grams, no prefixes, no threshold
     // cutoff anywhere: the O(n²) recomputation the operator exists to

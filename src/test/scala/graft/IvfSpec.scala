@@ -148,4 +148,26 @@ class IvfSpec extends SparkSpec {
     assert(got((20L, 1)) == ((0.95, 2L)))
     assert(got.size == 4)
   }
+
+  test("lloydLoop(1) == lloydIterate; well-separated clusters are a fixed point") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two tight direction-clusters; seeds are members, so iteration 1
+    // converges and every later iteration must reproduce its means
+    val vecs = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.9, 0.1)), (2L, v(0.95, 0.05)),
+      (10L, v(0.0, 1.0)), (11L, v(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val seed = Seq((0, v(1.0, 0.0)), (1, v(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("centroid_id", "dim").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+    assert(rows(Ivf.lloydLoop(vecs, seed, 1)) ==
+      rows(Ivf.lloydIterate(vecs, seed)))
+    assert(rows(Ivf.lloydLoop(vecs, seed, 3)) ==
+      rows(Ivf.lloydLoop(vecs, seed, 1)),
+      "assignments stable => the loop must sit at the fixed point")
+  }
 }
