@@ -698,6 +698,30 @@ object TextAnalysis {
         countDistinct(col("wmin")).as("n_fps"),
         sum_distinct(col("wmin")).as("fp_sum"))
 
+  /** Policy blocklist filter — the safety/content-policy stage of corpus
+    * curation: per (doc, category) occurrence counts of the category's
+    * blocklist terms, with the block verdict at `maxHits`. The term table
+    * is policy-sized and broadcasts (the langId marker-join shape); the
+    * only shuffle is the partially-aggregated per-doc count. Documents
+    * hitting no category emit no rows (they pass by absence).
+    */
+  def blocklistFilter(docs: DataFrame, lists: Map[String, Seq[String]],
+                      maxHits: Long = 0): DataFrame = {
+    require(lists.nonEmpty, "blocklist must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = lists.toSeq
+      .flatMap { case (c, ws) => ws.map(w => (c, w)) }
+      .toDF("category", "term")
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+      .join(broadcast(terms), expr("tok = term"))
+      .groupBy("doc_id", "category")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("blocked", col("n_hits") > maxHits)
+  }
+
   /** Deterministic per-bucket weights for [[classifierScore]]: Knuth
     * multiplicative mix of the bucket index folded to [-500, 500]. Stands
     * in for trained coefficients — the DISTRIBUTION shape (a broadcast

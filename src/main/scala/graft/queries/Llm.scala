@@ -731,6 +731,14 @@ object Llm {
     "llm_source_similarity" -> ((s, d) =>
       Dedup.groupSimilarity(docs(s, d), "source").orderBy("src_a", "src_b")),
 
+    // content-policy blocklist: per-category term-occurrence counts with
+    // the block verdict at >2 hits; the policy table broadcasts
+    "llm_blocklist_filter" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(docs(s, d),
+          Map("latency" -> Seq("slow"), "volume" -> Seq("big", "small")),
+          maxHits = 2)
+        .orderBy("doc_id", "category")),
+
     // feature-hashed linear quality-classifier inference: 64-bucket token
     // hashing, broadcast weight table, integer-exact logits
     "llm_quality_classifier" -> ((s, d) =>
@@ -1893,6 +1901,17 @@ object Llm {
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin
     },
+
+    // occurrence counts recomputed from a VALUES policy table
+    "llm_blocklist_filter" ->
+      s"""WITH toksm AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |              FROM documents),
+         |t AS (SELECT * FROM (VALUES ('latency', 'slow'), ('volume', 'big'),
+         |                            ('volume', 'small')) v(category, term)),
+         |h AS (SELECT doc_id, category, count(*) AS n_hits
+         |      FROM toksm JOIN t ON tok = term GROUP BY 1, 2)
+         |SELECT doc_id, category, n_hits, n_hits > 2 AS blocked
+         |FROM h ORDER BY doc_id, category""".stripMargin,
 
     // identical 60-bit token hash, bucket fold and closed-form weight
     // table — the logit is an integer sum, so any hashing/join/weight

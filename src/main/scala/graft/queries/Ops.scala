@@ -59,6 +59,45 @@ object Ops {
         .orderBy("k")
     }),
 
+    // ANALYZE-style column profile in ONE scan: counts, nulls, exact NDV
+    // and min/max for three columns of mixed type. Multi-column DISTINCT
+    // aggregation costs an Expand (stream × #distinct-aggs) — the honest
+    // single-pass price, fine for a handful of columns; at 100 TB profile
+    // few columns per pass or swap NDV to the sketch family. Numeric
+    // bounds emit as DOUBLE, string bounds as strings — never
+    // engine-formatted numerics
+    "qc_column_profile" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val wide = orders.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min("o_custkey").cast("double").as("mn_ck"),
+        max("o_custkey").cast("double").as("mx_ck"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        min("o_totalprice").cast("double").as("mn_tp"),
+        max("o_totalprice").cast("double").as("mx_tp"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_os"),
+        countDistinct(col("o_orderstatus")).as("nd_os"),
+        min("o_orderstatus").cast("string").as("mn_os"),
+        max("o_orderstatus").cast("string").as("mx_os"))
+      wide.selectExpr(
+        """explode(array(
+          |  struct('o_custkey' AS col_name, n_rows, nn_ck AS n_null,
+          |         nd_ck AS n_distinct, mn_ck AS min_num, mx_ck AS max_num,
+          |         CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str),
+          |  struct('o_orderstatus' AS col_name, n_rows, nn_os AS n_null,
+          |         nd_os AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
+          |         CAST(NULL AS DOUBLE) AS max_num, mn_os AS min_str, mx_os AS max_str),
+          |  struct('o_totalprice' AS col_name, n_rows, nn_tp AS n_null,
+          |         nd_tp AS n_distinct, mn_tp AS min_num, mx_tp AS max_num,
+          |         CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str)
+          |)) AS p""".stripMargin)
+        .select("p.*")
+        .orderBy("col_name")
+    }),
+
     // privacy admission: every (nation, segment) equivalence class sized
     // against the k floor
     "qc_k_anonymity" -> ((s, d) =>
@@ -225,6 +264,29 @@ object Ops {
              count(*) AS class_size, count(*) >= 40 AS k_ok
       FROM customer GROUP BY 1, 2
       ORDER BY c_nationkey, c_mktsegment""",
+
+    // one independent SELECT per column — never the entry's Expand shape
+    "qc_column_profile" -> """
+      SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_custkey) AS n_null,
+             count(DISTINCT o_custkey) AS n_distinct,
+             CAST(min(o_custkey) AS DOUBLE) AS min_num,
+             CAST(max(o_custkey) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM orders
+      ORDER BY col_name""",
 
     // the oracle compares text directly — no md5 fingerprint anywhere,
     // so a fingerprint-collision bug could not self-confirm

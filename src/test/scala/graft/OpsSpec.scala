@@ -236,6 +236,15 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 1L), ("b", 1L, 2L)))
   }
 
+  test("qc_column_profile: three columns profile off ONE scan (Expand, not re-reads)") {
+    val plan = staticPlan(
+      SparkEntry.queries("qc_column_profile")(spark, sfSmoke))
+    assert("FileScan".r.findAllMatchIn(plan).size == 1,
+      s"profile must share one scan across columns:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-column distinct aggregation should plan the documented Expand:\n$plan")
+  }
+
   test("kAnonymity flags exactly the classes under the floor") {
     val rows = Seq.tabulate(10)(i => (if (i < 7) "x" else "y", i))
       .toDF("qid", "payload")
