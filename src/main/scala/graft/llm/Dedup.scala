@@ -883,6 +883,25 @@ object Dedup {
     *
     * Output: (src_a, src_b, n_agree, est_jaccard) with src_a < src_b.
     */
+  /** Triangle enumeration over a candidate-pair graph (edges doc_a <
+    * doc_b) — the node-iterator wedge join: (a,b)+(b,c) wedges closed by
+    * the (a,c) edge, all hash equi-joins, output ordered a<b<c exactly
+    * once. Triangle density distinguishes genuine duplicate communities
+    * (near-cliques) from chains of borderline pairs — the graph-shape
+    * diagnostic run before trusting transitive-closure cluster sizes.
+    * Cost is Σ wedge counts (degree-bounded), never |V|² — the standard
+    * distributed triangle algorithm; a skewed hub degree salts like any
+    * other hot join key.
+    */
+  def dupTriangles(pairs: DataFrame): DataFrame = {
+    val e1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    e1.join(e2, expr("b = b2"))
+      .join(e3, expr("a = a3 AND c = c3"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   def groupSimilarity(docs: DataFrame, groupCol: String,
                       numHashes: Int = 8): DataFrame = {
     val sigs = minhash(docs.select(col(groupCol).as("doc_id"), col("text")),

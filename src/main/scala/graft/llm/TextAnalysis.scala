@@ -698,6 +698,66 @@ object TextAnalysis {
         countDistinct(col("wmin")).as("n_fps"),
         sum_distinct(col("wmin")).as("fp_sum"))
 
+  /** Build the training mix under a global token budget: source s with
+    * weight w_s gets quota ⌊B·w_s/Σw⌋ tokens, filled in the seeded-md5
+    * document order (reproducible across runs, engines and cluster
+    * sizes); the document that crosses the quota line is the last one in,
+    * so every quota is met and overshoots by less than one document.
+    *
+    * Scale shape: the within-source running token sum uses the SAME
+    * two-phase hash-prefix decomposition as [[TrainOrder.shuffleOrder]] —
+    * running sums within (source, bucket) partitions, bucket token totals
+    * prefix-summed per source over a metadata-scale (sources × 256 rows)
+    * window — so no source ever serializes into one task no matter how
+    * large its corpus slice. The differential oracle computes the same
+    * selection with ONE flat per-source window; green proves the
+    * two-phase stitch.
+    */
+  def tokenBudgetMix(docs: DataFrame, weights: Map[String, Long],
+                     budgetTokens: Long, seed: String,
+                     sourceCol: String = "source",
+                     bucketHexChars: Int = 2): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(budgetTokens > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = quotaTable(weights, budgetTokens).toDF(sourceCol, "__quota")
+    val keyed = docs
+      .join(broadcast(quotas), Seq(sourceCol)) // unweighted sources drop out
+      .select(col(sourceCol).as("__src"), col("doc_id"),
+        expr(s"CAST(size(split(${Dedup.normalizeExpr}, ' ')) AS BIGINT)")
+          .as("n_tokens"),
+        col("__quota"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+          .as("__key"))
+      .withColumn("__bkt", substring(col("__key"), 1, bucketHexChars))
+    val wIn = Window.partitionBy("__src", "__bkt").orderBy("__key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = keyed.withColumn("__run", sum("n_tokens").over(wIn))
+    val wB = Window.partitionBy("__src").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__src", "__bkt")
+      .agg(sum("n_tokens").as("__t"))
+      .withColumn("__off", coalesce(sum("__t").over(wB), lit(0L)))
+      .select(col("__src"), col("__bkt"), col("__off"))
+    intra.join(offsets, Seq("__src", "__bkt"))
+      .withColumn("cum_tokens", col("__off") + col("__run"))
+      .where(col("cum_tokens") - col("n_tokens") < col("__quota"))
+      .select(col("doc_id"), col("__src").as(sourceCol), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** The integer quota split [[tokenBudgetMix]] uses — exposed so the
+    * oracle SQL embeds the IDENTICAL literals.
+    */
+  def quotaTable(weights: Map[String, Long],
+                 budgetTokens: Long): Seq[(String, Long)] = {
+    val totalW = weights.values.sum
+    weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, budgetTokens * w / totalW) }
+  }
+
   /** Policy blocklist filter — the safety/content-policy stage of corpus
     * curation: per (doc, category) occurrence counts of the category's
     * blocklist terms, with the block verdict at `maxHits`. The term table

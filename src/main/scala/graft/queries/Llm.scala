@@ -731,6 +731,33 @@ object Llm {
     "llm_source_similarity" -> ((s, d) =>
       Dedup.groupSimilarity(docs(s, d), "source").orderBy("src_a", "src_b")),
 
+    // training-mix construction under a 20k-token budget with 1:2:3:4
+    // source weights — quota fill in seeded order via the two-phase
+    // prefix sum (no flat per-source window task)
+    "llm_token_budget_mix" -> ((s, d) =>
+      TextAnalysis.tokenBudgetMix(docs(s, d),
+          Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L, "src5" -> 4L),
+          budgetTokens = 20000L, seed = "mix1")
+        .orderBy("doc_id")),
+
+    // license/provenance propagation through exact dedup: the survivor
+    // carries the full source attribution of every collapsed copy
+    "llm_dedup_attribution" -> ((s, d) =>
+      docs(s, d)
+        .select(expr(s"md5(${Dedup.normalizeExpr})").as("fp"),
+          col("doc_id"), col("source"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min("source").as("first_source"), max("source").as("last_source"))
+        .orderBy("fp")),
+
+    // triangle census of the LSH candidate graph: near-clique duplicate
+    // communities vs chains of borderline pairs
+    "llm_dup_triangles" -> ((s, d) =>
+      Dedup.dupTriangles(Dedup.lshCandidates(docs(s, d)))
+        .orderBy("a", "b", "c")),
+
     // content-policy blocklist: per-category term-occurrence counts with
     // the block verdict at >2 hits; the policy table broadcasts
     "llm_blocklist_filter" -> ((s, d) =>
@@ -1901,6 +1928,47 @@ object Llm {
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin
     },
+
+    // ONE flat per-source running-sum window — the shape the operator's
+    // two-phase decomposition avoids; identical quota literals via the
+    // shared quotaTable builder
+    "llm_token_budget_mix" -> {
+      val quotas = graft.llm.TextAnalysis
+        .quotaTable(Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L,
+          "src5" -> 4L), 20000L)
+        .map { case (s, q) => s"('$s', $q)" }.mkString(", ")
+      s"""WITH q(source, quota) AS (VALUES $quotas),
+         |k AS (SELECT d.source, d.doc_id,
+         |             CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens,
+         |             q.quota, md5('mix1:' || d.doc_id) AS key
+         |      FROM documents d JOIN q USING (source)),
+         |r AS (SELECT source, doc_id, n_tokens, quota,
+         |             SUM(n_tokens) OVER (PARTITION BY source
+         |               ORDER BY key, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS cum_tokens
+         |      FROM k)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum_tokens - n_tokens < quota
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // attribution recomputed directly over the normalized-text hash
+    "llm_dedup_attribution" ->
+      s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT source) AS n_sources,
+         |       min(source) AS first_source, max(source) AS last_source
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // the same wedge-close joins over the oracle's own candidate CTE
+    "llm_dup_triangles" ->
+      s"""WITH ${minhashCtes()}
+         |SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |FROM cands e1
+         |JOIN cands e2 ON e2.doc_a = e1.doc_b
+         |JOIN cands e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |ORDER BY a, b, c""".stripMargin,
 
     // occurrence counts recomputed from a VALUES policy table
     "llm_blocklist_filter" ->

@@ -752,6 +752,38 @@ class LlmOperatorSpec extends SparkSpec {
       (2L, 16L, 2L, 10L, 0.625)))
   }
 
+  test("dupTriangles enumerates each ordered triangle exactly once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (1,4), plus a dangling chain 5-6-7:
+    // triangles are (1,2,3), (2,3,4) and nothing from the chain
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupTriangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq((1L, 2L, 3L), (2L, 3L, 4L)))
+  }
+
+  test("tokenBudgetMix meets each quota with < one doc of overshoot") {
+    import spark.implicits._
+    val d = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(1 + i % 5)("tok").mkString(" "), s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val weights = Map("s0" -> 1L, "s1" -> 3L)
+    val budget = 200L
+    val out = TextAnalysis.tokenBudgetMix(d, weights, budget, "t1")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val quotas = TextAnalysis.quotaTable(weights, budget).toMap
+    quotas.foreach { case (src, q) =>
+      val rows = out.filter(_._1 == src)
+      val total = rows.map(_._2).sum
+      val maxDoc = rows.map(_._2).max
+      assert(total >= q, s"$src under-filled: $total < $q")
+      assert(total < q + maxDoc, s"$src overshot by a full doc: $total vs $q")
+      // cum_tokens of the selected set is exactly the running total
+      assert(rows.map(_._3).max == total)
+    }
+  }
+
   test("groupSimilarity: content-identical sources agree on all permutations") {
     import spark.implicits._
     val d = Seq(
