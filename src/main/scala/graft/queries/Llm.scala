@@ -731,6 +731,28 @@ object Llm {
     "llm_source_similarity" -> ((s, d) =>
       Dedup.groupSimilarity(docs(s, d), "source").orderBy("src_a", "src_b")),
 
+    // the one-row dedup health report a pipeline owner actually reads:
+    // corpus size, exact-dup mass, candidate/verified pair counts,
+    // cluster census — every number an aggregate of operators that are
+    // themselves oracled row-by-row elsewhere
+    "llm_dedup_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exStats = Dedup.exact(dd).agg(
+        sum("n_docs").as("n_docs"),
+        count(lit(1)).as("n_distinct_content"),
+        sum(expr("n_docs - 1")).as("n_exact_collapsed"))
+      val cands = Dedup.lshCandidates(dd)
+      val verified = Dedup.jaccard(dd, cands)
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      val pairStats = cands.agg(count(lit(1)).as("n_candidate_pairs"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified_pairs")))
+      val cStats = Dedup.dupClusters(verified)
+        .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(max("sz"), lit(0L)).as("largest_cluster"))
+      exStats.crossJoin(pairStats).crossJoin(cStats)
+    }),
+
     // training-mix construction under a 20k-token budget with 1:2:3:4
     // source weights — quota fill in seeded order via the two-phase
     // prefix sum (no flat per-source window task)
@@ -1928,6 +1950,28 @@ object Llm {
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin
     },
+
+    // every report number independently recomputed: exact-dup mass from
+    // the fp groupBy, clusters from the recursive reachability closure
+    "llm_dedup_report" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS doc_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |cl AS (SELECT doc_id, min(lab) AS rep FROM reach GROUP BY doc_id),
+         |csz AS (SELECT rep, count(*) AS sz FROM cl GROUP BY rep),
+         |ex AS (SELECT md5($NORM) AS fp, count(*) AS n FROM documents GROUP BY 1)
+         |SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM ex) AS n_docs,
+         |       (SELECT count(*) FROM ex) AS n_distinct_content,
+         |       (SELECT CAST(SUM(n - 1) AS BIGINT) FROM ex) AS n_exact_collapsed,
+         |       (SELECT count(*) FROM cands) AS n_candidate_pairs,
+         |       (SELECT count(*) FROM pairs) AS n_verified_pairs,
+         |       (SELECT count(*) FROM csz) AS n_clusters,
+         |       (SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM csz) AS largest_cluster""".stripMargin,
 
     // ONE flat per-source running-sum window — the shape the operator's
     // two-phase decomposition avoids; identical quota literals via the

@@ -71,6 +71,47 @@ class PlanShapeSpec extends SparkSpec {
       s"signature pairing must stay an equi join on the permutation index:\n$plan")
   }
 
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    // the partition-layout twin of the bloom-filter gate: when the fact
+    // table is partitioned on the join key, a selective dim predicate
+    // must prune fact PARTITIONS at runtime (skip whole directories, not
+    // just rows) — at 100 TB the difference between listing 3 partitions
+    // and scanning them all
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      Tables.load(spark, sfBench, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // the dim filter sits on a NON-key column, so static constraint
+      // propagation cannot pre-prune the fact side — only the runtime
+      // subquery over the filtered dim can supply the partition list
+      val dim = Tables.load(spark, sfBench, "orders")
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .where("o_orderpriority = '1-URGENT'")
+      val q = fact.join(dim, Seq("o_orderstatus"))
+        .groupBy("o_orderstatus").count()
+      val plan = staticPlan(q)
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the partitioned fact scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("join strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
+    Tables.register(spark, sfSmoke)
+    def planFor(hint: String) = staticPlan(spark.sql(
+      s"SELECT /*+ $hint(n) */ c.c_custkey, n.n_name FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey"))
+    assert(planFor("BROADCAST").contains("BroadcastHashJoin"))
+    assert(planFor("MERGE").contains("SortMergeJoin"),
+      "MERGE hint must override the broadcast-eligible default")
+    assert(planFor("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+  }
+
   test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
     // the AQE-era runtime filter: a selective dim-side predicate grows a
     // bloom filter that is pushed into the fact-side scan stage BEFORE the
