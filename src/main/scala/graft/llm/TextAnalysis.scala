@@ -698,6 +698,51 @@ object TextAnalysis {
         countDistinct(col("wmin")).as("n_fps"),
         sum_distinct(col("wmin")).as("fp_sum"))
 
+  /** One BPE merge-training step over the corpus — the TRAIN side of
+    * tokenization ([[vocabEncode]] is the encode side): words collapse to
+    * a frequency dictionary first (the classic BPE preprocessing — after
+    * this the corpus size is out of the cost entirely; everything
+    * downstream is vocabulary-sized), words split to space-separated
+    * symbol sequences, adjacent-pair counts weight by word frequency, the
+    * argmax pair (ties lexicographic) merges via ONE literal
+    * space-delimited `replace` pass (non-overlapping leftmost — both
+    * engines share exactly these semantics, which is what makes the step
+    * differentially checkable; true BPE would re-scan overlaps
+    * iteratively), and pairs are re-counted. Output: the top `k` pre-merge
+    * pairs with their pre/post counts — the chosen pair's count must
+    * collapse, its merged neighbors must appear.
+    */
+  def bpeMergeStep(docs: DataFrame, k: Int = 20): DataFrame = {
+    def pairCounts(d: DataFrame, seqCol: String): DataFrame =
+      d.select(col("wc"), split(col(seqCol), " ").as("s"))
+        .where(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1]))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+    val words = docs
+      .select(explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("seq", concat_ws(" ", split(col("w"), "")))
+    val before = pairCounts(words, "seq")
+    val best = before.orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair").as("bp"))
+    val merged = words.crossJoin(broadcast(best))
+      .withColumn("seq2", expr(
+        """trim(replace(concat(' ', seq, ' '),
+          |             concat(' ', bp, ' '),
+          |             concat(' ', replace(bp, ' ', ''), ' ')))""".stripMargin))
+    val after = pairCounts(merged, "seq2")
+      .withColumnRenamed("n", "n_after")
+    before
+      .join(after, Seq("pair"), "left")
+      .select(col("pair"), col("n").as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("n_before").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Build the training mix under a global token budget: source s with
     * weight w_s gets quota ⌊B·w_s/Σw⌋ tokens, filled in the seeded-md5
     * document order (reproducible across runs, engines and cluster

@@ -731,6 +731,12 @@ object Llm {
     "llm_source_similarity" -> ((s, d) =>
       Dedup.groupSimilarity(docs(s, d), "source").orderBy("src_a", "src_b")),
 
+    // one BPE merge-training step: pre/post pair counts around the
+    // argmax merge — the corpus collapses to the word-frequency dict
+    // before any pair work (the classic BPE scale property)
+    "llm_bpe_merge_step" -> ((s, d) =>
+      TextAnalysis.bpeMergeStep(docs(s, d))),
+
     // the one-row dedup health report a pipeline owner actually reads:
     // corpus size, exact-dup mass, candidate/verified pair counts,
     // cluster census — every number an aggregate of operators that are
@@ -1950,6 +1956,33 @@ object Llm {
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin
     },
+
+    // identical argmax + the same literal space-delimited replace pass
+    // (both engines: non-overlapping leftmost), recounted from scratch
+    "llm_bpe_merge_step" ->
+      s"""WITH toksb AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),
+         |wcs AS (SELECT w, count(*) AS wc FROM toksb WHERE length(w) > 0 GROUP BY w),
+         |seqs AS (SELECT w, wc,
+         |                array_to_string(regexp_split_to_array(w, ''), ' ') AS seq
+         |         FROM wcs),
+         |pb AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
+         |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM seqs),
+         |            unnest(generate_series(1, len(s) - 1)) u(i)
+         |       GROUP BY 1),
+         |best AS (SELECT pair FROM pb ORDER BY n DESC, pair LIMIT 1),
+         |m AS (SELECT wc,
+         |             trim(replace(' ' || seq || ' ',
+         |                          ' ' || (SELECT pair FROM best) || ' ',
+         |                          ' ' || replace((SELECT pair FROM best), ' ', '') || ' ')) AS seq2
+         |      FROM seqs),
+         |pa AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
+         |       FROM (SELECT wc, string_split(seq2, ' ') AS s FROM m),
+         |            unnest(generate_series(1, len(s) - 1)) u(i)
+         |       GROUP BY 1)
+         |SELECT pb.pair, CAST(pb.n AS BIGINT) AS n_before,
+         |       CAST(COALESCE(pa.n, 0) AS BIGINT) AS n_after
+         |FROM pb LEFT JOIN pa USING (pair)
+         |ORDER BY n_before DESC, pair LIMIT 20""".stripMargin,
 
     // every report number independently recomputed: exact-dup mass from
     // the fp groupBy, clusters from the recursive reachability closure

@@ -752,6 +752,15 @@ class LlmOperatorSpec extends SparkSpec {
       (2L, 16L, 2L, 10L, 0.625)))
   }
 
+  test("bpeMergeStep: argmax pair collapses, counts move to the merged symbol") {
+    // words: aab (wc 2), ab (wc 1); pairs before: 'a b' -> 3, 'a a' -> 2
+    // best = 'a b'; merged seqs: 'a ab' (x2), 'ab' -> 'a b' count drops
+    // to 0, 'a a' is consumed by the merge too (its right 'a' fused)
+    val out = TextAnalysis.bpeMergeStep(docs(1L -> "aab aab ab")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a b", 3L, 0L), ("a a", 2L, 0L)), s"got $out")
+  }
+
   test("dupTriangles enumerates each ordered triangle exactly once") {
     import spark.implicits._
     // K4 on {1,2,3,4} minus edge (1,4), plus a dangling chain 5-6-7:
