@@ -1066,6 +1066,22 @@ object Io {
           |       COUNT(*) AS n_events
           |FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    // Spark 4's VARIANT type over the semi-structured props column:
+    // parse once, typed variant_get extraction, try_variant_get on a
+    // missing path must be NULL-silent (counted, expected zero hits);
+    // the oracle extracts through DuckDB's JSON functions instead
+    "fn_variant_json" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(
+        """SELECT event_type,
+          |       CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS sum_k,
+          |       CAST(SUM(CASE WHEN variant_get(parse_json(props), '$.k', 'bigint') > 50
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+          |       COUNT(try_variant_get(parse_json(props), '$.missing', 'bigint')) AS n_missing_hits
+          |FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
   )
 
@@ -1557,6 +1573,15 @@ object Io {
       """SELECT event_type,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_variant_json" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |       COUNT(json_extract(props, '$.missing')) AS n_missing_hits
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin
   )

@@ -76,6 +76,17 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // lateral column aliases: each SELECT item references the previous
+    // alias in the same list — both engines resolve the chain left to
+    // right, all arithmetic integer-exact doubles
+    "sql_lateral_alias" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS base,
+             base * 2 AS doubled,
+             doubled + 1 AS plus_one
+      FROM lineitem WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber""",
+
     // UNION ALL of two labeled segments
     "set_union_all" -> s"""
       SELECT k, seg FROM (
@@ -308,6 +319,16 @@ object Relational {
     * DuckDB uses unnest + generate_subscripts (1-based) — same rows out.
     */
   val sparkSql: Map[String, String] = Map(
+    // Spark 4 SQL pipe syntax: the same relational content as a classic
+    // GROUP BY (the oracle), staged as |> operators; grouping keys lead
+    // the AGGREGATE output schema
+    "sql_pipe_syntax" -> """
+      FROM lineitem
+      |> WHERE l_shipdate >= DATE '1994-01-01'
+      |> AGGREGATE COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         GROUP BY l_returnflag
+      |> ORDER BY l_returnflag""",
     "unnest_pos" -> """
       SELECT vec_id, CAST(pos + 1 AS BIGINT) AS pos,
              CAST(ROUND(CAST(val AS DOUBLE), 6) AS DOUBLE) AS val
@@ -481,6 +502,14 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // the classic formulation of the pipe-syntax entry
+    "sql_pipe_syntax" -> """
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1994-01-01'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     // conditional aggregation — the pivot recomputed without a PIVOT
     // clause anywhere (independent recomputation)
     "agg_pivot" -> """
