@@ -828,6 +828,46 @@ object Io {
       s.table(sink).orderBy("user_id")
     }),
 
+    // the Spark 4 transformWithState successor API to the entry above:
+    // typed ValueState per user through the RocksDB state store (the only
+    // provider implementing the v2 state layer — set around the query,
+    // restored after), multi-trigger replay via maxFilesPerTrigger(1).
+    // The LAST emission per user must equal the plain batch aggregate —
+    // integer micro-unit sums, so state arithmetic crosses engines exactly
+    "ts_stream_tws_totals" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_tws").toString
+      evs.repartition(3).write.mode("overwrite").parquet(dir)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val updates = graft.streaming.Streams.userTotalsTws(
+          stream.as[graft.streaming.Streams.Event])
+        graft.streaming.Streams.runToMemory(updates.toDF(),
+          "ts_stream_tws_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      deleteRecursively(new java.io.File(dir))
+      s.table("ts_stream_tws_sink")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          expr("max_by(sum_micros, n_events)").as("sum_micros"))
+        .orderBy("user_id")
+    }),
+
     // LEFT-OUTER stream-stream join: the WATERMARK-EVICTION emission
     // contract, differentially oracled. An unmatched left row emits
     // null-padded only once the watermark PROVES no match can still
@@ -1323,6 +1363,13 @@ object Io {
     // and max are aggregation-order independent, so the check is exact
     "ts_stream_running_stats" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the drained-stream fixed point: whatever the trigger split, the
+    // final ValueState per user must equal the whole-input aggregate
+    "ts_stream_tws_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // batch 1 emits every user with history; batch 2 emits only strict

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface: the same event-analytics transforms the
@@ -158,6 +158,49 @@ object Streams {
             Iterator(UserUpdate(userId, next.nEvents, next.maxValue))
           else Iterator.empty
       }
+  }
+
+  /** Per-user exact running totals for [[userTotalsTws]] — value carried
+    * as micro-units so the state is pure integers (the cross-engine
+    * determinism rule applied to streaming state).
+    */
+  case class UserTotals(user_id: Long, n_events: Long, sum_micros: Long)
+
+  /** The Spark 4 arbitrary-stateful-processing v2 operator
+    * (`transformWithState`): typed `ValueState` per key, explicit
+    * init/handleInputRows lifecycle — the successor API to
+    * mapGroupsWithState, backed exclusively by the RocksDB state store
+    * (the caller must set the provider; [[graft.queries.Io]]'s entry
+    * does, restoring after). Emits the post-batch totals per (user,
+    * trigger); on a drained bounded source the LAST emission per user
+    * must equal the plain batch aggregate — which is the differential
+    * oracle. BigDecimal HALF_UP micro-rounding matches both engines'
+    * SQL ROUND (away from zero), unlike math.round's half-up-toward-+inf.
+    */
+  class TotalsProcessor extends StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var st: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (st.exists()) st.get() else UserTotals(key, 0L, 0L)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        val micros = BigDecimal(e.value * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        UserTotals(key, s.n_events + 1, s.sum_micros + micros)
+      }
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userTotalsTws(events: Dataset[Event]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Drive any of the above to an in-memory table and block until the
