@@ -868,6 +868,43 @@ object Io {
         .orderBy("user_id")
     }),
 
+    // MapState twin of the entry above: per-user event_type -> count map
+    // through the same RocksDB-backed v2 state layer; only touched types
+    // re-emit per trigger, and the last emission per (user, type) must
+    // equal the batch GROUP BY
+    "ts_stream_tws_typecounts" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_twsm").toString
+      evs.repartition(3).write.mode("overwrite").parquet(dir)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val updates = graft.streaming.Streams.userTypeCountsTws(
+          stream.as[graft.streaming.Streams.Event])
+        graft.streaming.Streams.runToMemory(updates.toDF(),
+          "ts_stream_twsm_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      deleteRecursively(new java.io.File(dir))
+      s.table("ts_stream_twsm_sink")
+        .groupBy("user_id", "event_type")
+        .agg(max("n").as("n_events"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // LEFT-OUTER stream-stream join: the WATERMARK-EVICTION emission
     // contract, differentially oracled. An unmatched left row emits
     // null-padded only once the watermark PROVES no match can still
@@ -1364,6 +1401,10 @@ object Io {
     "ts_stream_running_stats" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_stream_tws_typecounts" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     // the drained-stream fixed point: whatever the trigger split, the
     // final ValueState per user must equal the whole-input aggregate

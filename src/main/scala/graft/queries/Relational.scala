@@ -319,6 +319,35 @@ object Relational {
     * DuckDB uses unnest + generate_subscripts (1-based) — same rows out.
     */
   val sparkSql: Map[String, String] = Map(
+    // ANSI-mode error surface: try_* forms return NULL where strict
+    // evaluation would raise (division by zero, malformed cast, int64
+    // overflow) — the oracle recomputes with NULLIF/TRY_CAST/constant
+    // NULL equivalents
+    "fn_try_surface" -> """
+      SELECT l_orderkey, l_linenumber,
+             try_divide(CAST(l_extendedprice AS DOUBLE), l_quantity) AS ratio,
+             try_divide(CAST(l_extendedprice AS DOUBLE),
+                        l_quantity - l_quantity) AS div0,
+             TRY_CAST(l_returnflag AS INT) AS bad_int,
+             try_add(CAST(9223372036854775807 AS BIGINT),
+                     CAST(l_orderkey + 1 AS BIGINT)) AS ovf
+      FROM lineitem WHERE l_orderkey < 50
+      ORDER BY l_orderkey, l_linenumber""",
+
+    // calendar arithmetic surface; month addition clamps to month end in
+    // both engines, day-of-week re-based to Spark's 1=Sunday convention
+    "fn_datetime_surface" -> """
+      SELECT o_orderkey,
+             date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+             add_months(CAST(o_orderdate AS DATE), 2) AS plus2m,
+             last_day(CAST(o_orderdate AS DATE)) AS eom,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart,
+             datediff(DATE '1998-12-31', CAST(o_orderdate AS DATE)) AS days_left,
+             year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY o_orderkey""",
+
     // Spark 4 SQL pipe syntax: the same relational content as a classic
     // GROUP BY (the oracle), staged as |> operators; grouping keys lead
     // the AGGREGATE output schema
@@ -502,6 +531,28 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    "fn_try_surface" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DOUBLE) / l_quantity AS ratio,
+             CAST(l_extendedprice AS DOUBLE)
+               / NULLIF(l_quantity - l_quantity, 0) AS div0,
+             TRY_CAST(l_returnflag AS INT) AS bad_int,
+             CAST(NULL AS BIGINT) AS ovf
+      FROM lineitem WHERE l_orderkey < 50
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_datetime_surface" -> """
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             last_day(CAST(o_orderdate AS DATE)) AS eom,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_left,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY o_orderkey""",
+
     // the classic formulation of the pipe-syntax entry
     "sql_pipe_syntax" -> """
       SELECT l_returnflag, COUNT(*) AS n_items,

@@ -203,6 +203,42 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** One (user, event_type, count) emission per touched type per trigger
+    * for [[userTypeCountsTws]].
+    */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** `MapState` variant of the v2 stateful API: per-user map
+    * event_type -> count, only the types touched in a batch re-emit.
+    * Same drained-stream contract: the last emission per (user, type)
+    * must equal the batch GROUP BY.
+    */
+  class TypeCountsProcessor extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L
+        st.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, st.getValue(t))).toList.iterator
+    }
+  }
+
+  def userTypeCountsTws(events: Dataset[Event]): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Drive any of the above to an in-memory table and block until the
     * source drains — the test/demo harness path.
     */
