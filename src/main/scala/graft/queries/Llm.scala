@@ -743,12 +743,19 @@ object Llm {
     // themselves oracled row-by-row elsewhere
     "llm_dedup_report" -> ((s, d) => {
       val dd = docs(s, d)
-      val exStats = Dedup.exact(dd).agg(
+      val ex = Dedup.exact(dd)
+      val exStats = ex.agg(
         sum("n_docs").as("n_docs"),
         count(lit(1)).as("n_distinct_content"),
         sum(expr("n_docs - 1")).as("n_exact_collapsed"))
-      val cands = Dedup.lshCandidates(dd)
-      val verified = Dedup.jaccard(dd, cands)
+      // near-dup census on DISTINCT content only (the dedupe()/dedup_cc
+      // front-collapse): verbatim copies would densify the candidate
+      // graph quadratically in copy count and measure nothing new —
+      // measured 33 s vs 5 s at the 10x dup-heavy staging
+      val survivors = dd.join(
+        ex.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val cands = Dedup.lshCandidates(survivors)
+      val verified = Dedup.jaccard(survivors, cands)
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       val pairStats = cands.agg(count(lit(1)).as("n_candidate_pairs"))
         .crossJoin(verified.agg(count(lit(1)).as("n_verified_pairs")))
@@ -780,11 +787,16 @@ object Llm {
           min("source").as("first_source"), max("source").as("last_source"))
         .orderBy("fp")),
 
-    // triangle census of the LSH candidate graph: near-clique duplicate
-    // communities vs chains of borderline pairs
-    "llm_dup_triangles" -> ((s, d) =>
-      Dedup.dupTriangles(Dedup.lshCandidates(docs(s, d)))
-        .orderBy("a", "b", "c")),
+    // triangle census of the LSH candidate graph over DISTINCT content
+    // (copy cliques would contribute n-choose-3 degenerate triangles):
+    // near-clique duplicate communities vs chains of borderline pairs
+    "llm_dup_triangles" -> ((s, d) => {
+      val dd = docs(s, d)
+      val survivors = dd.join(
+        Dedup.exact(dd).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      Dedup.dupTriangles(Dedup.lshCandidates(survivors))
+        .orderBy("a", "b", "c")
+    }),
 
     // content-policy blocklist: per-category term-occurrence counts with
     // the block verdict at >2 hits; the policy table broadcasts
@@ -1985,9 +1997,13 @@ object Llm {
          |ORDER BY n_before DESC, pair LIMIT 20""".stripMargin,
 
     // every report number independently recomputed: exact-dup mass from
-    // the fp groupBy, clusters from the recursive reachability closure
+    // the fp groupBy, near-dup census over the min-id survivors,
+    // clusters from the recursive reachability closure
     "llm_dedup_report" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
+      s"""WITH RECURSIVE fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
          |$jaccardCtes,
          |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2038,9 +2054,13 @@ object Llm {
          |       min(source) AS first_source, max(source) AS last_source
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    // the same wedge-close joins over the oracle's own candidate CTE
+    // the same wedge-close joins over the oracle's own candidate CTE,
+    // candidates drawn from the min-id exact-dedup survivors
     "llm_dup_triangles" ->
-      s"""WITH ${minhashCtes()}
+      s"""WITH fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")}
          |SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
          |FROM cands e1
          |JOIN cands e2 ON e2.doc_a = e1.doc_b
