@@ -134,6 +134,39 @@ object Io {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / sinks -------------------------------------------------
+    // dirty-ingest semantics: every c_custkey % 50 == 0 row lands with a
+    // non-numeric key field; PERMISSIVE mode must null the typed columns
+    // and capture the raw line in the corrupt-record column, leaving the
+    // clean rows exact — the landing-zone contract a 100 TB ingest needs
+    // before it can quarantine bad shards. The oracle recomputes both
+    // populations from the fixture
+    "src_csv_malformed" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val lines = cust.select(expr(
+        "concat(CASE WHEN c_custkey % 50 = 0 THEN 'garbage' " +
+          "ELSE CAST(c_custkey AS STRING) END, '|', c_mktsegment, '|', " +
+          "CAST(c_acctbal AS STRING))").as("value"))
+      val p = s"${base(d)}/customer_dirty_csv"
+      lines.repartition(2).write.mode("overwrite").text(p)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE, _bad STRING")
+      s.read.schema(schema)
+        .option("sep", "|").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(p)
+        .groupBy("c_mktsegment")
+        // n_keys_parsed references c_custkey ON PURPOSE: corrupt-record
+        // capture only fires for columns in the pruned read schema, so an
+        // aggregate that never touches the key would never see its
+        // conversion fail (probed — the documented CSV-pruning caveat)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_keys_parsed"),
+          count(col("_bad")).as("n_corrupt"),
+          expr("CAST(SUM(CASE WHEN _bad IS NULL THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)")
+            .as("sum_clean_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     "src_csv_roundtrip" -> ((s, d) => {
       val orders = t(s, d, "orders")
       val p = s"${base(d)}/orders_csv"
@@ -868,6 +901,55 @@ object Io {
         .orderBy("user_id")
     }),
 
+    // initial-state warm start: history (event_id % 3 = 0) lands as a
+    // BATCH aggregate that seeds the v2 state via handleInitialState,
+    // the remaining events stream on top — after draining, each
+    // streaming user's totals must equal the aggregate over
+    // history ∪ stream (users with history but no stream rows never
+    // re-emit, so the oracle restricts to streaming users)
+    "ts_stream_tws_initial" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val history = evs.where("event_id % 3 = 0")
+      val live = evs.where("event_id % 3 <> 0").drop("event_id")
+      val initial = history
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)")
+            .as("sum_micros"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_twsi").toString
+      live.repartition(3).write.mode("overwrite").parquet(dir)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(live.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val updates = graft.streaming.Streams.userTotalsTwsWithInit(
+          stream.as[graft.streaming.Streams.Event],
+          initial.selectExpr("user_id", "n_events", "sum_micros")
+            .as[graft.streaming.Streams.UserTotals])
+        graft.streaming.Streams.runToMemory(updates.toDF(),
+          "ts_stream_twsi_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      deleteRecursively(new java.io.File(dir))
+      s.table("ts_stream_twsi_sink")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          expr("max_by(sum_micros, n_events)").as("sum_micros"))
+        .orderBy("user_id")
+    }),
+
     // MapState twin of the entry above: per-user event_type -> count map
     // through the same RocksDB-backed v2 state layer; only touched types
     // re-emit per trigger, and the last emission per (user, type) must
@@ -1197,6 +1279,16 @@ object Io {
         |       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
+    "src_csv_malformed" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_rows,
+        |       COUNT(CASE WHEN c_custkey % 50 <> 0 THEN 1 END) AS n_keys_parsed,
+        |       COUNT(CASE WHEN c_custkey % 50 = 0 THEN 1 END) AS n_corrupt,
+        |       CAST(SUM(CASE WHEN c_custkey % 50 <> 0
+        |                     THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+        |         AS sum_clean_bal
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     "src_text_gzip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1405,6 +1497,18 @@ object Io {
     "ts_stream_tws_typecounts" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    "ts_stream_tws_initial" ->
+      """WITH mic AS (SELECT user_id, event_id,
+        |                    CAST(ROUND(value * 1000000) AS BIGINT) AS m
+        |             FROM events),
+        |tot AS (SELECT user_id, count(*) AS n_events,
+        |               CAST(SUM(m) AS BIGINT) AS sum_micros
+        |        FROM mic GROUP BY user_id),
+        |streamers AS (SELECT DISTINCT user_id FROM events WHERE event_id % 3 <> 0)
+        |SELECT t.user_id, t.n_events, t.sum_micros
+        |FROM tot t JOIN streamers s ON s.user_id = t.user_id
+        |ORDER BY t.user_id""".stripMargin,
 
     // the drained-stream fixed point: whatever the trigger split, the
     // final ValueState per user must equal the whole-input aggregate

@@ -203,6 +203,45 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** [[TotalsProcessor]] warm-started from a batch table — the backfill
+    * bootstrap every stream cutover needs: history lands as a batch
+    * aggregate, the stream continues from it, and after draining the
+    * totals must equal the aggregate over history ∪ stream (the
+    * differential contract). `handleInitialState` runs once per key
+    * before the first input batch.
+    */
+  class TotalsWithInitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, UserTotals, UserTotals] {
+    @transient private var st: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: UserTotals,
+                                    timerValues: TimerValues): Unit =
+      st.update(initial)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (st.exists()) st.get() else UserTotals(key, 0L, 0L)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        val micros = BigDecimal(e.value * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        UserTotals(key, s.n_events + 1, s.sum_micros + micros)
+      }
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userTotalsTwsWithInit(events: Dataset[Event],
+                            initial: Dataset[UserTotals]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsWithInitProcessor, TimeMode.None(),
+        OutputMode.Update(), initial.groupByKey(_.user_id))
+  }
+
   /** One (user, event_type, count) emission per touched type per trigger
     * for [[userTypeCountsTws]].
     */

@@ -101,6 +101,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("cached relation is reused by later consumers (InMemoryTableScan)") {
+    val li = Tables.load(spark, sfSmoke, "lineitem")
+      .select("l_returnflag", "l_quantity").cache()
+    try {
+      li.count() // materialize
+      val p1 = staticPlan(li.groupBy("l_returnflag").count())
+      val p2 = staticPlan(li.selectExpr("SUM(l_quantity)"))
+      assert(p1.contains("InMemoryTableScan") && p2.contains("InMemoryTableScan"),
+        s"consumers re-scanned parquet instead of the cache:\n$p1\n$p2")
+    } finally li.unpersist()
+  }
+
   test("join strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
     Tables.register(spark, sfSmoke)
     def planFor(hint: String) = staticPlan(spark.sql(
