@@ -55,6 +55,26 @@ object Io {
     * mtime order (60 s apart) fixes the replay order. Returns the landing
     * dir (caller deletes once the stream drains) and the staged schema.
     */
+  /** Land `df` as ONE parquet file under `landing` with a pinned mtime —
+    * the file source admits one file per trigger (maxFilesPerTrigger=1)
+    * in mtime order, so a sequence of these IS a deterministic replay
+    * schedule.
+    */
+  private def stageOrderedFile(landing: String,
+                               df: org.apache.spark.sql.DataFrame,
+                               name: String, mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_one")
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(landing, name)
+    java.nio.file.Files.move(part.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    deleteRecursively(tmp.toFile)
+  }
+
   private def stageLateLanding(s: SparkSession, d: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.functions.{col, expr, lit}
@@ -70,18 +90,8 @@ object Io {
     val landing =
       java.nio.file.Files.createTempDirectory("graft_stream_late").toString
     def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtimeMs: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_one")
-      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-")
-          && f.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(landing, name)
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      deleteRecursively(tmp.toFile)
-    }
+                 mtimeMs: Long): Unit =
+      stageOrderedFile(landing, df, name, mtimeMs)
     val t0 = System.currentTimeMillis() - 600000
     stageOne(evs.where(col("ts") <= lit(h12) && !held), "f1a_ontime.parquet", t0)
     stageOne(evs.where(col("ts") > lit(h12) && col("ts") <= lit(h6) && !held),
@@ -901,6 +911,52 @@ object Io {
         .orderBy("user_id")
     }),
 
+    // ListState variant: deterministic 3-file replay (event_id % 3 ->
+    // mtime-ordered landing files), one list element appended per
+    // (user, trigger) = that batch's max value in micro-units; the
+    // drained digest per user (n_batches / sum / max of per-batch maxes)
+    // is recomputed by the oracle from the same % 3 split
+    "ts_stream_tws_batchmax" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), expr("CAST(value AS DOUBLE)").as("value"))
+      val landing =
+        java.nio.file.Files.createTempDirectory("graft_stream_twsl").toString
+      val t0 = System.currentTimeMillis() - 600000
+      (0 until 3).foreach { i =>
+        stageOrderedFile(landing,
+          evs.where(s"event_id % 3 = $i").drop("event_id"),
+          s"f$i.parquet", t0 + i * 60000)
+      }
+      val schema = evs.drop("event_id").schema
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+        import s.implicits._
+        val updates = graft.streaming.Streams.userBatchMaxTws(
+          stream.as[graft.streaming.Streams.Event])
+        graft.streaming.Streams.runToMemory(updates.toDF(),
+          "ts_stream_twsl_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      deleteRecursively(new java.io.File(landing))
+      s.table("ts_stream_twsl_sink")
+        .groupBy("user_id")
+        .agg(max("n_batches").as("n_batches"),
+          expr("max_by(sum_maxes, n_batches)").as("sum_maxes"),
+          expr("max_by(max_max, n_batches)").as("max_max"))
+        .orderBy("user_id")
+    }),
+
     // initial-state warm start: history (event_id % 3 = 0) lands as a
     // BATCH aggregate that seeds the v2 state via handleInitialState,
     // the remaining events stream on top — after draining, each
@@ -1497,6 +1553,18 @@ object Io {
     "ts_stream_tws_typecounts" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // per (user, file) max -> per-user digest of those maxes, straight
+    // from the same event_id % 3 split the staging uses
+    "ts_stream_tws_batchmax" ->
+      """WITH mic AS (SELECT user_id, event_id % 3 AS f,
+        |                    CAST(ROUND(value * 1000000) AS BIGINT) AS m
+        |             FROM events),
+        |bm AS (SELECT user_id, f, MAX(m) AS bmax FROM mic GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_batches,
+        |       CAST(SUM(bmax) AS BIGINT) AS sum_maxes,
+        |       MAX(bmax) AS max_max
+        |FROM bm GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_stream_tws_initial" ->
       """WITH mic AS (SELECT user_id, event_id,

@@ -242,6 +242,42 @@ object Streams {
         OutputMode.Update(), initial.groupByKey(_.user_id))
   }
 
+  /** Per-user per-batch running digest for [[userBatchMaxTws]]. */
+  case class BatchMaxes(user_id: Long, n_batches: Long, sum_maxes: Long,
+                        max_max: Long)
+
+  /** `ListState` variant of the v2 stateful API: one element appended per
+    * (user, trigger) — the per-batch max value in micro-units — so the
+    * list length IS the number of triggers that carried the user, and
+    * its sum/max digest the batch-granular history. Order-independent
+    * digests on purpose: within-batch row order is not deterministic
+    * after the group shuffle, but the batch MAX is.
+    */
+  class BatchMaxProcessor extends StatefulProcessor[Long, Event, BatchMaxes] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("batch_maxes",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[BatchMaxes] = {
+      val batchMax = rows.map { e =>
+        BigDecimal(e.value * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.max
+      st.appendValue(batchMax)
+      val all = st.get().toList
+      Iterator.single(BatchMaxes(key, all.length.toLong, all.sum, all.max))
+    }
+  }
+
+  def userBatchMaxTws(events: Dataset[Event]): Dataset[BatchMaxes] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BatchMaxProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One (user, event_type, count) emission per touched type per trigger
     * for [[userTypeCountsTws]].
     */
