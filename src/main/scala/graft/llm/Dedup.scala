@@ -866,23 +866,6 @@ object Dedup {
     cross.union(intra)
   }
 
-  /** Corpus-source similarity via group-level MinHash: which crawls / dumps
-    * / sources substantially duplicate each other, answered WITHOUT ever
-    * comparing documents.
-    *
-    * min() is associative, so the per-group minimum of each permutation's
-    * per-shingle hash IS the MinHash signature of the UNION of the group's
-    * shingle sets — re-keying documents by `groupCol` before [[minhash]]
-    * collapses the whole corpus map-side (partial aggregation) into
-    * |groups| × numHashes integers: a few hundred bytes per group at ANY
-    * corpus size. The pairwise stage unpivots signatures to (group,
-    * permutation, hash) rows and hash-joins on the permutation index —
-    * tiny × tiny, never an NLJ over documents. The agreement fraction
-    * estimates the Jaccard similarity of the groups' union shingle sets
-    * (the classic MinHash estimator, Broder 1997).
-    *
-    * Output: (src_a, src_b, n_agree, est_jaccard) with src_a < src_b.
-    */
   /** Triangle enumeration over a candidate-pair graph (edges doc_a <
     * doc_b) — the node-iterator wedge join: (a,b)+(b,c) wedges closed by
     * the (a,c) edge, all hash equi-joins, output ordered a<b<c exactly
@@ -902,6 +885,23 @@ object Dedup {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Corpus-source similarity via group-level MinHash: which crawls / dumps
+    * / sources substantially duplicate each other, answered WITHOUT ever
+    * comparing documents.
+    *
+    * min() is associative, so the per-group minimum of each permutation's
+    * per-shingle hash IS the MinHash signature of the UNION of the group's
+    * shingle sets — re-keying documents by `groupCol` before [[minhash]]
+    * collapses the whole corpus map-side (partial aggregation) into
+    * |groups| × numHashes integers: a few hundred bytes per group at ANY
+    * corpus size. The pairwise stage unpivots signatures to (group,
+    * permutation, hash) rows and hash-joins on the permutation index —
+    * tiny × tiny, never an NLJ over documents. The agreement fraction
+    * estimates the Jaccard similarity of the groups' union shingle sets
+    * (the classic MinHash estimator, Broder 1997).
+    *
+    * Output: (src_a, src_b, n_agree, est_jaccard) with src_a < src_b.
+    */
   def groupSimilarity(docs: DataFrame, groupCol: String,
                       numHashes: Int = 8): DataFrame = {
     val sigs = minhash(docs.select(col(groupCol).as("doc_id"), col("text")),

@@ -321,8 +321,10 @@ object Similarity {
       .select(posexplode(col(embCol)).as(Seq("dim", "x")))
       .agg(max(expr("abs(CAST(x AS DOUBLE))")).as("__amp"))
     vecs.crossJoin(broadcast(amp))
+      // NULLIF per the ANSI division rule: an all-zero corpus (amp 0)
+      // quantizes to NULL codes instead of killing the job
       .withColumn("codes", expr(
-        s"transform($embCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${levels}.0 / __amp) AS INT))"))
+        s"transform($embCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * ${levels}.0 / NULLIF(__amp, 0.0D)) AS INT))"))
       .drop("__amp")
   }
 

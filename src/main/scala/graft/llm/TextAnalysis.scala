@@ -708,9 +708,11 @@ object TextAnalysis {
     * space-delimited `replace` pass (non-overlapping leftmost — both
     * engines share exactly these semantics, which is what makes the step
     * differentially checkable; true BPE would re-scan overlaps
-    * iteratively), and pairs are re-counted. Output: the top `k` pre-merge
+    * iteratively), and pairs are re-counted. Output: the top `k` PRE-merge
     * pairs with their pre/post counts — the chosen pair's count must
-    * collapse, its merged neighbors must appear.
+    * collapse to ~0, and pairs whose symbols were consumed by the merge
+    * shrink (newly created merged-symbol pairs are post-merge-only and
+    * deliberately outside this signature).
     */
   def bpeMergeStep(docs: DataFrame, k: Int = 20): DataFrame = {
     def pairCounts(d: DataFrame, seqCol: String): DataFrame =

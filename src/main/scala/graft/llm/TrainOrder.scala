@@ -170,10 +170,14 @@ object TrainOrder {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      seed: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // non-positive weights get a NULL priority (ANSI-safe, sorts last,
+    // never selected) instead of a DIVIDE_BY_ZERO or an
+    // always-wins negative priority
     df.withColumn("priority",
-        expr(s"CAST(CAST(conv(substr(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)" +
-          s" / CAST($weightCol AS DOUBLE)"))
-      .orderBy(col("priority"), col(idCol))
+        expr(s"CASE WHEN $weightCol > 0 THEN " +
+          s"CAST(CAST(conv(substr(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)" +
+          s" / CAST($weightCol AS DOUBLE) END"))
+      .orderBy(col("priority").asc_nulls_last, col(idCol))
       .limit(k)
   }
 }

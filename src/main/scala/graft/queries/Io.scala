@@ -55,6 +55,22 @@ object Io {
     * mtime order (60 s apart) fixes the replay order. Returns the landing
     * dir (caller deletes once the stream drains) and the staged schema.
     */
+  /** Run `body` with the RocksDB state store provider set (the only
+    * provider implementing the transformWithState v2 state layer),
+    * restoring the previous session setting afterwards.
+    */
+  private def withRocksDbProvider[T](s: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** Land `df` as ONE parquet file under `landing` with a pinned mtime —
     * the file source admits one file per trigger (maxFilesPerTrigger=1)
     * in mtime order, so a sequence of these IS a deterministic replay
@@ -886,11 +902,7 @@ object Io {
       val dir =
         java.nio.file.Files.createTempDirectory("graft_stream_tws").toString
       evs.repartition(3).write.mode("overwrite").parquet(dir)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider(s) {
         val stream = s.readStream.schema(evs.schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
         import s.implicits._
@@ -899,9 +911,6 @@ object Io {
         graft.streaming.Streams.runToMemory(updates.toDF(),
           "ts_stream_tws_sink",
           org.apache.spark.sql.streaming.OutputMode.Update())
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
       }
       deleteRecursively(new java.io.File(dir))
       s.table("ts_stream_tws_sink")
@@ -931,11 +940,7 @@ object Io {
           s"f$i.parquet", t0 + i * 60000)
       }
       val schema = evs.drop("event_id").schema
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider(s) {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(landing)
         import s.implicits._
@@ -944,9 +949,6 @@ object Io {
         graft.streaming.Streams.runToMemory(updates.toDF(),
           "ts_stream_twsl_sink",
           org.apache.spark.sql.streaming.OutputMode.Update())
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
       }
       deleteRecursively(new java.io.File(landing))
       s.table("ts_stream_twsl_sink")
@@ -979,11 +981,7 @@ object Io {
       val dir =
         java.nio.file.Files.createTempDirectory("graft_stream_twsi").toString
       live.repartition(3).write.mode("overwrite").parquet(dir)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider(s) {
         val stream = s.readStream.schema(live.schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
         import s.implicits._
@@ -994,9 +992,6 @@ object Io {
         graft.streaming.Streams.runToMemory(updates.toDF(),
           "ts_stream_twsi_sink",
           org.apache.spark.sql.streaming.OutputMode.Update())
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
       }
       deleteRecursively(new java.io.File(dir))
       s.table("ts_stream_twsi_sink")
@@ -1019,11 +1014,7 @@ object Io {
       val dir =
         java.nio.file.Files.createTempDirectory("graft_stream_twsm").toString
       evs.repartition(3).write.mode("overwrite").parquet(dir)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider(s) {
         val stream = s.readStream.schema(evs.schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
         import s.implicits._
@@ -1032,9 +1023,6 @@ object Io {
         graft.streaming.Streams.runToMemory(updates.toDF(),
           "ts_stream_twsm_sink",
           org.apache.spark.sql.streaming.OutputMode.Update())
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
       }
       deleteRecursively(new java.io.File(dir))
       s.table("ts_stream_twsm_sink")

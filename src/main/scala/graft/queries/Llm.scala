@@ -754,7 +754,11 @@ object Llm {
       // measured 33 s vs 5 s at the 10x dup-heavy staging
       val survivors = dd.join(
         ex.select(col("keep_id").as("doc_id")), Seq("doc_id"))
-      val cands = Dedup.lshCandidates(survivors)
+      // localCheckpoint: the scan→shingle→minhash→band subtree is the
+      // report's dominant cost and feeds BOTH the pair count and the
+      // jaccard verify chain — materialize the (pair-bounded, small)
+      // candidate set once instead of re-deriving it per consumer
+      val cands = Dedup.lshCandidates(survivors).localCheckpoint()
       val verified = Dedup.jaccard(survivors, cands)
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       val pairStats = cands.agg(count(lit(1)).as("n_candidate_pairs"))

@@ -166,6 +166,14 @@ object Streams {
     */
   case class UserTotals(user_id: Long, n_events: Long, sum_micros: Long)
 
+  /** The one micro-unit rounding every v2 processor shares: BigDecimal
+    * HALF_UP (away from zero) matches both engines' SQL ROUND — keep it
+    * in exactly one place so the cross-engine edge cannot drift between
+    * processors.
+    */
+  private[streaming] def microsOf(v: Double): Long =
+    BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** The Spark 4 arbitrary-stateful-processing v2 operator
     * (`transformWithState`): typed `ValueState` per key, explicit
     * init/handleInputRows lifecycle — the successor API to
@@ -186,9 +194,7 @@ object Streams {
                                  timerValues: TimerValues): Iterator[UserTotals] = {
       val prev = if (st.exists()) st.get() else UserTotals(key, 0L, 0L)
       val next = rows.foldLeft(prev) { (s, e) =>
-        val micros = BigDecimal(e.value * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-        UserTotals(key, s.n_events + 1, s.sum_micros + micros)
+        UserTotals(key, s.n_events + 1, s.sum_micros + microsOf(e.value))
       }
       st.update(next)
       Iterator.single(next)
@@ -224,9 +230,7 @@ object Streams {
                                  timerValues: TimerValues): Iterator[UserTotals] = {
       val prev = if (st.exists()) st.get() else UserTotals(key, 0L, 0L)
       val next = rows.foldLeft(prev) { (s, e) =>
-        val micros = BigDecimal(e.value * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-        UserTotals(key, s.n_events + 1, s.sum_micros + micros)
+        UserTotals(key, s.n_events + 1, s.sum_micros + microsOf(e.value))
       }
       st.update(next)
       Iterator.single(next)
@@ -260,10 +264,7 @@ object Streams {
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[BatchMaxes] = {
-      val batchMax = rows.map { e =>
-        BigDecimal(e.value * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-      }.max
+      val batchMax = rows.map(e => microsOf(e.value)).max
       st.appendValue(batchMax)
       val all = st.get().toList
       Iterator.single(BatchMaxes(key, all.length.toLong, all.sum, all.max))
