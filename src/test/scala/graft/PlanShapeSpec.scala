@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkSpec {
       s"a model-sized table shuffled the corpus:\n$plan")
   }
 
+  test("llm_token_budget_mix: running sums partition by (source, bucket)") {
+    val plan = staticPlan(
+      SparkEntry.queries("llm_token_budget_mix")(spark, sfSmoke))
+    assert("hashpartitioning\\(__src#\\d+, __bkt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"quota fill lost its two-phase bucket decomposition — a mega-source " +
+        s"would serialize into one window task:\n$plan")
+  }
+
   test("llm_source_similarity: corpus collapses via partial min-aggregation") {
     val plan = staticPlan(
       SparkEntry.queries("llm_source_similarity")(spark, sfSmoke))
