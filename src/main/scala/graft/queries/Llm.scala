@@ -2104,10 +2104,12 @@ object Llm {
     // identical membership at the cutoff boundary
     "llm_weighted_sample" ->
       """WITH pr AS (SELECT doc_id, n_chars,
-        |        ('0x' || substr(md5('s42:' || doc_id), 1, 15))::BIGINT::DOUBLE
-        |          / n_chars::DOUBLE AS priority
+        |        CASE WHEN n_chars > 0 THEN
+        |          ('0x' || substr(md5('s42:' || doc_id), 1, 15))::BIGINT::DOUBLE
+        |            / n_chars::DOUBLE END AS priority
         |      FROM documents),
-        |top AS (SELECT * FROM pr ORDER BY priority, doc_id LIMIT 120)
+        |top AS (SELECT * FROM pr
+        |        ORDER BY priority ASC NULLS LAST, doc_id LIMIT 120)
         |SELECT doc_id, n_chars, priority
         |FROM top ORDER BY doc_id""".stripMargin
   )
