@@ -484,6 +484,21 @@ object Io {
         Map("minp" -> 150000, "cutoff" -> "1997-01-01 00:00:00"))
     }),
 
+    // Spark 4 session variables + dynamic SQL: DECLARE / SET VAR state
+    // resolves both by name inside the statement and positionally through
+    // EXECUTE IMMEDIATE ... USING; the oracle is the classic literal form
+    "sql_session_vars" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE qty_floor INT DEFAULT 0")
+      s.sql("SET VAR qty_floor = 45")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  'SELECT l_returnflag, count(*) AS n_items,
+          |          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          |   FROM lineitem WHERE l_quantity >= ? GROUP BY 1 ORDER BY 1'
+          |  USING qty_floor""".stripMargin)
+    }),
+
     // ---- events time series ----------------------------------------------
     "ts_window_agg" -> ((s, d) => {
       Tables.register(s, d)
@@ -1411,6 +1426,12 @@ object Io {
         |FROM orders
         |WHERE o_totalprice > 150000 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_session_vars" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,

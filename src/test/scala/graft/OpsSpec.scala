@@ -245,6 +245,23 @@ class OpsSpec extends SparkSpec {
       s"multi-column distinct aggregation should plan the documented Expand:\n$plan")
   }
 
+  test("observe(): admission metrics piggyback on the main action") {
+    // the Observation API is how a pipeline gets Constraints-style
+    // counters WITHOUT a second scan: metrics ride the same pass as the
+    // consuming action
+    val li = Tables.load(spark, sfSmoke, "lineitem")
+    val obs = org.apache.spark.sql.Observation("qc_metrics")
+    val filtered = li
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_bad"))
+      .where(col("l_returnflag") === "A")
+      .count()
+    val m = obs.get
+    assert(m("n_rows") == li.count(), "observed row count drifted")
+    assert(m("n_bad") == 0L, "fixture has no non-positive quantities")
+    assert(filtered > 0)
+  }
+
   test("kAnonymity flags exactly the classes under the floor") {
     val rows = Seq.tabulate(10)(i => (if (i < 7) "x" else "y", i))
       .toDF("qid", "payload")
