@@ -737,6 +737,23 @@ object Llm {
     "llm_bpe_merge_step" -> ((s, d) =>
       TextAnalysis.bpeMergeStep(docs(s, d))),
 
+    // eval hygiene: held-out (val/test) docs whose content leaks from the
+    // train split — exact fingerprint or cross-band near-dup — i.e. the
+    // complement of dedupeIncremental's survivors; the check that runs
+    // before trusting any benchmark number
+    "llm_split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = TextAnalysis.hashSplit(dd).select("doc_id", "split")
+      val train = dd.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id")
+      val heldout = dd.join(
+        split.where("split <> 'train'").select("doc_id"), "doc_id")
+      val clean = Dedup.dedupeIncremental(train, heldout)
+      heldout.join(clean.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .selectExpr("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // the one-row dedup health report a pipeline owner actually reads:
     // corpus size, exact-dup mass, candidate/verified pair counts,
     // cluster census — every number an aggregate of operators that are
@@ -1999,6 +2016,37 @@ object Llm {
          |       CAST(COALESCE(pa.n, 0) AS BIGINT) AS n_after
          |FROM pb LEFT JOIN pa USING (pair)
          |ORDER BY n_before DESC, pair LIMIT 20""".stripMargin,
+
+    // the split derivation, exact-fingerprint check and cross-band
+    // near-dup check all replayed; leaked = exact ∪ near over survivors
+    "llm_split_leakage" ->
+      s"""WITH ${bandCtes("documents")},
+         |spl AS (SELECT doc_id,
+         |               CAST(('0x' || substr(md5($NORM), 1, 15))::BIGINT % 100 AS INT) AS bucket
+         |        FROM documents),
+         |tr AS (SELECT doc_id FROM spl WHERE bucket < 90),
+         |ho AS (SELECT doc_id FROM spl WHERE bucket >= 90),
+         |ex_fp AS (SELECT DISTINCT md5($NORM) AS fp
+         |          FROM documents d JOIN tr ON tr.doc_id = d.doc_id),
+         |ho_docs AS (SELECT d.doc_id, md5($NORM) AS fp
+         |            FROM documents d JOIN ho ON ho.doc_id = d.doc_id),
+         |exact_leak AS (SELECT h.doc_id FROM ho_docs h JOIN ex_fp e ON h.fp = e.fp),
+         |ho_surv AS (SELECT h.doc_id FROM ho_docs h
+         |            LEFT JOIN ex_fp e ON h.fp = e.fp WHERE e.fp IS NULL),
+         |cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 count(DISTINCT a.band) AS n_bands
+         |          FROM bands a
+         |          JOIN tr ON tr.doc_id = a.doc_id
+         |          JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |          JOIN ho_surv hs ON hs.doc_id = b.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardCtes,
+         |near_leak AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.6),
+         |leaked AS (SELECT doc_id FROM exact_leak
+         |           UNION SELECT doc_id FROM near_leak)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN leaked l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // every report number independently recomputed: exact-dup mass from
     // the fp groupBy, near-dup census over the min-id survivors,
