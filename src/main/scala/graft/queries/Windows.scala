@@ -81,6 +81,19 @@ object Windows {
       WHERE o_custkey < 150
       ORDER BY o_custkey, o_orderkey""",
 
+    // ratio-to-report: each row's share of its partition total — the
+    // windowed sum aggregates DECIMAL (order-independent, exact), and the
+    // one share division is correctly-rounded identically in both engines
+    "win_ratio_to_total" -> s"""
+      SELECT o_custkey, o_orderkey,
+        CAST($TP AS DOUBLE) AS tp,
+        CAST(ROUND(CAST($TP AS DOUBLE) /
+               CAST(SUM($TP) OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+             AS DOUBLE) AS share
+      FROM orders
+      WHERE o_custkey < 150
+      ORDER BY o_custkey, o_orderkey""",
+
     // ntile + cume_dist + first/last value with explicit full frame
     "win_ntile_firstlast" -> s"""
       SELECT o_custkey, o_orderkey,
