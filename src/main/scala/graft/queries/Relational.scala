@@ -76,6 +76,21 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // modern aggregate surface shared verbatim: count_if / bool_and /
+    // bool_or / max_by — the argmax key is a unique integer (cents·1e9 +
+    // orderkey) so the pick is deterministic in both engines (a bare
+    // max_by over a tied key is engine-arbitrary)
+    "fn_agg_surface" -> s"""
+      SELECT o_orderpriority,
+             count_if(o_totalprice > 150000) AS n_big,
+             bool_and(o_totalprice > 0) AS all_pos,
+             bool_or(o_orderstatus = 'F') AS any_f,
+             max_by(o_orderkey,
+                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * 1000000000 + o_orderkey) AS top_order
+      FROM orders GROUP BY 1
+      ORDER BY o_orderpriority""",
+
     // lateral column aliases: each SELECT item references the previous
     // alias in the same list — both engines resolve the chain left to
     // right, all arithmetic integer-exact doubles
