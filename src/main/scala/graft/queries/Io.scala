@@ -1058,6 +1058,14 @@ object Io {
     "ts_stream_outer_join" -> ((s, d) =>
       streamIntervalJoin(s, d, "left_outer", "ts_stream_oj_sink")),
 
+    // FULL-OUTER stream-stream join — BOTH eviction contracts at once:
+    // unmatched left emits under the left rule above, unmatched right
+    // emits once the watermark passes its own ts (a right row can only
+    // be matched by a left with l.ts in [r.ts - 1h, r.ts], and future
+    // lefts sit above the watermark) — both rules recomputed in SQL
+    "ts_stream_full_outer_join" -> ((s, d) =>
+      streamIntervalJoin(s, d, "full_outer", "ts_stream_foj_sink")),
+
     "ts_sessionize" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(
@@ -1647,6 +1655,42 @@ object Io {
         |                          AND r.ts <= l.ts + INTERVAL 1 HOUR)
         |        AND l.ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
         |SELECT * FROM m UNION ALL SELECT * FROM o
+        |ORDER BY user_id, left_ts, right_ts""".stripMargin,
+
+    "ts_stream_full_outer_join" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |           FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least(
+        |         (SELECT date_trunc('milliseconds', max(ts)) FROM p),
+        |         (SELECT date_trunc('milliseconds', max(ts)) FROM v))
+        |       - INTERVAL 2 HOUR AS w),
+        |m AS (SELECT l.user_id, l.ts AS left_ts, r.ts AS right_ts,
+        |             l.event_type AS left_type, r.event_type AS right_type
+        |      FROM p l JOIN v r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR),
+        |o AS (SELECT l.user_id, l.ts AS left_ts,
+        |             CAST(NULL AS TIMESTAMP) AS right_ts,
+        |             l.event_type AS left_type,
+        |             CAST(NULL AS VARCHAR) AS right_type
+        |      FROM p l
+        |      WHERE NOT EXISTS (SELECT 1 FROM v r
+        |                        WHERE r.user_id = l.user_id
+        |                          AND r.ts >= l.ts
+        |                          AND r.ts <= l.ts + INTERVAL 1 HOUR)
+        |        AND l.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)),
+        |ro AS (SELECT r.user_id, CAST(NULL AS TIMESTAMP) AS left_ts,
+        |              r.ts AS right_ts,
+        |              CAST(NULL AS VARCHAR) AS left_type,
+        |              r.event_type AS right_type
+        |       FROM v r
+        |       WHERE NOT EXISTS (SELECT 1 FROM p l
+        |                         WHERE l.user_id = r.user_id
+        |                           AND r.ts >= l.ts
+        |                           AND r.ts <= l.ts + INTERVAL 1 HOUR)
+        |         AND r.ts < (SELECT w FROM wm))
+        |SELECT * FROM m UNION ALL SELECT * FROM o UNION ALL SELECT * FROM ro
         |ORDER BY user_id, left_ts, right_ts""".stripMargin,
 
     "ts_sessionize" ->

@@ -93,7 +93,9 @@ object Streams {
       expr(s"""l.user_id = r.user_id AND
               |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window""".stripMargin),
       joinType)
-      .select(col("l.user_id").as("user_id"),
+      // coalesce: under full_outer the key survives on whichever side
+      // emitted (they are equal whenever both exist)
+      .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
         col("l.ts").as("left_ts"), col("r.ts").as("right_ts"),
         col("l.event_type").as("left_type"), col("r.event_type").as("right_type"))
   }
