@@ -76,6 +76,20 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // string-function surface shared verbatim: split_part (1-based in
+    // both engines), translate, levenshtein, left/right, lpad, repeat
+    "fn_string_surface" -> s"""
+      SELECT c_custkey,
+             split_part(c_name, '#', 2) AS name_num,
+             translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+             levenshtein(c_mktsegment, 'BUILDING') AS lev_b,
+             left(c_name, 8) AS name_l,
+             right(c_name, 3) AS name_r,
+             lpad(CAST(c_custkey AS STRING), 6, '0') AS key_pad,
+             repeat('-', CAST(c_custkey % 4 AS INT)) AS dashes
+      FROM customer WHERE c_custkey < 100
+      ORDER BY c_custkey""",
+
     // modern aggregate surface shared verbatim: count_if / bool_and /
     // bool_or / max_by — the argmax key is a unique integer (cents·1e9 +
     // orderkey) so the pick is deterministic in both engines (a bare
