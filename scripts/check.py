@@ -18,10 +18,20 @@ def norm(v):
     # driver's hash gate it mirrors (round-2 ADVICE: 6-sig-digit formatting
     # hid >=1e6 drift). Queries are designed for bit-identical doubles
     # (integer ratios, DECIMAL-exact sums, matching sequential folds).
+    # Both sides come through pandas (r9 ADVICE: the driver hashes pandas
+    # dtypes, so DuckDB HUGEINT -> float64 must FAIL here too): unwrap numpy
+    # scalars via .item() so int-vs-float dtype drift stays visible in repr.
+    if hasattr(v, "isoformat"):
+        # duckdb .df() promotes DATE to midnight datetime64 while pyarrow
+        # keeps date32 as datetime.date — canonicalize midnight timestamps
+        # to date form so the two spellings of the same value agree (the
+        # driver passes DATE columns, so the local gate must too)
+        iso = v.isoformat()
+        return iso[:-9] if iso.endswith("T00:00:00") else iso
+    if hasattr(v, "item") and not isinstance(v, (int, float, str, bytes)):
+        return norm(v.item())
     if isinstance(v, float):
         return "nan" if math.isnan(v) else repr(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return repr(v)
@@ -66,17 +76,20 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_tbl = pq.read_table(f"{out}/{name}")
-            s_cols = spark_tbl.column_names
-            s_rows = [tuple(d[c] for c in s_cols) for d in spark_tbl.to_pylist()]
+            # to_pandas() on BOTH sides: the driver's comparator hashes
+            # pandas dtypes, so e.g. a DuckDB HUGEINT (-> float64) against a
+            # Spark BIGINT (-> int64) must mismatch locally too (r9 red).
+            sdf = pq.read_table(f"{out}/{name}").to_pandas()
+            s_cols = list(sdf.columns)
+            s_rows = list(sdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_bad += 1
             continue
         try:
-            res = con.sql(osql)
-            o_cols = res.columns
-            o_rows = res.fetchall()
+            odf = con.sql(osql).df()
+            o_cols = list(odf.columns)
+            o_rows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_bad += 1

@@ -50,13 +50,22 @@ object Bench {
       }
       rm(wdir.toFile)
     }
+    // SPARK_GRAFT_BENCH_REPEAT=N runs each entry N times and reports the
+    // min — the r9 driver bench ran on a staging-churned box and inflated
+    // 21 entries 2.5-10x (judge-adjudicated artifact); min-of-2 is the
+    // cheap insurance against a one-off cold run. Default 1 (driver keeps
+    // single-run wall clock).
+    val repeat =
+      sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.trim.toInt).getOrElse(1).max(1)
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val sec =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          (1 to repeat).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.min
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
@@ -80,14 +89,22 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","tpch_subtotal":${ms(tpch)},""" +
         s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
         s""""total_sec":${ms(total)},"tpch_subtotal_sec":${ms(tpch)}}"""
-    // The driver's capture keeps only a TAIL of stdout, which in past
-    // rounds started mid-object and left the artifact unparseable
-    // ("parsed": null in BENCH_r07.json). Printing the identical line
-    // twice guarantees any suffix-truncation still contains one complete
-    // JSON copy: the second line survives whole whenever the cut lands
-    // in the first.
+    // The driver's capture keeps only a ~2 KB TAIL of stdout; the full
+    // per-query line is 5+ KB at 200+ entries, so even printed twice it
+    // arrived beheaded in r7/r9 ("parsed": null). Print the full line
+    // first (whole-log readers get every entry), then a compact FINAL
+    // line that always fits the tail budget: headline totals, errors,
+    // and a bounded `queries` map (the 22 TPC-H entries + the 10 slowest
+    // others) — the driver parses whatever the last line is.
     println(line)
-    println(line)
+    val slow = results.filter { case (k, v) => v >= 0 && !k.startsWith("tpch_") }
+      .sortBy(-_._2).take(10)
+    val headline = (results.filter(_._1.startsWith("tpch_")) ++ slow)
+      .map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""n":${results.size},"tpch_subtotal_sec":${ms(tpch)},""" +
+        s""""total_sec":${ms(total)},"errors":$errJson,"queries":$headline}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

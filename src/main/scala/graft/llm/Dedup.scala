@@ -877,9 +877,18 @@ object Dedup {
     * other hot join key.
     */
   def dupTriangles(pairs: DataFrame): DataFrame = {
-    val e1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val e2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c"))
-    val e3 = pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    // normalize instead of trusting the docstring contract (r9 ADVICE):
+    // orient every edge small<large, drop self-loops and duplicate edges
+    // — a repeated or reversed input pair would otherwise silently
+    // multiply the triangle count. Cheap: the edge list is pair-bounded.
+    val edges = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .distinct()
+    val e1 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = edges.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = edges.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
     e1.join(e2, expr("b = b2"))
       .join(e3, expr("a = a3 AND c = c3"))
       .select(col("a"), col("b"), col("c"))

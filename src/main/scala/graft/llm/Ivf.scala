@@ -111,8 +111,11 @@ object Ivf {
     var cents = centroids
     var out = lloydIterate(vecs, cents)
     for (_ <- 2 to iters) {
+      // explicit int/float casts in the SELECT (not getInt on whatever
+      // arrived): a centroid table keyed by BIGINT would otherwise throw
+      // ClassCastException at collect time (r9 ADVICE)
       val model = out
-        .select(col("centroid_id"), col("dim"),
+        .select(col("centroid_id").cast("int"), col("dim").cast("int"),
           col("component").cast("float").as("c"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))

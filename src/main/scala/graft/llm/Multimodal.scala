@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   * independently — the differential check proves the codec round-trip,
   * not just the plumbing.
   *
-  * AUDIO/VIDEO decode remains a STUB: the JDK ships no audio/video
-  * codecs and this container has no ffmpeg/JNI libraries, so
-  * [[FakeDecoder]] derives deterministic pseudo-features from the
-  * payload's md5 — chosen so the pipeline shape stays differentially
-  * testable against a SQL oracle. The Spark-side plumbing is real:
-  * binary column + metadata schema, partition-parallel batched
-  * execution, typed Dataset output.
+  * AUDIO decode is REAL too: [[decodeAudio]] parses WAV/PCM payloads
+  * through the JDK-built-in `javax.sound.sampled.AudioSystem` (the one
+  * audio container format the JDK ships a parser for), and [[AudioSynth]]
+  * synthesizes deterministic 16-bit mono PCM WAVs whose every sample is a
+  * fixed integer formula of (doc_id, i) — the differential oracle
+  * recomputes amplitude stats from the formula, so agreement proves the
+  * encode→decode round-trip, exactly as the image path does.
+  *
+  * VIDEO decode remains the one STUB: no video codec exists in the JDK
+  * or this container, so [[FakeDecoder]] derives deterministic
+  * pseudo-features from the payload's md5 — chosen so the pipeline shape
+  * stays differentially testable against a SQL oracle. The Spark-side
+  * plumbing is real: binary column + metadata schema, partition-parallel
+  * batched execution, typed Dataset output.
   *
   * 100 TB design: decode runs inside `mapPartitions` over whatever
   * partitioning the scan produced — no shuffle, no driver involvement,
@@ -176,6 +183,113 @@ object Multimodal {
     }
   }
 
+  /** An encoded audio payload: opaque WAV bytes + id. */
+  case class AudioBlob(doc_id: Long, wav: Array[Byte])
+
+  /** Decoded audio stats — format fields straight from the parsed WAV
+    * header, amplitude stats as exact integers over the decoded PCM
+    * samples (sum, sum of |s|, peak |s|, energy Σs² — all ≤ 2^41 at the
+    * synthesized lengths, so BIGINT-exact and differentially checkable
+    * with no rounding anywhere).
+    */
+  case class DecodedAudio(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_val: Long,
+      sum_abs: Long,
+      peak_abs: Int,
+      energy: Long)
+
+  /** Deterministic test-audio generator: 16-bit signed mono PCM at 8 kHz,
+    * length and every sample fixed integer formulas of (doc_id, i), so an
+    * independent engine recomputes the decoded stats without seeing the
+    * bytes. Encoding is the real `AudioSystem.write(..., Type.WAVE, ...)`;
+    * PCM WAV is lossless, so decode must recover these exact values.
+    */
+  object AudioSynth {
+    val SampleRate = 8000
+
+    def nSamples(docId: Long): Int = (64 + (docId * 13) % 512).toInt
+
+    /** Full 16-bit range: (docId·31 + i·17) mod 2^16, re-centered. */
+    def sample(docId: Long, i: Int): Int =
+      (((docId * 31 + i.toLong * 17) % 65536) - 32768).toInt
+
+    def encodeWav(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        pcm(i * 2) = (s & 0xff).toByte // little-endian 16-bit
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** Synthesize one deterministic PCM WAV per document id — executor-side
+    * mapPartitions over the scan, no shuffle (the audio twin of
+    * [[synthesizeImages]]).
+    */
+  def synthesizeAudio(docs: DataFrame): Dataset[AudioBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AudioBlob(id, AudioSynth.encodeWav(id))))
+  }
+
+  /** REAL audio decode: each partition's WAV payloads parse through the
+    * JDK-built-in `javax.sound.sampled.AudioSystem` in `batchSize` groups;
+    * sample rate comes from the parsed header, amplitude stats from the
+    * decoded PCM frames. Non-PCM / non-mono / big-endian payloads and
+    * unparseable bytes fail loudly — a decode error must never look like
+    * a filter.
+    */
+  def decodeAudio(audio: Dataset[AudioBlob],
+                  batchSize: Int = 64): Dataset[DecodedAudio] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b.wav))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            throw new IllegalArgumentException(
+              s"unsupported audio format for doc_id=${b.doc_id}: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L; var sabs = 0L; var energy = 0L; var peak = 0
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
+            sum += s
+            val a = math.abs(s)
+            sabs += a
+            if (a > peak) peak = a
+            energy += s.toLong * s
+            i += 1
+          }
+          DecodedAudio(b.doc_id, fmt.getSampleRate.toInt, n.toLong,
+            sum, sabs, peak, energy)
+        }
+      }
+    }
+  }
+
   /** A typed multimodal record: opaque payload + metadata. */
   case class Blob(doc_id: Long, payload: Array[Byte], n_bytes: Long)
 
@@ -201,13 +315,13 @@ object Multimodal {
       .as[Blob]
   }
 
-  /** STUB decoder for AUDIO/VIDEO payloads — deterministic md5-derived
-    * fake in place of a real codec. The blocker is accurate for these
-    * modalities only: the JDK has no audio/video codecs and this
-    * container has no ffmpeg — whereas IMAGE decode is real, see
-    * [[decodeImages]]. Real deployment swaps `decodeOne` for the actual
-    * library call; everything around it (batching, schema, partitioning)
-    * is unchanged.
+  /** STUB decoder for VIDEO payloads — deterministic md5-derived fake in
+    * place of a real codec. The blocker is accurate for this modality
+    * only: the JDK has no video codecs and this container has no ffmpeg —
+    * whereas IMAGE decode ([[decodeImages]]) and AUDIO decode
+    * ([[decodeAudio]]) are real. Real deployment swaps `decodeOne` for
+    * the actual library call; everything around it (batching, schema,
+    * partitioning) is unchanged.
     */
   object FakeDecoder {
     def md5Hex(bytes: Array[Byte]): String =
@@ -230,11 +344,11 @@ object Multimodal {
     }
   }
 
-  /** Batched partition-parallel pseudo-decode — the audio/video stand-in
-    * path ([[FakeDecoder]]): groups each partition's rows into `batchSize`
+  /** Batched partition-parallel pseudo-decode — the video stand-in path
+    * ([[FakeDecoder]]): groups each partition's rows into `batchSize`
     * chunks (the unit a real codec/GPU call would take) and maps them
-    * through the decoder. The image modality uses the real codec path,
-    * [[decodeImages]].
+    * through the decoder. Image and audio use the real codec paths,
+    * [[decodeImages]] / [[decodeAudio]].
     */
   def decode(blobs: Dataset[Blob], batchSize: Int = 64): Dataset[Decoded] = {
     val spark = blobs.sparkSession

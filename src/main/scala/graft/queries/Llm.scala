@@ -640,7 +640,21 @@ object Llm {
         .orderBy("doc_id")
     }),
 
-    // the audio/video STAND-IN path (no such codecs in the JDK or this
+    // REAL audio codec round-trip: deterministic 16-bit mono PCM WAVs
+    // synthesized from (doc_id, i) formulas (AudioSynth), encoded AND
+    // parsed through the JDK's javax.sound.sampled; sample rate comes
+    // from the decoded header, amplitude stats (sum / sum|s| / peak /
+    // energy) from the decoded PCM frames as exact integers — the oracle
+    // recomputes the generation formulas over an index series, so a
+    // wrong decode cannot hash-match
+    "llm_audio_features" -> ((s, d) => {
+      val dec = Multimodal.decodeAudio(Multimodal.synthesizeAudio(docs(s, d)))
+      dec.toDF().select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("sum_val"), col("sum_abs"), col("peak_abs"), col("energy"))
+        .orderBy("doc_id")
+    }),
+
+    // the VIDEO stand-in path (no video codec in the JDK or this
     // container): md5-derived pseudo-features through the same batched
     // mapPartitions shape a real codec would plug into
     "llm_av_features" -> ((s, d) => {
@@ -1808,6 +1822,26 @@ object Llm {
         |       CAST(sum(g) AS BIGINT) AS sum_g,
         |       CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
+
+    // replay the AudioSynth arithmetic over an index series: n = 64 +
+    // (doc_id·13) mod 512 samples, s(i) = ((doc_id·31 + i·17) mod 2^16)
+    // − 32768 — everything nonnegative before the subtraction, so both
+    // engines' % agree; sums CAST from DuckDB's HUGEINT to BIGINT
+    "llm_audio_features" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 64 + (doc_id * 13) % 512 AS n FROM documents),
+         |idx AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+         |s AS (SELECT doc_id, n,
+         |             ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+         |      FROM idx)
+         |SELECT doc_id,
+         |       CAST(8000 AS INT) AS sample_rate,
+         |       CAST(max(n) AS BIGINT) AS n_samples,
+         |       CAST(sum(v) AS BIGINT) AS sum_val,
+         |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         |       CAST(max(abs(v)) AS INT) AS peak_abs,
+         |       CAST(sum(v * v) AS BIGINT) AS energy
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_av_features" -> {
       val feats = (0 until 8).map(j =>

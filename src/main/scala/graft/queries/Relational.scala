@@ -96,7 +96,7 @@ object Relational {
     // max_by over a tied key is engine-arbitrary)
     "fn_agg_surface" -> s"""
       SELECT o_orderpriority,
-             count_if(o_totalprice > 150000) AS n_big,
+             CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
              bool_and(o_totalprice > 0) AS all_pos,
              bool_or(o_orderstatus = 'F') AS any_f,
              max_by(o_orderkey,

@@ -652,6 +652,28 @@ class LlmOperatorSpec extends SparkSpec {
     }
   }
 
+  test("audio decode recovers the synthesized PCM samples exactly") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 63L, 511L, 4999L)
+    val dec = Multimodal.decodeAudio(
+      Multimodal.synthesizeAudio(ids.toDF("doc_id")), batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- ids) {
+      val n = Multimodal.AudioSynth.nSamples(id)
+      val samples = (0 until n).map(Multimodal.AudioSynth.sample(id, _))
+      val d = dec(id)
+      assert(d.sample_rate == 8000 && d.n_samples == n.toLong)
+      assert(d.sum_val == samples.map(_.toLong).sum)
+      assert(d.sum_abs == samples.map(s => math.abs(s).toLong).sum)
+      assert(d.peak_abs == samples.map(math.abs).max)
+      assert(d.energy == samples.map(s => s.toLong * s).sum)
+    }
+    // the WAV bytes really are a parseable RIFF/WAVE container
+    val wav = Multimodal.AudioSynth.encodeWav(1L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+  }
+
   test("image resize resamples the real raster with the nearest-neighbor map") {
     import spark.implicits._
     val id = 123L // 30x object: width 1+123%47=30, height 1+369%37=37 -> resize triggers

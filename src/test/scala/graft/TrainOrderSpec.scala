@@ -93,6 +93,22 @@ class TrainOrderSpec extends SparkSpec {
         "to one window task at scale")
   }
 
+  test("interleaveStride's row window partitions by (source, bucket)") {
+    // r9 verdict #4: a plain PARTITION BY source serializes a mega-source
+    // through one window task; the rank must shard on the hash bucket too
+    val mixed = Seq.tabulate(90)(i =>
+      (i.toLong, s"s${i % 3}", s"doc $i")).toDF("doc_id", "source", "text")
+    val wExpr = expr(
+      "CASE source WHEN 's0' THEN 1 WHEN 's1' THEN 2 ELSE 3 END")
+    val plan = staticPlan(
+      TrainOrder.interleaveStride(mixed, "source", wExpr, "mix"))
+    // the row-level rank must hash on BOTH (the offsets window may
+    // legitimately partition by __src alone — it sees 16^k rows/source)
+    assert("hashpartitioning\\(__src#\\d+, __bkt#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"within-source rank lost its (source, bucket) sharding:\n$plan")
+  }
+
   test("weightedSample selects exactly the k smallest priorities") {
     import spark.implicits._
     val d = Seq.tabulate(300)(i => (i.toLong, 1L + i % 7)).toDF("doc_id", "wt")
