@@ -59,7 +59,7 @@ object Io {
     * provider implementing the transformWithState v2 state layer),
     * restoring the previous session setting afterwards.
     */
-  private def withRocksDbProvider[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbProvider[T](s: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(provKey)
     s.conf.set(provKey,
@@ -76,7 +76,7 @@ object Io {
     * in mtime order, so a sequence of these IS a deterministic replay
     * schedule.
     */
-  private def stageOrderedFile(landing: String,
+  private[graft] def stageOrderedFile(landing: String,
                                df: org.apache.spark.sql.DataFrame,
                                name: String, mtimeMs: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stage_one")
@@ -1046,6 +1046,57 @@ object Io {
         .orderBy("user_id", "event_type")
     }),
 
+    // event-time TIMERS — the last v2 surface without an entry (r9
+    // verdict #8): per-user inactivity sessionization through
+    // registerTimer/handleExpiredTimer on the RocksDB store, over a
+    // 2-file TIME-SLICED replay (history | last 12 hours). Probed
+    // semantics this entry pins (TimerProbeSpec): (a) rows older than
+    // the doubly-lagged late-events watermark are DROPPED before the
+    // processor, so a multi-batch replay must slice by TIME, never by
+    // key — a key-split file lands as "late" history and silently never
+    // arms; (b) each batch's end-of-batch sweep fires timers at or
+    // below its eviction watermark (post-previous-batch max − delay),
+    // same-batch arms included, and the post-drain no-data batch sweeps
+    // too. With 2 ascending slices every mid-stream session timer is
+    // deleted+re-armed before its expiry can pass a sweep ceiling, so
+    // the contract collapses to: a user fires ONCE, with its TOTAL event
+    // count, iff ms-floored last event ts + 4h gap < the final
+    // watermark (ms-floored global max ts - 2h delay) — 86 of 150
+    // fixture users at sf0.01; the rest stay in state and emit
+    // nothing. The oracle recomputes the expiry arithmetic per user
+    "ts_stream_tws_timers" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val landing =
+        java.nio.file.Files.createTempDirectory("graft_stream_twst").toString
+      val t0 = System.currentTimeMillis() - 600000
+      val cut = evs.agg(expr("max(ts) - INTERVAL 12 HOURS").as("c"))
+        .collect()(0).getTimestamp(0)
+      stageOrderedFile(landing, evs.where(col("ts") <= lit(cut)),
+        "f0.parquet", t0)
+      stageOrderedFile(landing, evs.where(col("ts") > lit(cut)),
+        "f1.parquet", t0 + 60000)
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+          .withWatermark("ts", "2 hours")
+        import s.implicits._
+        val fired = graft.streaming.Streams.sessionExpiryTws(
+          stream.as[graft.streaming.Streams.Event], gapMs = 4L * 3600 * 1000)
+        graft.streaming.Streams.runToMemory(fired.toDF(),
+          "ts_stream_twst_sink",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      deleteRecursively(new java.io.File(landing))
+      s.table("ts_stream_twst_sink")
+        .select(col("user_id"), col("n_events"),
+          expr("timestamp_millis(expired_at_ms)").as("expired_at"))
+        .orderBy("user_id")
+    }),
+
     // LEFT-OUTER stream-stream join: the WATERMARK-EVICTION emission
     // contract, differentially oracled. An unmatched left row emits
     // null-padded only once the watermark PROVES no match can still
@@ -1570,6 +1621,23 @@ object Io {
     "ts_stream_tws_typecounts" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // replay the timer arithmetic: a user fires iff its expiry
+    // (ms-floored last event ts + 4h gap) is strictly below the final
+    // watermark (ms-floored global max ts - 2h delay); the fired record
+    // carries the whole-stream event count (the state at firing time —
+    // every user's rows land in ONE batch, before its timer can fire)
+    "ts_stream_tws_timers" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |u AS (SELECT user_id, count(*) AS n_events,
+        |             date_trunc('milliseconds', max(ts)) AS last_ts
+        |      FROM ev GROUP BY 1),
+        |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS wm
+        |       FROM ev)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(last_ts + INTERVAL 4 HOUR AS TIMESTAMP) AS expired_at
+        |FROM u, wm WHERE last_ts + INTERVAL 4 HOUR < wm.wm
+        |ORDER BY user_id""".stripMargin,
 
     // per (user, file) max -> per-user digest of those maxes, straight
     // from the same event_id % 3 split the staging uses

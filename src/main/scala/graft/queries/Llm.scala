@@ -855,7 +855,48 @@ object Llm {
     "llm_weighted_sample" -> ((s, d) =>
       TrainOrder.weightedSample(docs(s, d), "doc_id", "n_chars", "s42", 120)
         .selectExpr("doc_id", "n_chars", "priority")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // END-TO-END corpus refresh (r9 verdict #9) — the chain a real
+    // training-data pipeline runs, as ONE declared query over the
+    // already-proven primitives: quality gate → exact+near dedupe →
+    // decontaminate vs the benchmark slice → hashed-linear classifier →
+    // per-source token-budget mix → deterministic training order +
+    // shards. Every stage feeds the previous stage's survivors; the
+    // oracle replays the whole chain in CTEs, so a drift ANYWHERE in
+    // the composition (not just in a unit entry) hash-mismatches.
+    // Scale shape: the stages compose without materialization barriers
+    // — each is the same banded/bucketed/broadcast plan its unit entry
+    // gates, and the only driver-side state is the quota table.
+    "llm_pipeline_e2e" -> ((s, d) => {
+      val dd = docs(s, d)
+      // 1. quality envelope gate (token band, alnum, whitespace)
+      val gated = dd.join(
+        TextAnalysis.qualityFilter(dd).select("doc_id"), Seq("doc_id"))
+      // 2. exact collapse + greedy near-dup drop
+      val deduped = Dedup.dedupe(gated)
+      // 3. decontaminate: drop anything sharing >= 30% of a benchmark
+      // probe's shingles (probes = raw doc_id < 50 slice)
+      val flagged = Dedup.containment(deduped, dd.where("doc_id < 50"),
+          minContainment = 0.3)
+        .select("doc_id").distinct()
+      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      // 4. hashed-linear quality classifier: keep positive logits
+      val kept = clean.join(
+        TextAnalysis.classifierScore(clean, TextAnalysis.hashedWeights(s, 64), 64)
+          .where("logit > 0").select("doc_id"), Seq("doc_id"))
+      // 5. per-source token-budget mix (6 weighted sources, 15k budget)
+      val mixed = TextAnalysis.tokenBudgetMix(kept,
+        Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L, "src3" -> 2L,
+          "src4" -> 1L, "src5" -> 4L),
+        budgetTokens = 15000L, seed = "e2e-mix")
+      // 6. deterministic training order + 64-doc shards over the mix
+      mixed.join(
+          TrainOrder.shuffleShards(mixed.select("doc_id"), "e2e-ord", 64L),
+          Seq("doc_id"))
+        .select("doc_id", "source", "n_tokens", "pos", "shard")
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared oracle CTEs for the line-dedup entries: the same 8-token
@@ -2193,6 +2234,88 @@ object Llm {
         |top AS (SELECT * FROM pr
         |        ORDER BY priority ASC NULLS LAST, doc_id LIMIT 120)
         |SELECT doc_id, n_chars, priority
-        |FROM top ORDER BY doc_id""".stripMargin
+        |FROM top ORDER BY doc_id""".stripMargin,
+
+    // the full refresh chain replayed stage by stage: quality gate,
+    // exact fingerprint collapse, banded-LSH + exact-Jaccard greedy
+    // drop (the minhash/jaccard CTEs over the gated survivors),
+    // probe-shingle containment, hashed-linear logits, per-source
+    // quota fill in seeded order, and the final seeded permutation —
+    // one CTE pipeline, so every inter-stage handoff is value-checked
+    "llm_pipeline_e2e" -> {
+      val quotas = graft.llm.TextAnalysis
+        .quotaTable(Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L,
+          "src3" -> 2L, "src4" -> 1L, "src5" -> 4L), 15000L)
+        .map { case (s, q) => s"('$s', $q)" }.mkString(", ")
+      raw"""WITH st AS (
+         |  SELECT doc_id,
+         |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS qn,
+         |    CAST(ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+         |         / NULLIF(length(text), 0), 6) AS DOUBLE) AS alnum_ratio,
+         |    CAST(ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+         |         / NULLIF(length(text), 0), 6) AS DOUBLE) AS space_ratio
+         |  FROM documents),
+         |gated AS (SELECT d.* FROM documents d JOIN st USING (doc_id)
+         |          WHERE qn BETWEEN 5 AND 5000
+         |            AND alnum_ratio >= 0.7 AND space_ratio <= 0.4),
+         |fps AS (SELECT doc_id, md5($NORM) AS fp FROM gated),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM gated d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
+         |$jaccardCtes,
+         |nd AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.6),
+         |ded AS (SELECT doc_id FROM docs2
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |pnorm AS (SELECT doc_id, string_split($NORM, ' ') AS w
+         |          FROM documents WHERE doc_id < 50),
+         |ps AS (SELECT DISTINCT doc_id AS probe_id,
+         |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM pnorm, unnest(generate_series(1, length(w) - 2)) AS u(i)
+         |       WHERE length(w) >= 3),
+         |psizes AS (SELECT probe_id, count(*) AS n_probe_sh FROM ps GROUP BY 1),
+         |dsh AS (SELECT s.doc_id, s.shingle FROM sh s JOIN ded USING (doc_id)),
+         |hits AS (SELECT d.doc_id, p.probe_id, count(*) AS n_shared
+         |         FROM dsh d JOIN ps p ON d.shingle = p.shingle
+         |         WHERE d.doc_id <> p.probe_id GROUP BY 1, 2),
+         |flag AS (SELECT DISTINCT h.doc_id FROM hits h
+         |         JOIN psizes s USING (probe_id)
+         |         WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6)
+         |               AS DOUBLE) >= 0.3),
+         |cleand AS (SELECT doc_id FROM ded
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+         |ctoks AS (SELECT d.doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |          FROM documents d JOIN cleand USING (doc_id)),
+         |tb AS (SELECT doc_id,
+         |              ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+         |       FROM ctoks WHERE length(tok) > 0),
+         |wt AS (SELECT i AS bucket, (i * 2654435761) % 1001 - 500 AS w
+         |       FROM unnest(generate_series(0, 63)) AS t(i)),
+         |cls AS (SELECT doc_id FROM (
+         |          SELECT tb.doc_id, CAST(SUM(wt.w) AS BIGINT) AS logit
+         |          FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id)
+         |        WHERE logit > 0),
+         |qv(source, quota) AS (VALUES $quotas),
+         |k AS (SELECT d.source, d.doc_id,
+         |             CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens,
+         |             q.quota, md5('e2e-mix:' || d.doc_id) AS key
+         |      FROM documents d JOIN cls USING (doc_id) JOIN qv q USING (source)),
+         |r AS (SELECT source, doc_id, n_tokens, quota,
+         |             SUM(n_tokens) OVER (PARTITION BY source
+         |               ORDER BY key, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS cum_tokens
+         |      FROM k),
+         |mix AS (SELECT doc_id, source, n_tokens FROM r
+         |        WHERE cum_tokens - n_tokens < quota),
+         |ko AS (SELECT doc_id,
+         |              md5('e2e-ord:' || CAST(doc_id AS VARCHAR)) AS okey
+         |       FROM mix)
+         |SELECT m.doc_id, m.source, m.n_tokens,
+         |       CAST(row_number() OVER (ORDER BY okey, m.doc_id) - 1 AS BIGINT) AS pos,
+         |       CAST((row_number() OVER (ORDER BY okey, m.doc_id) - 1) // 64
+         |            AS BIGINT) AS shard
+         |FROM mix m JOIN ko USING (doc_id)
+         |ORDER BY m.doc_id""".stripMargin
+    }
   )
 }

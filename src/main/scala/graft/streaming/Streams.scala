@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface: the same event-analytics transforms the
@@ -315,6 +315,78 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(new TypeCountsProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** One fired session-expiry record for [[sessionExpiryTws]]. */
+  case class SessionExpiry(user_id: Long, n_events: Long, expired_at_ms: Long)
+
+  /** Per-key session state for [[SessionTimerProcessor]]: event count +
+    * last-activity epoch ms (the logical expiry is last_ms + gap).
+    */
+  case class SessionState(n_events: Long, last_ms: Long)
+
+  /** Event-time TIMER variant of the v2 stateful API — the last v2
+    * surface (ValueState/MapState/ListState/initial-state already carry
+    * entries): per-key inactivity sessionization the way a serving-edge
+    * job expires idle users. Each input batch re-arms the key's single
+    * timer at last-activity + gap (delete-then-register — the standard
+    * re-arm idiom; a leaked old timer would double-fire); when the
+    * event-time watermark passes the expiry, `handleExpiredTimer` emits
+    * the session digest and clears the state, so a later event would
+    * start a fresh session.
+    *
+    * Probed semantics (TimerProbeSpec, pinned there): (1) during batch N
+    * the processor sees the EVICTION watermark — ms-floored max event ts
+    * through batch N−1 minus the delay — and timers at-or-below it fire
+    * at the END of batch N, after input processing (same-batch
+    * arm-then-fire included, so an already-expired arming fires
+    * immediately); (2) the post-drain no-data batch also sweeps timers;
+    * (3) input rows older than the LATE-EVENTS watermark (doubly lagged:
+    * batch N−1's displayed value) are dropped BEFORE the processor —
+    * bounded replays must therefore slice files by TIME, never by key.
+    *
+    * Differential contract (pinned by the oracle): a key fires iff its
+    * logical expiry (ms-floored last event ts + gap) < the final
+    * watermark (ms-floored global max ts − delay). Keys still inside
+    * the horizon stay in state and emit nothing. WHICH batch fires a
+    * timer is irrelevant to the emitted record — (key, total count,
+    * last activity + gap) — which is what makes the multi-trigger
+    * replay deterministic.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionExpiry] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionExpiry] = {
+      val prev = if (st.exists()) st.get() else SessionState(0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        SessionState(s.n_events + 1, math.max(s.last_ms, e.ts.getTime))
+      }
+      st.update(next)
+      // re-arm: one live timer per key at last-activity + gap (an
+      // already-expired re-arm fires at the end of this same batch)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(next.last_ms + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionExpiry] = {
+      val s = if (st.exists()) st.get() else SessionState(0L, 0L)
+      st.clear()
+      Iterator.single(SessionExpiry(key, s.n_events, s.last_ms + gapMs))
+    }
+  }
+
+  /** `events` must carry a watermark (TimeMode.EventTime requires one). */
+  def sessionExpiryTws(events: Dataset[Event], gapMs: Long): Dataset[SessionExpiry] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Drive any of the above to an in-memory table and block until the
