@@ -348,6 +348,94 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** 16-bit md5-derived half-integer for an arbitrary key — the PQ
+    * codebook twin of [[planeComponent]] (which is keyed by (plane, dim)
+    * only). Exact in double; scaled by 2^-16 the components land in
+    * [-0.5, 0.5) with division exact (power of two).
+    */
+  private def md5Half16(key: String): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    java.lang.Integer.parseInt(h, 16).toDouble - 32767.5
+  }
+
+  /** PQ codebook entry: sub-dimensional centroid j of subspace m. A real
+    * deployment trains these per-subspace with k-means (the
+    * [[graft.llm.Ivf.lloydIterate]] machinery); the md5-derived fixed
+    * codebook keeps the operator differentially checkable — the oracle
+    * recomputes the identical components from the same md5 arithmetic.
+    */
+  def pqCentroid(m: Int, j: Int, sub: Int): IndexedSeq[Double] =
+    (0 until sub).map(i => md5Half16(s"pq:$m:$j:$i") / 65536.0)
+
+  /** Squared-L2 distances from `embCol`'s m-th subvector to all `k`
+    * codebook entries of subspace m, as ONE transform over a 2-level
+    * literal array (constant-folded once per plan): the argmin input for
+    * [[pqCodes]] and the probe lookup table for [[pqTopK]]. Every step
+    * is a correctly-rounded IEEE op in a fixed fold order — engine-exact.
+    */
+  private def pqDistsExpr(embCol: String, m: Int, k: Int, sub: Int): String = {
+    val cb = (0 until k).map(j =>
+        pqCentroid(m, j, sub).mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")
+    s"""transform($cb, c -> aggregate(zip_with(slice($embCol, ${m * sub + 1}, $sub), c,
+       |  (x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)),
+       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+  }
+
+  /** Product quantization (Jégou et al. 2011) — the OTHER compression
+    * lever next to [[quantizeCodes]]'s scalar int8: split each dims-dim
+    * vector into `m` subvectors and store only the index of the nearest
+    * per-subspace centroid, so a 64-dim float vector becomes m=8 nibble
+    * codes (64x smaller) and distance evaluation against a probe costs m
+    * table lookups instead of dims multiplies. Assignment is pure
+    * per-row expression work (argmin over the per-subspace distance
+    * array; first-minimum tie-break = smallest code in both engines) —
+    * no shuffle, no UDF, no driver state. Output: input + `pq_codes`
+    * (array<int>, length m).
+    */
+  def pqCodes(vecs: DataFrame, m: Int = 8, nCodes: Int = 16,
+              dims: Int = 64, embCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, "dims must divide into m subspaces")
+    val sub = dims / m
+    val codes = (0 until m).map { mm =>
+      val d = pqDistsExpr(embCol, mm, nCodes, sub)
+      s"CAST(array_position($d, array_min($d)) - 1 AS INT)"
+    }.mkString("array(", ", ", ")")
+    vecs.withColumn("pq_codes", expr(codes))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over [[pqCodes]] output: each probe
+    * precomputes ONE m×nCodes lookup table of exact subvector-to-centroid
+    * distances (O(dims·nCodes) once per probe), then every candidate
+    * costs m array lookups + a fixed-order fold — the PQ evaluation
+    * shape that makes a 100 TB ANN corpus scannable. Probe-bounded
+    * baseline like [[bruteForceTopK]]; the scale path composes the code
+    * table with LSH/IVF bucketing exactly as float vectors do. Ranking
+    * uses the UNROUNDED fold (bit-identical cross-engine); ROUND(…,6)
+    * only at the output edge.
+    */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, nCodes: Int = 16, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val lutExpr = (0 until m).map(mm => pqDistsExpr("__pe", mm, nCodes, sub))
+      .mkString("array(", ", ", ")")
+    val p = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__pe"))
+      .withColumn("__lut", expr(lutExpr))
+    val pairs = p.join(
+        corpus.select(col("vec_id").as("cand_id"), col("pq_codes").as("__cc")),
+        expr("cand_id <> probe_id"))
+      .select(col("probe_id"), col("cand_id"), expr(
+        """aggregate(zip_with(__cc, __lut, (c, l) -> element_at(l, c + 1)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("__dist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__dist").asc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"),
+        expr("CAST(ROUND(__dist, 6) AS DOUBLE)").as("dist"), col("rank"))
+  }
+
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = exact.select("probe_id", "cand_id")
       .join(approx.select("probe_id", "cand_id"),

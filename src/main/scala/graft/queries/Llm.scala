@@ -67,6 +67,42 @@ object Llm {
   private def duckCosineRaw(a: String, b: String): String =
     s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
+  /** Shared PQ oracle CTEs: the md5-derived codebook (8 subspaces × 16
+    * centroids × 8 dims — the same `(md5_16bit − 32767.5) / 2^16`
+    * arithmetic [[Similarity.pqCentroid]] computes driver-side), every
+    * vector's per-subspace squared-L2 distances (sequential fold — the
+    * duckDot convention), and the argmin codes with the first-minimum
+    * tie-break (`ORDER BY d, j` == Spark's array_position-of-min).
+    */
+  private val pqCtes: String =
+    """cb AS (SELECT m, j, list_transform(generate_series(0, 7), i ->
+      |         ((('0x' || substr(md5('pq:' || m || ':' || j || ':' || i), 1, 4))::BIGINT
+      |           - 32767.5) / 65536.0)) AS c
+      |       FROM unnest(generate_series(0, 7)) AS tm(m),
+      |            unnest(generate_series(0, 15)) AS tj(j)),
+      |psub AS (SELECT vec_id, m,
+      |              list_transform(generate_series(1, 8),
+      |                i -> CAST(embedding[m * 8 + i] AS DOUBLE)) AS sv
+      |       FROM embeddings, unnest(generate_series(0, 7)) AS tm(m)),
+      |pd AS (SELECT vec_id, m, j,
+      |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                list_transform(generate_series(1, 8),
+      |                  i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+      |                (acc, v) -> acc + v) AS d
+      |       FROM psub JOIN cb USING (m)),
+      |pqcodes AS (SELECT vec_id, m, j AS code FROM (
+      |            SELECT vec_id, m, j, d,
+      |                   row_number() OVER (PARTITION BY vec_id, m
+      |                                      ORDER BY d, j) AS rn
+      |            FROM pd) WHERE rn = 1),
+      |pqds AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.m, p.d
+      |       FROM pd p JOIN pqcodes c ON c.m = p.m AND c.code = p.j
+      |       WHERE p.vec_id < 16 AND c.vec_id <> p.vec_id),
+      |pqfold AS (SELECT probe_id, cand_id,
+      |                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                  list(d ORDER BY m)), (acc, v) -> acc + v) AS dist
+      |         FROM pqds GROUP BY 1, 2)""".stripMargin
+
   /** Shared oracle CTEs for the shingle → minhash → band pipeline
     * (numHashes=8, 3-word shingles, 4 bands of 2), over any doc source.
     */
@@ -857,6 +893,33 @@ object Llm {
         .selectExpr("doc_id", "n_chars", "priority")
         .orderBy("doc_id")),
 
+    // product quantization: per-subspace nearest-centroid codes (8
+    // subspaces x 16 codes over 64 dims — 64x smaller than float32);
+    // the oracle recomputes the md5-derived codebook and the argmin
+    // (first-minimum tie-break) per (vector, subspace)
+    "llm_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(emb(s, d))
+        .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("m", "code")))
+        .orderBy("vec_id", "m")),
+
+    // ADC top-k over the code table: probe builds one 8x16 exact lookup
+    // table, every candidate costs 8 lookups + a fixed-order fold
+    "llm_pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e.where("vec_id < 16"), Similarity.pqCodes(e), 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // PQ quality vs exact cosine top-5 — the recall evaluation an ANN
+    // compression choice ships with
+    "llm_pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.annRecall(
+          Similarity.bruteForceTopK(e.where("vec_id < 16"), e, 5),
+          Similarity.pqTopK(e.where("vec_id < 16"), Similarity.pqCodes(e), 5))
+        .orderBy("probe_id")
+    }),
+
     // END-TO-END corpus refresh (r9 verdict #9) — the chain a real
     // training-data pipeline runs, as ONE declared query over the
     // already-proven primitives: quality gate → exact+near dedupe →
@@ -873,14 +936,21 @@ object Llm {
       // 1. quality envelope gate (token band, alnum, whitespace)
       val gated = dd.join(
         TextAnalysis.qualityFilter(dd).select("doc_id"), Seq("doc_id"))
-      // 2. exact collapse + greedy near-dup drop
-      val deduped = Dedup.dedupe(gated)
+      // 2. exact collapse + greedy near-dup drop. localCheckpoint: the
+      // dedupe subtree (shingle -> minhash -> band join -> jaccard) is
+      // the chain's expensive half and feeds BOTH the decontamination
+      // corpus and the survivor stream — without the checkpoint each
+      // downstream branch re-derives it from the scan (measured 22.3 s
+      // -> 8.9 s at sf0.1). A real refresh materializes stage outputs
+      // at exactly these cut points.
+      val deduped = Dedup.dedupe(gated).localCheckpoint()
       // 3. decontaminate: drop anything sharing >= 30% of a benchmark
       // probe's shingles (probes = raw doc_id < 50 slice)
       val flagged = Dedup.containment(deduped, dd.where("doc_id < 50"),
           minContainment = 0.3)
         .select("doc_id").distinct()
       val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       // 4. hashed-linear quality classifier: keep positive logits
       val kept = clean.join(
         TextAnalysis.classifierScore(clean, TextAnalysis.hashedWeights(s, 64), 64)
@@ -889,7 +959,7 @@ object Llm {
       val mixed = TextAnalysis.tokenBudgetMix(kept,
         Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L, "src3" -> 2L,
           "src4" -> 1L, "src5" -> 4L),
-        budgetTokens = 15000L, seed = "e2e-mix")
+        budgetTokens = 15000L, seed = "e2e-mix").localCheckpoint()
       // 6. deterministic training order + 64-doc shards over the mix
       mixed.join(
           TrainOrder.shuffleShards(mixed.select("doc_id"), "e2e-ord", 64L),
@@ -2235,6 +2305,53 @@ object Llm {
         |        ORDER BY priority ASC NULLS LAST, doc_id LIMIT 120)
         |SELECT doc_id, n_chars, priority
         |FROM top ORDER BY doc_id""".stripMargin,
+
+    "llm_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+         |FROM pqcodes ORDER BY vec_id, m""".stripMargin,
+
+    // ADC distance replayed as the probe's per-subspace distance to the
+    // candidate's ASSIGNED centroid, folded in subspace order (list(d
+    // ORDER BY m) — the same left-to-right fold as Spark's zip_with)
+    "llm_pq_topk" ->
+      s"""WITH $pqCtes,
+         |rk AS (SELECT probe_id, cand_id, dist,
+         |              CAST(row_number() OVER (PARTITION BY probe_id
+         |                ORDER BY dist, cand_id) AS INT) AS rank
+         |       FROM pqfold)
+         |SELECT probe_id, cand_id,
+         |       CAST(ROUND(dist, 6) AS DOUBLE) AS dist, rank
+         |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_pq_recall" ->
+      s"""WITH $pqCtes,
+         |ap AS (SELECT probe_id, cand_id FROM (
+         |         SELECT probe_id, cand_id,
+         |                row_number() OVER (PARTITION BY probe_id
+         |                  ORDER BY dist, cand_id) AS rank
+         |         FROM pqfold) WHERE rank <= 5),
+         |ex_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ex AS (SELECT probe_id, cand_id FROM (
+         |         SELECT probe_id, cand_id,
+         |                row_number() OVER (PARTITION BY probe_id
+         |                  ORDER BY cos DESC, cand_id) AS rank
+         |         FROM ex_pairs) WHERE rank <= 5),
+         |hits AS (SELECT e.probe_id, count(*) AS n_hit
+         |         FROM ex e JOIN ap a
+         |           ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+         |         GROUP BY e.probe_id),
+         |tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+         |SELECT t.probe_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
+         |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
+         |ORDER BY t.probe_id""".stripMargin,
 
     // the full refresh chain replayed stage by stage: quality gate,
     // exact fingerprint collapse, banded-LSH + exact-Jaccard greedy

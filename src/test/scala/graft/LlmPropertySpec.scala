@@ -229,6 +229,55 @@ class LlmPropertySpec extends SparkSpec {
     assert(got == Seq(4L, 1L, 2L, 3L))
   }
 
+  test("pqCodes assigns the truly-nearest centroid per subspace") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(6)(v =>
+      (v.toLong, Array.tabulate(64)(i => ((v * 31 + i * 7) % 13 - 6) / 8.0f)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(e).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    for ((vid, emb) <- vecs) {
+      val codes = got(vid)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      for (m <- 0 until 8) {
+        val sub = emb.slice(m * 8, m * 8 + 8).map(_.toDouble)
+        def dist(j: Int): Double = {
+          val c = Similarity.pqCentroid(m, j, 8)
+          var acc = 0.0; var i = 0
+          while (i < 8) { val t = sub(i) - c(i); acc += t * t; i += 1 }
+          acc
+        }
+        val best = (0 until 16).minBy(j => (dist(j), j))
+        assert(codes(m) == best, s"vec $vid subspace $m: ${codes(m)} != $best")
+      }
+    }
+  }
+
+  test("pqTopK ADC distance equals the direct code-centroid distance") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(5)(v =>
+      (v.toLong, Array.tabulate(64)(i => ((v * 17 + i * 3) % 11 - 5) / 4.0f)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val coded = Similarity.pqCodes(e)
+    val codes = coded.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val got = Similarity.pqTopK(e.where("vec_id = 0"), coded, 4)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq.size == 4)
+    val probe = vecs.head._2.map(_.toDouble)
+    got.foreach { r =>
+      val cand = r.getLong(1)
+      var exp = 0.0
+      for (m <- 0 until 8) {
+        val c = Similarity.pqCentroid(m, codes(cand)(m), 8)
+        var i = 0
+        while (i < 8) { val t = probe(m * 8 + i) - c(i); exp += t * t; i += 1 }
+      }
+      assert(math.abs(r.getDouble(2) - exp) < 1e-6,
+        s"cand $cand: adc ${r.getDouble(2)} != direct $exp")
+    }
+  }
+
   test("cosine stays in [-1, 1]; self-similarity is 1") {
     samples(Gen.listOfN(3, vec), 5).foreach { vs =>
       import spark.implicits._
