@@ -145,6 +145,38 @@ object Dedup {
       .agg(countDistinct(expr("a.band")).as("n_bands"))
   }
 
+  /** LSH banding-point tuning report: for each (bands, rowsPerBand) split
+    * of the signature, the candidate-pair count, how many candidates
+    * verify at `threshold` exact Jaccard, and the precision — the
+    * measurement a deployment runs on a SAMPLE before committing a
+    * banding point for the full corpus (more bands = higher recall and
+    * more candidates to verify; this report prices that trade).
+    * MinHash signatures are computed ONCE and re-banded per config; each
+    * config's candidate set is (band, sig)-equi-joined and verified only
+    * on its own candidates — never all-pairs. All counts are exact
+    * integers; precision is the one ROUND(…,6) edge.
+    *
+    * Output: (bands, rows_per_band, n_candidates, n_verified, precision).
+    */
+  def lshTuning(docs: DataFrame,
+                configs: Seq[(Int, Int)] = Seq((2, 4), (4, 2), (8, 1)),
+                threshold: Double = 0.6, numHashes: Int = 8): DataFrame = {
+    require(configs.nonEmpty, "need at least one banding config")
+    configs.map { case (bands, rows) =>
+      require(bands * rows == numHashes, s"($bands x $rows) != $numHashes")
+      val cands = lshCandidates(docs, numHashes, bands)
+        .select("doc_a", "doc_b")
+      val verified = jaccard(docs, cands)
+        .where(col("jaccard") >= threshold)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          expr("CAST(ROUND(CAST(n_verified AS DOUBLE) / NULLIF(n_candidates, 0), 6) AS DOUBLE)")
+            .as("precision"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Exact n-gram Jaccard similarity, computed only for the given candidate
     * pairs (columns doc_a, doc_b) — the verify stage after LSH.
     */

@@ -153,6 +153,88 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** HyperLogLog-style distinct-token sketch per group — the cardinality
+    * estimator a 100 TB corpus uses where `count(DISTINCT token)` would
+    * shuffle every token: per group only m=64 small registers move
+    * (map-side max-combined), a ~10⁶× reduction at web scale.
+    *
+    * Engine-exact by construction (the reason this is NOT
+    * `approx_count_distinct`, whose HLL++ internals are
+    * implementation-defined): the hash is md5 (the one shared hash) —
+    * bucket from 3 hex chars, rho from the leading-zero run of a
+    * disjoint 13-hex-char field (string arithmetic, no floats); the
+    * harmonic denominator Σ 2^(-M_j) is scaled by 2^53 into an EXACT
+    * BIGINT sum (doubles would hit fold-order ULP drift); the estimate
+    * is one literal·literal product and one division — correctly
+    * rounded, deterministic. Registers for unseen buckets contribute
+    * 2^53 each (rho 0). The raw-HLL estimator without the small/large
+    * range corrections, reported next to the exact count so the error
+    * is visible — the tuning measurement, not a black box.
+    *
+    * Output: (group, n_buckets_hit, harmonic_s, hll_est, n_exact).
+    */
+  def distinctSketch(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val m = 64
+    val alphaNum = 0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 53)
+    val toks = docs.select(col(groupCol).as("grp"),
+        explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("__h", md5(col("tok")))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(__h, 14, 3), 16, 10) AS INT) % 64"))
+      .withColumn("__zeros",
+        expr("length(regexp_extract(substring(__h, 1, 13), '^0*', 0))"))
+      .withColumn("rho", expr(
+        """CASE WHEN __zeros = 13 THEN 53
+          |ELSE __zeros * 4 + 1 + (CASE substring(__h, __zeros + 1, 1)
+          |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          |  ELSE 0 END) END""".stripMargin))
+    val regs = toks.groupBy("grp", "bucket").agg(max("rho").as("mj"))
+    val sketch = regs.groupBy("grp").agg(
+      count(lit(1)).as("n_buckets_hit"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("__s_hit"))
+    val exact = toks.groupBy("grp")
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    sketch.join(exact, Seq("grp"))
+      .withColumn("harmonic_s", expr(
+        s"__s_hit + CAST($m - n_buckets_hit AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 53)"))
+      .select(col("grp").as(groupCol), col("n_buckets_hit"),
+        col("harmonic_s"),
+        expr(s"CAST(ROUND(CAST($alphaNum AS DOUBLE) / harmonic_s, 6) AS DOUBLE)")
+          .as("hll_est"),
+        col("n_exact"))
+  }
+
+  /** Per-document TF-IDF keyword extraction: each doc's top-k tokens by
+    * tf · N/df (the log-free idf variant — tf·N is an exact BIGINT, one
+    * IEEE division by df, so the ranking doubles are bit-identical
+    * cross-engine with no rounding edge; ties break on the token). The
+    * document-labeling primitive of corpus curation: topical tags,
+    * boilerplate detection (top keyword shared corpus-wide), and the
+    * input to keyword-stratified sampling.
+    *
+    * Scale shape: tf is one (doc, token) hash agg with map-side partials;
+    * df reduces the SAME aggregate by token (no second scan of the
+    * corpus); N rides a broadcast 1-row aggregate; the per-doc top-k is
+    * a WindowGroupLimit rank prune, never a global sort.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", expr("CAST(tf * __n AS DOUBLE) / df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        expr("CAST(ROUND(score, 6) AS DOUBLE)").as("score"), col("rank"))
+  }
+
   /** Per-document NOVELTY scoring against the corpus — the doc-level
     * counterpart of [[ngramStats]]/[[heavyHitters]]'s corpus-level views:
     * for each document, the fraction of its distinct word n-grams whose
@@ -743,6 +825,55 @@ object TextAnalysis {
         coalesce(col("n_after"), lit(0L)).as("n_after"))
       .orderBy(col("n_before").desc, col("pair"))
       .limit(k)
+  }
+
+  /** Full BPE training loop — `iters` chained merge steps over the
+    * word-frequency dictionary, returning the learned merge table
+    * (iter, merge_pair, n_merged): the artifact a tokenizer build
+    * actually ships. Each step counts adjacent symbol pairs over the
+    * CURRENT dictionary, collects the single best (count, then
+    * lexicographic — deterministic) pair to the driver — the model is
+    * one row per iteration, the lloydLoop pattern — and applies the
+    * merge as the same non-overlap-leftmost space-delimited replace
+    * [[bpeMergeStep]] pins. The corpus is scanned ONCE (the dict is
+    * vocabulary-sized and localCheckpointed between steps); each
+    * iteration shuffles pairs of the dict, not the corpus.
+    */
+  def bpeTrain(docs: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def pairCounts(d: DataFrame): DataFrame =
+      d.select(col("wc"), split(col("seq"), " ").as("s"))
+        .where(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1]))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+    var dict = docs
+      .select(explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("seq", concat_ws(" ", split(col("w"), "")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val best = pairCounts(dict)
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val bp = best(0).getString(0)
+        merges += ((it, bp, best(0).getLong(1)))
+        dict = dict.withColumn("seq",
+            trim(replace(concat(lit(" "), col("seq"), lit(" ")),
+              lit(s" $bp "), lit(s" ${bp.replace(" ", "")} "))))
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    merges.toSeq.toDF("iter", "merge_pair", "n_merged")
   }
 
   /** Build the training mix under a global token budget: source s with

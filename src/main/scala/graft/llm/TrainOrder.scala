@@ -58,6 +58,40 @@ object TrainOrder {
       .withColumn("shard", expr(s"pos div $shardDocs"))
   }
 
+  /** Curriculum training order: documents sort by an integer difficulty
+    * tier FIRST (easy tiers lead), then by the seeded md5 permutation
+    * WITHIN each tier — the curriculum-learning schedule (Bengio et al.
+    * 2009) with reproducible intra-tier shuffling. `tier` must be a
+    * deterministic integer expression of the row (fixed thresholds, not
+    * corpus quantiles, so the order is stable under corpus growth).
+    *
+    * Scale shape: the same hash-prefix two-phase prefix sum as
+    * [[shuffleOrder]], with (tier, bucket) as the rank partition and the
+    * offsets cumulated over the |tiers|·16^k-row count table ordered by
+    * (tier, bucket) — no global window, no per-tier single task.
+    *
+    * Output: (doc_id, tier, pos) — pos is the 0-based global position.
+    */
+  def curriculumOrder(docs: DataFrame, tier: org.apache.spark.sql.Column,
+                      seed: String, bucketHexChars: Int = 2): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 8, "1..8 hex chars")
+    val keyed = docs.select(col("doc_id"), tier.cast("int").as("__tier"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+          .as("__key"))
+      .withColumn("__bkt", substring(col("__key"), 1, bucketHexChars))
+    val wIn = Window.partitionBy("__tier", "__bkt").orderBy("__key", "doc_id")
+    val intra = keyed.withColumn("__rn",
+      row_number().over(wIn).cast("long"))
+    val wB = Window.orderBy("__tier", "__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__tier", "__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wB), lit(0L)))
+      .select(col("__tier"), col("__bkt"), col("__off"))
+    intra.join(offsets, Seq("__tier", "__bkt"))
+      .select(col("doc_id"), col("__tier").as("tier"),
+        (col("__off") + col("__rn") - 1).as("pos"))
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor doc draws `k` pseudorandom partners from the corpus id
     * domain [0, max_id], indexed by a seeded md5 of (anchor, draw) —

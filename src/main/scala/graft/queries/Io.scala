@@ -658,6 +658,48 @@ object Io {
         .orderBy("user_mod")
     }),
 
+    // CRASH/RESTART exactly-once resume — the operational contract every
+    // continuous ingest depends on: a file-sink query drains half its
+    // input and STOPS; a second query starts from the SAME checkpoint
+    // (source offset log + sink manifest) after more files land, and the
+    // union of both runs' committed output must equal the whole input
+    // EXACTLY ONCE. A re-read of phase-1 files doubles counts; a lost
+    // offset drops them; an orphan uncommitted file surfaces extras —
+    // all three hash-mismatch. The transform is stateless on purpose
+    // (offset/manifest recovery is the surface under test; stateful
+    // recovery semantics are pinned by the late-drop/timers entries).
+    "ts_stream_resume" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val root = s"${base(d)}/stream_resume"
+      deleteRecursively(new java.io.File(root))
+      val landing = s"$root/landing"
+      new java.io.File(landing).mkdirs()
+      val t0 = System.currentTimeMillis() - 600000
+      (0 until 2).foreach { i =>
+        stageOrderedFile(landing, evs.where(s"event_id % 4 = $i"),
+          s"f$i.parquet", t0 + i * 60000)
+      }
+      def run(): Unit = graft.streaming.Streams.runToParquet(
+        s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+          .where("value > 100.0")
+          .selectExpr("event_id", "event_type",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS day"),
+        s"$root/out", s"$root/ck")
+      run() // phase 1: drains f0, f1, stops
+      (2 until 4).foreach { i =>
+        stageOrderedFile(landing, evs.where(s"event_id % 4 = $i"),
+          s"f$i.parquet", t0 + i * 60000)
+      }
+      run() // phase 2: resumes from the checkpoint, drains f2, f3
+      s.read.parquet(s"$root/out").orderBy("event_id")
+    }),
+
     // STREAMING MERGE/upsert materialization: a keyed changelog arrives
     // in micro-batches (3 landing files, maxFilesPerTrigger=1) and
     // foreachBatch folds each batch into a serving snapshot with
@@ -1621,6 +1663,14 @@ object Io {
     "ts_stream_tws_typecounts" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // the whole input exactly once, regardless of the two-phase replay
+    "ts_stream_resume" ->
+      """SELECT event_id, event_type,
+        |       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+        |       CAST(date_trunc('DAY', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |FROM events WHERE CAST(value AS DOUBLE) > 100.0
+        |ORDER BY event_id""".stripMargin,
 
     // replay the timer arithmetic: a user fires iff its expiry
     // (ms-floored last event ts + 4h gap) is strictly below the final

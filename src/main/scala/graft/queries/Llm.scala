@@ -893,6 +893,39 @@ object Llm {
         .selectExpr("doc_id", "n_chars", "priority")
         .orderBy("doc_id")),
 
+    // 4-step BPE TRAINING loop: the learned merge table, each step's
+    // best pair depending on the previous merges — the chained oracle
+    // replays all four stages in CTEs
+    "llm_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), iters = 4).orderBy("iter")),
+
+    // deterministic HyperLogLog distinct-token sketch per source (md5
+    // bucket+rho, exact-integer harmonic sum) next to the exact count —
+    // the cardinality estimator that moves 64 registers instead of the
+    // token stream; NOT approx_count_distinct (engine-internal HLL++)
+    "llm_distinct_sketch" -> ((s, d) =>
+      TextAnalysis.distinctSketch(docs(s, d)).orderBy("source")),
+
+    // per-doc TF-IDF top-5 keywords (log-free idf: tf·N/df — exact
+    // BIGINT product, one IEEE division, no rounding edge in the rank)
+    "llm_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
+
+    // curriculum schedule: fixed n_chars difficulty tiers lead the
+    // order, seeded md5 shuffle within each tier — two-phase prefix sum
+    // partitioned by (tier, bucket), no global window
+    "llm_curriculum_order" -> ((s, d) =>
+      TrainOrder.curriculumOrder(docs(s, d),
+          expr("CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 450 THEN 1 ELSE 2 END"),
+          seed = "curr")
+        .orderBy("doc_id")),
+
+    // LSH banding-point tuning: candidates/verified/precision for the
+    // (2x4, 4x2, 8x1) splits of the 8-hash signature — the sample
+    // measurement run before committing a banding point corpus-wide
+    "llm_lsh_tuning" -> ((s, d) =>
+      Dedup.lshTuning(docs(s, d)).orderBy("bands")),
+
     // product quantization: per-subspace nearest-centroid codes (8
     // subspaces x 16 codes over 64 dims — 64x smaller than float32);
     // the oracle recomputes the md5-derived codebook and the argmin
@@ -2305,6 +2338,151 @@ object Llm {
         |        ORDER BY priority ASC NULLS LAST, doc_id LIMIT 120)
         |SELECT doc_id, n_chars, priority
         |FROM top ORDER BY doc_id""".stripMargin,
+
+    // the same dictionary evolved through four replace steps, each
+    // step's argmax pair feeding the next stage's CTE
+    "llm_bpe_train" -> {
+      val steps = (1 to 4).map { i =>
+        s"""pc$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
+           |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM w${i - 1}),
+           |            unnest(generate_series(1, len(s) - 1)) u(i)
+           |       GROUP BY 1),
+           |b$i AS (SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
+           |w$i AS (SELECT wc,
+           |             trim(replace(' ' || seq || ' ',
+           |                          ' ' || (SELECT pair FROM b$i) || ' ',
+           |                          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq
+           |      FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 4).map(i =>
+        s"SELECT $i AS iter, pair AS merge_pair, n FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH toksb AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),
+         |wcs AS (SELECT w, count(*) AS wc FROM toksb WHERE length(w) > 0 GROUP BY w),
+         |w0 AS (SELECT wc,
+         |                array_to_string(regexp_split_to_array(w, ''), ' ') AS seq
+         |         FROM wcs),
+         |$steps
+         |SELECT CAST(iter AS INT) AS iter, merge_pair,
+         |       CAST(n AS BIGINT) AS n_merged
+         |FROM ($out) ORDER BY iter""".stripMargin
+    },
+
+    // identical md5 bucket/rho arithmetic, HUGEINT sums cast to BIGINT,
+    // the alpha·m²·2^53 numerator interpolated from the SAME Scala
+    // double literal the Spark plan embeds (shortest-roundtrip repr —
+    // both engines parse back the identical bits)
+    "llm_distinct_sketch" -> {
+      val alphaNum = 0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 53)
+      s"""WITH dtoks AS (SELECT grp, tok FROM (
+         |        SELECT source AS grp, unnest(string_split($NORM, ' ')) AS tok
+         |        FROM documents) WHERE length(tok) > 0),
+         |h AS (SELECT grp, tok, md5(tok) AS hh FROM dtoks),
+         |f AS (SELECT grp,
+         |             CAST(('0x' || substr(hh, 14, 3))::BIGINT % 64 AS INT) AS bucket,
+         |             length(regexp_extract(substr(hh, 1, 13), '^0*')) AS zeros,
+         |             substr(hh, length(regexp_extract(substr(hh, 1, 13), '^0*')) + 1, 1) AS fd
+         |      FROM h),
+         |r AS (SELECT grp, bucket,
+         |             CASE WHEN zeros = 13 THEN 53
+         |             ELSE zeros * 4 + 1 + (CASE fd
+         |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+         |               WHEN '7' THEN 1 ELSE 0 END) END AS rho
+         |      FROM f),
+         |regs AS (SELECT grp, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sk AS (SELECT grp, count(*) AS n_buckets_hit,
+         |              SUM((1::BIGINT << (53 - mj))) AS s_hit
+         |       FROM regs GROUP BY 1),
+         |hs AS (SELECT grp, n_buckets_hit,
+         |              CAST(s_hit + (64 - n_buckets_hit) * (1::BIGINT << 53)
+         |                   AS BIGINT) AS harmonic_s
+         |       FROM sk),
+         |ex AS (SELECT grp, count(DISTINCT tok) AS n_exact FROM dtoks GROUP BY 1)
+         |SELECT hs.grp AS source,
+         |       CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+         |       harmonic_s,
+         |       CAST(ROUND(CAST($alphaNum AS DOUBLE) / harmonic_s, 6)
+         |            AS DOUBLE) AS hll_est,
+         |       CAST(n_exact AS BIGINT) AS n_exact
+         |FROM hs JOIN ex USING (grp) ORDER BY source""".stripMargin
+    },
+
+    "llm_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |       SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |       FROM documents) WHERE length(tok) > 0),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, tok, tf.tf, df.df,
+         |              CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+         |       FROM tf JOIN df USING (tok), n),
+         |rk AS (SELECT doc_id, tok, tf, df, score,
+         |              CAST(row_number() OVER (PARTITION BY doc_id
+         |                ORDER BY score DESC, tok) AS INT) AS rank
+         |       FROM sc)
+         |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+         |       CAST(df AS BIGINT) AS df,
+         |       CAST(ROUND(score, 6) AS DOUBLE) AS score, rank
+         |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // one flat ORDER BY (tier, key, doc_id) row_number — green proves
+    // the (tier, bucket) two-phase stitch is the curriculum order
+    "llm_curriculum_order" ->
+      """WITH t AS (SELECT doc_id,
+        |        CASE WHEN n_chars < 250 THEN 0
+        |             WHEN n_chars < 450 THEN 1 ELSE 2 END AS tier,
+        |        md5('curr:' || CAST(doc_id AS VARCHAR)) AS key
+        |      FROM documents)
+        |SELECT doc_id, CAST(tier AS INT) AS tier,
+        |       CAST(row_number() OVER (ORDER BY tier, key, doc_id) - 1
+        |            AS BIGINT) AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "llm_lsh_tuning" -> {
+      val cfgs = Seq((2, 4), (4, 2), (8, 1))
+      val per = cfgs.map { case (b, r) =>
+        val bandSel = (0 until b).map { bi =>
+          val cat = (0 until r).map(j => s"h${bi * r + j}::VARCHAR")
+            .mkString(" || '_' || ")
+          s"SELECT doc_id, $bi AS band, $cat AS sig FROM mh"
+        }.mkString("\n UNION ALL ")
+        s"""bands_$b AS ($bandSel),
+           |cands_$b AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |             FROM bands_$b a JOIN bands_$b b
+           |               ON a.band = b.band AND a.sig = b.sig
+           |              AND a.doc_id < b.doc_id
+           |             GROUP BY 1, 2),
+           |inter_$b AS (SELECT c.doc_a, c.doc_b, count(*) AS n_both
+           |             FROM cands_$b c JOIN sh x ON x.doc_id = c.doc_a
+           |             JOIN sh y ON y.doc_id = c.doc_b
+           |                      AND y.shingle = x.shingle
+           |             GROUP BY 1, 2),
+           |jac_$b AS (SELECT i.doc_a,
+           |                  CAST(ROUND(CAST(n_both AS DOUBLE)
+           |                    / (sa.n_sh + sb.n_sh - n_both), 6) AS DOUBLE) AS jaccard
+           |           FROM inter_$b i
+           |           JOIN lsizes sa ON sa.doc_id = i.doc_a
+           |           JOIN lsizes sb ON sb.doc_id = i.doc_b),
+           |agg_$b AS (SELECT $b AS bands, $r AS rows_per_band,
+           |                  (SELECT count(*) FROM cands_$b) AS n_candidates,
+           |                  (SELECT count(*) FROM jac_$b WHERE jaccard >= 0.6) AS n_verified)""".stripMargin
+      }.mkString(",\n")
+      val union = cfgs.map { case (b, _) => s"SELECT * FROM agg_$b" }
+        .mkString(" UNION ALL ")
+      s"""WITH ${mhCtes("documents")},
+         |lsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |$per
+         |SELECT CAST(bands AS INT) AS bands,
+         |       CAST(rows_per_band AS INT) AS rows_per_band,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_verified AS BIGINT) AS n_verified,
+         |       CAST(ROUND(CAST(n_verified AS DOUBLE)
+         |            / NULLIF(n_candidates, 0), 6) AS DOUBLE) AS precision
+         |FROM ($union)
+         |ORDER BY bands""".stripMargin
+    },
 
     "llm_pq_codes" ->
       s"""WITH $pqCtes

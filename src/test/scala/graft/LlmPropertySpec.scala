@@ -229,6 +229,47 @@ class LlmPropertySpec extends SparkSpec {
     assert(got == Seq(4L, 1L, 2L, 3L))
   }
 
+  test("curriculumOrder: tiers are contiguous and pos is a permutation") {
+    import spark.implicits._
+    val d = Seq.tabulate(120)(i => (i.toLong, s"doc $i", i % 3))
+      .toDF("doc_id", "text", "difficulty")
+    val got = graft.llm.TrainOrder
+      .curriculumOrder(d, org.apache.spark.sql.functions.col("difficulty"), "c1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq == (0L until 120L))
+    // every tier-t position precedes every tier-(t+1) position
+    val maxByTier = got.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByTier = got.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxByTier(0) < minByTier(1) && maxByTier(1) < minByTier(2))
+  }
+
+  test("lshTuning: more bands can only widen the candidate set") {
+    import spark.implicits._
+    val d = Seq.tabulate(30)(i =>
+      (i.toLong, s"alpha beta gamma delta ${i % 5} epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.lshTuning(d).orderBy("bands").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows(2) <= rows(4) && rows(4) <= rows(8),
+      s"candidate counts not monotone in bands: $rows")
+  }
+
+  test("distinctSketch registers are bounded and consistent") {
+    import spark.implicits._
+    val d = Seq.tabulate(60)(i =>
+      (i.toLong, s"word${i % 37} filler${i % 11} tail", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.TextAnalysis.distinctSketch(d).collect()
+    got.foreach { r =>
+      val (hit, s) = (r.getLong(1), r.getLong(2))
+      assert(hit >= 1 && hit <= 64)
+      // every register contributes at most 2^52 (rho >= 1 once hit) and
+      // unseen buckets exactly 2^53
+      assert(s <= 64L * (1L << 53) && s >= (64 - hit) * (1L << 53))
+      assert(r.getDouble(3) > 0)
+    }
+  }
+
   test("pqCodes assigns the truly-nearest centroid per subspace") {
     import spark.implicits._
     val vecs = Seq.tabulate(6)(v =>
