@@ -436,6 +436,92 @@ object Similarity {
         expr("CAST(ROUND(__dist, 6) AS DOUBLE)").as("dist"), col("rank"))
   }
 
+  /** Top principal direction of the embedding corpus by two power-
+    * iteration steps over the INTEGER covariance of [[quantizeCodes]]
+    * output — the PCA/whitening primitive (dominant-direction removal is
+    * the standard embedding post-process, Mu & Viswanath 2018) made
+    * engine-exact by construction: quantizing first turns every
+    * covariance cell into an exact BIGINT (Σ ci·cj — order-free), the
+    * first matvec uses v0 = 1 so it stays integer, and the second folds
+    * c·v1 doubles in fixed j order (array_sort(collect_list) — the house
+    * ordered-fold pattern), so no float ever meets a nondeterministic
+    * aggregation order.
+    *
+    * Scale shape: covariance is ONE outer-product aggregate — dims²
+    * cells regardless of corpus size, partial-agg'd map-side; the
+    * iteration state is the dims-long vector (driver/broadcast scale).
+    *
+    * Output: (dim, loading, rayleigh) — loading normalized to max |w| =
+    * 1, rayleigh the eigenvalue estimate (same value every row).
+    */
+  def pcaPower(vecs: DataFrame): DataFrame = {
+    val codes = quantizeCodes(vecs)
+    val ex = codes.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("i", "ci")))
+    val cov = ex.as("a").join(ex.as("b"), "vec_id")
+      .groupBy(expr("a.i").as("i"), expr("b.i").as("j"))
+      .agg(sum(expr("CAST(a.ci AS BIGINT) * b.ci")).as("c"))
+    val w1 = cov.groupBy("i").agg(sum("c").as("w1"))
+    val m1 = w1.agg(max(abs(col("w1"))).as("m1"))
+    val v1 = w1.crossJoin(broadcast(m1))
+      .select(col("i").as("j"),
+        expr("CAST(w1 AS DOUBLE) / NULLIF(m1, 0)").as("v1"))
+    val w2 = cov.join(v1, Seq("j"))
+      .withColumn("term", expr("CAST(c AS DOUBLE) * v1"))
+      .groupBy("i")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(j, term))),
+          |  s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("w2"))
+    val m2 = w2.agg(max(abs(col("w2"))).as("m2"))
+    val ray = w2.join(v1, expr("j = i"))
+      .select(col("i"), expr("v1 * w2").as("n"), expr("v1 * v1").as("d"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(i, n))),
+          |  s -> s.n), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("num"),
+        expr(
+          """aggregate(transform(array_sort(collect_list(struct(i, d))),
+            |  s -> s.d), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          .as("den"))
+      .select(expr("num / NULLIF(den, 0)").as("ray"))
+    w2.crossJoin(broadcast(m2)).crossJoin(broadcast(ray))
+      .select(col("i").as("dim"),
+        expr("CAST(ROUND(w2 / NULLIF(m2, 0), 6) AS DOUBLE)").as("loading"),
+        expr("CAST(ROUND(ray, 6) AS DOUBLE)").as("rayleigh"))
+  }
+
+  /** Embedding whitening: remove the [[pcaPower]] dominant direction
+    * from every vector (Mu & Viswanath 2018 — all-but-the-top) and
+    * report each vector's projection onto it and residual norm. The
+    * direction is the collected 64-double model (driver-side L2
+    * normalization of the ROUND(6) loadings, sequential ascending fold
+    * — the oracle replays the identical arithmetic), embedded as a
+    * literal array; the per-vector work is two fixed-order expression
+    * folds — map-only over the corpus, no shuffle.
+    */
+  def dominantRemove(vecs: DataFrame): DataFrame = {
+    val loadings = pcaPower(vecs).orderBy("dim").collect()
+      .map(_.getDouble(1))
+    val nrm = math.sqrt(loadings.foldLeft(0.0)((a, l) => a + l * l))
+    val u = loadings.map(_ / nrm)
+    val uLit = u.mkString("array(", "D, ", "D)")
+    vecs.select(col("vec_id"),
+        expr(
+          s"""aggregate(zip_with(embedding, $uLit,
+             |  (x, uu) -> CAST(x AS DOUBLE) * uu),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          .as("__proj"), col("embedding"))
+      .select(col("vec_id"),
+        expr("CAST(ROUND(__proj, 6) AS DOUBLE)").as("proj"),
+        expr(
+          s"""CAST(ROUND(sqrt(aggregate(zip_with(embedding, $uLit,
+             |  (x, uu) -> (CAST(x AS DOUBLE) - __proj * uu)
+             |           * (CAST(x AS DOUBLE) - __proj * uu)),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), 6) AS DOUBLE)""".stripMargin)
+          .as("res_norm"))
+  }
+
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = exact.select("probe_id", "cand_id")
       .join(approx.select("probe_id", "cand_id"),

@@ -314,6 +314,41 @@ object Io {
         .orderBy("p_brand")
     }),
 
+    // AGGREGATE PUSHDOWN into the parquet scan: with the v2 reader and
+    // spark.sql.parquet.aggregatePushdown on, COUNT/MIN/MAX answer from
+    // row-group FOOTER STATISTICS — zero data pages read, the
+    // metadata-only plan a 100 TB "how big is this table" query needs
+    // (plan-gated: PushedAggregation reaches the scan). Materialized
+    // inside the conf scope (pushdown is decided at physical planning),
+    // returned as the 1-row result.
+    "src_agg_pushdown" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+      val prevAgg = s.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+      s.conf.set("spark.sql.sources.useV1SourceList",
+        prevV1.split(",").map(_.trim)
+          .filterNot(v => v == "parquet" || v.isEmpty).mkString(","))
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        // BIGINT columns only: footer min/max stats for them are always
+        // present and pushdown-eligible (timestamp stats are not)
+        val row = s.read.parquet(s"$d/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_okey"),
+            max(col("l_orderkey")).as("max_okey"),
+            min(col("l_partkey")).as("min_pkey"),
+            max(col("l_partkey")).as("max_pkey"))
+          .collect()(0)
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2),
+          row.getLong(3), row.getLong(4)))
+          .toDF("n_rows", "min_okey", "max_okey", "min_pkey", "max_pkey")
+      } finally {
+        s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+      }
+    }),
+
     "src_listing_dir" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
@@ -1663,6 +1698,12 @@ object Io {
     "ts_stream_tws_typecounts" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    "src_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |       min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
+        |FROM lineitem""".stripMargin,
 
     // the whole input exactly once, regardless of the two-phase replay
     "ts_stream_resume" ->

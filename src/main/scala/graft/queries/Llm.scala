@@ -67,6 +67,33 @@ object Llm {
   private def duckCosineRaw(a: String, b: String): String =
     s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
+  /** Shared PCA oracle CTEs: int8 quantize (the llm_quantize arithmetic)
+    * → exact-integer covariance → v0=1 integer matvec → normalized v1 →
+    * ordered-fold double matvec (w2) and its max (m2).
+    */
+  private val duckPcaCtes: String =
+    """amp AS (SELECT max(abs(CAST(x AS DOUBLE))) AS a
+      |        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      |q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amp.a) AS INT)) AS codes
+      |      FROM embeddings, amp),
+      |exd AS (SELECT vec_id, i - 1 AS i, codes[i] AS ci
+      |        FROM q, unnest(generate_series(1, len(codes))) u(i)),
+      |cov AS (SELECT a.i AS i, b.i AS j,
+      |               CAST(SUM(CAST(a.ci AS BIGINT) * b.ci) AS BIGINT) AS c
+      |        FROM exd a JOIN exd b USING (vec_id) GROUP BY 1, 2),
+      |w1 AS (SELECT i, CAST(SUM(c) AS BIGINT) AS w1 FROM cov GROUP BY 1),
+      |m1 AS (SELECT max(abs(w1)) AS m1 FROM w1),
+      |v1 AS (SELECT i AS j, CAST(w1 AS DOUBLE) / NULLIF(m1, 0) AS v1
+      |       FROM w1, m1),
+      |t2 AS (SELECT cov.i, cov.j, CAST(c AS DOUBLE) * v1 AS term
+      |       FROM cov JOIN v1 USING (j)),
+      |w2 AS (SELECT i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                list(term ORDER BY j)), (acc, v) -> acc + v) AS w2
+      |       FROM t2 GROUP BY i),
+      |m2 AS (SELECT max(abs(w2)) AS m2 FROM w2)""".stripMargin
+
   /** Shared PQ oracle CTEs: the md5-derived codebook (8 subspaces × 16
     * centroids × 8 dims — the same `(md5_16bit − 32767.5) / 2^16`
     * arithmetic [[Similarity.pqCentroid]] computes driver-side), every
@@ -892,6 +919,18 @@ object Llm {
       TrainOrder.weightedSample(docs(s, d), "doc_id", "n_chars", "s42", 120)
         .selectExpr("doc_id", "n_chars", "priority")
         .orderBy("doc_id")),
+
+    // PCA top component by power iteration over the INTEGER covariance
+    // of the int8-quantized corpus — exact BIGINT cells, integer first
+    // matvec (v0 = 1), ordered double folds for the second; the
+    // dominant-direction estimate embedding whitening removes
+    "llm_pca_power" -> ((s, d) =>
+      Similarity.pcaPower(emb(s, d)).orderBy("dim")),
+
+    // whitening: project out the PCA dominant direction per vector —
+    // projection + residual norm, the all-but-the-top post-process
+    "llm_whiten" -> ((s, d) =>
+      Similarity.dominantRemove(emb(s, d)).orderBy("vec_id")),
 
     // 4-step BPE TRAINING loop: the learned merge table, each step's
     // best pair depending on the previous merges — the chained oracle
@@ -2338,6 +2377,49 @@ object Llm {
         |        ORDER BY priority ASC NULLS LAST, doc_id LIMIT 120)
         |SELECT doc_id, n_chars, priority
         |FROM top ORDER BY doc_id""".stripMargin,
+
+    // the same quantize -> covariance -> two matvecs chain: integer
+    // covariance (order-free), v0=1 integer first step, list(term ORDER
+    // BY j) sequential folds for the double second step
+    "llm_pca_power" ->
+      s"""WITH $duckPcaCtes,
+         |rj AS (SELECT w2.i, v1.v1 * w2.w2 AS n, v1.v1 * v1.v1 AS d
+         |       FROM w2 JOIN v1 ON v1.j = w2.i),
+         |ray AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                 list(n ORDER BY i)), (acc, v) -> acc + v)
+         |               / NULLIF(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                 list(d ORDER BY i)), (acc, v) -> acc + v), 0) AS r
+         |        FROM rj)
+         |SELECT CAST(i AS INT) AS dim,
+         |       CAST(ROUND(w2 / NULLIF(m2, 0), 6) AS DOUBLE) AS loading,
+         |       CAST(ROUND(r, 6) AS DOUBLE) AS rayleigh
+         |FROM w2, m2, ray ORDER BY dim""".stripMargin,
+
+    // the pca chain + the driver-side arithmetic replayed: ROUND(6)
+    // loadings -> sequential-fold L2 norm -> unit direction -> per-vec
+    // ordered projection / residual folds
+    "llm_whiten" ->
+      s"""WITH $duckPcaCtes,
+         |ld AS (SELECT i, ROUND(w2 / NULLIF(m2, 0), 6) AS loading
+         |       FROM w2, m2),
+         |nr AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list(loading * loading ORDER BY i)),
+         |                (acc, v) -> acc + v)) AS nrm FROM ld),
+         |uv AS (SELECT list(loading / nrm ORDER BY i) AS u FROM ld, nr),
+         |pv AS (SELECT vec_id,
+         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(generate_series(1, len(embedding)),
+         |                  k -> CAST(embedding[k] AS DOUBLE) * u[k])),
+         |                (acc, v) -> acc + v) AS proj,
+         |              embedding, u
+         |       FROM embeddings, uv)
+         |SELECT vec_id, CAST(ROUND(proj, 6) AS DOUBLE) AS proj,
+         |       CAST(ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(generate_series(1, len(embedding)),
+         |           k -> (CAST(embedding[k] AS DOUBLE) - proj * u[k])
+         |              * (CAST(embedding[k] AS DOUBLE) - proj * u[k]))),
+         |         (acc, v) -> acc + v)), 6) AS DOUBLE) AS res_norm
+         |FROM pv ORDER BY vec_id""".stripMargin,
 
     // the same dictionary evolved through four replace steps, each
     // step's argmax pair feeding the next stage's CTE

@@ -319,6 +319,22 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("pcaPower loadings are invariant under corpus duplication") {
+    import spark.implicits._
+    val e = Seq.tabulate(20)(v =>
+      (v.toLong, Array.tabulate(64)(i => ((v * 13 + i * 5) % 9 - 4) / 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = e.union(e.selectExpr("vec_id + 100", "embedding"))
+    val l1 = graft.llm.Similarity.pcaPower(e).orderBy("dim")
+      .collect().map(_.getDouble(1)).toSeq
+    val l2 = graft.llm.Similarity.pcaPower(e2).orderBy("dim")
+      .collect().map(_.getDouble(1)).toSeq
+    // integer covariance doubles exactly; the normalized direction is
+    // scale-free, so the loadings must match to the ROUND(6) edge
+    assert(l1 == l2, s"loadings drifted under duplication")
+    assert(l1.exists(v => math.abs(v) == 1.0), "max-|w| normalization lost")
+  }
+
   test("cosine stays in [-1, 1]; self-similarity is 1") {
     samples(Gen.listOfN(3, vec), 5).foreach { vs =>
       import spark.implicits._

@@ -370,6 +370,28 @@ class PlanShapeSpec extends SparkSpec {
       s"image decode pipeline shuffles beyond the output sort:\n$plan")
   }
 
+  test("src_agg_pushdown: COUNT/MIN/MAX answer from parquet footer stats") {
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      prevV1.split(",").map(_.trim)
+        .filterNot(v => v == "parquet" || v.isEmpty).mkString(","))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      import org.apache.spark.sql.functions._
+      val plan = staticPlan(
+        spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+          .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey"))))
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate did not push into the scan (metadata-only read lost):\n$plan")
+      assert(plan.contains("MIN(l_orderkey)") && plan.contains("MAX(l_orderkey)"),
+        s"min/max not pushed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+    }
+  }
+
   test("q18/q21 flip lineitem-derived build sides to shuffled joins under a 1MB broadcast threshold at sf0.1") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
