@@ -447,20 +447,26 @@ object Similarity {
     * ordered-fold pattern), so no float ever meets a nondeterministic
     * aggregation order.
     *
-    * Scale shape: covariance is ONE outer-product aggregate — dims²
-    * cells regardless of corpus size, partial-agg'd map-side; the
-    * iteration state is the dims-long vector (driver/broadcast scale).
+    * Scale shape: covariance is ONE outer-product aggregate — each row
+    * explodes its own dims² products map-side (a Generate straight into
+    * the partial HashAggregate, NO self-join: the join-on-vec_id
+    * formulation would shuffle 2·dims× the corpus just to rebuild pairs
+    * every row already holds), so only dims² partial cells per task
+    * reach the exchange regardless of corpus size; the iteration state
+    * is the dims-long vector (driver/broadcast scale).
     *
     * Output: (dim, loading, rayleigh) — loading normalized to max |w| =
     * 1, rayleigh the eigenvalue estimate (same value every row).
     */
   def pcaPower(vecs: DataFrame): DataFrame = {
     val codes = quantizeCodes(vecs)
-    val ex = codes.select(col("vec_id"),
-      posexplode(col("codes")).as(Seq("i", "ci")))
-    val cov = ex.as("a").join(ex.as("b"), "vec_id")
-      .groupBy(expr("a.i").as("i"), expr("b.i").as("j"))
-      .agg(sum(expr("CAST(a.ci AS BIGINT) * b.ci")).as("c"))
+    val cov = codes.select(explode(expr(
+        """flatten(transform(codes, (ci, i) ->
+          |  transform(codes, (cj, j) ->
+          |    struct(i AS i, j AS j, CAST(ci AS BIGINT) * cj AS p))))"""
+          .stripMargin)).as("cell"))
+      .groupBy(expr("cell.i").as("i"), expr("cell.j").as("j"))
+      .agg(sum(expr("cell.p")).as("c"))
     val w1 = cov.groupBy("i").agg(sum("c").as("w1"))
     val m1 = w1.agg(max(abs(col("w1"))).as("m1"))
     val v1 = w1.crossJoin(broadcast(m1))

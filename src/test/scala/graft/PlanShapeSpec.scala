@@ -370,6 +370,16 @@ class PlanShapeSpec extends SparkSpec {
       s"image decode pipeline shuffles beyond the output sort:\n$plan")
   }
 
+  test("llm_pca_power: covariance is a join-free outer-product explode") {
+    val plan = staticPlan(graft.SparkEntry.queries("llm_pca_power")(spark, sfSmoke))
+    // each row explodes its own dims^2 products into the partial agg —
+    // a self-join on vec_id would shuffle 2*dims x the corpus instead
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pca covariance rebuilt pairs via a corpus-scale join:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"outer-product explode missing from the covariance subtree:\n$plan")
+  }
+
   test("src_agg_pushdown: COUNT/MIN/MAX answer from parquet footer stats") {
     val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
     val prevAgg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
