@@ -926,6 +926,55 @@ object Dedup {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** PageRank over the undirected duplicate-candidate graph — `iters`
+    * power steps with damping 0.85: the centrality signal that ranks
+    * which documents sit at the CORE of a near-dup neighborhood (tight
+    * template families, boilerplate hubs) vs its fringe, the next graph
+    * analytic after [[dupClusters]] membership and [[dupTriangles]]
+    * density.
+    *
+    * Determinism: a node's incoming Σ pr/deg is an IEEE sum over an
+    * unordered join result, so each iteration folds the contributions in
+    * fixed neighbor order (array_sort(collect_list) — the house ordered
+    * fold). Edges are normalized (oriented + distinct) like
+    * [[dupTriangles]].
+    *
+    * Scale shape: per iteration one equi-join of the edge list against
+    * the k-node rank table and one degree-bounded aggregate — the fold
+    * array is one node's neighbor list, bounded by the candidate graph's
+    * max degree (feed exact-collapse survivors, as with triangles, to
+    * keep copy-class hubs from inflating it). Output:
+    * (doc_id, deg, pr).
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 2,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val edges = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, Seq("src"))
+    var ranks = deg.select(col("src").as("doc_id"),
+      expr("CAST(1.0 AS DOUBLE)").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("doc_id"))
+        .select(col("dst"), col("src"), expr("pr / deg").as("c"))
+      ranks = contrib.groupBy(col("dst").as("doc_id"))
+        .agg(expr(
+          s"""CAST(${damping} AS DOUBLE) * aggregate(
+             |  transform(array_sort(collect_list(struct(src, c))),
+             |    s -> s.c), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+             |+ CAST(${1.0 - damping} AS DOUBLE)""".stripMargin).as("pr"))
+    }
+    ranks.join(deg, ranks("doc_id") === deg("src"))
+      .select(col("doc_id"), col("deg"),
+        expr("CAST(ROUND(pr, 6) AS DOUBLE)").as("pr"))
+  }
+
   /** Corpus-source similarity via group-level MinHash: which crawls / dumps
     * / sources substantially duplicate each other, answered WITHOUT ever
     * comparing documents.

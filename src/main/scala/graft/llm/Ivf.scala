@@ -189,4 +189,38 @@ object Ivf {
       .orderBy(col("cos").desc, col("cand_id"))
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Per-cluster k-means inertia — the within-cluster sum of squared
+    * euclidean distance to the cluster MEAN, i.e. the objective a
+    * training loop monitors between Lloyd steps — without ever
+    * materializing the mean per row: Σ_p Σ_d (x − μ_d)² expands to
+    * Σ_d (Q_d − S_d²/n) with S_d = Σx and Q_d = Σx² per (cluster, dim).
+    *
+    * Engine-exact by the house split: the corpus-scale sums S/Q run on
+    * DECIMAL(18,9) (exact, order-free — the same cast [[lloydIterate]]
+    * pins); all IEEE arithmetic is confined to the k×dims cells, whose
+    * per-cluster reduction folds in fixed dim order.
+    *
+    * Scale shape: one broadcast-assign + one (cluster, dim) partial
+    * aggregate — k×dims cells cross the wire, never the corpus.
+    * Output: (centroid_id, n_members, inertia).
+    */
+  def inertia(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vecs, centroids)
+      .select(col("centroid_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("double").cast("decimal(18,9)"))
+      .groupBy("centroid_id", "dim")
+      .agg(sum(col("vd")).as("s"), sum(expr("vd * vd")).as("q"),
+        count(lit(1)).as("n"))
+      .withColumn("term", expr(
+        "CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n"))
+      .groupBy("centroid_id")
+      .agg(max("n").as("n_members"),
+        expr(
+          """aggregate(transform(array_sort(collect_list(struct(dim, term))),
+            |  s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+            .stripMargin).as("__i"))
+      .select(col("centroid_id"), col("n_members"),
+        expr("CAST(ROUND(__i, 6) AS DOUBLE)").as("inertia"))
 }

@@ -876,6 +876,47 @@ object TextAnalysis {
     merges.toSeq.toDF("iter", "merge_pair", "n_merged")
   }
 
+  /** BPE ENCODE — apply a learned merge table ([[bpeTrain]] over the same
+    * corpus) to every document and report per-doc token statistics: the
+    * tokenizer-application half of the BPE lifecycle, and the per-doc
+    * token count a budget/packing stage actually consumes.
+    *
+    * Scale shape — the corpus NEVER flows through the merge passes: the
+    * unique-word dictionary (vocabulary-sized) is tokenized once through
+    * the `iters` chained space-delimited replaces (identical
+    * non-overlap-leftmost semantics to [[bpeTrain]]'s dict evolution),
+    * then each document's exploded words equi-join the (word → token
+    * count) map — one shuffle on the word key, merge work proportional
+    * to |vocab| · iters regardless of corpus size. (No broadcast hint:
+    * a web-scale vocabulary is join-sized, not broadcast-sized; AQE may
+    * still broadcast a small one.)
+    *
+    * Output: (doc_id, n_words, n_tokens, n_multi) — n_multi counts the
+    * emitted symbols longer than one character (i.e. actual merges).
+    */
+  def bpeEncode(docs: DataFrame, iters: Int = 4): DataFrame = {
+    val merges = bpeTrain(docs, iters).orderBy("iter").collect()
+      .map(_.getString(1))
+    val words = docs.select(col("doc_id"),
+      explode(expr(s"filter(split(${Dedup.normalizeExpr}, ' '), " +
+        "w -> length(w) > 0)")).as("w"))
+    var dict = words.select("w").distinct()
+      .withColumn("seq", concat_ws(" ", split(col("w"), "")))
+    merges.foreach { bp =>
+      dict = dict.withColumn("seq",
+        trim(replace(concat(lit(" "), col("seq"), lit(" ")),
+          lit(s" $bp "), lit(s" ${bp.replace(" ", "")} "))))
+    }
+    val tok = dict.select(col("w"),
+      size(split(col("seq"), " ")).cast("long").as("nt"),
+      expr("CAST(size(filter(split(seq, ' '), t -> length(t) > 1)) AS BIGINT)")
+        .as("nm"))
+    words.join(tok, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"),
+        sum("nm").as("n_multi"))
+  }
+
   /** Build the training mix under a global token budget: source s with
     * weight w_s gets quota ⌊B·w_s/Σw⌋ tokens, filled in the seeded-md5
     * document order (reproducible across runs, engines and cluster

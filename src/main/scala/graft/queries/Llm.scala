@@ -938,6 +938,34 @@ object Llm {
     "llm_bpe_train" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), iters = 4).orderBy("iter")),
 
+    // BPE ENCODE: the learned 4-merge table applied to every document —
+    // the unique-word dictionary is tokenized once (vocab-sized merge
+    // work), docs' words equi-join the (word -> token count) map; the
+    // corpus never flows through the replace passes
+    "llm_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(docs(s, d), iters = 4).orderBy("doc_id")),
+
+    // per-cluster k-means objective: Σ(x-μ)² via the Σx²−(Σx)²/n
+    // expansion — corpus sums DECIMAL-exact and order-free, IEEE math
+    // confined to the k×dims cells folded in fixed dim order
+    "llm_kmeans_inertia" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = e.where(col("vec_id").isin(3, 17, 31, 59))
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Ivf.inertia(e, cents).orderBy("centroid_id")
+    }),
+
+    // PageRank (2 damped power steps) over the jaccard>=0.6 candidate
+    // graph — which docs sit at the CORE of a near-dup neighborhood;
+    // per-node incoming sums fold in fixed neighbor order
+    "llm_pagerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      Dedup.pageRank(pairs, iters = 2).orderBy("doc_id")
+    }),
+
     // deterministic HyperLogLog distinct-token sketch per source (md5
     // bucket+rho, exact-integer harmonic sum) next to the exact count —
     // the cardinality estimator that moves 64 registers instead of the
@@ -2448,6 +2476,104 @@ object Llm {
          |SELECT CAST(iter AS INT) AS iter, merge_pair,
          |       CAST(n AS BIGINT) AS n_merged
          |FROM ($out) ORDER BY iter""".stripMargin
+    },
+
+    // the same 4-step dictionary evolution, KEEPING word identity so the
+    // final per-word tokenization joins back to each doc's word stream
+    "llm_bpe_encode" -> {
+      val steps = (1 to 4).map { i =>
+        s"""pc$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
+           |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM e${i - 1}),
+           |            unnest(generate_series(1, len(s) - 1)) u(i)
+           |       GROUP BY 1),
+           |b$i AS (SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
+           |e$i AS (SELECT w, wc,
+           |             trim(replace(' ' || seq || ' ',
+           |                          ' ' || (SELECT pair FROM b$i) || ' ',
+           |                          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq
+           |      FROM e${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toksb AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),
+         |wcs AS (SELECT w, count(*) AS wc FROM toksb WHERE length(w) > 0 GROUP BY w),
+         |e0 AS (SELECT w, wc,
+         |              array_to_string(regexp_split_to_array(w, ''), ' ') AS seq
+         |       FROM wcs),
+         |$steps,
+         |wtok AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nt,
+         |                CAST(len(list_filter(string_split(seq, ' '),
+         |                         t -> length(t) > 1)) AS BIGINT) AS nm
+         |         FROM e4),
+         |dw AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(nm) AS BIGINT) AS n_multi
+         |FROM dw JOIN wtok USING (w) WHERE length(w) > 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // assignment replayed (unrounded-cosine argmax, min-cid ties), then
+    // the Σx²−(Σx)²/n expansion: DECIMAL-exact S/Q per (cluster, dim),
+    // double arithmetic only on the k×dims cells, list(... ORDER BY dim)
+    // sequential fold
+    "llm_kmeans_inertia" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |           WHERE vec_id IN (3, 17, 31, 59)),
+         |a AS (SELECT v.vec_id, c.cid,
+         |             ${duckCosineRaw("v.embedding", "c.ce")} AS cos
+         |      FROM embeddings v CROSS JOIN c),
+         |mx AS (SELECT vec_id, MAX(cos) AS m FROM a GROUP BY vec_id),
+         |asg AS (SELECT a.vec_id, MIN(a.cid) AS cid
+         |        FROM a JOIN mx ON a.vec_id = mx.vec_id AND a.cos = mx.m
+         |        GROUP BY a.vec_id),
+         |px AS (SELECT g.cid, CAST(i - 1 AS INT) AS dim,
+         |              CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS vd
+         |       FROM asg g JOIN embeddings e ON e.vec_id = g.vec_id,
+         |            unnest(generate_series(1, len(e.embedding))) u(i)),
+         |ag AS (SELECT cid, dim, SUM(vd) AS s, SUM(vd * vd) AS q,
+         |              COUNT(*) AS n
+         |       FROM px GROUP BY 1, 2),
+         |t AS (SELECT cid, dim, n,
+         |             CAST(q AS DOUBLE)
+         |             - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n AS term
+         |      FROM ag)
+         |SELECT CAST(cid AS INT) AS centroid_id,
+         |       CAST(MAX(n) AS BIGINT) AS n_members,
+         |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(term ORDER BY dim)), (acc, v) -> acc + v), 6) AS DOUBLE)
+         |         AS inertia
+         |FROM t GROUP BY cid ORDER BY centroid_id""".stripMargin,
+
+    // two damped power steps over the symmetrized jaccard>=0.6 edge
+    // list; incoming contributions fold in neighbor order, the damping
+    // residual interpolated from the SAME Scala double literal the
+    // Spark plan embeds
+    "llm_pagerank" -> {
+      val resid = s"${1.0 - 0.85}"
+      val iterStep = (i: Int) =>
+        s"""c$i AS (SELECT s.dst, s.src, r.pr / d.deg AS c
+           |       FROM sym s JOIN deg d ON d.src = s.src
+           |       JOIN r${i - 1} r ON r.doc_id = s.src),
+           |r$i AS (SELECT dst AS doc_id,
+           |              CAST(0.85 AS DOUBLE)
+           |              * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |                  list(c ORDER BY src)), (acc, v) -> acc + v)
+           |              + CAST($resid AS DOUBLE) AS pr
+           |       FROM c$i GROUP BY dst)""".stripMargin
+      s"""WITH ${minhashCtes()},
+         |$jaccardCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |ed AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+         |                       greatest(doc_a, doc_b) AS b
+         |       FROM prs WHERE doc_a <> doc_b),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT src AS doc_id, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+         |${iterStep(1)},
+         |${iterStep(2)}
+         |SELECT r2.doc_id, CAST(deg AS BIGINT) AS deg,
+         |       CAST(ROUND(pr, 6) AS DOUBLE) AS pr
+         |FROM r2 JOIN deg ON deg.src = r2.doc_id ORDER BY doc_id""".stripMargin
     },
 
     // identical md5 bucket/rho arithmetic, HUGEINT sums cast to BIGINT,
