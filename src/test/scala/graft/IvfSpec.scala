@@ -170,4 +170,18 @@ class IvfSpec extends SparkSpec {
       rows(Ivf.lloydLoop(vecs, seed, 1)),
       "assignments stable => the loop must sit at the fixed point")
   }
+
+  test("inertia matches the hand-computed within-cluster SSE") {
+    import spark.implicits._
+    def v(fs: Double*) = fs.map(_.toFloat).toArray
+    // c0 claims (1,0) and (3,0): mean (2,0), SSE = 1+1 = 2;
+    // c1 claims (0,5) alone: singleton inertia is exactly 0
+    val vecs = Seq((1L, v(1.0, 0.0)), (2L, v(3.0, 0.0)), (3L, v(0.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, v(1.0, 0.0)), (1, v(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    val got = Ivf.inertia(vecs, cents).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got == Seq((0, 2L, 2.0), (1, 1L, 0.0)), s"got $got")
+  }
 }

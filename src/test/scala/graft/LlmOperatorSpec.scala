@@ -871,4 +871,46 @@ class LlmOperatorSpec extends SparkSpec {
     assert(got(2L) == ((3L, logit("a b a"), logit("a b a") > 0)))
     assert(!got.contains(3L), "token-free docs produce no score row")
   }
+
+  test("pageRank: one damped step on a path graph, hand-computed") {
+    import spark.implicits._
+    // path 1-2-3: deg 1/2/1; after one step from pr=1:
+    //   pr(1) = pr(3) = 0.85 * (1/2) + 0.15 = 0.575
+    //   pr(2) = 0.85 * (1/1 + 1/1) + 0.15 = 1.85
+    // duplicate + reversed edges must collapse to the same graph
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> ((1L, 0.575)), 2L -> ((2L, 1.85)),
+      3L -> ((1L, 0.575))))
+  }
+
+  test("pageRank conserves total rank on a regular graph") {
+    import spark.implicits._
+    // a 4-cycle is 2-regular: every node keeps pr = 1 exactly
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("doc_a", "doc_b")
+    val prs = Dedup.pageRank(cyc, iters = 3).collect()
+      .map(r => r.getDouble(2)).toSeq
+    assert(prs == Seq(1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("bpeEncode tokenizes docs with the learned merge table") {
+    // corpus "aab aab ab": merge 1 = "a b" (n=3), merge 2 = "a ab";
+    // dict then maps aab -> [aab], ab -> [ab] — every emitted symbol is
+    // multi-char, so the 3 words of doc 1 yield 3 tokens, all merged
+    val out = TextAnalysis.bpeEncode(docs(1L -> "aab aab ab"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq((1L, 3L, 3L, 3L)), s"got $out")
+  }
+
+  test("bpeEncode with zero effective merges counts characters") {
+    // single-word corpus "ab": merge 1 fuses it; at iters=1 the dict's
+    // lone word becomes one 2-char token
+    val one = TextAnalysis.bpeEncode(docs(1L -> "ab ab"), iters = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(one == Seq((2L, 2L, 2L)), s"got $one")
+  }
 }

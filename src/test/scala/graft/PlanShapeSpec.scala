@@ -448,4 +448,27 @@ class PlanShapeSpec extends SparkSpec {
         "shingle joins still broadcast above the threshold")
     } finally spark.conf.set(key, prev)
   }
+
+  test("llm_pagerank: every iteration join is an equi join on node id") {
+    val plan = staticPlan(SparkEntry.queries("llm_pagerank")(spark, sfSmoke))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pagerank iteration degenerated to a non-equi join:\n$plan")
+  }
+
+  test("llm_kmeans_inertia: centroid assignment broadcasts, never sorts the corpus against k rows") {
+    val plan = staticPlan(SparkEntry.queries("llm_kmeans_inertia")(spark, sfSmoke))
+    assert(!plan.contains("SortMergeJoin"),
+      s"k-row centroid table shuffles the corpus instead of broadcasting:\n$plan")
+  }
+
+  test("llm_bpe_encode: merge passes touch only the vocab dict (corpus joins once, equi)") {
+    val plan = staticPlan(SparkEntry.queries("llm_bpe_encode")(spark, sfSmoke))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"word-to-token join degenerated:\n$plan")
+    // the corpus-side explode appears once for the dict build and once for
+    // the doc join-back; a third Generate means the merge chain re-derived
+    // the corpus word stream per pass
+    val gen = "Generate ".r.findAllIn(plan).size
+    assert(gen <= 3, s"bpe encode re-derives the word stream ($gen Generates):\n$plan")
+  }
 }
