@@ -917,6 +917,77 @@ object TextAnalysis {
         sum("nm").as("n_multi"))
   }
 
+  /** Tokenizer-fit report per source: fertility (tokens emitted per
+    * word) and compression (characters per token) of the [[bpeTrain]]ed
+    * tokenizer, rolled up by corpus source — the eval a tokenizer change
+    * ships with, and the per-source table that flags a domain (code, CJK,
+    * tables) the merge vocabulary underserves (fertility → 1.0 means
+    * whole words fuse; → avg word length means it degrades to chars).
+    *
+    * Scale shape: [[bpeEncode]]'s vocab-bounded merge work + one
+    * source-keyed rollup; ratios are single IEEE divisions of exact
+    * BIGINT sums at the output edge. Docs with no tokens drop out (and
+    * contribute nothing to either ratio).
+    */
+  def tokenizerFertility(docs: DataFrame, iters: Int = 4): DataFrame =
+    bpeEncode(docs, iters)
+      .join(docs.select(col("doc_id"), col("source"),
+        length(replace(expr(Dedup.normalizeExpr), lit(" "), lit("")))
+          .cast("long").as("chars")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"), sum("chars").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)," +
+          " 6) AS DOUBLE)").as("fertility"),
+        expr("CAST(ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)," +
+          " 6) AS DOUBLE)").as("chars_per_token"))
+
+  /** CCNet-style statistical-LM quality signal, log-free: score every
+    * document by how PREDICTABLE its word transitions are under the
+    * corpus's own bigram model — fluent prose repeats the corpus's
+    * transitions (high avg p(w2|w1) = c(w1 w2)/c(w1)), gibberish /
+    * boilerplate-shredded text lands on rare transitions. The standard
+    * formulation is perplexity (needs log, which is NOT correctly-rounded
+    * IEEE and therefore banned from the differential edge); the mean
+    * transition probability plus the rare-bigram rate rank documents the
+    * same way and stay engine-exact: each p is ONE IEEE division of two
+    * exact integers, and the per-doc mean folds in position order.
+    *
+    * Scale shape: bigrams come from each row's own token array (one
+    * Generate, no self-join); the count tables are vocabulary²-bounded
+    * and join back on hash-partitioned keys — two shuffles on (w1,w2) /
+    * w1, plus the per-doc aggregate. Nothing is corpus × corpus.
+    *
+    * Output: (doc_id, n_bigrams, n_rare, avg_p) — docs with < 2 tokens
+    * drop out (no transitions to score).
+    */
+  def bigramScore(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr(s"filter(split(${Dedup.normalizeExpr}, ' '), w -> length(w) > 0)")
+        .as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bg = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(i AS pos, t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+    val cbi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bg.join(cbi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .withColumn("p", expr("CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") < minCount, 1L).otherwise(0L)).as("n_rare"),
+        expr(
+          """aggregate(transform(array_sort(collect_list(struct(pos, p))),
+            |  s -> s.p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+            .stripMargin).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        expr("CAST(ROUND(__s / n_bigrams, 6) AS DOUBLE)").as("avg_p"))
+  }
+
   /** Build the training mix under a global token budget: source s with
     * weight w_s gets quota ⌊B·w_s/Σw⌋ tokens, filled in the seeded-md5
     * document order (reproducible across runs, engines and cluster

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture primitives — the ingest edge of a continuously
@@ -65,6 +66,32 @@ object Cdc {
           .when(col("__before") =!= col("__after"), lit("changed")))
       .where(col("status").isNotNull)
       .select(col(keyCol), col("status"))
+  }
+
+  /** Slowly-changing-dimension Type 2: turn the keyed changelog into a
+    * full VERSION HISTORY — one row per surviving change carrying its
+    * validity interval [`valid_from` = own seq, `valid_to` = the NEXT
+    * change's seq for the key, NULL while current) and an `is_current`
+    * flag. A delete tombstone emits no version but still CLOSES the
+    * previous one (its seq becomes that row's valid_to) — dropping
+    * deletes before the interval computation would leave the dead
+    * version open forever, the classic SCD2 bug. Where [[applyChangelog]]
+    * answers "what is true now", this answers "what was true when" — the
+    * as-of reconstruction audits and point-in-time joins need.
+    *
+    * Scale shape: one window partitioned BY KEY ordered by seq — per-key
+    * state is the changelog depth of that key (days of changes, not the
+    * corpus), and keys spread across the hash exchange; no global sort,
+    * no single hot reducer.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
+                  opCol: String, deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) =!= lit(deleteOp))
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 
   /** Incremental maintenance of a grouped count/sum aggregate — the

@@ -945,6 +945,19 @@ object Llm {
     "llm_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeEncode(docs(s, d), iters = 4).orderBy("doc_id")),
 
+    // tokenizer-fit report: fertility (tokens/word) and compression
+    // (chars/token) per source — the eval table a tokenizer change ships
+    // with; ratios are single IEEE divisions of exact BIGINT sums
+    "llm_bpe_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(docs(s, d), iters = 4)
+        .orderBy("source")),
+
+    // corpus-self bigram LM quality signal (CCNet stand-in, log-free):
+    // mean transition probability + rare-bigram rate per doc; each p is
+    // one IEEE division of exact integers, folded in position order
+    "llm_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramScore(docs(s, d), minCount = 2).orderBy("doc_id")),
+
     // per-cluster k-means objective: Σ(x-μ)² via the Σx²−(Σx)²/n
     // expansion — corpus sums DECIMAL-exact and order-free, IEEE math
     // confined to the k×dims cells folded in fixed dim order
@@ -1089,6 +1102,38 @@ object Llm {
        |       GROUP BY key HAVING count(*) >= 2),
        |fx AS (SELECT l.doc_id, l.line_no, l.line, (b.key IS NOT NULL) AS is_bl
        |       FROM lx l LEFT JOIN bl b ON l.key = b.key)""".stripMargin
+
+  /** Shared CTE chain replaying [[TextAnalysis.bpeEncode]]'s 4-merge
+    * dictionary evolution, ending at `wtok` (word → token/multi counts)
+    * and `dw` (the per-doc word stream) — the encode and fertility
+    * oracles select differently off the same chain.
+    */
+  private def bpeEncodeCtes: String = {
+    val steps = (1 to 4).map { i =>
+      s"""pc$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
+         |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM e${i - 1}),
+         |            unnest(generate_series(1, len(s) - 1)) u(i)
+         |       GROUP BY 1),
+         |b$i AS (SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
+         |e$i AS (SELECT w, wc,
+         |             trim(replace(' ' || seq || ' ',
+         |                          ' ' || (SELECT pair FROM b$i) || ' ',
+         |                          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq
+         |      FROM e${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""toksb AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),
+       |wcs AS (SELECT w, count(*) AS wc FROM toksb WHERE length(w) > 0 GROUP BY w),
+       |e0 AS (SELECT w, wc,
+       |              array_to_string(regexp_split_to_array(w, ''), ' ') AS seq
+       |       FROM wcs),
+       |$steps,
+       |wtok AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nt,
+       |                CAST(len(list_filter(string_split(seq, ' '),
+       |                         t -> length(t) > 1)) AS BIGINT) AS nm
+       |         FROM e4),
+       |dw AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS w FROM documents)"""
+      .stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "llm_line_dedup" ->
@@ -2480,36 +2525,63 @@ object Llm {
 
     // the same 4-step dictionary evolution, KEEPING word identity so the
     // final per-word tokenization joins back to each doc's word stream
-    "llm_bpe_encode" -> {
-      val steps = (1 to 4).map { i =>
-        s"""pc$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
-           |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM e${i - 1}),
-           |            unnest(generate_series(1, len(s) - 1)) u(i)
-           |       GROUP BY 1),
-           |b$i AS (SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
-           |e$i AS (SELECT w, wc,
-           |             trim(replace(' ' || seq || ' ',
-           |                          ' ' || (SELECT pair FROM b$i) || ' ',
-           |                          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq
-           |      FROM e${i - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toksb AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),
-         |wcs AS (SELECT w, count(*) AS wc FROM toksb WHERE length(w) > 0 GROUP BY w),
-         |e0 AS (SELECT w, wc,
-         |              array_to_string(regexp_split_to_array(w, ''), ' ') AS seq
-         |       FROM wcs),
-         |$steps,
-         |wtok AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nt,
-         |                CAST(len(list_filter(string_split(seq, ' '),
-         |                         t -> length(t) > 1)) AS BIGINT) AS nm
-         |         FROM e4),
-         |dw AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS w FROM documents)
+    "llm_bpe_encode" ->
+      s"""WITH $bpeEncodeCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
          |       CAST(SUM(nm) AS BIGINT) AS n_multi
          |FROM dw JOIN wtok USING (w) WHERE length(w) > 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the encode chain rolled up by source: exact BIGINT sums, the two
+    // ratios as single IEEE divisions at the edge
+    "llm_bpe_fertility" ->
+      s"""WITH $bpeEncodeCtes,
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |              CAST(SUM(nt) AS BIGINT) AS ntok
+         |       FROM dw JOIN wtok USING (w) WHERE length(w) > 0
+         |       GROUP BY doc_id),
+         |m AS (SELECT doc_id, source,
+         |             CAST(length(replace($NORM, ' ', '')) AS BIGINT) AS chars
+         |      FROM documents)
+         |SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nw) AS BIGINT) AS n_words,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(ROUND(CAST(SUM(ntok) AS DOUBLE)
+         |                  / CAST(SUM(nw) AS DOUBLE), 6) AS DOUBLE)
+         |         AS fertility,
+         |       CAST(ROUND(CAST(SUM(chars) AS DOUBLE)
+         |                  / CAST(SUM(ntok) AS DOUBLE), 6) AS DOUBLE)
+         |         AS chars_per_token
+         |FROM pd JOIN m USING (doc_id)
+         |GROUP BY m.source ORDER BY m.source""".stripMargin,
+
+    // same bigram/unigram MLE counts, positions via generate_series
+    // where the plan transforms the token array; per-doc fold replayed
+    // as list(p ORDER BY pos)
+    "llm_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              list_filter(string_split($NORM, ' '),
+         |                          w -> length(w) > 0) AS t
+         |            FROM documents),
+         |uni AS (SELECT w, count(*) AS c1
+         |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |bg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS w1,
+         |              t[i + 1] AS w2
+         |       FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |       WHERE len(t) >= 2),
+         |cbi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |j AS (SELECT bg.doc_id, bg.pos, cbi.c12,
+         |             CAST(cbi.c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE) AS p
+         |      FROM bg JOIN cbi ON bg.w1 = cbi.w1 AND bg.w2 = cbi.w2
+         |           JOIN uni ON bg.w1 = uni.w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN c12 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_rare,
+         |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(p ORDER BY pos)), (acc, v) -> acc + v) / count(*), 6)
+         |         AS DOUBLE) AS avg_p
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // assignment replayed (unrounded-cosine argmax, min-cid ties), then
     // the Σx²−(Σx)²/n expansion: DECIMAL-exact S/Q per (cluster, dim),

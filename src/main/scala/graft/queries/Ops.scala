@@ -33,6 +33,16 @@ object Ops {
         .orderBy("k")
     }),
 
+    // SCD Type-2 history: every surviving change with its validity
+    // interval; tombstones emit nothing but close the prior version
+    "cdc_scd2" -> ((s, d) => {
+      Tables.register(s, d)
+      Cdc.scd2History(s.sql(ChangelogSql), "k", "seq", "op")
+        .selectExpr("k", "valid_from", "valid_to", "op",
+          "CAST(total AS DOUBLE) AS total", "is_current")
+        .orderBy("k", "valid_from")
+    }),
+
     // materialized-view refresh: yesterday's aggregate + today's signed
     // delta batch (inserts/updates/deletes over disjoint key classes)
     // merged WITHOUT rescanning the base; the oracle recomputes the view
@@ -244,6 +254,19 @@ object Ops {
       SELECT k, seq, op, CAST(total AS DOUBLE) AS total
       FROM last WHERE rn = 1 AND op <> 'D'
       ORDER BY k""",
+
+    // independent recomputation: the closing seq via a correlated
+    // min-over-later-changes subquery where the operator uses lead()
+    "cdc_scd2" -> s"""
+      WITH ch AS ($ChangelogSql)
+      SELECT k, seq AS valid_from,
+             (SELECT min(c2.seq) FROM ch c2
+              WHERE c2.k = ch.k AND c2.seq > ch.seq) AS valid_to,
+             op, CAST(total AS DOUBLE) AS total,
+             (SELECT min(c2.seq) FROM ch c2
+              WHERE c2.k = ch.k AND c2.seq > ch.seq) IS NULL AS is_current
+      FROM ch WHERE op <> 'D'
+      ORDER BY k, valid_from""",
 
     // full recompute of the final table (inserts applied, updates added,
     // deletes removed) — never touches the state/delta decomposition

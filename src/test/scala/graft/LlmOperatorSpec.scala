@@ -906,6 +906,27 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 3L, 3L)), s"got $out")
   }
 
+  test("bigramScore: hand-computed MLE transition probabilities") {
+    // doc "a b a b c": bigrams (a,b)x2 then (b,a), (b,c); unigrams
+    // a:2 b:2 c:1 => p = 1.0, 0.5, 1.0, 0.5 in position order;
+    // avg 0.75; rare (<2 occurrences): (b,a) and (b,c)
+    val out = TextAnalysis.bigramScore(docs(1L -> "a b a b c", 2L -> "x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 4L, 2L, 0.75)), s"got $out")
+  }
+
+  test("tokenizerFertility: ratios roll up per source") {
+    import spark.implicits._
+    // one source, words "ab ab": 1 merge fuses ab; 2 words -> 2 tokens,
+    // 4 chars => fertility 1.0, chars/token 2.0
+    val d = Seq((1L, "ab ab", "s0")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenizerFertility(d, iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out == Seq(("s0", 1L, 2L, 2L, 1.0, 2.0)), s"got $out")
+  }
+
   test("bpeEncode with zero effective merges counts characters") {
     // single-word corpus "ab": merge 1 fuses it; at iters=1 the dict's
     // lone word becomes one 2-char token

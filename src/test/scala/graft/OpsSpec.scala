@@ -71,6 +71,34 @@ class OpsSpec extends SparkSpec {
     assert(rows(folded).exists(_._1 == 2L))
   }
 
+  test("scd2History: tombstone closes the prior version but emits none") {
+    val ch = Seq(
+      (1L, 1L, "I", 10.0), (1L, 2L, "U", 11.0), (1L, 3L, "D", 0.0),
+      (1L, 4L, "I", 12.0),
+      (2L, 7L, "I", 20.0)).toDF("k", "seq", "op", "v")
+    val got = Cdc.scd2History(ch, "k", "seq", "op")
+      .select("k", "valid_from", "valid_to", "is_current").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, 1L, 2L, false),   // superseded by the update
+      (1L, 2L, 3L, false),   // CLOSED by the delete, which emits no row
+      (1L, 4L, -1L, true),   // re-insert reopens the key
+      (2L, 7L, -1L, true)))
+  }
+
+  test("scd2History current versions == applyChangelog snapshot") {
+    val cur = Cdc.scd2History(changelog, "k", "seq", "op")
+      .where(col("is_current"))
+      .select("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snap = Cdc.applyChangelog(changelog, "k", "seq", "op")
+      .select("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cur == snap,
+      "open SCD2 intervals must be exactly the live snapshot")
+  }
+
   test("snapshotDiff labels added/removed/changed and drops identical rows") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
