@@ -528,6 +528,76 @@ object Similarity {
           .as("res_norm"))
   }
 
+  /** Maximal-marginal-relevance (Carbonell & Goldstein 1998) diversified
+    * top-k: greedily pick the candidate maximizing
+    * `λ·cos(query, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * RAG-retrieval re-ranker that stops k near-duplicate passages from
+    * filling the whole context window.
+    *
+    * Determinism: relevance and diversity rank on RAW (unrounded)
+    * `graft_cosine` doubles — the oracle replays the identical fold —
+    * with a vec_id tie-break; λ and (1−λ) are driver double literals
+    * embedded verbatim in both engines. Rounding happens only at the
+    * output edge, applied by Spark ROUND over the collected raw scores.
+    *
+    * Scale shape: relevance is computed once (one broadcast of the
+    * 1-row query, localCheckpointed for reuse); each of the k greedy
+    * steps is one broadcast of the ≤k selected vectors + a TakeOrdered
+    * heap — never a corpus self-join. The greedy loop scans candidates
+    * k times, so at 100 TB feed it a SHORTLIST (e.g. [[lshTopKBanded]]'s
+    * few-hundred-row output per query), not the raw corpus — MMR's own
+    * sequential data dependency is irreducible.
+    *
+    * Output: (rank, vec_id, rel, div, mmr), one row per selection.
+    */
+  def mmrSelect(query: DataFrame, candidates: DataFrame, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambda
+    val oneMinus = 1.0 - lambda
+    val rel = candidates
+      .crossJoin(broadcast(query.select(col("embedding").as("__qe"))))
+      .select(col("vec_id"), col("embedding"),
+        expr("graft_cosine(embedding, __qe)").as("__rel"))
+      .localCheckpoint()
+    // (rank, vec_id, raw rel, raw div)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Array[Float], Double, Double)]
+    for (step <- 1 to k) {
+      val scored =
+        if (picked.isEmpty) rel.withColumn("__div", lit(0.0d))
+        else {
+          val sel = broadcast(
+            picked.map(p => (p._2, p._3)).toSeq.toDF("__sid", "__se"))
+          rel.where(!col("vec_id").isin(picked.map(_._2).toSeq: _*))
+            .crossJoin(sel)
+            .withColumn("__d", expr("graft_cosine(embedding, __se)"))
+            .groupBy("vec_id")
+            .agg(first("__rel").as("__rel"), first("embedding").as("embedding"),
+              max("__d").as("__div"))
+        }
+      val top = scored
+        .orderBy((lit(lam) * col("__rel") - lit(oneMinus) * col("__div")).desc,
+          col("vec_id"))
+        .select("vec_id", "embedding", "__rel", "__div")
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val r = top(0)
+        picked += ((step, r.getLong(0), r.getSeq[Float](1).toArray,
+          r.getDouble(2), r.getDouble(3)))
+      }
+    }
+    picked.toSeq.map(p => (p._1, p._2, p._4, p._5))
+      .toDF("rank", "vec_id", "__rel", "__div")
+      .select(col("rank"), col("vec_id"),
+        expr("CAST(ROUND(__rel, 6) AS DOUBLE)").as("rel"),
+        expr("CAST(ROUND(__div, 6) AS DOUBLE)").as("div"),
+        expr(s"CAST(ROUND(CAST($lam AS DOUBLE) * __rel " +
+          s"- CAST($oneMinus AS DOUBLE) * __div, 6) AS DOUBLE)").as("mmr"))
+  }
+
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = exact.select("probe_id", "cand_id")
       .join(approx.select("probe_id", "cand_id"),

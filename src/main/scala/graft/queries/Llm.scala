@@ -952,6 +952,16 @@ object Llm {
       TextAnalysis.tokenizerFertility(docs(s, d), iters = 4)
         .orderBy("source")),
 
+    // MMR diversified retrieval: 3 greedy picks for query vec 7 at
+    // lambda=0.7 — relevance computed once, each step broadcasts the
+    // <=k selected vectors; ranks on raw cosine doubles, vec_id ties
+    "llm_mmr_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mmrSelect(e.where(col("vec_id") === 7),
+          e.where(col("vec_id") =!= 7), k = 3, lambda = 0.7)
+        .orderBy("rank")
+    }),
+
     // corpus-self bigram LM quality signal (CCNet stand-in, log-free):
     // mean transition probability + rare-bigram rate per doc; each p is
     // one IEEE division of exact integers, folded in position order
@@ -2555,6 +2565,44 @@ object Llm {
          |         AS chars_per_token
          |FROM pd JOIN m USING (doc_id)
          |GROUP BY m.source ORDER BY m.source""".stripMargin,
+
+    // the 3-step greedy replayed as chained CTEs: argmax by the SAME
+    // raw-double score expression, lambda literals interpolated from
+    // the Scala doubles the Spark plan embeds
+    "llm_mmr_topk" -> {
+      val lam = s"${0.7}"
+      val om = s"${1.0 - 0.7}"
+      s"""WITH cand AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id <> 7),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+         |r AS (SELECT vec_id, embedding,
+         |             ${duckCosineRaw("embedding", "qe")} AS rel
+         |      FROM cand, q),
+         |p1 AS (SELECT vec_id, embedding, rel, CAST(0.0 AS DOUBLE) AS div
+         |       FROM r
+         |       ORDER BY $lam * rel - $om * CAST(0.0 AS DOUBLE) DESC, vec_id
+         |       LIMIT 1),
+         |r2 AS (SELECT r.vec_id, r.embedding, r.rel,
+         |              ${duckCosineRaw("r.embedding", "p1.embedding")} AS div
+         |       FROM r, p1 WHERE r.vec_id <> p1.vec_id),
+         |p2 AS (SELECT vec_id, embedding, rel, div FROM r2
+         |       ORDER BY $lam * rel - $om * div DESC, vec_id LIMIT 1),
+         |r3 AS (SELECT r.vec_id, r.rel,
+         |              greatest(${duckCosineRaw("r.embedding", "p1.embedding")},
+         |                       ${duckCosineRaw("r.embedding", "p2.embedding")})
+         |                AS div
+         |       FROM r, p1, p2
+         |       WHERE r.vec_id <> p1.vec_id AND r.vec_id <> p2.vec_id),
+         |p3 AS (SELECT vec_id, rel, div FROM r3
+         |       ORDER BY $lam * rel - $om * div DESC, vec_id LIMIT 1)
+         |SELECT rank, vec_id, CAST(ROUND(rel, 6) AS DOUBLE) AS rel,
+         |       CAST(ROUND(div, 6) AS DOUBLE) AS div,
+         |       CAST(ROUND($lam * rel - $om * div, 6) AS DOUBLE) AS mmr
+         |FROM (SELECT 1 AS rank, vec_id, rel, div FROM p1
+         |      UNION ALL SELECT 2, vec_id, rel, div FROM p2
+         |      UNION ALL SELECT 3, vec_id, rel, div FROM p3)
+         |ORDER BY rank""".stripMargin
+    },
 
     // same bigram/unigram MLE counts, positions via generate_series
     // where the plan transforms the token array; per-doc fold replayed

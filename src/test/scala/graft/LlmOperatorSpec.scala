@@ -906,6 +906,25 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 3L, 3L)), s"got $out")
   }
 
+  test("mmrSelect: diversity penalty reorders an exact-duplicate result") {
+    import spark.implicits._
+    def v(fs: Double*) = fs.map(_.toFloat).toArray
+    val q = Seq((0L, v(1.0, 0.0))).toDF("vec_id", "embedding")
+    // cand 1 and 2 are identical (rel 1.0); cand 3 is orthogonal (rel 0)
+    val cands = Seq((1L, v(1.0, 0.0)), (2L, v(1.0, 0.0)), (3L, v(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // relevance-heavy lambda keeps the duplicate second...
+    val hi = Similarity.mmrSelect(q, cands, k = 3, lambda = 0.7).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(hi == Seq((1, 1L, 1.0, 0.0, 0.7), (2, 2L, 1.0, 1.0, 0.4),
+      (3, 3L, 0.0, 0.0, 0.0)), s"got $hi")
+    // ...a diversity-heavy lambda promotes the orthogonal candidate
+    val lo = Similarity.mmrSelect(q, cands, k = 3, lambda = 0.3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(lo == Seq((1, 1L), (2, 3L), (3, 2L)), s"got $lo")
+  }
+
   test("bigramScore: hand-computed MLE transition probabilities") {
     // doc "a b a b c": bigrams (a,b)x2 then (b,a), (b,c); unigrams
     // a:2 b:2 c:1 => p = 1.0, 0.5, 1.0, 0.5 in position order;
