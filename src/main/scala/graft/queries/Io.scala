@@ -433,6 +433,33 @@ object Io {
     // lost or duplicated by the rewrite hash-mismatches. File-count
     // mechanics are pinned by LayoutOperatorSpec; this entry proves
     // losslessness.
+    // parquet BLOOM FILTER write: a per-row-group bloom on the lookup key
+    // rides in the footer, so a point predicate skips row groups whose
+    // bloom misses — the data-skipping lever for HIGH-CARDINALITY keys
+    // where min/max zone maps are useless (a uniform key spans every
+    // file's min..max, but appears in few row groups). At 100 TB this is
+    // the difference between scanning the corpus for one orderkey and
+    // touching a handful of pages; needle-lookup pruning is what
+    // LayoutOperatorSpec asserts on the footer (offset present, bloom
+    // membership answers) — here the differential check proves the
+    // filtered read returns exactly the base table's rows
+    "sink_parquet_bloom" -> ((s, d) => {
+      val p = s"${base(d)}/lineitem_bloom"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+        .parquet(p)
+      s.read.parquet(p)
+        .where(col("l_orderkey").isin(7L, 1029L, 4480L, 29988L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)")
+            .as("sum_price"))
+        .orderBy("l_orderkey")
+    }),
+
     "sink_compact_small_files" -> ((s, d) => {
       val staged = s"${base(d)}/compact_in"
       val compacted = s"${base(d)}/compact_out"
@@ -1522,6 +1549,15 @@ object Io {
         |       count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the bloom-written copy must answer the point lookup exactly like
+    // the base table
+    "sink_parquet_bloom" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem WHERE l_orderkey IN (7, 1029, 4480, 29988)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "sink_compact_small_files" ->
       """SELECT event_type, count(*) AS n_events,

@@ -76,6 +76,17 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // GROUP BY ALL / ORDER BY ALL shared verbatim — every non-aggregate
+    // select item becomes a grouping key (and every output column a sort
+    // key) by position in both engines; money on DECIMAL, DOUBLE at edge
+    "sql_group_by_all" -> s"""
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ALL
+      ORDER BY ALL""",
+
     // string-function surface shared verbatim: split_part (1-based in
     // both engines), translate, levenshtein, left/right, lpad, repeat
     "fn_string_surface" -> s"""

@@ -126,4 +126,44 @@ class LayoutOperatorSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("parquet bloom write: footer carries the bloom, membership answers") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    try {
+      Seq.tabulate(5000)(i => (i.toLong * 17, s"v$i"))
+        .toDF("k", "v")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "5000")
+        .parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toString),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        val kChunk = cols.find(_.getPath.toDotString == "k").get
+        // the bloom rides in the footer for the enabled column only
+        assert(kChunk.getBloomFilterOffset > 0,
+          "no bloom filter written for the enabled column")
+        assert(cols.find(_.getPath.toDotString == "v").get
+          .getBloomFilterOffset <= 0,
+          "bloom written for a column it was not enabled on")
+        val bf = reader.readBloomFilter(kChunk)
+        // every present key answers yes (blooms have no false negatives)
+        Seq(0L, 17L, 4999L * 17).foreach(k =>
+          assert(bf.findHash(bf.hash(k.asInstanceOf[Object])),
+            s"present key $k missing from the bloom"))
+        // absent keys mostly answer no — that miss IS the row-group skip
+        val misses = (1 to 1000)
+          .count(i => !bf.findHash(bf.hash((i.toLong * 17 + 1).asInstanceOf[Object])))
+        assert(misses > 950, s"bloom rejects only $misses/1000 absent keys")
+      } finally reader.close()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
