@@ -173,12 +173,15 @@ object TextAnalysis {
     *
     * Output: (group, n_buckets_hit, harmonic_s, hll_est, n_exact).
     */
-  def distinctSketch(docs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val m = 64
-    val alphaNum = 0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 53)
-    val toks = docs.select(col(groupCol).as("grp"),
+  /** The per-group token stream feeding the HLL sketch family. */
+  private def hllTokens(docs: DataFrame, groupCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
         explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("tok"))
       .where(length(col("tok")) > 0)
+
+  /** HLL registers per (group, bucket) — the 64-int mergeable state. */
+  private def hllRegisters(toks: DataFrame): DataFrame =
+    toks
       .withColumn("__h", md5(col("tok")))
       .withColumn("bucket",
         expr("CAST(conv(substring(__h, 14, 3), 16, 10) AS INT) % 64"))
@@ -190,7 +193,13 @@ object TextAnalysis {
           |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
           |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
           |  ELSE 0 END) END""".stripMargin))
-    val regs = toks.groupBy("grp", "bucket").agg(max("rho").as("mj"))
+      .groupBy("grp", "bucket").agg(max("rho").as("mj"))
+
+  def distinctSketch(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val m = 64
+    val alphaNum = 0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 53)
+    val toks = hllTokens(docs, groupCol)
+    val regs = hllRegisters(toks)
     val sketch = regs.groupBy("grp").agg(
       count(lit(1)).as("n_buckets_hit"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("__s_hit"))
@@ -204,6 +213,43 @@ object TextAnalysis {
         expr(s"CAST(ROUND(CAST($alphaNum AS DOUBLE) / harmonic_s, 6) AS DOUBLE)")
           .as("hll_est"),
         col("n_exact"))
+  }
+
+  /** HLL sketch MERGE — the property that makes the sketch THE 100 TB
+    * cardinality tool: per-source registers union by per-bucket MAX
+    * (associative, commutative, idempotent), so shards sketch
+    * independently and the coordinator combines 64 ints per shard —
+    * never re-touching a token. One output row: the union estimate from
+    * the MERGED registers next to the exact union cardinality and the
+    * per-source exact SUM — the sum-to-union gap is precisely the
+    * cross-source vocabulary overlap the merge deduplicates (union
+    * cardinality does not sum; register merge handles that for free).
+    *
+    * Identical register/estimator arithmetic to [[distinctSketch]]
+    * (engine-exact md5 buckets, 2^53-scaled BIGINT harmonic sum); the
+    * merged-register estimate is BIT-IDENTICAL to sketching the corpus
+    * as one group — the merge identity a property test pins.
+    */
+  def distinctSketchMerged(docs: DataFrame,
+                           groupCol: String = "source"): DataFrame = {
+    val m = 64
+    val alphaNum = 0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 53)
+    val toks = hllTokens(docs, groupCol)
+    val merged = hllRegisters(toks).groupBy("bucket").agg(max("mj").as("mj"))
+    val sk = merged.agg(
+      count(lit(1)).as("n_buckets_hit"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("__s_hit"))
+    val exactUnion = toks.agg(countDistinct(col("tok")).as("n_exact_union"))
+    val perSource = toks.groupBy("grp")
+      .agg(countDistinct(col("tok")).as("__e"))
+      .agg(count(lit(1)).as("n_sources"), sum("__e").as("sum_exact_sources"))
+    sk.crossJoin(perSource).crossJoin(exactUnion)
+      .withColumn("harmonic_s", expr(
+        s"__s_hit + CAST($m - n_buckets_hit AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 53)"))
+      .select(col("n_sources"), col("n_buckets_hit"), col("harmonic_s"),
+        expr(s"CAST(ROUND(CAST($alphaNum AS DOUBLE) / harmonic_s, 6) AS DOUBLE)")
+          .as("hll_union_est"),
+        col("n_exact_union"), col("sum_exact_sources"))
   }
 
   /** Per-document TF-IDF keyword extraction: each doc's top-k tokens by

@@ -993,6 +993,12 @@ object Llm {
     // bucket+rho, exact-integer harmonic sum) next to the exact count —
     // the cardinality estimator that moves 64 registers instead of the
     // token stream; NOT approx_count_distinct (engine-internal HLL++)
+    // register-level HLL MERGE: per-source sketches union by per-bucket
+    // max — 64 ints per shard cross the wire, never tokens; the
+    // sum-vs-union gap exposes cross-source vocabulary overlap
+    "llm_sketch_merge" -> ((s, d) =>
+      TextAnalysis.distinctSketchMerged(docs(s, d))),
+
     "llm_distinct_sketch" -> ((s, d) =>
       TextAnalysis.distinctSketch(docs(s, d)).orderBy("source")),
 
@@ -2734,6 +2740,47 @@ object Llm {
          |            AS DOUBLE) AS hll_est,
          |       CAST(n_exact AS BIGINT) AS n_exact
          |FROM hs JOIN ex USING (grp) ORDER BY source""".stripMargin
+    },
+
+    // same register chain, then per-bucket MAX across sources; harmonic
+    // pinned to BIGINT before the one division
+    "llm_sketch_merge" -> {
+      val alphaNum = 0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 53)
+      s"""WITH dtoks AS (SELECT grp, tok FROM (
+         |        SELECT source AS grp, unnest(string_split($NORM, ' ')) AS tok
+         |        FROM documents) WHERE length(tok) > 0),
+         |h AS (SELECT grp, tok, md5(tok) AS hh FROM dtoks),
+         |f AS (SELECT grp,
+         |             CAST(('0x' || substr(hh, 14, 3))::BIGINT % 64 AS INT) AS bucket,
+         |             length(regexp_extract(substr(hh, 1, 13), '^0*')) AS zeros,
+         |             substr(hh, length(regexp_extract(substr(hh, 1, 13), '^0*')) + 1, 1) AS fd
+         |      FROM h),
+         |r AS (SELECT grp, bucket,
+         |             CASE WHEN zeros = 13 THEN 53
+         |             ELSE zeros * 4 + 1 + (CASE fd
+         |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+         |               WHEN '7' THEN 1 ELSE 0 END) END AS rho
+         |      FROM f),
+         |regs AS (SELECT grp, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |mr AS (SELECT bucket, max(mj) AS mj FROM regs GROUP BY 1),
+         |sk AS (SELECT count(*) AS nb,
+         |              CAST(SUM((1::BIGINT << (53 - mj))) AS BIGINT) AS s_hit
+         |       FROM mr),
+         |hs AS (SELECT CAST(nb AS BIGINT) AS n_buckets_hit,
+         |              CAST(s_hit + (64 - nb) * (1::BIGINT << 53) AS BIGINT)
+         |                AS harmonic_s
+         |       FROM sk),
+         |exu AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_exact_union
+         |        FROM dtoks),
+         |ps AS (SELECT grp, count(DISTINCT tok) AS e FROM dtoks GROUP BY 1),
+         |pss AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |               CAST(SUM(e) AS BIGINT) AS sum_exact_sources FROM ps)
+         |SELECT n_sources, n_buckets_hit, harmonic_s,
+         |       CAST(ROUND(CAST($alphaNum AS DOUBLE) / harmonic_s, 6)
+         |            AS DOUBLE) AS hll_union_est,
+         |       n_exact_union, sum_exact_sources
+         |FROM hs, exu, pss""".stripMargin
     },
 
     "llm_tfidf_keywords" ->

@@ -906,6 +906,27 @@ class LlmOperatorSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 3L, 3L)), s"got $out")
   }
 
+  test("distinctSketchMerged == sketching the corpus as one source") {
+    import spark.implicits._
+    // 3 sources with heavy vocab overlap — union < sum of per-source
+    val d = Seq.tabulate(60)(i =>
+      (i.toLong, s"tok${i % 25} tok${(i + 7) % 25} shared", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val merged = TextAnalysis.distinctSketchMerged(d).collect()(0)
+    val single = TextAnalysis
+      .distinctSketch(d.withColumn("source",
+        org.apache.spark.sql.functions.lit("all"))).collect()(0)
+    // merge identity: per-bucket max across shards == whole-corpus sketch
+    assert(merged.getAs[Long]("harmonic_s") == single.getAs[Long]("harmonic_s"))
+    assert(merged.getAs[Double]("hll_union_est") ==
+      single.getAs[Double]("hll_est"))
+    assert(merged.getAs[Long]("n_exact_union") == single.getAs[Long]("n_exact"))
+    assert(merged.getAs[Long]("n_sources") == 3L)
+    assert(merged.getAs[Long]("sum_exact_sources") >
+      merged.getAs[Long]("n_exact_union"),
+      "overlapping sources must make the naive sum exceed the union")
+  }
+
   test("mmrSelect: diversity penalty reorders an exact-duplicate result") {
     import spark.implicits._
     def v(fs: Double*) = fs.map(_.toFloat).toArray
