@@ -27,12 +27,18 @@ import org.apache.spark.sql.functions._
   * recomputes amplitude stats from the formula, so agreement proves the
   * encode→decode round-trip, exactly as the image path does.
   *
-  * VIDEO decode remains the one STUB: no video codec exists in the JDK
-  * or this container, so [[FakeDecoder]] derives deterministic
-  * pseudo-features from the payload's md5 — chosen so the pipeline shape
-  * stays differentially testable against a SQL oracle. The Spark-side
-  * plumbing is real: binary column + metadata schema, partition-parallel
-  * batched execution, typed Dataset output.
+  * VIDEO decode is REAL for the uncompressed profile: [[decodeVideo]]
+  * parses RIFF/AVI containers (chunk walker over hdrl/strf/movi per the
+  * AVI spec — nothing synth-specific) carrying raw bottom-up 24-bit DIB
+  * frames, and [[VideoSynth]] writes spec-conformant AVIs whose every
+  * frame pixel is a fixed integer formula of (doc_id, frame, x, y) — the
+  * oracle recomputes frame sums and inter-frame motion from the
+  * formulas, so a wrong container walk, row flip, stride pad or channel
+  * order cannot hash-match. COMPRESSED video (H.264 etc.) stays
+  * env-bound — no codec in the JDK or this container — which is what
+  * [[FakeDecoder]] still stands in for: the generic opaque-payload
+  * featurizer whose batching/schema a JNI/ffmpeg decoder would slot
+  * into unchanged.
   *
   * 100 TB design: decode runs inside `mapPartitions` over whatever
   * partitioning the scan produced — no shuffle, no driver involvement,
@@ -288,6 +294,184 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** An encoded video payload: opaque AVI bytes + id. */
+  case class VideoBlob(doc_id: Long, avi: Array[Byte])
+
+  /** Decoded video stats: geometry/frame count from the parsed container,
+    * per-channel sums over all frames and the blue-plane inter-frame
+    * motion Σ|b_f − b_{f−1}| as exact integers.
+    */
+  case class DecodedVideo(
+      doc_id: Long,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      motion_b: Long)
+
+  /** Deterministic test-video generator: a spec-conformant RIFF/AVI
+    * container ('avih' + 'vids'/'DIB ' stream header + BITMAPINFOHEADER
+    * + '00db' movi chunks) carrying uncompressed bottom-up 24-bit BGR
+    * frames with 4-byte row stride — the classic BI_RGB profile any AVI
+    * reader accepts. Geometry, frame count and every channel value are
+    * fixed integer formulas of (doc_id, frame, x, y), so an independent
+    * engine recomputes the decoded stats without seeing the bytes; the
+    * format is lossless, so decode must recover them exactly.
+    */
+  object VideoSynth {
+    def nFrames(docId: Long): Int = (2 + docId % 4).toInt
+    def width(docId: Long): Int = (8 + docId % 9).toInt
+    def height(docId: Long): Int = (4 + docId % 7).toInt
+    def r(d: Long, f: Int, x: Int, y: Int): Int =
+      ((d * 7 + f * 23 + x * 17 + y * 3) % 256).toInt
+    def g(d: Long, f: Int, x: Int, y: Int): Int =
+      ((d * 3 + f * 17 + x * 13 + y * 5) % 256).toInt
+    def b(d: Long, f: Int, x: Int, y: Int): Int =
+      ((d + f * 29 + x * 7 + y * 11) % 256).toInt
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    def encodeAvi(docId: Long): Array[Byte] = {
+      val (n, w, h) = (nFrames(docId), width(docId), height(docId))
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val out = new java.io.ByteArrayOutputStream()
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        fcc(id) ++ le32(body.length) ++ body ++
+          (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        fcc("LIST") ++ le32(body.length + 4) ++ fcc(kind) ++ body
+      val avih = le32(100000) ++ le32(frameBytes * 10) ++ le32(0) ++
+        le32(0) ++ le32(n) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fcc("vids") ++ fcc("DIB ") ++ le32(0) ++ le16(0) ++
+        le16(0) ++ le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(n) ++
+        le32(frameBytes) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val frames = (0 until n).map { f =>
+        val px = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < h) {
+          val rowOff = (h - 1 - y) * stride // bottom-up storage
+          var x = 0
+          while (x < w) {
+            px(rowOff + x * 3) = b(docId, f, x, y).toByte // BGR order
+            px(rowOff + x * 3 + 1) = g(docId, f, x, y).toByte
+            px(rowOff + x * 3 + 2) = r(docId, f, x, y).toByte
+            x += 1
+          }
+          y += 1
+        }
+        chunk("00db", px)
+      }
+      val movi = list("movi", frames.reduce(_ ++ _))
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      out.write(fcc("RIFF")); out.write(le32(body.length)); out.write(body)
+      out.toByteArray
+    }
+  }
+
+  /** Synthesize one deterministic uncompressed AVI per document id —
+    * executor-side mapPartitions over the scan, no shuffle (the video
+    * twin of [[synthesizeImages]]/[[synthesizeAudio]]).
+    */
+  def synthesizeVideo(docs: DataFrame): Dataset[VideoBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => VideoBlob(id, VideoSynth.encodeAvi(id))))
+  }
+
+  /** REAL video decode for the uncompressed AVI profile: a spec-driven
+    * RIFF chunk walker (knows nothing of the synth) locates the
+    * BITMAPINFOHEADER and the movi frame chunks, validates BI_RGB
+    * 24-bit, then reads each frame's bottom-up stride-padded BGR rows.
+    * Unparseable containers, compressed streams or other bit depths fail
+    * loudly — a decode error must never look like a filter. Features:
+    * exact per-channel sums + blue-plane inter-frame motion.
+    */
+  def decodeVideo(video: Dataset[VideoBlob],
+                  batchSize: Int = 64): Dataset[DecodedVideo] = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { vb => decodeOneAvi(vb.doc_id, vb.avi) }
+      }
+    }
+  }
+
+  private def decodeOneAvi(docId: Long, bytes: Array[Byte]): DecodedVideo = {
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "AVI ",
+      s"doc_id=$docId: not a RIFF/AVI container")
+    var width = -1; var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // offsets
+    // walk chunks between [from, to); LISTs recurse into their body
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = tag(off); val size = u32(off + 4)
+        if (id == "LIST") walk(off + 12, off + 8 + size)
+        else if (id == "strf") {
+          require(u16(off + 8 + 14) == 24 && u32(off + 8 + 16) == 0,
+            s"doc_id=$docId: unsupported DIB profile (not 24-bit BI_RGB)")
+          width = u32(off + 8 + 4); height = u32(off + 8 + 8)
+        } else if (id == "00db" || id == "00dc") frames += off + 8
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, 8 + u32(4))
+    require(width > 0 && height > 0, s"doc_id=$docId: no strf header found")
+    require(frames.nonEmpty, s"doc_id=$docId: no frames in movi list")
+    val stride = (width * 3 + 3) / 4 * 4
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
+    var prevBlue: Array[Int] = null
+    frames.foreach { base =>
+      val blue = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val rowOff = base + (height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          val bv = bytes(rowOff + x * 3) & 0xff
+          sumB += bv
+          sumG += bytes(rowOff + x * 3 + 1) & 0xff
+          sumR += bytes(rowOff + x * 3 + 2) & 0xff
+          blue(y * width + x) = bv
+          x += 1
+        }
+        y += 1
+      }
+      if (prevBlue != null) {
+        var i = 0
+        while (i < blue.length) {
+          motion += math.abs(blue(i) - prevBlue(i)); i += 1
+        }
+      }
+      prevBlue = blue
+    }
+    DecodedVideo(docId, frames.length, width, height, sumR, sumG, sumB,
+      motion)
   }
 
   /** A typed multimodal record: opaque payload + metadata. */

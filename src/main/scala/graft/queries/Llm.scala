@@ -717,9 +717,22 @@ object Llm {
         .orderBy("doc_id")
     }),
 
-    // the VIDEO stand-in path (no video codec in the JDK or this
-    // container): md5-derived pseudo-features through the same batched
-    // mapPartitions shape a real codec would plug into
+    // REAL video container round-trip: deterministic uncompressed AVIs
+    // (RIFF + avih/strh/strf + bottom-up stride-padded 24-bit BGR movi
+    // frames) synthesized from (doc_id, frame, x, y) formulas, then
+    // parsed by a spec-driven RIFF chunk walker; frame sums and
+    // blue-plane inter-frame motion come from the decoded rasters as
+    // exact integers, and the oracle recomputes the formulas over a
+    // (frame, x, y) grid — a wrong walk, row flip, stride pad or
+    // channel order cannot hash-match
+    "llm_video_decode" -> ((s, d) =>
+      Multimodal.decodeVideo(Multimodal.synthesizeVideo(docs(s, d)))
+        .toDF().orderBy("doc_id")),
+
+    // the opaque-payload path (compressed video stays env-bound — no
+    // codec in the JDK or this container): md5-derived pseudo-features
+    // through the same batched mapPartitions shape a JNI/ffmpeg codec
+    // would plug into
     "llm_av_features" -> ((s, d) => {
       val dec = Multimodal.decode(Multimodal.attach(docs(s, d)))
       val cols = Seq(col("doc_id"), col("n_bytes"), col("content_md5"),
@@ -2114,6 +2127,35 @@ object Llm {
          |       CAST(max(abs(v)) AS INT) AS peak_abs,
          |       CAST(sum(v * v) AS BIGINT) AS energy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the synthesis formulas replayed over a (frame, x, y) grid — the
+    // decoder's container walk must land on exactly these values
+    "llm_video_decode" ->
+      """WITH geo AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n,
+        |                    CAST(8 + doc_id % 9 AS INT) AS w,
+        |                    CAST(4 + doc_id % 7 AS INT) AS h
+        |             FROM documents),
+        |px AS (SELECT doc_id, f.f, x.x, y.y
+        |       FROM geo,
+        |            unnest(generate_series(0, n - 1)) f(f),
+        |            unnest(generate_series(0, w - 1)) x(x),
+        |            unnest(generate_series(0, h - 1)) y(y)),
+        |s AS (SELECT doc_id,
+        |             SUM((doc_id * 7 + f * 23 + x * 17 + y * 3) % 256) AS sum_r,
+        |             SUM((doc_id * 3 + f * 17 + x * 13 + y * 5) % 256) AS sum_g,
+        |             SUM((doc_id + f * 29 + x * 7 + y * 11) % 256) AS sum_b
+        |      FROM px GROUP BY doc_id),
+        |mv AS (SELECT doc_id,
+        |              SUM(ABS((doc_id + f * 29 + x * 7 + y * 11) % 256
+        |                    - (doc_id + (f - 1) * 29 + x * 7 + y * 11) % 256))
+        |                AS motion_b
+        |       FROM px WHERE f >= 1 GROUP BY doc_id)
+        |SELECT g.doc_id, g.n AS n_frames, g.w AS width, g.h AS height,
+        |       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |       CAST(sum_b AS BIGINT) AS sum_b,
+        |       CAST(motion_b AS BIGINT) AS motion_b
+        |FROM geo g JOIN s USING (doc_id) JOIN mv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_av_features" -> {
       val feats = (0 until 8).map(j =>

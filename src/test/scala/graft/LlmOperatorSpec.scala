@@ -674,6 +674,41 @@ class LlmOperatorSpec extends SparkSpec {
       new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 
+  test("video decode recovers frames, sums and motion from the AVI bytes") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 8L, 62L, 4999L)
+    val dec = Multimodal.decodeVideo(
+      Multimodal.synthesizeVideo(ids.toDF("doc_id")), batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- ids) {
+      val (n, w, h) = (Multimodal.VideoSynth.nFrames(id),
+        Multimodal.VideoSynth.width(id), Multimodal.VideoSynth.height(id))
+      val px = for { f <- 0 until n; x <- 0 until w; y <- 0 until h } yield
+        (Multimodal.VideoSynth.r(id, f, x, y).toLong,
+          Multimodal.VideoSynth.g(id, f, x, y).toLong,
+          Multimodal.VideoSynth.b(id, f, x, y).toLong)
+      val motion = (for { f <- 1 until n; x <- 0 until w; y <- 0 until h }
+        yield math.abs(Multimodal.VideoSynth.b(id, f, x, y)
+          - Multimodal.VideoSynth.b(id, f - 1, x, y)).toLong).sum
+      val d = dec(id)
+      assert((d.n_frames, d.width, d.height) == (n, w, h))
+      assert((d.sum_r, d.sum_g, d.sum_b) ==
+        (px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum))
+      assert(d.motion_b == motion)
+    }
+    // the container really is RIFF/AVI, and corruption fails loudly
+    val avi = Multimodal.VideoSynth.encodeAvi(1L)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val broken = avi.clone(); broken(9) = 'X'.toByte
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideo(Seq(Multimodal.VideoBlob(1L, broken)).toDS())
+        .collect()
+    }
+    assert(ex.getMessage.contains("not a RIFF/AVI"),
+      s"corruption must fail loudly, got: ${ex.getMessage.take(200)}")
+  }
+
   test("image resize resamples the real raster with the nearest-neighbor map") {
     import spark.implicits._
     val id = 123L // 30x object: width 1+123%47=30, height 1+369%37=37 -> resize triggers
