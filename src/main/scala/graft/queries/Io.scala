@@ -236,6 +236,38 @@ object Io {
         .orderBy("s_nationkey")
     }),
 
+    // TIME TRAVEL on the Arrow sink's commit log: overwrite lands
+    // snapshot v1, append lands v2; a reader pinned to version 1 must
+    // see ONLY the first generation even though the append already
+    // published — the snapshot-isolation read a reproducible pipeline
+    // pins its inputs with. The oracle recomputes each snapshot's
+    // content from the base table: v1 = even keys, v2/latest = all
+    "src_arrow_time_travel" -> ((s, d) => {
+      val sup = t(s, d, "supplier").selectExpr(
+        "CAST(s_suppkey AS BIGINT) AS s_suppkey",
+        "CAST(s_acctbal AS DOUBLE) AS s_acctbal")
+      val p = s"${base(d)}/supplier_arrow_tt"
+      graft.Tables.deleteRecursively(new java.io.File(p))
+      sup.where("s_suppkey % 2 = 0").repartition(2)
+        .write.format("graft.sources.ArrowIpcSource")
+        .mode("overwrite").save(p)
+      sup.where("s_suppkey % 2 = 1").repartition(2)
+        .write.format("graft.sources.ArrowIpcSource")
+        .mode("append").save(p)
+      def snap(v: Option[Int], label: String) = {
+        val r = s.read.format("graft.sources.ArrowIpcSource")
+        v.foreach(x => r.option("version", x.toString))
+        r.load(p)
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)")
+              .as("sum_bal"))
+          .select(lit(label).as("snap"), col("n"), col("sum_bal"))
+      }
+      snap(Some(1), "v1").unionAll(snap(Some(2), "v2"))
+        .unionAll(snap(None, "latest"))
+        .orderBy("snap")
+    }),
+
     // embedding vectors through the Arrow DSv2 LIST type (the standard
     // vector-interchange format of embedding pipelines): per-vector fold
     // over the read-back list must be bit-identical to the parquet
@@ -1484,6 +1516,22 @@ object Io {
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |       min(s_name) AS first_name
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // each snapshot recomputed from the base table: the v1-pinned read
+    // must NOT see the appended odd keys
+    "src_arrow_time_travel" ->
+      """WITH ev AS (SELECT count(*) AS n,
+        |              CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                AS sum_bal
+        |            FROM supplier WHERE s_suppkey % 2 = 0),
+        |al AS (SELECT count(*) AS n,
+        |              CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                AS sum_bal
+        |       FROM supplier)
+        |SELECT 'v1' AS snap, n, sum_bal FROM ev
+        |UNION ALL SELECT 'v2', n, sum_bal FROM al
+        |UNION ALL SELECT 'latest', n, sum_bal FROM al
+        |ORDER BY snap""".stripMargin,
 
     // recomputed over the ORIGINAL parquet — green means the arrow list
     // write+read preserved every element bit-for-bit, in order

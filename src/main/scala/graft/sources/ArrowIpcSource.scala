@@ -43,7 +43,8 @@ class ArrowIpcSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new ArrowIpcTable(schema, properties.get("path"))
+    new ArrowIpcTable(schema, properties.get("path"),
+      Option(properties.get("version")).map(_.trim.toInt))
 }
 
 private[sources] object ArrowIpc {
@@ -59,6 +60,22 @@ private[sources] object ArrowIpc {
       else if (f.isFile) Seq(f)
       else Seq.empty // write target that doesn't exist yet
     files.map(_.getAbsolutePath).sorted
+  }
+
+  /** TIME-TRAVEL listing: exactly the files `_v{version}.manifest`
+    * recorded at commit time — a reader pinned to version N is immune to
+    * later appends. Every recorded file must still exist (a truncate
+    * since that snapshot invalidates it, and that must fail loudly, not
+    * read half a snapshot).
+    */
+  def listFilesAt(path: String, version: Int): Seq[String] = {
+    val dir = new File(path)
+    TwoPhaseCommit.readManifest(dir, version).map { name =>
+      val f = new File(dir, name)
+      require(f.isFile,
+        s"snapshot v$version references missing file $name (vacuumed by a later overwrite?)")
+      f.getAbsolutePath
+    }.sorted
   }
 
   def sparkTypeOf(field: Field): DataType = field.getType match {
@@ -91,7 +108,8 @@ private[sources] object ArrowIpc {
   }
 }
 
-private[sources] class ArrowIpcTable(schema: StructType, path: String)
+private[sources] class ArrowIpcTable(schema: StructType, path: String,
+                                     version: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arrow:$path"
@@ -100,27 +118,30 @@ private[sources] class ArrowIpcTable(schema: StructType, path: String)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArrowScanBuilder(schema, path)
+    new ArrowScanBuilder(schema, path, version)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ArrowWriteBuilder(info, path)
 }
 
-private[sources] class ArrowScanBuilder(fullSchema: StructType, path: String)
+private[sources] class ArrowScanBuilder(fullSchema: StructType, path: String,
+                                        version: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ArrowScan(required, path)
+  override def build(): Scan = new ArrowScan(required, path, version)
 }
 
-private[sources] class ArrowScan(required: StructType, path: String)
+private[sources] class ArrowScan(required: StructType, path: String,
+                                 version: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = ArrowIpc.listFiles(path)
+    val files = version.map(ArrowIpc.listFilesAt(path, _))
+      .getOrElse(ArrowIpc.listFiles(path))
     // a missing/empty path must fail the READ loudly (inferSchema stays
     // lenient because the write path resolves the same table first)
     require(files.nonEmpty, s"no arrow files under $path")
@@ -128,7 +149,9 @@ private[sources] class ArrowScan(required: StructType, path: String)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowReaderFactory(required)
-  override def description(): String = s"ArrowIpcScan $path ${required.simpleString}"
+  override def description(): String =
+    s"ArrowIpcScan $path${version.map(v => s" @v$v").getOrElse("")} " +
+      required.simpleString
 }
 
 private[sources] case class ArrowFilePartition(file: String) extends InputPartition

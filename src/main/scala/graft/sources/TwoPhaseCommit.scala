@@ -21,10 +21,57 @@ private[sources] trait TmpFileCommit extends WriterCommitMessage {
   * collides with existing files: append coexists, and overwrite
   * (truncate) keeps the old generation readable until the new one is
   * fully published — a crash cannot destroy already-committed data.
-  * (Atomicity against a DRIVER crash between renames would need a
-  * manifest file — out of scope for these sinks.)
+  *
+  * SNAPSHOT MANIFESTS: each successful publish additionally records the
+  * table's post-commit file set in an atomically-renamed
+  * `_v{N}.manifest` — the commit log that gives the Arrow reader
+  * version-pinned reads (time travel) across APPENDS: a reader holding
+  * version N is immune to files landed by later commits. `truncate`
+  * physically removes the old generation (the sinks' long-standing
+  * overwrite contract), so it also clears prior manifests and restarts
+  * the log at v1 — retention across overwrites is a VACUUM policy these
+  * sinks deliberately do not carry. (Atomicity against a DRIVER crash
+  * between renames would still need the manifest to be written FIRST and
+  * the reader to trust only manifests — out of scope while the Avro
+  * reader stays directory-listing-based.)
   */
 private[sources] object TwoPhaseCommit {
+
+  private val ManifestRe = """_v(\d+)\.manifest""".r
+
+  /** Versioned manifests present under `dir`, ascending. */
+  def manifestVersions(dir: File): Seq[Int] =
+    Option(dir.listFiles).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case ManifestRe(v) => Some(v.toInt)
+        case _ => None
+      }).sorted
+
+  /** The data-file names recorded for snapshot `version`. */
+  def readManifest(dir: File, version: Int): Seq[String] = {
+    val f = new File(dir, s"_v$version.manifest")
+    require(f.isFile,
+      s"no snapshot _v$version.manifest under $dir " +
+        s"(available: ${manifestVersions(dir).mkString(",")})")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+
+  private def dataFiles(dir: File): Seq[String] =
+    Option(dir.listFiles).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(_.getName)
+
+  private def writeManifest(dir: File, version: Int,
+                            names: Seq[String]): Unit = {
+    val tmp = new File(dir, s"._v$version.manifest.tmp")
+    val w = new java.io.FileWriter(tmp)
+    try w.write(names.sorted.mkString("\n")) finally w.close()
+    val fin = new File(dir, s"_v$version.manifest")
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"manifest rename failed: $fin")
+  }
 
   def publish(messages: Array[WriterCommitMessage], path: String,
               truncate: Boolean): Unit = {
@@ -49,10 +96,23 @@ private[sources] object TwoPhaseCommit {
     }
     val keep = published.map(_.getName).toSet
     if (truncate) Option(dir.listFiles).foreach(_.foreach { f =>
-      if (f.getName != "_staging" && !keep.contains(f.getName))
+      if (!f.getName.startsWith("_") && !keep.contains(f.getName))
         graft.Tables.deleteRecursively(f)
     })
     graft.Tables.deleteRecursively(new File(dir, "_staging"))
+    val versions = manifestVersions(dir)
+    if (truncate) {
+      versions.foreach(v => new File(dir, s"_v$v.manifest").delete())
+      writeManifest(dir, 1, keep.toSeq)
+    } else {
+      // append snapshot = prior snapshot ∪ published (no prior manifest:
+      // adopt the directory's current data-file set, which includes the
+      // just-published names)
+      val prev = versions.lastOption.map(readManifest(dir, _))
+        .getOrElse(dataFiles(dir).filterNot(keep))
+      writeManifest(dir, versions.lastOption.getOrElse(0) + 1,
+        (prev ++ keep).distinct)
+    }
   }
 
   def abort(messages: Array[WriterCommitMessage]): Unit =

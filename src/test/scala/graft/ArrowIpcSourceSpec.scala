@@ -98,7 +98,11 @@ class ArrowIpcSourceSpec extends SparkSpec {
     // overwrite again: truncate clears the first generation
     src.repartition(2).write.format("graft.sources.ArrowIpcSource")
       .mode("overwrite").save(out)
-    val files = new java.io.File(out).listFiles.map(_.getName).sorted
+    val all = new java.io.File(out).listFiles.map(_.getName).sorted
+    // truncate restarts the snapshot log: exactly one manifest survives
+    assert(all.filter(_.endsWith(".manifest")).toSeq == Seq("_v1.manifest"),
+      all.mkString(","))
+    val files = all.filterNot(_.startsWith("_"))
     assert(files.forall(_.endsWith(".arrows")), files.mkString(","))
     assert(files.length == 2, "truncate left stale files behind")
     val got = spark.read.format("graft.sources.ArrowIpcSource").load(out)
@@ -123,6 +127,37 @@ class ArrowIpcSourceSpec extends SparkSpec {
     src.write.format("graft.sources.ArrowIpcSource").mode("append").save(out)
     val n = spark.read.format("graft.sources.ArrowIpcSource").load(out).count()
     assert(n == 2 * src.count(), "append lost or replaced the first generation")
+  }
+
+  test("time travel: version-pinned reads are immune to later appends") {
+    val out = Files.createTempDirectory("graft_arrow_tt").toString
+    val src = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    val n0 = src.count()
+    src.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(out)
+    src.write.format("graft.sources.ArrowIpcSource").mode("append").save(out)
+    src.write.format("graft.sources.ArrowIpcSource").mode("append").save(out)
+    def at(v: Int) = spark.read.format("graft.sources.ArrowIpcSource")
+      .option("version", v.toString).load(out).count()
+    assert(at(1) == n0 && at(2) == 2 * n0 && at(3) == 3 * n0,
+      "snapshots must capture the table as of each commit")
+    // unpinned read = current table
+    assert(spark.read.format("graft.sources.ArrowIpcSource").load(out)
+      .count() == 3 * n0)
+    // a snapshot that never existed fails loudly
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.ArrowIpcSource")
+        .option("version", "9").load(out).count()
+    }
+    assert(ex.getMessage.contains("_v9.manifest"),
+      s"missing snapshot must name itself, got: ${ex.getMessage.take(200)}")
+    // overwrite clears the log and restarts at v1 (old files are gone —
+    // retention across truncate is explicitly not carried)
+    src.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(out)
+    assert(at(1) == n0, "post-overwrite v1 must be the new generation")
+    intercept[Exception] {
+      spark.read.format("graft.sources.ArrowIpcSource")
+        .option("version", "3").load(out).count()
+    }
   }
 
   test("column pruning reaches the scan") {

@@ -66,7 +66,11 @@ class AvroSourceSpec extends SparkSpec {
       .mode("overwrite").save(out)
     avroDF.repartition(2).write.format("graft.sources.AvroSource")
       .mode("overwrite").save(out)
-    val files = new File(out).listFiles.map(_.getName).sorted
+    val all = new File(out).listFiles.map(_.getName).sorted
+    // the shared commit writes the snapshot log for this sink too
+    assert(all.filter(_.endsWith(".manifest")).toSeq == Seq("_v1.manifest"),
+      all.mkString(","))
+    val files = all.filterNot(_.startsWith("_"))
     assert(files.forall(_.endsWith(".avro")), files.mkString(","))
     assert(files.length == 2, "truncate left stale files behind")
     val got = spark.read.format("graft.sources.AvroSource").load(out)
