@@ -236,6 +236,36 @@ object Io {
         .orderBy("s_nationkey")
     }),
 
+    // FEDERATED query across three storage formats in ONE plan: the
+    // parquet fact joins a dimension landed as Arrow IPC (our DSv2) and
+    // another landed as Avro (our DSv2) — Catalyst treats all three as
+    // ordinary relations (pruning/pushdown per source), which is the
+    // whole point of the source abstraction: a 100 TB lake is never one
+    // format, and the engine must not care
+    "src_federated_join" -> ((s, d) => {
+      val pArrow = s"${base(d)}/fed_supplier_arrow"
+      val pAvro = s"${base(d)}/fed_nation_avro"
+      t(s, d, "supplier").selectExpr(
+          "CAST(s_suppkey AS BIGINT) AS s_suppkey",
+          "CAST(s_nationkey AS BIGINT) AS s_nationkey")
+        .write.format("graft.sources.ArrowIpcSource")
+        .mode("overwrite").save(pArrow)
+      t(s, d, "nation").selectExpr(
+          "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name")
+        .write.format("graft.sources.AvroSource")
+        .mode("overwrite").save(pAvro)
+      t(s, d, "lineitem")
+        .join(s.read.format("graft.sources.ArrowIpcSource").load(pArrow),
+          expr("l_suppkey = s_suppkey"))
+        .join(s.read.format("graft.sources.AvroSource").load(pAvro),
+          expr("s_nationkey = n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)")
+            .as("sum_price"))
+        .orderBy("n_name")
+    }),
+
     // TIME TRAVEL on the Arrow sink's commit log: overwrite lands
     // snapshot v1, append lands v2; a reader pinned to version 1 must
     // see ONLY the first generation even though the append already
@@ -1516,6 +1546,17 @@ object Io {
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |       min(s_name) AS first_name
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // recomputed over the parquet originals only — green proves both
+    // DSv2 dimensions carried exactly the base rows into the join
+    "src_federated_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // each snapshot recomputed from the base table: the v1-pinned read
     // must NOT see the appended odd keys

@@ -590,6 +590,22 @@ object Llm {
       Similarity.annRecall(exact, approx).orderBy("probe_id")
     }),
 
+    // matryoshka truncation eval: top-3 retrieval on the 16-dim PREFIX
+    // of each embedding scored against full-64-dim exact top-3 — the
+    // measurement that decides whether prefix-truncated vectors (4x
+    // less shuffle width and index memory) retrieve well enough; pure
+    // reuse of the brute-force + recall machinery over sliced arrays
+    "llm_matryoshka_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.where("vec_id < 16")
+      def pre(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+      Similarity.annRecall(
+          Similarity.bruteForceTopK(probes, e, 3),
+          Similarity.bruteForceTopK(pre(probes), pre(e), 3))
+        .orderBy("probe_id")
+    }),
+
     // int8-range scalar quantization: per-vector code signature (sum /
     // zeros / min / max) pins every code of every vector — a one-ULP
     // drift in the amp reduction or the rounding step hash-mismatches
@@ -1868,6 +1884,41 @@ object Llm {
 
     // exact top-3 (cosine_topk CTEs, probes < 16) vs the LSH-bucketed
     // ANN (ann_bucketed CTEs) -> per-probe hit counts -> rounded recall
+    // the same exact-vs-approx recall shape, approx = brute force over
+    // the 16-element list prefix on both sides
+    "llm_matryoshka_recall" ->
+      s"""WITH ex_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ex_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ex_pairs),
+         |ex AS (SELECT probe_id, cand_id FROM ex_ranked WHERE rank <= 3),
+         |ap_pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         ${duckCosine("p.embedding[1:16]", "c.embedding[1:16]")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16),
+         |ap_ranked AS (SELECT probe_id, cand_id,
+         |                     row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |              FROM ap_pairs),
+         |ap AS (SELECT probe_id, cand_id FROM ap_ranked WHERE rank <= 3),
+         |hits AS (SELECT e.probe_id, count(*) AS n_hit
+         |         FROM ex e JOIN ap a
+         |           ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+         |         GROUP BY e.probe_id),
+         |tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+         |SELECT t.probe_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
+         |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
+         |ORDER BY t.probe_id""".stripMargin,
+
     "llm_ann_recall" ->
       s"""WITH ex_pairs AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
