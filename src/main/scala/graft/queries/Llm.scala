@@ -343,6 +343,19 @@ object Llm {
 
     "llm_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
 
+    // language-ID EVAL against the fixture's labeled lang column: the
+    // confusion matrix that decides whether the n-gram heuristic is good
+    // enough to route documents — per (true, predicted) cell counts; the
+    // eval loop every classifier in the curation stack needs
+    "llm_langid_eval" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.langId(dd)
+        .join(dd.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
     "llm_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
 
@@ -1591,6 +1604,24 @@ object Llm {
          |FROM documents d
          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the same prediction chain joined back to the labeled column
+    "llm_langid_eval" ->
+      s"""WITH markers(lang_cand, marker) AS (VALUES $markerValues),
+         |toks AS (SELECT DISTINCT doc_id, tok
+         |         FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM documents)),
+         |scores AS (SELECT doc_id, lang_cand, count(*) AS hits
+         |           FROM toks JOIN markers ON tok = marker GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang_cand AS pred_lang,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn
+         |         FROM scores),
+         |pred AS (SELECT d.doc_id, d.lang AS true_lang,
+         |                COALESCE(b.pred_lang, 'und') AS pred_lang
+         |         FROM documents d
+         |         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |           ON b.doc_id = d.doc_id)
+         |SELECT true_lang, pred_lang, count(*) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
 
     "llm_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents),

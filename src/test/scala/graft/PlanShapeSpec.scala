@@ -449,6 +449,54 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("AQE splits a skewed SMJ partition at runtime (skew=true in the final plan)") {
+    // the NATIVE skew lever next to operators/Skew's salting: when one
+    // join key carries most of the rows, AQE's OptimizeSkewedJoin must
+    // split the oversized partition instead of letting one task own it.
+    // Thresholds are lowered so sf0.1 volumes trigger the same re-plan a
+    // 100 TB hot key would.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of lineitem lands on key 1 (a real orderkey). THREE probed
+      // preconditions, each of which silently suppresses the split:
+      // (1) both join children must be plain sorted shuffles — an
+      //     aggregate child pins its own required distribution;
+      // (2) nothing downstream may require the join's partitioning — so
+      //     the probe aggregates globally, not by the join key;
+      // (3) the split granularity is MAP-OUTPUT BLOCKS: sf0.1 lineitem
+      //     is one parquet row group = ONE real mapper, so the hot
+      //     reduce partition is a single indivisible block (probed:
+      //     createSkewPartitionSpecs -> None). The round-robin
+      //     repartition gives the join's shuffle 12 map tasks, each
+      //     contributing a slice of the hot key — at real scale many
+      //     input files do this for free.
+      val li = Tables.load(spark, sfBench, "lineitem")
+        .repartition(12)
+        .select(expr("CASE WHEN l_orderkey % 10 < 9 THEN 1 " +
+          "ELSE l_orderkey END").as("k"), col("l_quantity"))
+      val ord = Tables.load(spark, sfBench, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val plan = finalPlan(li.join(ord, "k")
+        .agg(sum("l_quantity").as("q"), sum("o_totalprice").as("m")))
+      assert(plan.contains("skew=true"),
+        s"hot key did not trigger AQE skew-join splitting:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("llm_pagerank: every iteration join is an equi join on node id") {
     val plan = staticPlan(SparkEntry.queries("llm_pagerank")(spark, sfSmoke))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
