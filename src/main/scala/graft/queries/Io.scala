@@ -835,6 +835,43 @@ object Io {
     // INTO, the fold logic unchanged. The oracle applies the WHOLE
     // changelog at once: green proves batch-split-invariant convergence
     // of the incremental fold, tombstones and all.
+    // STREAMING READ OF THE TABLE'S OWN COMMIT LOG: three batch commits
+    // land three generations in the Arrow sink; a micro-batch stream
+    // over the same directory uses each published manifest version as
+    // an offset (maxVersionsPerTrigger=1 -> one commit per trigger), so
+    // batch N reads exactly generation N's files — the Delta/Iceberg
+    // "table as stream source" pattern on our own commit protocol,
+    // exactly-once because manifests are immutable and staging files
+    // are invisible. The oracle recomputes each generation's membership
+    // from the base table: green pins the offset-range file planning
+    "ts_stream_commit_log" -> ((s, d) => {
+      val sup = t(s, d, "supplier").selectExpr(
+        "CAST(s_suppkey AS BIGINT) AS s_suppkey",
+        "CAST(s_acctbal AS DOUBLE) AS s_acctbal")
+      val p = s"${base(d)}/supplier_arrow_log"
+      deleteRecursively(new java.io.File(p))
+      (0 to 2).foreach { g =>
+        sup.where(s"s_suppkey % 3 = $g").repartition(2)
+          .write.format("graft.sources.ArrowIpcSource")
+          .mode("append").save(p)
+      }
+      val root = s"${base(d)}/stream_commit_log"
+      deleteRecursively(new java.io.File(root))
+      val stream = s.readStream.format("graft.sources.ArrowIpcSource")
+        .option("maxVersionsPerTrigger", 1).load(p)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      graft.streaming.Streams.runForeachBatch(stream, s"$root/ck") {
+        (batch, id) =>
+          val r = batch.agg(
+            count(lit(1)).as("n"),
+            expr("CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)")
+              .as("s")).collect()(0)
+          acc += ((id, r.getLong(0), r.getDouble(1)))
+      }
+      import s.implicits._
+      acc.toSeq.toDF("batch_id", "n_rows", "sum_bal").orderBy("batch_id")
+    }),
+
     "ts_stream_upsert" -> ((s, d) => {
       import org.apache.spark.sql.functions.expr
       val events = Tables.load(s, d, "events")
@@ -2048,6 +2085,14 @@ object Io {
     // the WHOLE changelog applied in one shot (window rank, no
     // incremental fold, no tombstone carrying) — green proves the
     // 3-batch foreachBatch merge converged to the same snapshot
+    // each micro-batch is one commit = one residue class of suppkey
+    "ts_stream_commit_log" ->
+      """SELECT CAST(s_suppkey % 3 AS BIGINT) AS batch_id,
+        |       count(*) AS n_rows,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_bal
+        |FROM supplier GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
     "ts_stream_upsert" ->
       """WITH ch AS (SELECT user_id AS k, event_id AS seq,
         |    CASE WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'D'

@@ -116,9 +116,11 @@ private[sources] class ArrowIpcTable(schema: StructType, path: String,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArrowScanBuilder(schema, path, version)
+    new ArrowScanBuilder(schema, path, version,
+      Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+        .getOrElse(Int.MaxValue))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -126,19 +128,25 @@ private[sources] class ArrowIpcTable(schema: StructType, path: String,
 }
 
 private[sources] class ArrowScanBuilder(fullSchema: StructType, path: String,
-                                        version: Option[Int])
+                                        version: Option[Int],
+                                        maxVersionsPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ArrowScan(required, path, version)
+  override def build(): Scan =
+    new ArrowScan(required, path, version, maxVersionsPerTrigger)
 }
 
 private[sources] class ArrowScan(required: StructType, path: String,
-                                 version: Option[Int])
+                                 version: Option[Int],
+                                 maxVersionsPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArrowCommitLogStream(path, required, maxVersionsPerTrigger)
   override def planInputPartitions(): Array[InputPartition] = {
     val files = version.map(ArrowIpc.listFilesAt(path, _))
       .getOrElse(ArrowIpc.listFiles(path))
@@ -155,6 +163,86 @@ private[sources] class ArrowScan(required: StructType, path: String,
 }
 
 private[sources] case class ArrowFilePartition(file: String) extends InputPartition
+
+/** Stream OFFSET = a snapshot version from the sink's commit log. */
+private[sources] case class ArrowVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch STREAMING source over the Arrow sink's own commit log:
+  * every published `_v{N}.manifest` is one offset, and batch (start,
+  * end] reads exactly `manifest(end) ∖ manifest(start)` — the files the
+  * commits in that range landed. Exactly-once falls out of the commit
+  * protocol itself: a file is visible iff its commit published a
+  * manifest, uncommitted staging files are invisible, and replanning a
+  * batch from the checkpointed offsets yields the same file set
+  * (manifests are immutable). This is the "table format as streaming
+  * source" pattern (a Delta/Iceberg CDC read, scaled to this sink): a
+  * continuous ingest tails the table the batch writers land into, with
+  * no directory-diff races. APPEND-ONLY by contract — an overwrite
+  * truncates the log, and a stream whose start offset no longer exists
+  * fails loudly rather than silently re-reading the new generation.
+  * `maxVersionsPerTrigger` paces recovery/backfill (admission control):
+  * a stream starting against a long-committed history drains it
+  * commit-by-commit instead of one giant batch.
+  */
+private[sources] class ArrowCommitLogStream(path: String,
+    required: StructType, maxVersionsPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def maxVersion: Int =
+    TwoPhaseCommit.manifestVersions(new File(path)).lastOption.getOrElse(0)
+
+  override def initialOffset(): Offset = ArrowVersionOffset(0)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxVersionsPerTrigger)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ArrowVersionOffset].version
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    ArrowVersionOffset(math.min(maxVersion, from.toLong + cap).toInt)
+  }
+
+  override def reportLatestOffset(): Offset = ArrowVersionOffset(maxVersion)
+
+  private def filesAt(v: Int): Set[String] =
+    if (v <= 0) Set.empty
+    else TwoPhaseCommit.readManifest(new File(path), v).toSet
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ArrowVersionOffset].version
+    val e = end.asInstanceOf[ArrowVersionOffset].version
+    val dir = new File(path)
+    (filesAt(e) -- filesAt(s)).toSeq.sorted.map { name =>
+      val f = new File(dir, name)
+      require(f.isFile, s"commit-log stream: file $name of snapshot v$e " +
+        "is gone (table was overwritten mid-stream?)")
+      ArrowFilePartition(f.getAbsolutePath)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset =
+    ArrowVersionOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class ArrowReaderFactory(required: StructType)
     extends PartitionReaderFactory {
