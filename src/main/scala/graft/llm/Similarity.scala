@@ -528,6 +528,50 @@ object Similarity {
           .as("res_norm"))
   }
 
+  /** Per-group embedding DRIFT between two corpus versions — the
+    * monitoring signal a daily re-land publishes: cosine between each
+    * group's MEAN embedding in v1 and v2, next to both member counts.
+    * A re-encoded source, a filter change that skews a domain, or a
+    * poisoned batch all move the group centroid; cos(mean1, mean2)
+    * catches it with one number per group.
+    *
+    * Engine-exact by the lloydIterate discipline: per-dim sums on
+    * DECIMAL(18,9) (order-free), ONE division to the double mean, then
+    * the cosine folds the k×dims mean cells in fixed dim order.
+    *
+    * Scale shape: two posexplode aggregates (map-side partials) and a
+    * groups×dims join — corpus rows cross the wire once per version,
+    * the join and folds touch only centroid cells.
+    *
+    * Inputs are (grp, embedding) frames; output
+    * (grp, n_v1, n_v2, drift_cos).
+    */
+  def embeddingDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def means(df: DataFrame) =
+      df.select(col("grp"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("grp", "dim")
+        .agg(sum(expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("grp"), col("dim"),
+          expr("CAST(s AS DOUBLE) / n").as("m"), col("n"))
+    val a = means(v1).withColumnRenamed("m", "ma").withColumnRenamed("n", "na")
+    val b = means(v2).withColumnRenamed("m", "mb").withColumnRenamed("n", "nb")
+    a.join(b, Seq("grp", "dim"))
+      .groupBy("grp")
+      .agg(max("na").as("n_v1"), max("nb").as("n_v2"),
+        expr("array_sort(collect_list(struct(dim, ma, mb)))").as("__c"))
+      .select(col("grp"), col("n_v1"), col("n_v2"),
+        expr(
+          """CAST(ROUND(
+            |  aggregate(transform(__c, s -> s.ma * s.mb),
+            |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+            |  / (SQRT(aggregate(transform(__c, s -> s.ma * s.ma),
+            |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+            |     * SQRT(aggregate(transform(__c, s -> s.mb * s.mb),
+            |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 6)
+            |AS DOUBLE)""".stripMargin).as("drift_cos"))
+  }
+
   /** Maximal-marginal-relevance (Carbonell & Goldstein 1998) diversified
     * top-k: greedily pick the candidate maximizing
     * `λ·cos(query, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the

@@ -603,6 +603,20 @@ object Llm {
       Similarity.annRecall(exact, approx).orderBy("probe_id")
     }),
 
+    // per-group centroid drift between corpus versions: v2 drops every
+    // 7th vector (re-land churn) and NEGATES every 3rd (a re-encoded /
+    // poisoned slice); cos(mean_v1, mean_v2) per source flags it
+    "llm_embedding_drift" -> ((s, d) => {
+      val e = emb(s, d)
+      val v1 = e.select(expr("vec_id % 5").as("grp"), col("embedding"))
+      val v2 = e.where("vec_id % 7 <> 0")
+        .select(expr("vec_id % 5").as("grp"),
+          expr("""CASE WHEN vec_id % 3 = 0
+                 |THEN transform(embedding, x -> CAST(-x AS FLOAT))
+                 |ELSE embedding END""".stripMargin).as("embedding"))
+      Similarity.embeddingDrift(v1, v2).orderBy("grp")
+    }),
+
     // matryoshka truncation eval: top-3 retrieval on the 16-dim PREFIX
     // of each embedding scored against full-64-dim exact top-3 — the
     // measurement that decides whether prefix-truncated vectors (4x
@@ -1915,6 +1929,44 @@ object Llm {
 
     // exact top-3 (cosine_topk CTEs, probes < 16) vs the LSH-bucketed
     // ANN (ann_bucketed CTEs) -> per-probe hit counts -> rounded recall
+    // the same DECIMAL-exact means, cosine folded as list(x ORDER BY dim)
+    "llm_embedding_drift" ->
+      s"""WITH v1 AS (SELECT vec_id % 5 AS grp, embedding FROM embeddings),
+         |v2 AS (SELECT vec_id % 5 AS grp,
+         |              CASE WHEN vec_id % 3 = 0
+         |                   THEN list_transform(embedding,
+         |                          x -> CAST(-x AS FLOAT))
+         |                   ELSE embedding END AS embedding
+         |       FROM embeddings WHERE vec_id % 7 <> 0),
+         |m1 AS (SELECT grp, CAST(i - 1 AS INT) AS dim,
+         |              CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+         |                            AS DECIMAL(18,9))) AS DOUBLE)
+         |                / COUNT(*) AS m,
+         |              COUNT(*) AS n
+         |       FROM v1 e, unnest(generate_series(1, len(e.embedding))) u(i)
+         |       GROUP BY 1, 2),
+         |m2 AS (SELECT grp, CAST(i - 1 AS INT) AS dim,
+         |              CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+         |                            AS DECIMAL(18,9))) AS DOUBLE)
+         |                / COUNT(*) AS m,
+         |              COUNT(*) AS n
+         |       FROM v2 e, unnest(generate_series(1, len(e.embedding))) u(i)
+         |       GROUP BY 1, 2),
+         |j AS (SELECT m1.grp, m1.dim, m1.m AS ma, m2.m AS mb,
+         |             m1.n AS na, m2.n AS nb
+         |      FROM m1 JOIN m2 ON m1.grp = m2.grp AND m1.dim = m2.dim)
+         |SELECT grp, CAST(MAX(na) AS BIGINT) AS n_v1,
+         |       CAST(MAX(nb) AS BIGINT) AS n_v2,
+         |       CAST(ROUND(
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(ma * mb ORDER BY dim)), (acc, x) -> acc + x)
+         |         / (SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list(ma * ma ORDER BY dim)), (acc, x) -> acc + x))
+         |            * SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list(mb * mb ORDER BY dim)), (acc, x) -> acc + x))), 6)
+         |       AS DOUBLE) AS drift_cos
+         |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
+
     // the same exact-vs-approx recall shape, approx = brute force over
     // the 16-element list prefix on both sides
     "llm_matryoshka_recall" ->

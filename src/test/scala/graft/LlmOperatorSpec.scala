@@ -962,6 +962,22 @@ class LlmOperatorSpec extends SparkSpec {
       "overlapping sources must make the naive sum exceed the union")
   }
 
+  test("embeddingDrift: identical versions score 1, negated score -1") {
+    import spark.implicits._
+    def v(fs: Double*) = fs.map(_.toFloat).toArray
+    val base = Seq((0L, v(1.0, 2.0)), (0L, v(3.0, 0.0)), (1L, v(0.0, 1.0)))
+      .toDF("grp", "embedding")
+    val same = Similarity.embeddingDrift(base, base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(same == Map(0L -> ((2L, 2L, 1.0)), 1L -> ((1L, 1L, 1.0))))
+    val neg = base.selectExpr("grp",
+      "transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding")
+    val flipped = Similarity.embeddingDrift(base, neg).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(flipped == Map(0L -> -1.0, 1L -> -1.0))
+  }
+
   test("mmrSelect: diversity penalty reorders an exact-duplicate result") {
     import spark.implicits._
     def v(fs: Double*) = fs.map(_.toFloat).toArray
