@@ -926,6 +926,50 @@ object Dedup {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Content-defined chunking (the rolling-hash boundary scheme behind
+    * FastCDC / restic / borg dedup stores): a chunk boundary falls after
+    * position i iff the hash of the `w`-gram ENDING at i ≡ 0 (mod
+    * `divisor`) — so boundaries depend only on LOCAL content, and an
+    * insertion early in a document re-chunks O(1) chunks instead of
+    * shifting every fixed-size block (the failure mode of fixed-width
+    * chunking). Emitted chunk md5s are the storage-dedup keys: identical
+    * passages shared across documents produce identical chunks wherever
+    * they sit.
+    *
+    * Engine-exact: the rolling hash is md5 of the gram (the one shared
+    * hash), boundary test on its first 4 hex chars; boundaries at
+    * exactly end-of-doc are dropped so the cut list is strictly
+    * increasing without any order-mangling distinct.
+    *
+    * Scale shape: per-row positional expression work (one Generate over
+    * each doc's own positions) + a per-doc collect_list bounded by the
+    * doc's boundary count — no corpus-wide state, embarrassingly
+    * parallel. Output: (doc_id, chunk_idx, start, len, chunk_md5).
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 8, divisor: Int = 64): DataFrame = {
+    require(w >= 2 && divisor >= 2, "window >= 2, divisor >= 2")
+    val n = docs.select(col("doc_id"), expr(normalizeExpr).as("norm"))
+      .where(length(col("norm")) >= 1)
+    val bs = n.select(col("doc_id"), explode(expr(
+      s"""filter(transform(sequence($w, greatest(length(norm), $w)),
+         |  i -> IF(i <= length(norm) AND
+         |          conv(substring(md5(substring(norm, i - ${w - 1}, $w)), 1, 4),
+         |               16, 10) % $divisor = 0
+         |          AND i < length(norm), i, -1)),
+         |  x -> x >= 0)""".stripMargin)).as("b"))
+    val ag = bs.groupBy("doc_id").agg(sort_array(collect_list(col("b"))).as("bl"))
+    n.join(ag, Seq("doc_id"), "left")
+      .withColumn("cuts", expr(
+        "concat(array(0), coalesce(bl, array()), array(length(norm)))"))
+      .select(col("doc_id"), col("norm"), posexplode(expr(
+        """transform(sequence(0, size(cuts) - 2),
+          |  j -> struct(cuts[j] AS s, cuts[j + 1] - cuts[j] AS l))"""
+          .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("c.s").cast("int").as("start"), col("c.l").cast("int").as("len"),
+        expr("md5(substring(norm, c.s + 1, c.l))").as("chunk_md5"))
+  }
+
   /** PageRank over the undirected duplicate-candidate graph — `iters`
     * power steps with damping 0.85: the centrality signal that ranks
     * which documents sit at the CORE of a near-dup neighborhood (tight

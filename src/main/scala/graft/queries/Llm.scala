@@ -603,6 +603,29 @@ object Llm {
       Similarity.annRecall(exact, approx).orderBy("probe_id")
     }),
 
+    // content-defined chunk boundaries (FastCDC-style rolling-hash
+    // cuts): every (doc, chunk) with its offset/length/md5 — the
+    // storage-dedup keys identical passages share wherever they sit
+    "llm_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+
+    // the dedup-store ledger over those chunks: physical bytes =
+    // unique-chunk bytes; the ratio is what a chunked blob store saves
+    "llm_cdc_dedup" -> ((s, d) => {
+      val ch = Dedup.cdcChunks(docs(s, d))
+      val uniq = ch.groupBy("chunk_md5")
+        .agg(first(col("len")).as("ul"), count(lit(1)).as("copies"))
+      ch.agg(count(lit(1)).as("n_chunks"),
+          sum(col("len").cast("long")).as("logical_bytes"))
+        .crossJoin(broadcast(uniq.agg(
+          count(lit(1)).as("n_unique"),
+          sum(col("ul").cast("long")).as("physical_bytes"))))
+        .select(col("n_chunks"), col("n_unique"), col("logical_bytes"),
+          col("physical_bytes"),
+          expr("CAST(ROUND(CAST(physical_bytes AS DOUBLE) " +
+            "/ logical_bytes, 6) AS DOUBLE)").as("stored_fraction"))
+    }),
+
     // per-group centroid drift between corpus versions: v2 drops every
     // 7th vector (re-land churn) and NEGATES every 3rd (a re-encoded /
     // poisoned slice); cos(mean_v1, mean_v2) per source flags it
@@ -1174,6 +1197,33 @@ object Llm {
        |       GROUP BY key HAVING count(*) >= 2),
        |fx AS (SELECT l.doc_id, l.line_no, l.line, (b.key IS NOT NULL) AS is_bl
        |       FROM lx l LEFT JOIN bl b ON l.key = b.key)""".stripMargin
+
+  /** Shared CTE chain replaying [[Dedup.cdcChunks]] (w=8, divisor=64):
+    * boundary positions → ordered cut list → one row per chunk (`ch`).
+    */
+  private def cdcChunkCtes: String =
+    s"""n AS (SELECT doc_id, $NORM AS norm FROM documents
+       |      WHERE length($NORM) >= 1),
+       |bs AS (SELECT doc_id, i AS b
+       |       FROM n, unnest(generate_series(8, length(norm))) u(i)
+       |       WHERE i < length(norm)
+       |         AND ('0x' || substr(md5(substr(norm, i - 7, 8)), 1, 4))::BIGINT
+       |             % 64 = 0),
+       |ag AS (SELECT doc_id, list(b ORDER BY b) AS bl FROM bs GROUP BY doc_id),
+       |cu AS (SELECT n.doc_id, n.norm,
+       |              list_concat(
+       |                list_prepend(CAST(0 AS BIGINT),
+       |                  COALESCE(ag.bl, CAST([] AS BIGINT[]))),
+       |                [CAST(length(n.norm) AS BIGINT)]) AS cuts
+       |       FROM n LEFT JOIN ag USING (doc_id)),
+       |ch AS (SELECT doc_id, CAST(j - 1 AS INT) AS chunk_idx,
+       |              CAST(cuts[j] AS INT) AS start,
+       |              CAST(cuts[j + 1] - cuts[j] AS INT) AS len,
+       |              md5(substr(norm, CAST(cuts[j] AS INT) + 1,
+       |                         CAST(cuts[j + 1] - cuts[j] AS INT)))
+       |                AS chunk_md5
+       |       FROM cu, unnest(generate_series(1, len(cuts) - 1)) u(j))"""
+      .stripMargin
 
   /** Shared CTE chain replaying [[TextAnalysis.bpeEncode]]'s 4-merge
     * dictionary evolution, ending at `wtok` (word → token/multi counts)
@@ -1929,6 +1979,26 @@ object Llm {
 
     // exact top-3 (cosine_topk CTEs, probes < 16) vs the LSH-bucketed
     // ANN (ann_bucketed CTEs) -> per-probe hit counts -> rounded recall
+    // the same rolling-hash boundary rule over each doc's positions;
+    // cuts assembled as 0 ++ ordered boundaries ++ len (end-of-doc
+    // boundaries excluded on both sides, so no distinct is needed)
+    "llm_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start, len, chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "llm_cdc_dedup" ->
+      s"""WITH $cdcChunkCtes,
+         |u AS (SELECT chunk_md5, MIN(len) AS ul FROM ch GROUP BY 1)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_chunks,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unique,
+         |       (SELECT CAST(SUM(len) AS BIGINT) FROM ch) AS logical_bytes,
+         |       (SELECT CAST(SUM(ul) AS BIGINT) FROM u) AS physical_bytes,
+         |       CAST(ROUND(
+         |         (SELECT CAST(SUM(ul) AS DOUBLE) FROM u)
+         |         / (SELECT CAST(SUM(len) AS BIGINT) FROM ch), 6) AS DOUBLE)
+         |         AS stored_fraction""".stripMargin,
+
     // the same DECIMAL-exact means, cosine folded as list(x ORDER BY dim)
     "llm_embedding_drift" ->
       s"""WITH v1 AS (SELECT vec_id % 5 AS grp, embedding FROM embeddings),

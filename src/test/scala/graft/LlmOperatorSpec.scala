@@ -962,6 +962,31 @@ class LlmOperatorSpec extends SparkSpec {
       "overlapping sources must make the naive sum exceed the union")
   }
 
+  test("cdcChunks: boundaries are content-defined — a prefix insertion leaves the tail chunks intact") {
+    // deterministic pseudo-random text long enough to contain boundaries
+    val rnd = new scala.util.Random(11)
+    val text = Seq.fill(1500)(('a' + rnd.nextInt(26)).toChar).grouped(7)
+      .map(_.mkString).mkString(" ")
+    val out = Dedup.cdcChunks(docs(1L -> text, 2L -> s"zq $text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+    val a = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val b = out.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSet
+    assert(a.length >= 3, s"fixture must produce several chunks, got ${a.length}")
+    // fixed-width chunking would shift EVERY block; content-defined cuts
+    // lose at most the chunk(s) touching the insertion point
+    val surviving = a.count(b.contains)
+    assert(surviving >= a.length - 2,
+      s"only $surviving/${a.length} chunks survived a 3-char prefix insertion")
+    // chunk geometry tiles the document exactly
+    val rows = Dedup.cdcChunks(docs(1L -> text)).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(rows.head._2 == 0)
+    rows.sliding(2).foreach { case Array((_, s1, l1), (_, s2, _)) =>
+      assert(s1 + l1 == s2, "chunks must tile without gaps or overlap")
+    case _ => }
+    assert(rows.map(_._3).sum == text.length)
+  }
+
   test("embeddingDrift: identical versions score 1, negated score -1") {
     import spark.implicits._
     def v(fs: Double*) = fs.map(_.toFloat).toArray
