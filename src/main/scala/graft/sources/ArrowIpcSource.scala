@@ -146,7 +146,8 @@ private[sources] class ArrowScan(required: StructType, path: String,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ArrowCommitLogStream(path, required, maxVersionsPerTrigger)
+    new CommitLogStream(path, maxVersionsPerTrigger,
+      ArrowFilePartition.apply, new ArrowReaderFactory(required))
   override def planInputPartitions(): Array[InputPartition] = {
     val files = version.map(ArrowIpc.listFilesAt(path, _))
       .getOrElse(ArrowIpc.listFiles(path))
@@ -170,7 +171,7 @@ private[sources] case class ArrowVersionOffset(version: Int)
   override def json(): String = version.toString
 }
 
-/** Micro-batch STREAMING source over the Arrow sink's own commit log:
+/** Micro-batch STREAMING source over the sinks' shared commit log:
   * every published `_v{N}.manifest` is one offset, and batch (start,
   * end] reads exactly `manifest(end) ∖ manifest(start)` — the files the
   * commits in that range landed. Exactly-once falls out of the commit
@@ -178,17 +179,21 @@ private[sources] case class ArrowVersionOffset(version: Int)
   * manifest, uncommitted staging files are invisible, and replanning a
   * batch from the checkpointed offsets yields the same file set
   * (manifests are immutable). This is the "table format as streaming
-  * source" pattern (a Delta/Iceberg CDC read, scaled to this sink): a
+  * source" pattern (a Delta/Iceberg CDC read, scaled to these sinks): a
   * continuous ingest tails the table the batch writers land into, with
   * no directory-diff races. APPEND-ONLY by contract — an overwrite
   * truncates the log, and a stream whose start offset no longer exists
   * fails loudly rather than silently re-reading the new generation.
   * `maxVersionsPerTrigger` paces recovery/backfill (admission control):
   * a stream starting against a long-committed history drains it
-  * commit-by-commit instead of one giant batch.
+  * commit-by-commit instead of one giant batch. Format-agnostic: the
+  * Arrow and Avro sources both plug in their own partition shape and
+  * reader factory ([[TwoPhaseCommit]] writes the same log for both).
   */
-private[sources] class ArrowCommitLogStream(path: String,
-    required: StructType, maxVersionsPerTrigger: Int)
+private[sources] class CommitLogStream(path: String,
+    maxVersionsPerTrigger: Int,
+    mkPartition: String => InputPartition,
+    readerFactory: PartitionReaderFactory)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -230,12 +235,11 @@ private[sources] class ArrowCommitLogStream(path: String,
       val f = new File(dir, name)
       require(f.isFile, s"commit-log stream: file $name of snapshot v$e " +
         "is gone (table was overwritten mid-stream?)")
-      ArrowFilePartition(f.getAbsolutePath)
+      mkPartition(f.getAbsolutePath)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def deserializeOffset(json: String): Offset =
     ArrowVersionOffset(json.trim.toInt)

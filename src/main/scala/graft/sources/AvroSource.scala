@@ -50,7 +50,10 @@ class AvroSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new AvroTable(schema, properties.get("path"))
+    new AvroTable(schema, properties.get("path"),
+      Option(properties.get("version")).map(_.trim.toInt),
+      Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+        .getOrElse(Int.MaxValue))
 }
 
 private[graft] object Avro {
@@ -112,39 +115,53 @@ private[graft] object Avro {
   }
 }
 
-private[sources] class AvroTable(schema: StructType, path: String)
+private[sources] class AvroTable(schema: StructType, path: String,
+                                 version: Option[Int] = None,
+                                 maxVersionsPerTrigger: Int = Int.MaxValue)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"avro:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(schema, path)
+    new AvroScanBuilder(schema, path, version, maxVersionsPerTrigger)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(info, path)
 }
 
-private[sources] class AvroScanBuilder(fullSchema: StructType, path: String)
+private[sources] class AvroScanBuilder(fullSchema: StructType, path: String,
+                                       version: Option[Int] = None,
+                                       maxVersionsPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(required, path)
+  override def build(): Scan =
+    new AvroScan(required, path, version, maxVersionsPerTrigger)
 }
 
-private[sources] class AvroScan(required: StructType, path: String)
+private[sources] class AvroScan(required: StructType, path: String,
+                                version: Option[Int] = None,
+                                maxVersionsPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = ArrowIpc.listFiles(path)
+    val files = version.map(ArrowIpc.listFilesAt(path, _))
+      .getOrElse(ArrowIpc.listFiles(path))
     require(files.nonEmpty, s"no avro files under $path")
     files.map(AvroFilePartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required)
-  override def description(): String = s"AvroScan $path ${required.simpleString}"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CommitLogStream(path, maxVersionsPerTrigger,
+      AvroFilePartition.apply, new AvroReaderFactory(required))
+  override def description(): String =
+    s"AvroScan $path${version.map(v => s" @v$v").getOrElse("")} " +
+      required.simpleString
 }
 
 private[sources] case class AvroFilePartition(file: String) extends InputPartition

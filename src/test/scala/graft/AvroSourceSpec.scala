@@ -86,6 +86,26 @@ class AvroSourceSpec extends SparkSpec {
     assert(n == 6, "append lost or replaced the first generation")
   }
 
+  test("time travel and commit-log streaming work on the avro sink too") {
+    val out = Files.createTempDirectory("graft_avro_tt").toString
+    val ck = Files.createTempDirectory("graft_avro_tt_ck").toString
+    val src = spark.read.format("graft.sources.AvroSource").load(dir)
+    val n0 = src.count()
+    src.write.format("graft.sources.AvroSource").mode("append").save(out)
+    src.write.format("graft.sources.AvroSource").mode("append").save(out)
+    // version-pinned batch read (the shared manifest log)
+    assert(spark.read.format("graft.sources.AvroSource")
+      .option("version", "1").load(out).count() == n0)
+    // commit-log micro-batch stream: one batch per committed version
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = spark.readStream.format("graft.sources.AvroSource")
+      .option("maxVersionsPerTrigger", 1).load(out)
+    graft.streaming.Streams.runForeachBatch(stream, ck) { (b, id) =>
+      got += ((id, b.count()))
+    }
+    assert(got.toSeq == Seq((0L, n0), (1L, n0)))
+  }
+
   test("column pruning reaches the scan") {
     val plan = avroDF.select("name").queryExecution.executedPlan.toString
     assert(plan.contains("AvroScan"), s"custom scan missing:\n$plan")
