@@ -236,6 +236,41 @@ object Io {
         .orderBy("s_nationkey")
     }),
 
+    // ANN INDEX AS TABLE LAYOUT: the IVF assignment becomes a
+    // partitionBy(centroid_id) parquet layout, and a query probes ONE
+    // partition — Hive-style partition pruning (gated in PlanShapeSpec)
+    // turns nprobe=1 into "read 1/k of the corpus from disk", the
+    // serving-side half of the IVF design the in-memory llm_ivf_topk
+    // entry computes inline. The oracle replays assignment for the
+    // whole corpus and ranks within the probe's cluster
+    "sink_ivf_partitioned" -> ((s, d) => {
+      import graft.llm.Ivf
+      val e = Tables.load(s, d, "embeddings")
+      val cents = e.where(col("vec_id").isin(3, 17, 31, 59))
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val p = s"${base(d)}/ivf_shards"
+      Ivf.assign(e, cents).write.mode("overwrite")
+        .partitionBy("centroid_id").parquet(p)
+      val probe = e.where("vec_id = 7")
+      val pc = Ivf.assign(probe, cents)
+        .select(col("centroid_id").cast("int")).collect()(0).getInt(0)
+      val shard = s.read.parquet(p)
+        .where(col("centroid_id") === lit(pc) && col("vec_id") =!= 7)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id"))
+      shard
+        .crossJoin(broadcast(probe.select(col("embedding").as("__pe"))))
+        .select(col("vec_id"),
+          expr("CAST(ROUND(graft_cosine(embedding, __pe), 6) AS DOUBLE)")
+            .as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("rank"), col("vec_id"), lit(pc).as("centroid_id"),
+          col("cos"))
+        .orderBy("rank")
+    }),
+
     // FEDERATED query across three storage formats in ONE plan: the
     // parquet fact joins a dimension landed as Arrow IPC (our DSv2) and
     // another landed as Avro (our DSv2) — Catalyst treats all three as
@@ -1583,6 +1618,32 @@ object Io {
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |       min(s_name) AS first_name
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // assignment replayed corpus-wide (raw-cosine argmax, min-cid ties
+    // — the Ivf.assign contract), then ranked within the probe's cluster
+    "sink_ivf_partitioned" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+         |           FROM embeddings WHERE vec_id IN (3, 17, 31, 59)),
+         |a AS (SELECT v.vec_id, c.cid,
+         |             ${Llm.duckCosineRaw("v.embedding", "c.ce")} AS cos
+         |      FROM embeddings v CROSS JOIN c),
+         |mx AS (SELECT vec_id, MAX(cos) AS m FROM a GROUP BY vec_id),
+         |asg AS (SELECT a.vec_id, MIN(a.cid) AS cid
+         |        FROM a JOIN mx ON a.vec_id = mx.vec_id AND a.cos = mx.m
+         |        GROUP BY a.vec_id),
+         |pc AS (SELECT cid FROM asg WHERE vec_id = 7),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+         |scored AS (SELECT e.vec_id,
+         |                  ${Llm.duckCosine("e.embedding", "qe")} AS cos
+         |           FROM asg JOIN embeddings e ON e.vec_id = asg.vec_id,
+         |                pc, q
+         |           WHERE asg.cid = pc.cid AND asg.vec_id <> 7),
+         |r AS (SELECT vec_id, cos,
+         |             row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT CAST(rank AS INT) AS rank, vec_id,
+         |       (SELECT CAST(cid AS INT) FROM pc) AS centroid_id, cos
+         |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
 
     // recomputed over the parquet originals only — green proves both
     // DSv2 dimensions carried exactly the base rows into the join

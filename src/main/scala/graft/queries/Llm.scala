@@ -56,7 +56,7 @@ object Llm {
     * zero, Spark's BigDecimal HALF_UP cannot produce -0.0, and the
     * comparator hashes full-precision reprs — value-neutral otherwise.
     */
-  private def duckCosine(a: String, b: String): String =
+  private[queries] def duckCosine(a: String, b: String): String =
     s"CAST(ROUND(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6) + 0.0 AS DOUBLE)"
 
   /** Unrounded cosine — for ORDERING comparisons (centroid argmax), where
@@ -64,7 +64,7 @@ object Llm {
     * first could merge two centroids into a tie the other engine breaks
     * differently.
     */
-  private def duckCosineRaw(a: String, b: String): String =
+  private[queries] def duckCosineRaw(a: String, b: String): String =
     s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
   /** Shared PCA oracle CTEs: int8 quantize (the llm_quantize arithmetic)
@@ -610,21 +610,22 @@ object Llm {
       Dedup.cdcChunks(docs(s, d)).orderBy("doc_id", "chunk_idx")),
 
     // the dedup-store ledger over those chunks: physical bytes =
-    // unique-chunk bytes; the ratio is what a chunked blob store saves
-    "llm_cdc_dedup" -> ((s, d) => {
-      val ch = Dedup.cdcChunks(docs(s, d))
-      val uniq = ch.groupBy("chunk_md5")
-        .agg(first(col("len")).as("ul"), count(lit(1)).as("copies"))
-      ch.agg(count(lit(1)).as("n_chunks"),
-          sum(col("len").cast("long")).as("logical_bytes"))
-        .crossJoin(broadcast(uniq.agg(
+    // unique-chunk bytes; the ratio is what a chunked blob store saves.
+    // ONE pass over the chunk stream: same-md5 chunks share their
+    // length, so logical bytes = Σ ul·copies off the unique table
+    "llm_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcChunks(docs(s, d))
+        .groupBy("chunk_md5")
+        .agg(first(col("len")).cast("long").as("ul"),
+          count(lit(1)).as("copies"))
+        .agg(sum(col("copies")).as("n_chunks"),
           count(lit(1)).as("n_unique"),
-          sum(col("ul").cast("long")).as("physical_bytes"))))
+          sum(expr("ul * copies")).as("logical_bytes"),
+          sum(col("ul")).as("physical_bytes"))
         .select(col("n_chunks"), col("n_unique"), col("logical_bytes"),
           col("physical_bytes"),
           expr("CAST(ROUND(CAST(physical_bytes AS DOUBLE) " +
-            "/ logical_bytes, 6) AS DOUBLE)").as("stored_fraction"))
-    }),
+            "/ logical_bytes, 6) AS DOUBLE)").as("stored_fraction"))),
 
     // per-group centroid drift between corpus versions: v2 drops every
     // 7th vector (re-land churn) and NEGATES every 3rd (a re-encoded /

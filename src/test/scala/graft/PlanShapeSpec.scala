@@ -497,6 +497,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("sink_ivf_partitioned: the probe reads ONE shard via partition pruning") {
+    val plan = staticPlan(
+      SparkEntry.queries("sink_ivf_partitioned")(spark, sfSmoke))
+    val scans = SparkEntry.queries("sink_ivf_partitioned")(spark, sfSmoke)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("ivf_shards")) => f
+      }
+    assert(scans.nonEmpty, s"shard scan missing:\n$plan")
+    val pf = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("centroid_id"),
+      s"probe scan does not prune on centroid_id partitions: $pf\n$plan")
+  }
+
   test("llm_pagerank: every iteration join is an equi join on node id") {
     val plan = staticPlan(SparkEntry.queries("llm_pagerank")(spark, sfSmoke))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
