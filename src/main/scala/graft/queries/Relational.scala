@@ -76,6 +76,19 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // bitwise aggregate surface shared verbatim: bit_and / bit_or /
+    // bit_xor fold exact integers (order-free, no rounding anywhere) —
+    // the flag-mask rollups feature tables use
+    "fn_bitwise_surface" -> s"""
+      SELECT l_linenumber AS g,
+             CAST(bit_and(l_orderkey % 256) AS BIGINT) AS mask_and,
+             CAST(bit_or(l_orderkey % 256) AS BIGINT) AS mask_or,
+             CAST(bit_xor(l_orderkey % 256) AS BIGINT) AS mask_xor,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY l_linenumber
+      ORDER BY g""",
+
     // GROUP BY ALL / ORDER BY ALL shared verbatim — every non-aggregate
     // select item becomes a grouping key (and every output column a sort
     // key) by position in both engines; money on DECIMAL, DOUBLE at edge
