@@ -43,6 +43,27 @@ object Ops {
         .orderBy("k", "valid_from")
     }),
 
+    // POINT-IN-TIME join against the SCD2 history — the query the
+    // history table exists for: which version of each key was active at
+    // each probe time (NULL = key not yet inserted or deleted then).
+    // Equi-join on the key with the interval residual: per-key version
+    // lists are changelog-depth-bounded, so no range blow-up
+    "cdc_scd2_pit" -> ((s, d) => {
+      import s.implicits._
+      Tables.register(s, d)
+      val ch = s.sql(ChangelogSql)
+      val hist = Cdc.scd2History(ch, "k", "seq", "op")
+      val probes = ch.select("k").distinct()
+        .crossJoin(broadcast(Seq(1000L, 5000L, 20000L, 50000L).toDF("t")))
+      probes.join(hist,
+          probes("k") === hist("k") && probes("t") >= hist("valid_from") &&
+            (hist("valid_to").isNull || probes("t") < hist("valid_to")),
+          "left")
+        .select(probes("k"), col("t"), col("valid_from"),
+          expr("CAST(total AS DOUBLE)").as("total"))
+        .orderBy("k", "t")
+    }),
+
     // materialized-view refresh: yesterday's aggregate + today's signed
     // delta batch (inserts/updates/deletes over disjoint key classes)
     // merged WITHOUT rescanning the base; the oracle recomputes the view
@@ -267,6 +288,24 @@ object Ops {
               WHERE c2.k = ch.k AND c2.seq > ch.seq) IS NULL AS is_current
       FROM ch WHERE op <> 'D'
       ORDER BY k, valid_from""",
+
+    // intervals rebuilt via the correlated-min formulation, probed at
+    // the same four literal times
+    "cdc_scd2_pit" -> s"""
+      WITH ch AS ($ChangelogSql),
+      hist AS (SELECT k, seq AS valid_from,
+                 (SELECT min(c2.seq) FROM ch c2
+                  WHERE c2.k = ch.k AND c2.seq > ch.seq) AS valid_to,
+                 total
+               FROM ch WHERE op <> 'D'),
+      ks AS (SELECT DISTINCT k FROM ch),
+      ts(t) AS (VALUES (CAST(1000 AS BIGINT)), (5000), (20000), (50000)),
+      p AS (SELECT k, t FROM ks, ts)
+      SELECT p.k, p.t, h.valid_from, CAST(h.total AS DOUBLE) AS total
+      FROM p LEFT JOIN hist h
+        ON h.k = p.k AND p.t >= h.valid_from
+        AND (h.valid_to IS NULL OR p.t < h.valid_to)
+      ORDER BY p.k, p.t""",
 
     // full recompute of the final table (inserts applied, updates added,
     // deletes removed) — never touches the state/delta decomposition

@@ -99,6 +99,18 @@ class OpsSpec extends SparkSpec {
       "open SCD2 intervals must be exactly the live snapshot")
   }
 
+  test("scd2History intervals are disjoint: at most one active version per (key, t)") {
+    val hist = Cdc.scd2History(changelog, "k", "seq", "op")
+    Seq(0L, 50L, 199L, 399L).foreach { t =>
+      val perKey = hist
+        .where(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .groupBy("k").count()
+        .where(col("count") > 1).count()
+      assert(perKey == 0, s"overlapping versions active at t=$t")
+    }
+  }
+
   test("snapshotDiff labels added/removed/changed and drops identical rows") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
