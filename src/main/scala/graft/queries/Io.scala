@@ -870,6 +870,30 @@ object Io {
     // INTO, the fold logic unchanged. The oracle applies the WHOLE
     // changelog at once: green proves batch-split-invariant convergence
     // of the incremental fold, tombstones and all.
+    // GAP-FILL resampling: every (user, hour) slot between the user's
+    // first and last event, observed hours carrying real aggregates and
+    // missing hours emitted as explicit zeros — the dense grid
+    // forecasting/anomaly models require (a missing row and a zero row
+    // are different facts). Slots come from each user's OWN bounds via
+    // sequence() (no global calendar join); integer hour ids, never raw
+    // timestamps, cross the output edge
+    "ts_gap_fill" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events").where("user_id < 20")
+        .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+      val slots = ev.groupBy("user_id")
+        .agg(min("hour").as("mn"), max("hour").as("mx"))
+        .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("hour"))
+      val agg = ev.groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(value AS DECIMAL(18,2))")).as("sv"))
+      slots.join(agg, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          expr("CAST(coalesce(sv, 0) AS DOUBLE)").as("sum_value"),
+          col("n").isNull.as("filled"))
+        .orderBy("user_id", "hour")
+    }),
+
     // STREAMING READ OF THE TABLE'S OWN COMMIT LOG: three batch commits
     // land three generations in the Arrow sink; a micro-batch stream
     // over the same directory uses each published manifest version as
@@ -2146,6 +2170,26 @@ object Io {
     // the WHOLE changelog applied in one shot (window rank, no
     // incremental fold, no tombstone carrying) — green proves the
     // 3-batch foreachBatch merge converged to the same snapshot
+    // the dense grid rebuilt with generate_series over the same
+    // per-user hour bounds
+    "ts_gap_fill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |                   CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE user_id < 20),
+        |b AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx
+        |      FROM ev GROUP BY user_id),
+        |slots AS (SELECT user_id, h.h AS hour
+        |          FROM b, unnest(generate_series(mn, mx)) h(h)),
+        |ag AS (SELECT user_id, hour, count(*) AS n, SUM(v) AS sv
+        |       FROM ev GROUP BY 1, 2)
+        |SELECT s.user_id, s.hour,
+        |       CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_events,
+        |       CAST(COALESCE(ag.sv, 0) AS DOUBLE) AS sum_value,
+        |       ag.n IS NULL AS filled
+        |FROM slots s LEFT JOIN ag ON ag.user_id = s.user_id
+        |                         AND ag.hour = s.hour
+        |ORDER BY s.user_id, s.hour""".stripMargin,
+
     // each micro-batch is one commit = one residue class of suppkey
     "ts_stream_commit_log" ->
       """SELECT CAST(s_suppkey % 3 AS BIGINT) AS batch_id,

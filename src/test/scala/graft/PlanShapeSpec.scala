@@ -497,6 +497,18 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("cdc_scd2_pit: interval residual stays on the key equi join (no NLJ)") {
+    val plan = staticPlan(SparkEntry.queries("cdc_scd2_pit")(spark, sfSmoke))
+    // the only permitted nested loop is the broadcast of the 4 literal
+    // probe times; the history join itself must be a key equi join
+    val rest = plan.replace("BroadcastNestedLoopJoin", "")
+    assert(!rest.contains("NestedLoopJoin") && !rest.contains("CartesianProduct"),
+      s"point-in-time join degenerated:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"history join lost its key equi join:\n$plan")
+  }
+
   test("sink_ivf_partitioned: the probe reads ONE shard via partition pruning") {
     val plan = staticPlan(
       SparkEntry.queries("sink_ivf_partitioned")(spark, sfSmoke))
