@@ -870,14 +870,13 @@ object Io {
     // INTO, the fold logic unchanged. The oracle applies the WHOLE
     // changelog at once: green proves batch-split-invariant convergence
     // of the incremental fold, tombstones and all.
-    // GAP-FILL resampling: every (user, hour) slot between the user's
-    // first and last event, observed hours carrying real aggregates and
-    // missing hours emitted as explicit zeros — the dense grid
-    // forecasting/anomaly models require (a missing row and a zero row
-    // are different facts). Slots come from each user's OWN bounds via
-    // sequence() (no global calendar join); integer hour ids, never raw
-    // timestamps, cross the output edge
-    "ts_gap_fill" -> ((s, d) => {
+    // PER-KEY gap-fill at hourly grain — the complement of ts_gap_fill's
+    // global daily spine: every (user, hour) slot between the user's OWN
+    // first and last event (keys with disjoint active spans don't pay
+    // for each other's calendar), observed hours carrying real
+    // aggregates and missing hours explicit zeros with a filled flag.
+    // Integer hour ids, never raw timestamps, cross the output edge
+    "ts_gap_fill_perkey" -> ((s, d) => {
       val ev = Tables.load(s, d, "events").where("user_id < 20")
         .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
       val slots = ev.groupBy("user_id")
@@ -2172,7 +2171,7 @@ object Io {
     // 3-batch foreachBatch merge converged to the same snapshot
     // the dense grid rebuilt with generate_series over the same
     // per-user hour bounds
-    "ts_gap_fill" ->
+    "ts_gap_fill_perkey" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
         |                   CAST(value AS DECIMAL(18,2)) AS v
         |            FROM events WHERE user_id < 20),

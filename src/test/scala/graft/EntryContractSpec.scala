@@ -21,10 +21,30 @@ class EntryContractSpec extends SparkSpec {
       "relational" -> (graft.queries.Relational.sql.keySet ++
         graft.queries.Relational.sparkSql.keySet),
       "llm" -> graft.queries.Llm.queries.keySet,
-      "io" -> graft.queries.Io.queries.keySet)
+      "io" -> graft.queries.Io.queries.keySet,
+      "ops" -> graft.queries.Ops.queries.keySet)
     for {
       (ga, a) <- groups; (gb, b) <- groups if ga < gb
     } assert((a & b).isEmpty, s"$ga and $gb both declare: ${(a & b).toSeq.sorted}")
+  }
+
+  // A duplicate key inside ONE Map literal is invisible at runtime (the
+  // later entry silently wins — exactly how a second ts_gap_fill shadowed
+  // the first during round 10), so this gate scans the SOURCE: each
+  // declared name may appear as a map key at most twice across the query
+  // files (once in `queries`, once in the oracle map).
+  test("no entry name is declared more than twice in the query sources") {
+    val dir = new java.io.File("src/main/scala/graft/queries")
+    val text = dir.listFiles.filter(_.getName.endsWith(".scala"))
+      .map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString("\n")
+    val offenders = SparkEntry.queries.keySet.toSeq.sorted.flatMap { name =>
+      val n = ("\"" + java.util.regex.Pattern.quote(name) + "\"\\s*->").r
+        .findAllIn(text).size
+      if (n > 2) Some(s"$name declared $n times") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
   test("flagship entry returns rows on the smoke fixture") {
