@@ -57,7 +57,11 @@ def main():
         if r.returncode != 0:
             print(r.stdout[-4000:], r.stderr[-4000:])
             sys.exit(1)
-        for line in r.stderr.splitlines():
+        # sbt routes the program's stderr to ITS stdout (tagged [error]),
+        # so the per-query failure reasons Verify prints would be
+        # invisible if only r.stderr were scanned (found the hard way:
+        # "spark output unreadable" with no cause)
+        for line in (r.stderr + "\n" + r.stdout).splitlines():
             if "[verify]" in line:
                 print(line)
     con = duckdb.connect()

@@ -870,6 +870,29 @@ object Io {
     // INTO, the fold logic unchanged. The oracle applies the WHOLE
     // changelog at once: green proves batch-split-invariant convergence
     // of the incremental fold, tombstones and all.
+    // CSV QUOTING TORTURE round-trip: fields carrying embedded
+    // delimiters, double quotes AND raw newlines written through the
+    // csv sink (RFC-4180 '"' escape) and read back with multiLine —
+    // the ingest-robustness case real-world dumps hit constantly. The
+    // oracle recomputes the derived strings from the base table and
+    // md5-compares: one mangled quote or swallowed newline anywhere
+    // hash-mismatches
+    "src_csv_quoted" -> ((s, d) => {
+      val tricky = t(s, d, "part").where("p_partkey < 200")
+        .selectExpr("CAST(p_partkey AS BIGINT) AS k",
+          "concat(p_name, ',', p_type) AS f_comma",
+          "concat('\"', p_brand, '\"', ' quoted') AS f_quote",
+          "concat(p_name, chr(10), p_type) AS f_newline")
+      val p = s"${base(d)}/csv_quoted"
+      tricky.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(p)
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").schema(tricky.schema).csv(p)
+        .selectExpr("k", "md5(f_comma) AS h_comma",
+          "md5(f_quote) AS h_quote", "md5(f_newline) AS h_newline")
+        .orderBy("k")
+    }),
+
     // PER-KEY gap-fill at hourly grain — the complement of ts_gap_fill's
     // global daily spine: every (user, hour) slot between the user's OWN
     // first and last event (keys with disjoint active spans don't pay
@@ -2169,6 +2192,15 @@ object Io {
     // the WHOLE changelog applied in one shot (window rank, no
     // incremental fold, no tombstone carrying) — green proves the
     // 3-batch foreachBatch merge converged to the same snapshot
+    // the tricky strings recomputed straight from the base table — the
+    // CSV files never enter the oracle's path
+    "src_csv_quoted" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS k,
+        |       md5(p_name || ',' || p_type) AS h_comma,
+        |       md5('"' || p_brand || '"' || ' quoted') AS h_quote,
+        |       md5(p_name || chr(10) || p_type) AS h_newline
+        |FROM part WHERE p_partkey < 200 ORDER BY k""".stripMargin,
+
     // the dense grid rebuilt with generate_series over the same
     // per-user hour bounds
     "ts_gap_fill_perkey" ->
