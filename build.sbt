@@ -14,6 +14,13 @@ Test / fork := true
 // interleaving them would race the catalog.
 Test / parallelExecution := false
 run / fork := true
+// Forked-run stdout goes STRAIGHT to the terminal instead of through
+// sbt's [info] logger. Combined with `sbt -error` (suppresses sbt's own
+// [info]/[success] lines) the program's final JSON line becomes the true
+// last line of stdout — the driver's "parse the last line" bench capture
+// needs that (r10 verdict #2: "parsed": null because `[success] Total
+// time` trailed the JSON).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

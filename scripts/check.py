@@ -4,7 +4,7 @@ each oracle SQL in DuckDB over the same parquet tables and compare.
 
 Usage: python3 scripts/check.py [sfDir] [outDir] [--skip-verify] [names...]
 """
-import json, math, subprocess, sys
+import datetime, json, math, subprocess, sys
 
 import duckdb
 import pyarrow.parquet as pq
@@ -13,7 +13,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def norm(v, datelike=False):
     # Full-precision repr: the local gate must be at least as strict as the
     # driver's hash gate it mirrors (round-2 ADVICE: 6-sig-digit formatting
     # hid >=1e6 drift). Queries are designed for bit-identical doubles
@@ -24,12 +24,15 @@ def norm(v):
     if hasattr(v, "isoformat"):
         # duckdb .df() promotes DATE to midnight datetime64 while pyarrow
         # keeps date32 as datetime.date — canonicalize midnight timestamps
-        # to date form so the two spellings of the same value agree (the
-        # driver passes DATE columns, so the local gate must too)
+        # to date form ONLY for columns that are date-typed on the Spark
+        # side (r10 ADVICE: truncating every midnight datetime would let a
+        # Spark TIMESTAMP column pass against a DuckDB DATE oracle, a
+        # local-green/driver-red blind spot; the driver's dtype hash is not
+        # confirmed to apply that equivalence).
         iso = v.isoformat()
-        return iso[:-9] if iso.endswith("T00:00:00") else iso
+        return iso[:-9] if datelike and iso.endswith("T00:00:00") else iso
     if hasattr(v, "item") and not isinstance(v, (int, float, str, bytes)):
-        return norm(v.item())
+        return norm(v.item(), datelike)
     if isinstance(v, float):
         return "nan" if math.isnan(v) else repr(v)
     if isinstance(v, list):
@@ -37,9 +40,23 @@ def norm(v):
     return repr(v)
 
 
-def canon(cols, rows):
+def datelike_cols(df):
+    """Column names whose Spark-side pandas dtype is pure datetime.date
+    (pyarrow keeps parquet date32 as object-dtype date, never datetime)."""
+    names = set()
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = [v for v in df[c] if v is not None][:5]
+            if vals and all(isinstance(v, datetime.date)
+                            and not isinstance(v, datetime.datetime)
+                            for v in vals):
+                names.add(c)
+    return names
+
+
+def canon(cols, rows, datelike):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out = [tuple(norm(r[i], cols[i] in datelike) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
 
@@ -98,8 +115,9 @@ def main():
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_bad += 1
             continue
-        sc, sr = canon(s_cols, s_rows)
-        oc, orows = canon(o_cols, o_rows)
+        dcols = datelike_cols(sdf)
+        sc, sr = canon(s_cols, s_rows, dcols)
+        oc, orows = canon(o_cols, o_rows, dcols)
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")
             n_bad += 1

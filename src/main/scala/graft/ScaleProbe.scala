@@ -202,6 +202,12 @@ object ScaleProbe {
       val asof = asofSkewProbe(spark)
       val cc = ccProbe(big)
       println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof ++ cc).mkString(",")}}""")
-    } finally spark.stop()
+    } finally {
+      spark.stop()
+      // Same hygiene as ScaleBench: drop the /tmp replicas so a later
+      // driver bench doesn't inherit page-cache/IO churn.
+      if (!sys.env.get("SPARK_GRAFT_KEEP_STAGE").contains("1"))
+        ScaleBench.rmTree("/tmp/graft_scale")
+    }
   }
 }

@@ -165,10 +165,28 @@ private[sources] class ArrowScan(required: StructType, path: String,
 
 private[sources] case class ArrowFilePartition(file: String) extends InputPartition
 
-/** Stream OFFSET = a snapshot version from the sink's commit log. */
-private[sources] case class ArrowVersionOffset(version: Int)
+/** Stream OFFSET = a snapshot version from the sink's commit log, plus
+  * the log GENERATION that version belongs to. The generation rides in
+  * the checkpointed json so that a resume across a truncate+rewrite is
+  * detected even when the new generation has landed at least as many
+  * commits as the old one (same `_vN.manifest` name, different history —
+  * r10 ADVICE medium). Empty generation = legacy checkpoint written
+  * before the token existed; the check is skipped for those.
+  */
+private[sources] case class ArrowVersionOffset(version: Int,
+                                               generation: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = version.toString
+  override def json(): String =
+    if (generation.isEmpty) version.toString
+    else s"""{"version":$version,"generation":"$generation"}"""
+}
+
+private[sources] object ArrowVersionOffset {
+  private val Re = """\{"version":(\d+),"generation":"([^"]*)"\}""".r
+  def parse(json: String): ArrowVersionOffset = json.trim match {
+    case Re(v, g) => ArrowVersionOffset(v.toInt, g)
+    case s => ArrowVersionOffset(s.toInt) // legacy plain-int checkpoint
+  }
 }
 
 /** Micro-batch STREAMING source over the sinks' shared commit log:
@@ -198,10 +216,31 @@ private[sources] class CommitLogStream(path: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def maxVersion: Int =
-    TwoPhaseCommit.manifestVersions(new File(path)).lastOption.getOrElse(0)
+  private def dir = new File(path)
 
-  override def initialOffset(): Offset = ArrowVersionOffset(0)
+  private def maxVersion: Int =
+    TwoPhaseCommit.manifestVersions(dir).lastOption.getOrElse(0)
+
+  private def currentGen: String =
+    TwoPhaseCommit.currentGeneration(dir).getOrElse("")
+
+  /** A non-legacy offset with version > 0 must still name a manifest of
+    * ITS OWN generation — if the manifest vanished (truncate, no rewrite
+    * yet) or reappeared under a different generation (truncate + enough
+    * new commits), resuming would silently treat the new generation's
+    * commits 1..N as already consumed. Fail loudly instead.
+    */
+  private def checkGeneration(off: ArrowVersionOffset, ctx: String): Unit =
+    if (off.version > 0 && off.generation.nonEmpty) {
+      val now = TwoPhaseCommit.generation(dir, off.version).getOrElse("<none>")
+      if (now != off.generation) throw new IllegalStateException(
+        s"commit-log stream ($ctx): checkpointed offset v${off.version} belongs to " +
+          s"log generation '${off.generation}' but $path now carries '$now' — the " +
+          "table was overwritten while the stream was down; resuming would drop the " +
+          "new generation's first commits. Start the stream from a fresh checkpoint.")
+    }
+
+  override def initialOffset(): Offset = ArrowVersionOffset(0, currentGen)
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxVersionsPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
@@ -212,26 +251,31 @@ private[sources] class CommitLogStream(path: String,
       "latestOffset(start, limit) is the admission-controlled entry point")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[ArrowVersionOffset].version
+    val s = start.asInstanceOf[ArrowVersionOffset]
+    checkGeneration(s, "latestOffset")
     val cap = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         m.maxFiles()
       case _ => Int.MaxValue
     }
-    ArrowVersionOffset(math.min(maxVersion, from.toLong + cap).toInt)
+    ArrowVersionOffset(math.min(maxVersion, s.version.toLong + cap).toInt,
+      currentGen)
   }
 
-  override def reportLatestOffset(): Offset = ArrowVersionOffset(maxVersion)
+  override def reportLatestOffset(): Offset =
+    ArrowVersionOffset(maxVersion, currentGen)
 
   private def filesAt(v: Int): Set[String] =
     if (v <= 0) Set.empty
-    else TwoPhaseCommit.readManifest(new File(path), v).toSet
+    else TwoPhaseCommit.readManifest(dir, v).toSet
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ArrowVersionOffset].version
-    val e = end.asInstanceOf[ArrowVersionOffset].version
-    val dir = new File(path)
-    (filesAt(e) -- filesAt(s)).toSeq.sorted.map { name =>
+    val so = start.asInstanceOf[ArrowVersionOffset]
+    val eo = end.asInstanceOf[ArrowVersionOffset]
+    checkGeneration(so, "planInputPartitions")
+    checkGeneration(eo, "planInputPartitions")
+    val e = eo.version
+    (filesAt(e) -- filesAt(so.version)).toSeq.sorted.map { name =>
       val f = new File(dir, name)
       require(f.isFile, s"commit-log stream: file $name of snapshot v$e " +
         "is gone (table was overwritten mid-stream?)")
@@ -242,7 +286,7 @@ private[sources] class CommitLogStream(path: String,
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def deserializeOffset(json: String): Offset =
-    ArrowVersionOffset(json.trim.toInt)
+    ArrowVersionOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

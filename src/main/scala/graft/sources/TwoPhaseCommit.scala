@@ -38,6 +38,7 @@ private[sources] trait TmpFileCommit extends WriterCommitMessage {
 private[sources] object TwoPhaseCommit {
 
   private val ManifestRe = """_v(\d+)\.manifest""".r
+  private val GenRe = """#generation=(\S+)""".r
 
   /** Versioned manifests present under `dir`, ascending. */
   def manifestVersions(dir: File): Seq[Int] =
@@ -54,8 +55,37 @@ private[sources] object TwoPhaseCommit {
       s"no snapshot _v$version.manifest under $dir " +
         s"(available: ${manifestVersions(dir).mkString(",")})")
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
   }
+
+  /** The GENERATION token stamped into snapshot `version`'s manifest — a
+    * random id minted when a log restarts (truncate, or the first commit
+    * ever) and inherited by every append in that log. Two manifests with
+    * the same version but different generations are different tables'
+    * histories: the commit-log stream uses this to refuse resuming a
+    * checkpoint across an overwrite (r10 ADVICE: if the new generation
+    * lands >= as many commits as the checkpointed offset, `_vN.manifest`
+    * exists again and a version-only offset would silently diff across
+    * generations, dropping the new generation's commits 1..N). None for
+    * pre-token manifests (no header line).
+    */
+  def generation(dir: File, version: Int): Option[String] = {
+    val f = new File(dir, s"_v$version.manifest")
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().collectFirst { case GenRe(g) => g }
+      finally src.close()
+    }
+  }
+
+  /** The generation of the log's latest snapshot (None: no manifests). */
+  def currentGeneration(dir: File): Option[String] =
+    manifestVersions(dir).lastOption.flatMap(generation(dir, _))
+
+  private def newGeneration(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
 
   private def dataFiles(dir: File): Seq[String] =
     Option(dir.listFiles).getOrElse(Array.empty).toSeq
@@ -63,11 +93,12 @@ private[sources] object TwoPhaseCommit {
         !f.getName.startsWith("_"))
       .map(_.getName)
 
-  private def writeManifest(dir: File, version: Int,
-                            names: Seq[String]): Unit = {
+  private def writeManifest(dir: File, version: Int, names: Seq[String],
+                            gen: String): Unit = {
     val tmp = new File(dir, s"._v$version.manifest.tmp")
     val w = new java.io.FileWriter(tmp)
-    try w.write(names.sorted.mkString("\n")) finally w.close()
+    try w.write((s"#generation=$gen" +: names.sorted).mkString("\n"))
+    finally w.close()
     val fin = new File(dir, s"_v$version.manifest")
     if (!tmp.renameTo(fin))
       throw new java.io.IOException(s"manifest rename failed: $fin")
@@ -103,15 +134,20 @@ private[sources] object TwoPhaseCommit {
     val versions = manifestVersions(dir)
     if (truncate) {
       versions.foreach(v => new File(dir, s"_v$v.manifest").delete())
-      writeManifest(dir, 1, keep.toSeq)
+      // truncate restarts the log AND the generation: any checkpoint
+      // holding offsets from the old log must fail to resume here
+      writeManifest(dir, 1, keep.toSeq, newGeneration())
     } else {
       // append snapshot = prior snapshot ∪ published (no prior manifest:
       // adopt the directory's current data-file set, which includes the
-      // just-published names)
+      // just-published names); generation is inherited from the prior
+      // snapshot, minted fresh only on the log's very first commit
       val prev = versions.lastOption.map(readManifest(dir, _))
         .getOrElse(dataFiles(dir).filterNot(keep))
+      val gen = versions.lastOption.flatMap(generation(dir, _))
+        .getOrElse(newGeneration())
       writeManifest(dir, versions.lastOption.getOrElse(0) + 1,
-        (prev ++ keep).distinct)
+        (prev ++ keep).distinct, gen)
     }
   }
 

@@ -38,9 +38,11 @@ class TimerProbeSpec extends SparkSpec {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
         .withWatermark("ts", "0 seconds")
-      // gap 1h: expiries 01:00 / 07:00 / 13:00, all below the final
-      // watermark 12:00 EXCEPT key 3's — which still fires because the
-      // clamp re-arms it at wm+1 and the no-data batch sweeps it out
+      // gap 1h: expiries 01:00 / 07:00 / 13:00. Keys 1 and 2 expire below
+      // the final watermark 12:00 and fire; key 3's expiry 13:00 exceeds
+      // it, so its timer stays armed in state and must NOT fire — the
+      // assertion below pins exactly that (SessionTimerProcessor registers
+      // last_ms+gap verbatim; there is no wm+1 re-arm clamp).
       val fired = Streams.sessionExpiryTws(
         stream.as[Streams.Event], gapMs = 3600L * 1000)
       Streams.runToMemory(fired.toDF(), "timer_probe_sink", OutputMode.Append())
