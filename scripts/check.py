@@ -36,7 +36,7 @@ def norm(v, datelike=False):
     if isinstance(v, float):
         return "nan" if math.isnan(v) else repr(v)
     if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
+        return "[" + ",".join(norm(x, datelike) for x in v) + "]"
     return repr(v)
 
 

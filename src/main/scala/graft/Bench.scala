@@ -59,7 +59,16 @@ object Bench {
     val repeat =
       sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.trim.toInt).getOrElse(2).max(1)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name subset (A/B a single entry without the
+    // full 250-entry sweep); unknown names fail loudly
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val missing = args.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(args.contains).toMap
+      }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           (1 to repeat).map { _ =>

@@ -221,8 +221,19 @@ private[sources] class CommitLogStream(path: String,
   private def maxVersion: Int =
     TwoPhaseCommit.manifestVersions(dir).lastOption.getOrElse(0)
 
-  private def currentGen: String =
-    TwoPhaseCommit.currentGeneration(dir).getOrElse("")
+  /** The generation to stamp into an offset naming `version` — the
+    * generation of THAT version's manifest, never the log's latest:
+    * checkGeneration compares against generation(dir, offset.version), so
+    * stamping the latest generation onto an admission-capped offset that
+    * names an older (possibly pre-header legacy) manifest would make the
+    * stream refuse its own offset on the next trigger (r11 ADVICE
+    * medium: legacy history + one post-header append). A headerless
+    * legacy manifest yields the empty generation, which checkGeneration
+    * deliberately skips.
+    */
+  private def genAt(version: Int): String =
+    if (version <= 0) TwoPhaseCommit.currentGeneration(dir).getOrElse("")
+    else TwoPhaseCommit.generation(dir, version).getOrElse("")
 
   /** A non-legacy offset with version > 0 must still name a manifest of
     * ITS OWN generation — if the manifest vanished (truncate, no rewrite
@@ -240,7 +251,7 @@ private[sources] class CommitLogStream(path: String,
           "new generation's first commits. Start the stream from a fresh checkpoint.")
     }
 
-  override def initialOffset(): Offset = ArrowVersionOffset(0, currentGen)
+  override def initialOffset(): Offset = ArrowVersionOffset(0, genAt(0))
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxVersionsPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
@@ -258,12 +269,12 @@ private[sources] class CommitLogStream(path: String,
         m.maxFiles()
       case _ => Int.MaxValue
     }
-    ArrowVersionOffset(math.min(maxVersion, s.version.toLong + cap).toInt,
-      currentGen)
+    val end = math.min(maxVersion, s.version.toLong + cap).toInt
+    ArrowVersionOffset(end, genAt(end))
   }
 
   override def reportLatestOffset(): Offset =
-    ArrowVersionOffset(maxVersion, currentGen)
+    ArrowVersionOffset(maxVersion, genAt(maxVersion))
 
   private def filesAt(v: Int): Set[String] =
     if (v <= 0) Set.empty

@@ -55,7 +55,11 @@ private[sources] object TwoPhaseCommit {
       s"no snapshot _v$version.manifest under $dir " +
         s"(available: ${manifestVersions(dir).mkString(",")})")
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    // strip only the known header line — a data file whose name happens
+    // to start with '#' must survive the round trip (r11 ADVICE low;
+    // dataFiles() also refuses to adopt such names, see below)
+    try src.getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#generation=")).toList
     finally src.close()
   }
 
@@ -89,8 +93,12 @@ private[sources] object TwoPhaseCommit {
 
   private def dataFiles(dir: File): Seq[String] =
     Option(dir.listFiles).getOrElse(Array.empty).toSeq
+      // '#' mirrors '.'/'_': manifests are line-oriented and '#'-prefixed
+      // lines could collide with future header directives, so a stray
+      // '#…' file in the directory is never adopted into a snapshot
+      // (sink-written names carry the queryId and never start with '#')
       .filter(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))
+        !f.getName.startsWith("_") && !f.getName.startsWith("#"))
       .map(_.getName)
 
   private def writeManifest(dir: File, version: Int, names: Seq[String],

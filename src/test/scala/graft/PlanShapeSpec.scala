@@ -370,14 +370,21 @@ class PlanShapeSpec extends SparkSpec {
       s"image decode pipeline shuffles beyond the output sort:\n$plan")
   }
 
-  test("llm_pca_power: covariance is a join-free outer-product explode") {
-    val plan = staticPlan(graft.SparkEntry.queries("llm_pca_power")(spark, sfSmoke))
-    // each row explodes its own dims^2 products into the partial agg —
-    // a self-join on vec_id would shuffle 2*dims x the corpus instead
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      s"pca covariance rebuilt pairs via a corpus-scale join:\n$plan")
-    assert(plan.contains("Generate explode"),
-      s"outer-product explode missing from the covariance subtree:\n$plan")
+  test("llm_pca_power: result is the collected dims² model, never corpus-shaped") {
+    // the covariance runs as a per-partition integer treeAggregate (one
+    // corpus scan, dims² Long cells per task to the driver); the returned
+    // frame must therefore be pure model-sized local data — any join,
+    // Generate or corpus scan here would mean the outer-product subtree
+    // leaked back into the result plan and every downstream consumer
+    // (dominantRemove's collect) would re-pay it
+    val df = graft.SparkEntry.queries("llm_pca_power")(spark, sfSmoke)
+    val plan = staticPlan(df)
+    assert(plan.contains("LocalTableScan"),
+      s"pca loadings are not driver-model-sized local data:\n$plan")
+    assert(!plan.contains("Scan parquet") && !plan.contains("Join") &&
+        !plan.contains("Generate"),
+      s"corpus-scale operators leaked into the pca result plan:\n$plan")
+    assert(df.count() == 64, "one loading row per embedding dim")
   }
 
   test("src_agg_pushdown: COUNT/MIN/MAX answer from parquet footer stats") {
