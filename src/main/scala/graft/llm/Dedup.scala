@@ -286,6 +286,64 @@ object Dedup {
       .where(col("containment") >= minContainment)
   }
 
+  /** MULTI-SUITE decontamination in ONE corpus pass — the sweep a real
+    * pretraining run actually needs: every benchmark suite (its own probe
+    * docs, its own containment threshold) checked against the corpus
+    * without a per-suite job loop that would rescan 100 TB once per
+    * suite. `probes` carries (suite, doc_id, text); `thresholds` is the
+    * (suite, min_containment) dimension row set.
+    *
+    * Shape: probe docs are shingled ONCE across all suites (a doc shared
+    * by two suites contributes one shingle set), the Bloom prefilter is
+    * built over the union (any suite's gram can hit), and the corpus
+    * shingle stream — the 100 TB side — is scanned exactly once. Suite
+    * tags and per-suite thresholds fan out AFTER the per-(doc, probe)
+    * match count, via broadcast joins against suite-cardinality tables,
+    * so the expensive half of the plan is completely suite-agnostic
+    * (PlanShapeSpec gates the single corpus scan). Exact semantics per
+    * suite: identical to [[containmentBloom]] at that suite's threshold.
+    *
+    * Output: (suite, doc_id, probe_id, n_shared, containment).
+    */
+  def containmentBloomSuites(docs: DataFrame, probes: DataFrame,
+                             thresholds: DataFrame, n: Int = 3,
+                             fpp: Double = 0.01): DataFrame = {
+    // the probe side is suite-sized by definition (benchmark suites, not
+    // the corpus), and it feeds FOUR consumers: the bloom's count, the
+    // bloom build, the confirm join, and the per-probe size lookup.
+    // localCheckpoint is the multi-consumer cut (the llm_pipeline_e2e
+    // pattern): one scan+shingle materialization, and the 100 TB corpus
+    // stays the only file scan in the final plan.
+    val ps = shingles(probes.select("doc_id", "text").dropDuplicates("doc_id"), n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+      .localCheckpoint()
+    val bloom = {
+      val keys = ps.select(expr("xxhash64(shingle)").as("gh"))
+      keys.stat.bloomFilter("gh", math.max(ps.count(), 1L), fpp)
+    }
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+                  bloom.writeTo(bos); bos.toByteArray }
+    val mightHit = call_function("graft_bloom_might_contain",
+      expr("xxhash64(shingle)"), lit(bytes))
+    val sizes = ps.groupBy("probe_id").agg(count("*").as("n_probe_sh"))
+    val suiteOf = probes.select(col("suite"), col("doc_id").as("probe_id"))
+      .distinct().localCheckpoint()
+    shingles(docs, n)
+      .where(mightHit)
+      .join(ps, Seq("shingle"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count("*").as("n_shared"))
+      .join(sizes, Seq("probe_id"))
+      .join(broadcast(suiteOf), Seq("probe_id"))
+      .join(broadcast(thresholds), Seq("suite"))
+      .withColumn("containment",
+        expr("CAST(ROUND(CAST(n_shared AS DOUBLE) / n_probe_sh, 6) AS DOUBLE)"))
+      .where(col("containment") >= col("min_containment"))
+      .select(col("suite"), col("doc_id"), col("probe_id"), col("n_shared"),
+        col("containment"))
+  }
+
   /** Exact duplicate-SPAN detection (the signal behind Lee et al. 2021's
     * "Deduplicating Training Data Makes Language Models Better" exact
     * substring dedup): for every document, find the maximal token spans

@@ -368,6 +368,28 @@ object Similarity {
   def pqCentroid(m: Int, j: Int, sub: Int): IndexedSeq[Double] =
     (0 until sub).map(i => md5Half16(s"pq:$m:$j:$i") / 65536.0)
 
+  /** Request-side ADC lookup table: exact per-subspace squared-L2
+    * distances from `probe` to every codebook entry — the m×nCodes
+    * double grid a serving node computes ONCE per query (the query
+    * vector is driver state by definition) and embeds as a literal, so
+    * the shard scan is pure map work: no join carries the probe to the
+    * candidates. Same arithmetic and fold order as [[pqDistsExpr]], so
+    * values are bit-identical to the in-plan formulation.
+    */
+  def pqLookupTable(probe: Seq[Double], m: Int = 8, nCodes: Int = 16,
+                    dims: Int = 64): Array[Array[Double]] = {
+    require(m >= 1 && dims % m == 0, "dims must divide into m subspaces")
+    val sub = dims / m
+    Array.tabulate(m, nCodes) { (mm, j) =>
+      val cb = pqCentroid(mm, j, sub)
+      var s = 0.0; var i = 0
+      while (i < sub) {
+        val t = probe(mm * sub + i) - cb(i); s += t * t; i += 1
+      }
+      s
+    }
+  }
+
   /** Squared-L2 distances from `embCol`'s m-th subvector to all `k`
     * codebook entries of subspace m, as ONE transform over a 2-level
     * literal array (constant-folded once per plan): the argmin input for

@@ -85,13 +85,54 @@ object Cdc {
     * no single hot reducer.
     */
   def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
-                  opCol: String, deleteOp: String = "D"): DataFrame = {
+                  opCol: String, deleteOp: String = "D"): DataFrame =
+    scd2State(changes, keyCol, seqCol, opCol, deleteOp)
+      .where(col(opCol) =!= lit(deleteOp))
+
+  /** The SCD2 STATE an incremental merge carries: [[scd2History]] plus
+    * the delete tombstones as interval rows of their own (is_current
+    * always false — a tombstone is never a visible version). Keeping
+    * tombstones in the state is the same discipline [[latestChanges]]
+    * pins for snapshots: drop them and a later out-of-order change can
+    * no longer learn which interval a delete closed (two consecutive
+    * deletes leave NO trace in the history — a change landing between
+    * them would stay open forever). Filter `opCol != deleteOp` to read
+    * the visible history.
+    */
+  def scd2State(changes: DataFrame, keyCol: String, seqCol: String,
+                opCol: String, deleteOp: String = "D"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
     changes
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
-      .where(col(opCol) =!= lit(deleteOp))
       .withColumn("valid_from", col(seqCol))
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("is_current",
+        col("valid_to").isNull && col(opCol) =!= lit(deleteOp))
+  }
+
+  /** Merge a NEW changelog batch into an existing [[scd2State]] output
+    * without recomputing closed versions — the only affordable daily
+    * refresh of a 100 TB dimension: only keys PRESENT in the batch have
+    * their per-key interval chain rebuilt (batch-size × changelog-depth
+    * work); every other key's rows pass through untouched, never leaving
+    * their partitions for a window. Because the state retains every
+    * change row with its original columns (the interval columns are
+    * derived, so they strip and rebuild losslessly), the fold
+    * `scd2Incremental(scd2State(b₁), b₂, …)` converges to
+    * `scd2State(b₁ ∪ b₂ ∪ …)` under ANY batch split — including
+    * out-of-order sequence interleavings (OpsSpec pins the property).
+    *
+    * Scale shape: batch keys broadcast into one semi- and one anti-join
+    * over the state; the window runs only over touched keys' rows.
+    */
+  def scd2Incremental(state: DataFrame, batch: DataFrame, keyCol: String,
+                      seqCol: String, opCol: String,
+                      deleteOp: String = "D"): DataFrame = {
+    val keys = batch.select(col(keyCol)).distinct()
+    val touched = state.drop("valid_to", "valid_from", "is_current")
+      .join(keys, Seq(keyCol), "left_semi")
+    val untouched = state.join(keys, Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      scd2State(touched.unionByName(batch), keyCol, seqCol, opCol, deleteOp))
   }
 
   /** Incremental maintenance of a grouped count/sum aggregate — the

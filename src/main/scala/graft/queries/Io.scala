@@ -154,6 +154,23 @@ object Io {
   private def base(dir: String): String =
     s"/tmp/graft_io/${new java.io.File(dir).getName}"
 
+  /** Shared IVF oracle CTEs: the 4-centroid table, corpus-wide raw-cosine
+    * argmax assignment (min-cid ties — the Ivf.assign contract), the
+    * probe vector (vec 7) and its own cluster.
+    */
+  private val ivfOracleCtes: String =
+    s"""cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+       |         FROM embeddings WHERE vec_id IN (3, 17, 31, 59)),
+       |asg0 AS (SELECT v.vec_id, c.cid,
+       |                ${Llm.duckCosineRaw("v.embedding", "c.ce")} AS cos
+       |         FROM embeddings v CROSS JOIN cent c),
+       |mx AS (SELECT vec_id, MAX(cos) AS m FROM asg0 GROUP BY vec_id),
+       |asg AS (SELECT a.vec_id, MIN(a.cid) AS cid
+       |        FROM asg0 a JOIN mx ON a.vec_id = mx.vec_id AND a.cos = mx.m
+       |        GROUP BY a.vec_id),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+       |pc AS (SELECT cid FROM asg WHERE vec_id = 7)""".stripMargin
+
   private def t(s: SparkSession, d: String, name: String): DataFrame = {
     Tables.register(s, d); s.table(name)
   }
@@ -269,6 +286,119 @@ object Io {
         .select(col("rank"), col("vec_id"), lit(pc).as("centroid_id"),
           col("cos"))
         .orderBy("rank")
+    }),
+
+    // IVF-PQ SERVING: the full composition a 100 TB ANN serving tier
+    // runs — PQ codes stored INSIDE the partitionBy(centroid_id) layout
+    // (the serving tier never stores raw floats: 64x smaller shards),
+    // probe = partition-prune to ONE shard + ADC scan against a
+    // REQUEST-SIDE literal lookup table. The m x nCodes LUT is computed
+    // driver-side from the probe vector (serving-request-sized state by
+    // definition), so the shard scan is pure map work: no join carries
+    // the probe, no NLJ anywhere — plan-gated in PlanShapeSpec
+    "llm_ivfpq_serving" -> ((s, d) => {
+      import graft.llm.{Ivf, Similarity}
+      val e = t(s, d, "embeddings")
+      val cents = e.where(col("vec_id").isin(3, 17, 31, 59))
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val p = s"${base(d)}/ivfpq_shards"
+      Similarity.pqCodes(Ivf.assign(e, cents))
+        .select("vec_id", "pq_codes", "centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(p)
+      val probe = e.where("vec_id = 7")
+      val pc = Ivf.assign(probe, cents)
+        .select(col("centroid_id").cast("int")).collect()(0).getInt(0)
+      val pe = probe.select("embedding").collect()(0)
+        .getSeq[Float](0).map(_.toDouble)
+      val lutLit = Similarity.pqLookupTable(pe)
+        .map(_.mkString("array(", "D, ", "D)"))
+        .mkString("array(", ", ", ")")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dist_raw").asc, col("cand_id"))
+      s.read.parquet(p)
+        .where(col("centroid_id") === lit(pc) && col("vec_id") =!= 7)
+        .select(col("vec_id").as("cand_id"), expr(
+          s"""aggregate(transform(pq_codes,
+             |  (c, m) -> element_at(element_at($lutLit, m + 1), c + 1)),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          .as("dist_raw"))
+        .orderBy(col("dist_raw").asc, col("cand_id")).limit(3)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("cand_id"), lit(pc).as("centroid_id"),
+          expr("CAST(ROUND(dist_raw, 6) AS DOUBLE)").as("dist"))
+        .orderBy("rank")
+    }),
+
+    // the serving path's quality row: recall@3 of the IVF-PQ shard scan
+    // against the exact full-corpus cosine top-3 — the number an ANN
+    // deployment publishes next to its latency
+    "llm_ivfpq_recall" -> ((s, d) => {
+      import graft.llm.{Ivf, Similarity}
+      val e = t(s, d, "embeddings")
+      val cents = e.where(col("vec_id").isin(3, 17, 31, 59))
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val p = s"${base(d)}/ivfpq_shards_r"
+      Similarity.pqCodes(Ivf.assign(e, cents))
+        .select("vec_id", "pq_codes", "centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(p)
+      val probe = e.where("vec_id = 7")
+      val pc = Ivf.assign(probe, cents)
+        .select(col("centroid_id").cast("int")).collect()(0).getInt(0)
+      val pe = probe.select("embedding").collect()(0)
+        .getSeq[Float](0).map(_.toDouble)
+      val lutLit = Similarity.pqLookupTable(pe)
+        .map(_.mkString("array(", "D, ", "D)"))
+        .mkString("array(", ", ", ")")
+      val approx = s.read.parquet(p)
+        .where(col("centroid_id") === lit(pc) && col("vec_id") =!= 7)
+        .select(lit(7L).as("probe_id"), col("vec_id").as("cand_id"), expr(
+          s"""aggregate(transform(pq_codes,
+             |  (c, m) -> element_at(element_at($lutLit, m + 1), c + 1)),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          .as("dist_raw"))
+        .orderBy(col("dist_raw").asc, col("cand_id")).limit(3)
+      Similarity.annRecall(Similarity.bruteForceTopK(probe, e, 3), approx)
+        .orderBy("probe_id")
+    }),
+
+    // MULTI-PROBE IVF: the nprobe/recall frontier over the SAME
+    // partition-pruned layout — nprobe shards selected with an IN on the
+    // partition column (plan-gated: the scan's PartitionFilters carry the
+    // probed centroid set), exact cosine within the probed shards,
+    // recall@5 against the exact full-corpus top-5 per nprobe
+    "llm_ivf_nprobe" -> ((s, d) => {
+      import graft.llm.{Ivf, Similarity}
+      val e = t(s, d, "embeddings")
+      val cents = e.where(col("vec_id").isin(3, 17, 31, 59))
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val p = s"${base(d)}/ivf_nprobe_shards"
+      Ivf.assign(e, cents).write.mode("overwrite")
+        .partitionBy("centroid_id").parquet(p)
+      val probe = e.where("vec_id = 7")
+      // probe-side centroid ranking: k rows, request-sized driver state
+      val ranked = probe.crossJoin(broadcast(cents))
+        .select(col("centroid_id"),
+          expr("graft_cosine(embedding, centroid)").as("__c"))
+        .orderBy(col("__c").desc, col("centroid_id"))
+        .collect().map(_.getInt(0))
+      val exact = Similarity.bruteForceTopK(probe, e, 5)
+      Seq(1, 2, 4).map { np =>
+        val shards = s.read.parquet(p)
+          .where(col("centroid_id").isin(ranked.take(np).map(Int.box): _*) &&
+            col("vec_id") =!= 7)
+        val approx = shards
+          .crossJoin(broadcast(probe.select(col("embedding").as("__pe"))))
+          .select(lit(7L).as("probe_id"), col("vec_id").as("cand_id"),
+            expr("CAST(ROUND(graft_cosine(embedding, __pe), 6) AS DOUBLE)")
+              .as("cos"))
+          .orderBy(col("cos").desc, col("cand_id")).limit(5)
+        Similarity.annRecall(exact, approx).withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+        .select("nprobe", "probe_id", "n_exact", "n_hit", "recall")
+        .orderBy("nprobe")
     }),
 
     // FEDERATED query across three storage formats in ONE plan: the
@@ -1690,6 +1820,92 @@ object Io {
          |SELECT CAST(rank AS INT) AS rank, vec_id,
          |       (SELECT CAST(cid AS INT) FROM pc) AS centroid_id, cos
          |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    // PQ codes + assignment replayed corpus-wide; the probe's ADC
+    // distance is its per-subspace distance to each candidate's assigned
+    // centroid, folded in subspace order (the llm_pq_topk fold), ranked
+    // within the probe's own cluster only
+    "llm_ivfpq_serving" ->
+      s"""WITH ${Llm.pqCodeCtes},
+         |$ivfOracleCtes,
+         |pdist AS (SELECT m, j, d FROM pd WHERE vec_id = 7),
+         |adc AS (SELECT cq.vec_id AS cand_id,
+         |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                 list(pdist.d ORDER BY cq.m)), (acc, v) -> acc + v) AS dist
+         |        FROM pqcodes cq
+         |        JOIN asg a ON a.vec_id = cq.vec_id
+         |        JOIN pdist ON pdist.m = cq.m AND pdist.j = cq.code, pc
+         |        WHERE a.cid = pc.cid AND cq.vec_id <> 7
+         |        GROUP BY cq.vec_id),
+         |r AS (SELECT cand_id, dist,
+         |             row_number() OVER (ORDER BY dist, cand_id) AS rank
+         |      FROM adc)
+         |SELECT CAST(rank AS INT) AS rank, cand_id,
+         |       (SELECT CAST(cid AS INT) FROM pc) AS centroid_id,
+         |       CAST(ROUND(dist, 6) AS DOUBLE) AS dist
+         |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    // the same ADC shard scan vs the exact full-corpus cosine top-3
+    "llm_ivfpq_recall" ->
+      s"""WITH ${Llm.pqCodeCtes},
+         |$ivfOracleCtes,
+         |pdist AS (SELECT m, j, d FROM pd WHERE vec_id = 7),
+         |adc AS (SELECT cq.vec_id AS cand_id,
+         |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                 list(pdist.d ORDER BY cq.m)), (acc, v) -> acc + v) AS dist
+         |        FROM pqcodes cq
+         |        JOIN asg a ON a.vec_id = cq.vec_id
+         |        JOIN pdist ON pdist.m = cq.m AND pdist.j = cq.code, pc
+         |        WHERE a.cid = pc.cid AND cq.vec_id <> 7
+         |        GROUP BY cq.vec_id),
+         |ap AS (SELECT cand_id FROM (
+         |         SELECT cand_id, row_number() OVER (ORDER BY dist, cand_id) AS rnk
+         |         FROM adc) WHERE rnk <= 3),
+         |ex AS (SELECT cand_id FROM (
+         |         SELECT e.vec_id AS cand_id, row_number() OVER (
+         |           ORDER BY ${Llm.duckCosine("e.embedding", "qe")} DESC,
+         |                    e.vec_id) AS rnk
+         |         FROM embeddings e, q WHERE e.vec_id <> 7) WHERE rnk <= 3)
+         |SELECT CAST(7 AS BIGINT) AS probe_id,
+         |       CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |       CAST((SELECT count(*) FROM ex JOIN ap USING (cand_id))
+         |            AS BIGINT) AS n_hit,
+         |       CAST(ROUND(
+         |         CAST((SELECT count(*) FROM ex JOIN ap USING (cand_id)) AS DOUBLE)
+         |         / NULLIF((SELECT count(*) FROM ex), 0), 6) AS DOUBLE) AS recall
+         |""".stripMargin,
+
+    // the nprobe sweep: probe-side centroid ranking (raw cosine, cid
+    // ties), per-nprobe candidates from the top-nprobe clusters, exact
+    // rounded-cosine top-5 within, recall vs the full-corpus top-5
+    "llm_ivf_nprobe" ->
+      s"""WITH $ivfOracleCtes,
+         |pr AS (SELECT cid, row_number() OVER (
+         |         ORDER BY ${Llm.duckCosineRaw("c.ce", "qe")} DESC, c.cid) AS rnk
+         |       FROM cent c, q),
+         |np(nprobe) AS (VALUES (1), (2), (4)),
+         |scored AS (SELECT a.vec_id AS cand_id, a.cid,
+         |                  ${Llm.duckCosine("e.embedding", "qe")} AS cos
+         |           FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id, q
+         |           WHERE a.vec_id <> 7),
+         |ap AS (SELECT np.nprobe, s.cand_id, row_number() OVER (
+         |         PARTITION BY np.nprobe ORDER BY s.cos DESC, s.cand_id) AS rnk
+         |       FROM np, scored s JOIN pr ON pr.cid = s.cid
+         |       WHERE pr.rnk <= np.nprobe),
+         |ex AS (SELECT cand_id FROM (
+         |         SELECT cand_id, row_number() OVER (
+         |           ORDER BY cos DESC, cand_id) AS rnk
+         |         FROM scored) WHERE rnk <= 5),
+         |hits AS (SELECT a.nprobe, count(*) AS n_hit
+         |         FROM ap a JOIN ex ON ex.cand_id = a.cand_id
+         |         WHERE a.rnk <= 5 GROUP BY a.nprobe)
+         |SELECT np.nprobe, CAST(7 AS BIGINT) AS probe_id,
+         |       CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |            / NULLIF((SELECT count(*) FROM ex), 0), 6) AS DOUBLE) AS recall
+         |FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe
+         |ORDER BY np.nprobe""".stripMargin,
 
     // recomputed over the parquet originals only — green proves both
     // DSv2 dimensions carried exactly the base rows into the join

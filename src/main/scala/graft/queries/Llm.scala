@@ -101,7 +101,7 @@ object Llm {
     * duckDot convention), and the argmin codes with the first-minimum
     * tie-break (`ORDER BY d, j` == Spark's array_position-of-min).
     */
-  private val pqCtes: String =
+  private[queries] val pqCodeCtes: String =
     """cb AS (SELECT m, j, list_transform(generate_series(0, 7), i ->
       |         ((('0x' || substr(md5('pq:' || m || ':' || j || ':' || i), 1, 4))::BIGINT
       |           - 32767.5) / 65536.0)) AS c
@@ -121,7 +121,10 @@ object Llm {
       |            SELECT vec_id, m, j, d,
       |                   row_number() OVER (PARTITION BY vec_id, m
       |                                      ORDER BY d, j) AS rn
-      |            FROM pd) WHERE rn = 1),
+      |            FROM pd) WHERE rn = 1)""".stripMargin
+
+  private val pqCtes: String =
+    s"""$pqCodeCtes,
       |pqds AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.m, p.d
       |       FROM pd p JOIN pqcodes c ON c.m = p.m AND c.code = p.j
       |       WHERE p.vec_id < 16 AND c.vec_id <> p.vec_id),
@@ -380,6 +383,23 @@ object Llm {
       val dd = docs(s, d)
       Dedup.containmentBloom(dd, dd.where("doc_id < 80"), minContainment = 0.3)
         .orderBy("doc_id", "probe_id")
+    }),
+
+    // MULTI-SUITE decontamination sweep (r10 verdict #7): three benchmark
+    // suites, each with its own probe slice and containment threshold,
+    // checked in ONE corpus pass — suite tags and thresholds fan out
+    // post-count on broadcast dimension tables, so the corpus side is
+    // scanned once no matter how many suites ride along (PlanShapeSpec
+    // gates the scan count against the suite count)
+    "llm_decontam_suite" -> ((s, d) => {
+      import s.implicits._
+      val dd = docs(s, d)
+      val probes = dd.where("doc_id < 110").withColumn("suite", expr(
+        "CASE WHEN doc_id < 40 THEN 'qa' WHEN doc_id < 80 THEN 'math' ELSE 'code' END"))
+      val thr = Seq(("qa", 0.3), ("math", 0.5), ("code", 0.2))
+        .toDF("suite", "min_containment")
+      Dedup.containmentBloomSuites(dd, probes, thr)
+        .orderBy("suite", "doc_id", "probe_id")
     }),
 
     // per-domain quota: at most 8 docs per source, best alnum_ratio first
@@ -1726,6 +1746,34 @@ object Llm {
          |FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
          |WHERE CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6) AS DOUBLE) >= 0.3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin,
+
+    // all three suites replayed over the one shared shingle CTE with
+    // per-suite thresholds in a dimension CTE — exact containment
+    // semantics, the bloom prefilter invisible by construction
+    "llm_decontam_suite" ->
+      s"""WITH ${shingleCtes("documents")},
+         |ps AS (SELECT CASE WHEN doc_id < 40 THEN 'qa'
+         |                   WHEN doc_id < 80 THEN 'math'
+         |                   ELSE 'code' END AS suite,
+         |              doc_id AS probe_id, shingle
+         |       FROM sh WHERE doc_id < 110),
+         |thr AS (SELECT 'qa' AS suite, CAST(0.3 AS DOUBLE) AS mc
+         |        UNION ALL SELECT 'math', CAST(0.5 AS DOUBLE)
+         |        UNION ALL SELECT 'code', CAST(0.2 AS DOUBLE)),
+         |sizes AS (SELECT probe_id, count(*) AS n_probe_sh
+         |          FROM (SELECT DISTINCT probe_id, shingle FROM ps) GROUP BY 1),
+         |hits AS (SELECT d.doc_id, p.suite, p.probe_id, count(*) AS n_shared
+         |         FROM sh d JOIN ps p ON d.shingle = p.shingle
+         |         WHERE d.doc_id <> p.probe_id
+         |         GROUP BY 1, 2, 3),
+         |sel AS (SELECT h.suite, h.doc_id, h.probe_id, h.n_shared, t.mc,
+         |               CAST(ROUND(CAST(h.n_shared AS DOUBLE) / s.n_probe_sh, 6)
+         |                    AS DOUBLE) AS containment
+         |        FROM hits h JOIN sizes s ON s.probe_id = h.probe_id
+         |             JOIN thr t ON t.suite = h.suite)
+         |SELECT suite, doc_id, probe_id, n_shared, containment
+         |FROM sel WHERE containment >= mc
+         |ORDER BY suite, doc_id, probe_id""".stripMargin,
 
     // the contribution expression is THE SAME STRING the Spark plan
     // compiles (TextAnalysis.bm25Contribution) — one source of truth

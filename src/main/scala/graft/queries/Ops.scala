@@ -64,6 +64,28 @@ object Ops {
         .orderBy("k", "t")
     }),
 
+    // INCREMENTAL SCD2 (r10 verdict #5): the changelog lands in three
+    // deliberately INTERLEAVED batches (seq % 3 — every batch carries
+    // out-of-order history for most keys) and each merges into the prior
+    // state via scd2Incremental: only batch keys' interval chains are
+    // rebuilt, closed versions of untouched keys pass through — the only
+    // affordable daily refresh of a 100 TB dimension. The oracle
+    // recomputes the history from the FULL changelog, so green IS the
+    // any-batch-split convergence identity (OpsSpec pins it for random
+    // splits including tombstone-adjacent ones)
+    "cdc_scd2_incremental" -> ((s, d) => {
+      Tables.register(s, d)
+      val ch = s.sql(ChangelogSql)
+      val batches = (0 to 2).map(i => ch.where(col("seq") % 3 === i))
+      val init = Cdc.scd2State(batches(0), "k", "seq", "op")
+      val fin = batches.drop(1).foldLeft(init)(
+        (st, b) => Cdc.scd2Incremental(st, b, "k", "seq", "op"))
+      fin.where(col("op") =!= lit("D"))
+        .selectExpr("k", "valid_from", "valid_to", "op",
+          "CAST(total AS DOUBLE) AS total", "is_current")
+        .orderBy("k", "valid_from")
+    }),
+
     // materialized-view refresh: yesterday's aggregate + today's signed
     // delta batch (inserts/updates/deletes over disjoint key classes)
     // merged WITHOUT rescanning the base; the oracle recomputes the view
@@ -279,6 +301,19 @@ object Ops {
     // independent recomputation: the closing seq via a correlated
     // min-over-later-changes subquery where the operator uses lead()
     "cdc_scd2" -> s"""
+      WITH ch AS ($ChangelogSql)
+      SELECT k, seq AS valid_from,
+             (SELECT min(c2.seq) FROM ch c2
+              WHERE c2.k = ch.k AND c2.seq > ch.seq) AS valid_to,
+             op, CAST(total AS DOUBLE) AS total,
+             (SELECT min(c2.seq) FROM ch c2
+              WHERE c2.k = ch.k AND c2.seq > ch.seq) IS NULL AS is_current
+      FROM ch WHERE op <> 'D'
+      ORDER BY k, valid_from""",
+
+    // FULL-changelog recompute — the incremental fold must converge to
+    // exactly this, whatever the batch split
+    "cdc_scd2_incremental" -> s"""
       WITH ch AS ($ChangelogSql)
       SELECT k, seq AS valid_from,
              (SELECT min(c2.seq) FROM ch c2

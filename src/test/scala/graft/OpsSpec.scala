@@ -111,6 +111,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Incremental converges to the full recompute under ANY batch split") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "seq", "op", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getBoolean(6))).toSet
+    val full = rows(Cdc.scd2State(changelog, "k", "seq", "op"))
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { trial =>
+      val nBatches = 2 + rnd.nextInt(3)
+      // random row->batch assignment: batches interleave keys AND seqs,
+      // including tombstone-adjacent splits (two consecutive deletes of
+      // a key landing in different batches — the case a history-only
+      // state cannot reconstruct)
+      val tag = changelog.withColumn("b",
+        pmod(expr(s"CAST(seq * 2654435761 + $trial AS BIGINT)"),
+          lit(nBatches)))
+      val batches = (0 until nBatches).map(i =>
+        tag.where(col("b") === i).drop("b"))
+      val merged = batches.tail.foldLeft(
+        Cdc.scd2State(batches.head, "k", "seq", "op"))(
+        (st, b) => Cdc.scd2Incremental(st, b, "k", "seq", "op"))
+      assert(rows(merged) == full,
+        s"trial $trial ($nBatches batches) diverged from the full recompute")
+    }
+  }
+
+  test("scd2Incremental leaves untouched keys' rows bit-identical") {
+    val ch = Seq(
+      (1L, 1L, "I", 10.0), (1L, 2L, "U", 11.0),
+      (2L, 3L, "I", 20.0), (2L, 5L, "D", 0.0),
+      (3L, 4L, "I", 30.0)).toDF("k", "seq", "op", "v")
+    val state = Cdc.scd2State(ch, "k", "seq", "op")
+    val batch = Seq((1L, 6L, "U", 12.0)).toDF("k", "seq", "op", "v")
+    val next = Cdc.scd2Incremental(state, batch, "k", "seq", "op")
+    // key 1 gained a version; keys 2 and 3 (incl. the tombstone row)
+    // must survive the merge untouched
+    val untouched = next.where(col("k") =!= 1L)
+      .orderBy("k", "seq").collect().toSeq
+    val before = state.where(col("k") =!= 1L)
+      .orderBy("k", "seq").collect().toSeq
+    assert(untouched == before)
+    val k1 = next.where(col("k") === 1L && col("op") =!= "D")
+      .select("valid_from", "valid_to", "is_current")
+      .orderBy("valid_from").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSeq
+    assert(k1 == Seq((1L, 2L, false), (2L, 6L, false), (6L, -1L, true)))
+  }
+
   test("snapshotDiff labels added/removed/changed and drops identical rows") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")

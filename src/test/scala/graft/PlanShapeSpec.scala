@@ -530,6 +530,50 @@ class PlanShapeSpec extends SparkSpec {
       s"probe scan does not prune on centroid_id partitions: $pf\n$plan")
   }
 
+  test("llm_ivfpq_serving: one pruned shard scan, ADC is pure map work — no join") {
+    val df = SparkEntry.queries("llm_ivfpq_serving")(spark, sfSmoke)
+    val plan = staticPlan(df)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("ivfpq_shards")) => f
+    }
+    assert(scans.size == 1, s"expected exactly one shard scan:\n$plan")
+    assert(scans.head.metadata.getOrElse("PartitionFilters", "")
+        .contains("centroid_id"),
+      s"serving scan does not prune on centroid_id partitions:\n$plan")
+    // the request-side LUT rides as a literal: nothing joins the probe
+    // to the candidates
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"ADC scan must be join-free (probe LUT is a literal):\n$plan")
+  }
+
+  test("llm_ivf_nprobe: every sweep point prunes shards via IN on the partition column") {
+    val df = SparkEntry.queries("llm_ivf_nprobe")(spark, sfSmoke)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("ivf_nprobe_shards")) =>
+        f.metadata.getOrElse("PartitionFilters", "")
+    }
+    assert(scans.size == 3, s"one pruned scan per nprobe point, got $scans")
+    assert(scans.forall(_.contains("centroid_id")),
+      s"a sweep point scans all shards instead of pruning: $scans")
+  }
+
+  test("llm_decontam_suite: the corpus side is scanned once, suites fan out on broadcast dims") {
+    val df = SparkEntry.queries("llm_decontam_suite")(spark, sfSmoke)
+    val plan = staticPlan(df)
+    val docScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    // one corpus-shingle scan + one probe-shingle scan — NOT one per
+    // suite (3 suites ride the same pass)
+    assert(docScans.size <= 2,
+      s"documents scanned ${docScans.size}x — the suite sweep rescans the corpus:\n$plan")
+    assert(plan.contains("bloom_might_contain") || plan.contains("graft_bloom"),
+      s"bloom prefilter missing from the corpus-shingle stream:\n$plan")
+  }
+
   test("llm_pagerank: every iteration join is an equi join on node id") {
     val plan = staticPlan(SparkEntry.queries("llm_pagerank")(spark, sfSmoke))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
