@@ -894,11 +894,27 @@ object Dedup {
     * sim_a = sim_b with hamming 0 for the intra-group rows.
     */
   def simhashNearGroups(docs: DataFrame, bandBits: Int = 15, maxHamming: Int = 3,
-                        bits: Int = 60): DataFrame = {
+                        bits: Int = 60): DataFrame =
+    fingerprintNearGroups(simhash(docs, bits), bandBits, maxHamming, bits)
+
+  /** Fingerprint-level near-group reporting over ANY 64-bit-or-less
+    * Hamming fingerprint column — the shared core of [[simhashNearGroups]]
+    * and the perceptual-image-hash dedup ([[Multimodal.dhashImages]]'s
+    * dHash rides the same banded equi-join): input is per-item
+    * (…, `simhash`) rows, output one row per near-dup fingerprint pair
+    * within `maxHamming` (plus one row per multi-member identical-
+    * fingerprint group), carrying member counts instead of enumerating
+    * member pairs. The banding is LOSSLESS for `maxHamming <
+    * bits/bandBits` (pigeonhole: fewer flipped bits than bands leaves
+    * one band untouched), so the result is exactly the all-pairs
+    * Hamming join's — at banded equi-join cost, never all-pairs.
+    */
+  def fingerprintNearGroups(fps: DataFrame, bandBits: Int = 15,
+                            maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     val nBands = bits / bandBits
     require(maxHamming < nBands,
       s"recall guarantee needs maxHamming < bits/bandBits ($maxHamming >= $nBands)")
-    val groups = simhash(docs, bits)
+    val groups = fps
       .groupBy("simhash").agg(count("*").as("n_docs"))
     val cross = bandedFpPairs(groups.select("simhash"), bandBits, maxHamming, bits)
       .join(groups.as("ga"), expr("sim_a = ga.simhash"))

@@ -189,6 +189,53 @@ object Multimodal {
     }
   }
 
+  /** A perceptual image fingerprint: 60-bit dHash. */
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Difference-hash (dHash) perceptual image fingerprint over the REAL
+    * decoded raster: nearest-neighbor thumbnail to a fixed 11×6 grid
+    * (the same integer source-pixel map as [[resizeImages]], applied
+    * up- or down-scale unconditionally — dHash geometry is always the
+    * grid), integer BT.601 luma 299r+587g+114b (scale-invariant under
+    * the > comparison, so no division anywhere), bit k = y*10+x set iff
+    * luma(x+1,y) > luma(x,y) — 10 column-adjacent comparisons per row ×
+    * 6 rows = 60 bits, matching the house 60-bit / (15-bit band,
+    * Hamming≤3) fingerprint conventions so
+    * [[Dedup.fingerprintNearGroups]] takes the result unchanged: the
+    * perceptual near-dup image join is the same LOSSLESS banded
+    * equi-join the text simhash rides, never an all-pairs scan.
+    */
+  def dhashImages(images: Dataset[ImageBlob], batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.png))
+          if (img == null)
+            throw new IllegalArgumentException(s"undecodable image payload for doc_id=${b.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          def luma(x: Int, y: Int): Int = {
+            val v = img.getRGB(x * w / 11, y * h / 6)
+            299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 10) {
+              if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 10 + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(b.doc_id, hash)
+        }
+      }
+    }
+  }
+
   /** An encoded audio payload: opaque WAV bytes + id. */
   case class AudioBlob(doc_id: Long, wav: Array[Byte])
 

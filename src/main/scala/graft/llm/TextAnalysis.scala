@@ -1155,4 +1155,48 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit"))
       .withColumn("pred", col("logit") > 0)
+
+  /** DSIR-style data selection via hashed-ngram importance (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"), log-free for the differential oracle: word BIGRAMS
+    * hash into `buckets` feature buckets; the target slice
+    * (`targetPred`) and the raw remainder each reduce to a bucket
+    * histogram — `buckets` rows of model state, broadcast back like
+    * [[classifierScore]]'s weights — and a document's importance is the
+    * ratio of its expected target mass to its expected raw mass,
+    *   score = (1 + Σ_grams tgt[bucket]) / (1 + Σ_grams raw[bucket]),
+    * exact BIGINT numerator and denominator (add-one smoothing keeps the
+    * divisor positive under ANSI), ONE IEEE division at the output edge
+    * (correctly rounded, so cross-engine deterministic) — never the
+    * per-bucket log-ratio sum (log is not correctly-rounded IEEE).
+    * `selected` thresholds the ratio at 1 (doc looks more target-like
+    * than raw-like) — a per-row predicate, no global rank window, so
+    * selection stays embarrassingly parallel at 100 TB. Two corpus
+    * passes by construction (model build, then apply) — the same shape
+    * as BPE training and the quality classifier.
+    */
+  def importanceScore(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+                      buckets: Int = 64): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        expr(s"split(${Dedup.normalizeExpr}, ' ')").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_target"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        expr(s"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % $buckets")
+          .as("bucket"))
+    val hist = grams.groupBy("bucket").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_cnt"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("raw_cnt"))
+    grams
+      .join(broadcast(hist), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("tgt_cnt").as("tgt_mass"), sum("raw_cnt").as("raw_mass"))
+      .withColumn("score",
+        expr("CAST(ROUND((1 + tgt_mass) / (1 + raw_mass), 6) AS DOUBLE)"))
+      .withColumn("selected", col("tgt_mass") > col("raw_mass"))
+  }
 }

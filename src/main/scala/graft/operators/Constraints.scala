@@ -97,4 +97,53 @@ object Constraints {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("k_ok", col("class_size") >= k)
   }
+
+  /** Cumulative inverse-CDF thresholds for the truncated two-sided
+    * geometric distribution p(k) ∝ α^|k|, α = exp(-ε), support
+    * [-bound, bound]: returns P(Z ≤ k) for k = -bound … bound-1, so
+    * noise(u) = -bound + #{k : u ≥ t_k}. Computed DRIVER-side with one
+    * fixed fold order — exp/pow never run inside either engine's plan;
+    * both embed these exact doubles as literals, which is what makes
+    * the differential oracle able to replay the draw bit-identically.
+    */
+  def dpCumThresholds(eps: Double, bound: Int): Seq[Double] = {
+    require(eps > 0 && bound >= 1, "need eps > 0 and bound >= 1")
+    val alpha = math.exp(-eps)
+    val weights = (-bound to bound).map(k => math.pow(alpha, math.abs(k).toDouble))
+    val z = weights.foldLeft(0.0)(_ + _)
+    weights.scanLeft(0.0)(_ + _).drop(1).dropRight(1).map(_ / z)
+  }
+
+  /** ε-DP noisy histogram via the geometric mechanism (Ghosh/
+    * Roughgarden/Sundararajan 2009 — the discrete Laplace analogue,
+    * utility-optimal for counting queries): one partial-aggregated
+    * groupBy builds the class counts, then a per-row projection adds
+    * integer noise from the two-sided geometric with α = exp(-ε),
+    * truncated to ±`bound` (the release-practical variant; truncation
+    * leaves ≈α^bound tail mass, the usual (ε, δ) accounting). The draw
+    * is DETERMINISTIC given (seed, class key): u = md5-uniform of the
+    * seeded key, noise = inverse-CDF lookup against [[dpCumThresholds]]
+    * literals. Seeded noise is also what a production release wants —
+    * the same snapshot publishes the same histogram twice instead of
+    * leaking a fresh draw per run. Counts are clamped at 0
+    * (post-processing, DP-safe). The true count never leaves the plan.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], eps: Double,
+                    seed: String, bound: Int = 8): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val cumLit = dpCumThresholds(eps, bound)
+      .map(c => s"CAST(${c}D AS DOUBLE)").mkString("array(", ", ", ")")
+    val keyExpr = keyCols.map(c => s"CAST($c AS STRING)")
+      .mkString(s"concat_ws('|', '$seed', ", ", ", ")")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__u", expr(
+        s"CAST(conv(substr(md5($keyExpr), 1, 15), 16, 10) AS BIGINT)" +
+          s" / CAST(${1L << 60} AS DOUBLE)"))
+      .withColumn("noise", expr(
+        s"CAST(size(filter($cumLit, c -> __u >= c)) - $bound AS INT)"))
+      .withColumn("noisy_count",
+        expr("CAST(GREATEST(0, __cnt + noise) AS BIGINT)"))
+      .drop("__cnt", "__u")
+  }
 }

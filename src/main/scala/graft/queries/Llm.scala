@@ -142,6 +142,31 @@ object Llm {
        |       FROM norm, unnest(generate_series(1, length(w) - 2)) AS u(i)
        |       WHERE length(w) >= 3)""".stripMargin
 
+  /** Shared oracle CTEs for the perceptual dHash: the ImageSynth pixel
+    * formulas replayed over the fixed 11×6 thumbnail grid (nearest-
+    * neighbor source pixel x*w//11, y*h//6 — up- or down-scale
+    * unconditionally), integer BT.601 luma, bit y*10+x set iff the right
+    * neighbor is strictly brighter. Mirrors Multimodal.dhashImages.
+    */
+  private val dhashCtes: String =
+    """dims AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + (doc_id * 3) % 37 AS h
+      |         FROM documents),
+      |lum AS (SELECT doc_id, x, y,
+      |               299 * (((x * w) // 11 * 7 + (y * h) // 6 * 11 + doc_id) % 256)
+      |             + 587 * (((x * w) // 11 * 13 + (y * h) // 6 * 5 + doc_id * 3) % 256)
+      |             + 114 * (((x * w) // 11 * 17 + (y * h) // 6 * 3 + doc_id * 7) % 256) AS luma
+      |        FROM dims,
+      |             unnest(generate_series(0, 10)) AS ux(x),
+      |             unnest(generate_series(0, 5)) AS uy(y)),
+      |db AS (SELECT a.doc_id, a.x, a.y
+      |       FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.y = a.y
+      |            AND b.x = a.x + 1
+      |       WHERE a.x < 10 AND b.luma > a.luma),
+      |dh AS (SELECT d.doc_id,
+      |              COALESCE(sum(CAST(1 AS BIGINT) << (b.y * 10 + b.x)), 0) AS dhash
+      |       FROM dims d LEFT JOIN db b ON b.doc_id = d.doc_id
+      |       GROUP BY d.doc_id)""".stripMargin
+
   /** shingles → minhash → banded signatures (no candidate join — callers
     * add their own pairing rule over `bands`).
     */
@@ -790,6 +815,29 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // perceptual image fingerprint: dHash over the REAL decoded raster
+    // (11x6 nearest-neighbor thumbnail, integer BT.601 luma, 60
+    // column-adjacent comparison bits) — the oracle replays the
+    // synthesis formulas over the thumbnail grid, so a wrong decode or
+    // a wrong resample map cannot hash-match
+    "llm_image_dhash" -> ((s, d) =>
+      Multimodal.dhashImages(Multimodal.synthesizeImages(docs(s, d))).toDF()
+        .orderBy("doc_id")),
+
+    // perceptual near-dup IMAGE join: the dHash fingerprints ride the
+    // SAME lossless (15-bit band, Hamming<=3) banded equi-join as the
+    // text simhash (Dedup.fingerprintNearGroups) — group-level
+    // reporting, never an all-pairs image comparison; the oracle IS the
+    // all-pairs Hamming join over recomputed fingerprints, green proving
+    // the banding lossless
+    "llm_image_neardup" -> ((s, d) =>
+      Dedup.fingerprintNearGroups(
+        Multimodal.dhashImages(Multimodal.synthesizeImages(docs(s, d))).toDF()
+          .withColumnRenamed("dhash", "simhash"))
+        .select(col("sim_a").as("fp_a"), col("sim_b").as("fp_b"),
+          col("hamming"), col("docs_a"), col("docs_b"), col("pair_count"))
+        .orderBy("fp_a", "fp_b")),
+
     // REAL audio codec round-trip: deterministic 16-bit mono PCM WAVs
     // synthesized from (doc_id, i) formulas (AudioSynth), encoded AND
     // parsed through the JDK's javax.sound.sampled; sample rate comes
@@ -1009,6 +1057,15 @@ object Llm {
     "llm_quality_classifier" -> ((s, d) =>
       TextAnalysis.classifierScore(docs(s, d),
         TextAnalysis.hashedWeights(s, 64), 64).orderBy("doc_id")),
+
+    // DSIR-style importance selection: hashed-bigram target/raw bucket
+    // histograms (64 rows of broadcast model state) learned from the
+    // corpus itself, per-doc importance = exact-BIGINT mass ratio with
+    // add-one smoothing, one IEEE division at the edge; selection is a
+    // per-row predicate (tgt_mass > raw_mass), never a global rank
+    "llm_dsir_select" -> ((s, d) =>
+      TextAnalysis.importanceScore(docs(s, d), expr("lang = 'en'"))
+        .orderBy("doc_id")),
 
     // deterministic weighted subsample: 120 docs drawn with probability
     // rising in n_chars, membership a pure function of (seed, doc_id);
@@ -2361,6 +2418,35 @@ object Llm {
         |       CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
 
+    // the ImageSynth formulas replayed over the 11x6 dHash thumbnail
+    // grid: luma = 299r+587g+114b on the nearest-neighbor source pixel,
+    // bit y*10+x iff the right neighbor is brighter — the decoded-raster
+    // hash must land on exactly this BIGINT
+    "llm_image_dhash" ->
+      s"""WITH $dhashCtes
+         |SELECT doc_id, CAST(dhash AS BIGINT) AS dhash
+         |FROM dh ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the ALL-PAIRS Hamming join over recomputed
+    // fingerprints — green proves the Spark side's (15-bit band,
+    // Hamming<=3) banded equi-join lossless on real perceptual hashes
+    "llm_image_neardup" ->
+      s"""WITH $dhashCtes,
+         |g AS (SELECT dhash, count(*) AS n_docs FROM dh GROUP BY dhash)
+         |SELECT CAST(a.dhash AS BIGINT) AS fp_a, CAST(b.dhash AS BIGINT) AS fp_b,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming,
+         |       CAST(a.n_docs AS BIGINT) AS docs_a,
+         |       CAST(b.n_docs AS BIGINT) AS docs_b,
+         |       CAST(a.n_docs * b.n_docs AS BIGINT) AS pair_count
+         |FROM g a JOIN g b ON a.dhash < b.dhash
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |UNION ALL
+         |SELECT CAST(dhash AS BIGINT), CAST(dhash AS BIGINT), 0,
+         |       CAST(n_docs AS BIGINT), CAST(n_docs AS BIGINT),
+         |       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT)
+         |FROM g WHERE n_docs > 1
+         |ORDER BY fp_a, fp_b""".stripMargin,
+
     // replay the AudioSynth arithmetic over an index series: n = 64 +
     // (doc_id·13) mod 512 samples, s(i) = ((doc_id·31 + i·17) mod 2^16)
     // − 32768 — everything nonnegative before the subtraction, so both
@@ -2746,6 +2832,32 @@ object Llm {
          |              CAST(SUM(w.w) AS BIGINT) AS logit
          |       FROM tb JOIN w USING (bucket) GROUP BY doc_id)
          |SELECT doc_id, n_tokens, logit, logit > 0 AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the same bigram-bucket histograms and mass ratio replayed in SQL;
+    // sums CAST from HUGEINT, the one division HUGEINT -> DOUBLE exact
+    // at these magnitudes
+    "llm_dsir_select" ->
+      s"""WITH wt AS (SELECT doc_id, lang = 'en' AS is_target,
+         |                   string_split($NORM, ' ') AS w
+         |            FROM documents),
+         |g AS (SELECT doc_id, is_target,
+         |             ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT % 64
+         |               AS bucket
+         |      FROM wt, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |      WHERE len(w) >= 2),
+         |hist AS (SELECT bucket,
+         |                sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_cnt,
+         |                sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS raw_cnt
+         |         FROM g GROUP BY bucket),
+         |sc AS (SELECT doc_id, count(*) AS n_grams,
+         |              sum(tgt_cnt) AS tgt_mass, sum(raw_cnt) AS raw_mass
+         |       FROM g JOIN hist USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(tgt_mass AS BIGINT) AS tgt_mass,
+         |       CAST(raw_mass AS BIGINT) AS raw_mass,
+         |       CAST(ROUND((1 + tgt_mass) / (1 + raw_mass), 6) AS DOUBLE) AS score,
+         |       tgt_mass > raw_mass AS selected
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     // the flat recomputation: every doc's priority, one global ORDER BY +

@@ -160,6 +160,17 @@ object Ops {
           "c_mktsegment", "class_size", "k_ok")
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // eps-DP release histogram: geometric-mechanism noise, seeded and
+    // deterministic (md5-uniform inverse-CDF against driver-computed
+    // threshold literals — exp/pow never run in-plan, so the oracle
+    // replays the draw bit-identically); true counts never leave the
+    // plan, clamp-at-0 is DP-safe post-processing
+    "qc_dp_histogram" -> ((s, d) =>
+      Constraints.dpNoisyCounts(Tables.load(s, d, "documents"),
+          Seq("source", "lang"), eps = 0.5, seed = "dp42")
+        .select(col("source"), col("lang"), col("noisy_count"), col("noise"))
+        .orderBy("source", "lang")),
+
     "cdc_snapshot_diff" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val before = docs.select(col("doc_id"), col("text"))
@@ -361,6 +372,29 @@ object Ops {
              count(*) AS class_size, count(*) >= 40 AS k_ok
       FROM customer GROUP BY 1, 2
       ORDER BY c_nationkey, c_mktsegment""",
+
+    // the SAME driver-computed threshold literals (one source of truth:
+    // Constraints.dpCumThresholds) replayed through DuckDB's
+    // list_filter — the md5-uniform, the comparisons and the clamp are
+    // all IEEE-exact, so the noisy counts hash-match
+    "qc_dp_histogram" -> {
+      val cum = Constraints.dpCumThresholds(0.5, 8)
+        .map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
+      s"""
+      WITH h AS (SELECT source, lang, count(*) AS cnt
+                 FROM documents GROUP BY 1, 2),
+      u AS (SELECT source, lang, cnt,
+                   ('0x' || substr(md5(concat_ws('|', 'dp42', source, lang)), 1, 15))::BIGINT::DOUBLE
+                     / ${1L << 60}.0 AS u
+            FROM h),
+      n AS (SELECT source, lang, cnt,
+                   len(list_filter($cum, c -> u >= c)) - 8 AS noise
+            FROM u)
+      SELECT source, lang,
+             CAST(GREATEST(0, cnt + noise) AS BIGINT) AS noisy_count,
+             CAST(noise AS INT) AS noise
+      FROM n ORDER BY source, lang"""
+    },
 
     // one independent SELECT per column — never the entry's Expand shape
     "qc_column_profile" -> """

@@ -112,6 +112,44 @@ object Windows {
                                               AND UNBOUNDED FOLLOWING) AS bottom_ord
       FROM orders
       WHERE o_custkey < 150
-      ORDER BY o_custkey, o_orderkey"""
+      ORDER BY o_custkey, o_orderkey""",
+
+    // exact WEIGHTED median via cumulative-weight window: smallest value
+    // whose running weight reaches half the partition total. DECIMAL
+    // sums end-to-end (order-free, exact — the peer-inclusive RANGE
+    // frame makes ties well-defined without a unique ordering); the one
+    // DOUBLE cast is the output edge. Partition key is supplier —
+    // cluster-scale cardinality, so no 100 TB single-partition window
+    "agg_weighted_median" -> s"""
+      WITH w AS (SELECT l_suppkey,
+                        CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+                        $QTY AS wt
+                 FROM lineitem),
+      c AS (SELECT l_suppkey, v, wt,
+                   SUM(wt) OVER (PARTITION BY l_suppkey ORDER BY v
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cw,
+                   SUM(wt) OVER (PARTITION BY l_suppkey) AS tot
+            FROM w)
+      SELECT l_suppkey, CAST(min(v) AS DOUBLE) AS weighted_median
+      FROM c WHERE cw * 2 >= tot
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    // running DISTINCT-user count per event type — the scale-correct
+    // formulation: distinct collapses in a (type, user) pre-aggregate
+    // (first event day per user), the cumulative window then runs over
+    // the TINY (type, day) domain — never a per-event global window,
+    // and no count(DISTINCT) inside any frame
+    "win_cumulative_distinct" -> """
+      WITH firsts AS (SELECT event_type, user_id,
+                             CAST(min(ts) AS DATE) AS first_day
+                      FROM events GROUP BY event_type, user_id),
+      daily AS (SELECT event_type, first_day AS day, count(*) AS new_users
+                FROM firsts GROUP BY event_type, first_day)
+      SELECT event_type, day, CAST(new_users AS BIGINT) AS new_users,
+             CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+      FROM daily ORDER BY event_type, day"""
   )
 }

@@ -652,6 +652,53 @@ class LlmOperatorSpec extends SparkSpec {
     }
   }
 
+  test("dHash matches the direct formula and is invariant to the doc_id shift") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 46L, 123L, 4999L, 1739L)
+    val hashed = Multimodal.dhashImages(
+      Multimodal.synthesizeImages(ids.toDF("doc_id")), batchSize = 2)
+      .collect().map(d => d.doc_id -> d.dhash).toMap
+    // independent recompute straight from the synthesis formulas
+    def expected(id: Long): Long = {
+      val (w, h) = (Multimodal.ImageSynth.width(id), Multimodal.ImageSynth.height(id))
+      def luma(x: Int, y: Int): Int = {
+        val (sx, sy) = (x * w / 11, y * h / 6)
+        299 * Multimodal.ImageSynth.r(id, sx, sy) +
+          587 * Multimodal.ImageSynth.g(id, sx, sy) +
+          114 * Multimodal.ImageSynth.b(id, sx, sy)
+      }
+      (for { y <- 0 until 6; x <- 0 until 10 if luma(x + 1, y) > luma(x, y) }
+        yield 1L << (y * 10 + x)).sum
+    }
+    ids.foreach(id => assert(hashed(id) == expected(id), s"doc $id"))
+    // the id term cancels in adjacent-luma DIFFERENCES only when no mod-256
+    // wrap moves: ids 0 and 1739 share (w, h) = (1, 1) geometry -> the 1x1
+    // raster upsamples to a constant thumbnail, all bits 0, identical hash
+    assert(hashed(0L) == hashed(1739L) && hashed(0L) == 0L)
+    // 60-bit range
+    assert(hashed.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("fingerprintNearGroups banding equals the all-pairs Hamming join") {
+    import spark.implicits._
+    val fps = Seq(5L, 5L, 6L, 1L << 59, (1L << 59) | 7L, 1024L)
+      .zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("doc_id", "simhash")
+    val got = Dedup.fingerprintNearGroups(fps)
+      .select("sim_a", "sim_b", "hamming", "docs_a", "docs_b", "pair_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val counts = Seq(5L -> 2L, 6L -> 1L, (1L << 59) -> 1L,
+      ((1L << 59) | 7L) -> 1L, 1024L -> 1L).toMap
+    val cross = for {
+      a <- counts.keys; b <- counts.keys
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b, java.lang.Long.bitCount(a ^ b), counts(a), counts(b),
+      counts(a) * counts(b))
+    val intra = Set((5L, 5L, 0, 2L, 2L, 1L))
+    assert(got == cross.toSet ++ intra)
+  }
+
   test("audio decode recovers the synthesized PCM samples exactly") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 63L, 511L, 4999L)

@@ -162,6 +162,41 @@ class OpsSpec extends SparkSpec {
     assert(k1 == Seq((1L, 2L, false), (2L, 6L, false), (6L, -1L, true)))
   }
 
+  test("dpNoisyCounts: deterministic seeded draw, bounded noise, clamped at 0") {
+    val df = Seq.tabulate(40)(i => (s"s${i % 4}", i.toLong)).toDF("source", "v")
+    val cum = graft.operators.Constraints.dpCumThresholds(0.5, 8)
+    assert(cum.size == 16 && cum.zip(cum.tail).forall { case (a, b) => a < b }
+      && cum.head > 0 && cum.last < 1, s"thresholds not a CDF: $cum")
+    def run() = graft.operators.Constraints
+      .dpNoisyCounts(df, Seq("source"), eps = 0.5, seed = "t1")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run(), "same seed must draw the same noise")
+    assert(a.forall { case (_, n, nc) => math.abs(n) <= 8 && nc >= 0 })
+    assert(a.map(_._1) == Seq("s0", "s1", "s2", "s3"))
+    // a different seed decorrelates the draw (not a constant offset)
+    val b = graft.operators.Constraints
+      .dpNoisyCounts(df, Seq("source"), eps = 0.5, seed = "t2")
+      .orderBy("source").collect().map(_.getInt(1)).toSeq
+    assert(a.map(_._2) != b || a.map(_._2).distinct.size > 1)
+  }
+
+  test("importanceScore prefers docs whose grams dominate the target slice") {
+    val docs = (
+      Seq.tabulate(6)(i => (i.toLong, "alpha beta gamma delta", "en")) ++
+      Seq.tabulate(6)(i => (10L + i, "uno dos tres cuatro", "es")) :+
+      ((20L, "alpha beta gamma", "es"))).toDF("doc_id", "text", "lang")
+    val sc = graft.llm.TextAnalysis
+      .importanceScore(docs, col("lang") === "en", buckets = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getBoolean(5))).toMap
+    // the es doc written in target-side grams scores like the target docs
+    assert(sc(20L)._2, "target-like doc must be selected")
+    assert(!sc(10L)._2, "raw-only doc must not be selected")
+    assert(sc(20L)._1 > 1.0 && sc(10L)._1 < 1.0)
+  }
+
   test("snapshotDiff labels added/removed/changed and drops identical rows") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
