@@ -1093,6 +1093,55 @@ object Dedup {
         expr("CAST(ROUND(pr, 6) AS DOUBLE)").as("pr"))
   }
 
+  /** Semi-supervised LABEL PROPAGATION over a candidate-pair graph (Zhu
+    * & Ghahramani 2002 — the label-spread primitive behind cluster
+    * naming / topic assignment on dedup graphs): seed nodes carry fixed
+    * labels (clamped every round); unlabeled nodes synchronously adopt
+    * the plurality label among their labeled neighbors, ties to the
+    * lexicographically smallest label so every round is deterministic;
+    * nodes with no labeled neighbor keep their previous state. Edges are
+    * normalized (oriented + distinct) like [[pageRank]].
+    *
+    * Scale shape: per iteration one equi-join of the symmetric edge list
+    * against the label table, one (node, label) partial-aggregated
+    * count, and one per-node struct-min argmax — label state is one row
+    * per node, never an adjacency collect; rounds track the candidate
+    * graph like [[dupClusters]]. Output: (doc_id, label) for every graph
+    * node, label NULL where no seed ever reached.
+    */
+  def labelPropagation(pairs: DataFrame, seeds: DataFrame,
+                       iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val edges = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("doc_id")).distinct()
+    val sd = seeds.select(col("doc_id"), col("label").as("seed_label"))
+    var labels = nodes.join(sd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      val nbr = sym
+        .join(labels.where(col("label").isNotNull)
+            .select(col("doc_id").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val best = nbr.groupBy(col("src").as("doc_id"))
+        .agg(min(struct((lit(Long.MaxValue) - col("cnt")).as("nc"),
+          col("label").as("l"))).as("m"))
+        .select(col("doc_id"), col("m.l").as("best_label"))
+      labels = labels.join(best, Seq("doc_id"), "left")
+        .join(sd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("seed_label"), col("best_label"), col("label"))
+            .as("label"))
+    }
+    labels
+  }
+
   /** Corpus-source similarity via group-level MinHash: which crawls / dumps
     * / sources substantially duplicate each other, answered WITHOUT ever
     * comparing documents.

@@ -1199,4 +1199,66 @@ object TextAnalysis {
         expr("CAST(ROUND((1 + tgt_mass) / (1 + raw_mass), 6) AS DOUBLE)"))
       .withColumn("selected", col("tgt_mass") > col("raw_mass"))
   }
+
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4's denoising
+    * objective, the deterministic variant a data pipeline materializes):
+    * tokens group into fixed `blockSize` blocks; a block is masked iff
+    * its seeded md5 draw lands under `maskPct` — so corruption is a pure
+    * function of (doc_id, block), reproducible across runs and engines.
+    * The INPUT sequence replaces each masked block with a numbered
+    * sentinel `<X{k}>` (k = the block's rank among the doc's masked
+    * blocks); the TARGET sequence is each sentinel followed by the
+    * tokens it hid. Sequences leave the operator as md5 fingerprints
+    * (+ exact counts) — scalar, order-pinned via doubled positions
+    * (token 2i+1, sentinel 6·block < first hidden token's position), so
+    * the oracle rebuilds both strings with string_agg ORDER BY pos.
+    * One corpus pass; the only window partitions by doc_id (cluster-
+    * scale cardinality).
+    */
+  def spanCorrupt(docs: DataFrame, blockSize: Int = 3,
+                  maskPct: Int = 15): DataFrame = {
+    require(blockSize >= 1 && maskPct >= 0 && maskPct <= 100,
+      "need blockSize >= 1 and maskPct in [0, 100]")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"split(${Dedup.normalizeExpr}, ' ')"))
+          .as(Seq("i", "tok")))
+      .where(length(col("tok")) > 0)
+      .withColumn("blk", expr(s"i DIV $blockSize"))
+      .withColumn("masked", expr(
+        s"CAST(conv(substr(md5(concat(doc_id, ':', blk)), 1, 15), 16, 10)" +
+          s" AS BIGINT) % 100 < $maskPct"))
+    val w = Window.partitionBy("doc_id").orderBy("blk")
+    val spans = toks.where(col("masked"))
+      .groupBy("doc_id", "blk").agg(count(lit(1)).as("blk_toks"))
+      .withColumn("k", row_number().over(w))
+      .select(col("doc_id"), col("blk"), col("k"),
+        concat(lit("<X"), col("k"), lit(">")).as("sentinel"))
+    val inputItems = toks.where(!col("masked"))
+      .select(col("doc_id"), expr("2 * i + 1").as("pos"), col("tok").as("txt"))
+      .unionByName(spans.select(col("doc_id"),
+        expr(s"6 * blk").as("pos"), col("sentinel").as("txt")))
+    val targetItems = toks.where(col("masked"))
+      .select(col("doc_id"), expr("2 * i + 1").as("pos"), col("tok").as("txt"))
+      .unionByName(spans.select(col("doc_id"),
+        expr(s"6 * blk").as("pos"), col("sentinel").as("txt")))
+    def fp(items: DataFrame): org.apache.spark.sql.Column = expr(
+      """md5(array_join(transform(array_sort(collect_list(struct(pos, txt))),
+        |  s -> s.txt), ' '))""".stripMargin)
+    val counts = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    val inFp = inputItems.groupBy("doc_id").agg(fp(inputItems).as("input_md5"))
+    val tgFp = targetItems.groupBy("doc_id").agg(fp(targetItems).as("target_md5"))
+    val nSpans = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    counts
+      .join(inFp, Seq("doc_id"), "left")
+      .join(tgFp, Seq("doc_id"), "left")
+      .join(nSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("input_md5"),
+        when(col("n_masked") > 0, col("target_md5")).otherwise(md5(lit("")))
+          .as("target_md5"))
+  }
 }

@@ -165,4 +165,43 @@ object AsOf {
       .select(lCols.map(col) ++
         rightVals.map(c => col("__c").getField(c).as(s"right_$c")): _*)
   }
+
+  /** Nearest right row in EITHER direction (pandas merge_asof
+    * direction='nearest'): one backward and one forward carry pass over
+    * the same key shuffle, stitched on `leftId` (a unique left row id);
+    * the winner is the side with the smaller absolute time distance —
+    * exact integer micros, never float — tie → the backward (earlier)
+    * match. Left rows matched in only one direction keep that side;
+    * rows with neither are dropped (inner, like the directed variants).
+    * `rightVals` MUST include `rightTs`, a copy of the right row's own
+    * timestamp — the stitch needs it to measure the distance (and it
+    * rides out as `right_<rightTs>` like any other carried value).
+    * Output adds a `direction` column ('b' or 'f').
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, leftId: String, rightVals: Seq[String],
+                  rightTs: String): DataFrame = {
+    require(rightVals.contains(rightTs),
+      s"rightVals must carry the right timestamp column $rightTs")
+    val b = joinBackward(left, right, key, ts, rightVals)
+      .select(col(leftId) +:
+        rightVals.map(c => col(s"right_$c").as(s"__b_$c")): _*)
+    val f = joinForward(left, right, key, ts, rightVals)
+      .select(col(leftId) +:
+        rightVals.map(c => col(s"right_$c").as(s"__f_$c")): _*)
+    val bTs = col(s"__b_$rightTs")
+    val fTs = col(s"__f_$rightTs")
+    val useB = fTs.isNull || (bTs.isNotNull &&
+      (unix_micros(col(ts)) - unix_micros(bTs)) <=
+        (unix_micros(fTs) - unix_micros(col(ts))))
+    val out: Seq[Column] =
+      left.columns.toSeq.map(col) ++
+        rightVals.map(c =>
+          when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"right_$c")) :+
+        when(useB, lit("b")).otherwise(lit("f")).as("direction")
+    left.join(b, Seq(leftId), "left")
+      .join(f, Seq(leftId), "left")
+      .where(bTs.isNotNull || fTs.isNotNull)
+      .select(out: _*)
+  }
 }

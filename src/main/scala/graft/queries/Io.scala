@@ -788,6 +788,34 @@ object Io {
           |  USING qty_floor""".stripMargin)
     }),
 
+    // Spark-4 SQL SCRIPTING surface (BEGIN…END compound, DECLARE, SET
+    // from a subquery, WHILE loop, IF/ELSE branch): the script's control
+    // flow runs on the driver, every statement inside is a full Catalyst
+    // plan; the oracle recomputes the loop algebra in closed form
+    "sql_scripting" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(
+        """BEGIN
+          |  DECLARE n BIGINT DEFAULT 0;
+          |  DECLARE acc BIGINT DEFAULT 0;
+          |  DECLARE i INT DEFAULT 0;
+          |  SET n = (SELECT count(*) FROM nation);
+          |  WHILE i < 4 DO
+          |    SET acc = acc + i * n;
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  IF n > 10 THEN
+          |    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+          |           n AS n_nations, acc AS acc
+          |    FROM region ORDER BY r_regionkey;
+          |  ELSE
+          |    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+          |           CAST(0 AS BIGINT) AS n_nations, CAST(-1 AS BIGINT) AS acc
+          |    FROM region ORDER BY r_regionkey;
+          |  END IF;
+          |END""".stripMargin)
+    }),
+
     // ---- events time series ----------------------------------------------
     "ts_window_agg" -> ((s, d) => {
       Tables.register(s, d)
@@ -1114,6 +1142,49 @@ object Io {
         .where("op <> 'D'")
         .selectExpr("k", "seq", "op", "CAST(total AS DOUBLE) AS total")
         .orderBy("k")
+    }),
+
+    // STREAMING SCD2 maintenance: each micro-batch of changelog rows
+    // merges into the dimension's version history via scd2Incremental —
+    // only batch keys' interval chains rebuild per trigger (the only
+    // affordable continuous refresh of a 100 TB dimension); the
+    // arbitrary repartition(3) file split interleaves sequence numbers
+    // across batches, so green against the full-recompute oracle IS the
+    // out-of-order convergence property, exercised through a real
+    // checkpointed stream
+    "ts_stream_scd2" -> ((s, d) => {
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val root = s"${base(d)}/stream_scd2"
+      deleteRecursively(new java.io.File(root))
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft_scd2_in").toString
+      events.repartition(3).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .selectExpr("user_id AS k", "event_id AS seq",
+          """CASE WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'D'
+                  WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op""",
+          "CAST(value AS DECIMAL(18,2)) AS total")
+      var last: Option[String] = None
+      graft.streaming.Streams.runForeachBatch(stream, s"$root/ck") {
+        (batch, id) =>
+          val merged = last match {
+            case None => graft.operators.Cdc.scd2State(batch, "k", "seq", "op")
+            case Some(p) => graft.operators.Cdc.scd2Incremental(
+              s.read.parquet(p), batch, "k", "seq", "op")
+          }
+          val next = s"$root/state_${id % 2}"
+          merged.write.mode("overwrite").parquet(next)
+          last = Some(next)
+      }
+      deleteRecursively(new java.io.File(inDir))
+      s.read.parquet(last.getOrElse(
+          sys.error("scd2 stream produced no batches")))
+        .where("op <> 'D'")
+        .selectExpr("k", "valid_from", "valid_to", "op",
+          "CAST(total AS DOUBLE) AS total", "is_current")
+        .orderBy("k", "valid_from")
     }),
 
     // STREAMING watermark-DROP semantics, differentially oracled: the one
@@ -1615,6 +1686,28 @@ object Io {
         .orderBy("event_id")
     }),
 
+    // nearest-direction as-of (pandas merge_asof direction='nearest'):
+    // each purchase matched to its closest view in EITHER direction,
+    // exact integer-micros distance, ties to the earlier (backward)
+    // side; composed from the two one-shuffle carry passes stitched on
+    // the unique left id — the oracle composes DuckDB's two ASOF JOINs
+    // with the same pick rule
+    "ts_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where("event_type = 'view'")
+        .groupBy(col("user_id"), col("ts").as("v_ts"))
+        .agg(max("value").as("v_value"))
+        .selectExpr("user_id", "v_ts AS ts", "v_ts", "v_value")
+      graft.operators.AsOf.joinNearest(purchases, views, "user_id", "ts",
+          "event_id", Seq("v_ts", "v_value"), "v_ts")
+        .selectExpr("event_id", "user_id",
+          "abs(unix_micros(ts) - unix_micros(right_v_ts)) AS delta_us",
+          "CAST(right_v_value AS DOUBLE) AS v_value", "direction")
+        .orderBy("event_id")
+    }),
+
     // ordered conversion funnel view → click → purchase, 7-day max gap per
     // step (operators/Funnel): per-user frontier timestamps as exact epoch
     // micros + step_reached. The oracle replays the frontier-greedy rule as
@@ -2054,6 +2147,13 @@ object Io {
         |FROM lineitem WHERE l_quantity >= 45
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the loop algebra in closed form: acc = (0+1+2+3)·n = 6n
+    "sql_scripting" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+        |       CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_nations,
+        |       CAST(6 * (SELECT count(*) FROM nation) AS BIGINT) AS acc
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
     "ts_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
         |       count(*) AS n_events,
@@ -2458,6 +2558,23 @@ object Io {
         |FROM last WHERE rn = 1 AND op <> 'D'
         |ORDER BY k""".stripMargin,
 
+    // the FULL-changelog SCD2 recompute — whatever micro-batch split the
+    // stream fed through scd2Incremental must converge to exactly this
+    "ts_stream_scd2" ->
+      """WITH ch AS (SELECT user_id AS k, event_id AS seq,
+        |    CASE WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'D'
+        |         WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+        |    CAST(value AS DECIMAL(18,2)) AS total
+        |  FROM events)
+        |SELECT k, seq AS valid_from,
+        |       (SELECT min(c2.seq) FROM ch c2
+        |        WHERE c2.k = ch.k AND c2.seq > ch.seq) AS valid_to,
+        |       op, CAST(total AS DOUBLE) AS total,
+        |       (SELECT min(c2.seq) FROM ch c2
+        |        WHERE c2.k = ch.k AND c2.seq > ch.seq) IS NULL AS is_current
+        |FROM ch WHERE op <> 'D'
+        |ORDER BY k, valid_from""".stripMargin,
+
     "ts_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),
@@ -2484,6 +2601,29 @@ object Io {
         |SELECT v.event_id, v.user_id, v.ts AS v_ts, p.p_value
         |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
+
+    // two ASOF JOINs composed with the same integer-micros pick rule
+    "ts_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT p.event_id, v.ts AS bts, v.v_value AS bval
+        |      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+        |f AS (SELECT p.event_id, v.ts AS fts, v.v_value AS fval
+        |      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, b.bts, b.bval, f.fts, f.fval,
+        |             (f.fts IS NULL OR (b.bts IS NOT NULL AND
+        |                epoch_us(p.ts) - epoch_us(b.bts)
+        |                  <= epoch_us(f.fts) - epoch_us(p.ts))) AS use_b
+        |      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |      WHERE b.bts IS NOT NULL OR f.fts IS NOT NULL)
+        |SELECT event_id, user_id,
+        |       CAST(abs(epoch_us(ts) - epoch_us(CASE WHEN use_b THEN bts ELSE fts END))
+        |            AS BIGINT) AS delta_us,
+        |       CAST(CASE WHEN use_b THEN bval ELSE fval END AS DOUBLE) AS v_value,
+        |       CASE WHEN use_b THEN 'b' ELSE 'f' END AS direction
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "ts_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

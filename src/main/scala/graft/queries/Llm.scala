@@ -1058,6 +1058,14 @@ object Llm {
       TextAnalysis.classifierScore(docs(s, d),
         TextAnalysis.hashedWeights(s, 64), 64).orderBy("doc_id")),
 
+    // T5-style span corruption, the deterministic materialized variant:
+    // block masking a pure function of (doc_id, block), numbered
+    // sentinels, input/target sequences leave as md5 fingerprints with
+    // order pinned by doubled positions — the oracle rebuilds both
+    // strings with string_agg ORDER BY pos
+    "llm_span_corrupt" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(docs(s, d)).orderBy("doc_id")),
+
     // DSIR-style importance selection: hashed-bigram target/raw bucket
     // histograms (64 rows of broadcast model state) learned from the
     // corpus itself, per-doc importance = exact-BIGINT mass ratio with
@@ -1144,6 +1152,19 @@ object Llm {
       val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       Dedup.pageRank(pairs, iters = 2).orderBy("doc_id")
+    }),
+
+    // semi-supervised label propagation over the same candidate graph:
+    // every 5th doc seeds its language, two synchronous plurality rounds
+    // (min-label ties, seeds clamped) — the oracle replays both rounds
+    // as chained CTEs with row_number argmax
+    "llm_label_propagation" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      val seeds = dd.where("doc_id % 5 = 0")
+        .select(col("doc_id"), col("lang").as("label"))
+      Dedup.labelPropagation(pairs, seeds, iters = 2).orderBy("doc_id")
     }),
 
     // deterministic HyperLogLog distinct-token sketch per source (md5
@@ -2834,6 +2855,41 @@ object Llm {
          |SELECT doc_id, n_tokens, logit, logit > 0 AS pred
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // the same block draw, sentinel numbering and doubled-position
+    // ordering replayed over the split index stream (original indexes
+    // preserved through the length filter, like the Spark posexplode)
+    "llm_span_corrupt" ->
+      s"""WITH wt AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |tk AS (SELECT doc_id, i - 1 AS i, w[i] AS tok
+         |       FROM wt, unnest(generate_series(1, len(w))) AS u(i)
+         |       WHERE length(w[i]) > 0),
+         |tb AS (SELECT doc_id, i, tok, i // 3 AS blk,
+         |              ('0x' || substr(md5(doc_id || ':' || (i // 3)), 1, 15))::BIGINT
+         |                % 100 < 15 AS masked
+         |       FROM tk),
+         |sp AS (SELECT doc_id, blk,
+         |              row_number() OVER (PARTITION BY doc_id ORDER BY blk) AS k
+         |       FROM (SELECT DISTINCT doc_id, blk FROM tb WHERE masked)),
+         |ii AS (SELECT doc_id, 2 * i + 1 AS pos, tok AS txt FROM tb WHERE NOT masked
+         |       UNION ALL SELECT doc_id, 6 * blk, '<X' || k || '>' FROM sp),
+         |ti AS (SELECT doc_id, 2 * i + 1 AS pos, tok AS txt FROM tb WHERE masked
+         |       UNION ALL SELECT doc_id, 6 * blk, '<X' || k || '>' FROM sp),
+         |cnts AS (SELECT doc_id, count(*) AS n_tokens,
+         |                count(*) FILTER (WHERE masked) AS n_masked
+         |         FROM tb GROUP BY doc_id),
+         |ifp AS (SELECT doc_id, md5(string_agg(txt, ' ' ORDER BY pos)) AS input_md5
+         |        FROM ii GROUP BY doc_id),
+         |tfp AS (SELECT doc_id, md5(string_agg(txt, ' ' ORDER BY pos)) AS target_md5
+         |        FROM ti GROUP BY doc_id),
+         |ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_masked AS BIGINT) AS n_masked,
+         |       CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+         |       i.input_md5, COALESCE(t.target_md5, md5('')) AS target_md5
+         |FROM cnts c LEFT JOIN ifp i USING (doc_id)
+         |     LEFT JOIN tfp t USING (doc_id) LEFT JOIN ns USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // the same bigram-bucket histograms and mass ratio replayed in SQL;
     // sums CAST from HUGEINT, the one division HUGEINT -> DOUBLE exact
     // at these magnitudes
@@ -3107,6 +3163,40 @@ object Llm {
          |SELECT r2.doc_id, CAST(deg AS BIGINT) AS deg,
          |       CAST(ROUND(pr, 6) AS DOUBLE) AS pr
          |FROM r2 JOIN deg ON deg.src = r2.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the two plurality rounds replayed as chained CTEs: neighbor label
+    // counts -> row_number argmax (cnt DESC, label) -> seeds clamped via
+    // COALESCE priority seed > best > previous
+    "llm_label_propagation" -> {
+      val round = (i: Int) =>
+        s"""nb$i AS (SELECT s.src, l.label, count(*) AS cnt
+           |        FROM sym s JOIN l${i - 1} l ON l.doc_id = s.dst
+           |        WHERE l.label IS NOT NULL GROUP BY s.src, l.label),
+           |b$i AS (SELECT src AS doc_id, label AS best_label FROM (
+           |         SELECT src, label, row_number() OVER (
+           |           PARTITION BY src ORDER BY cnt DESC, label) AS rn
+           |         FROM nb$i) WHERE rn = 1),
+           |l$i AS (SELECT l.doc_id,
+           |              COALESCE(s.seed_label, b.best_label, l.label) AS label
+           |       FROM l${i - 1} l LEFT JOIN b$i b ON b.doc_id = l.doc_id
+           |            LEFT JOIN sd s ON s.doc_id = l.doc_id)""".stripMargin
+      s"""WITH ${minhashCtes()},
+         |$jaccardCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |ed AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+         |                       greatest(doc_a, doc_b) AS b
+         |       FROM prs WHERE doc_a <> doc_b),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+         |sd AS (SELECT doc_id, lang AS seed_label FROM documents
+         |       WHERE doc_id % 5 = 0),
+         |l0 AS (SELECT n.doc_id, s.seed_label AS label
+         |       FROM nodes n LEFT JOIN sd s ON s.doc_id = n.doc_id),
+         |${round(1)},
+         |${round(2)}
+         |SELECT doc_id, label FROM l2 ORDER BY doc_id""".stripMargin
     },
 
     // identical md5 bucket/rho arithmetic, HUGEINT sums cast to BIGINT,

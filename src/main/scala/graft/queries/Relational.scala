@@ -372,6 +372,20 @@ object Relational {
     * DuckDB uses unnest + generate_subscripts (1-based) — same rows out.
     */
   val sparkSql: Map[String, String] = Map(
+    // Spark-4 collation surface: UTF8_LCASE comparison drives both an
+    // ORDER BY (rank baked into row_number — the comparator canonicalizes
+    // row order) and a case-insensitive grouped count; the oracle
+    // emulates with lower() (same semantics for these ASCII fixtures)
+    "sql_collation" -> """
+      SELECT id, s,
+             row_number() OVER (ORDER BY collate(s, 'UTF8_LCASE'), id) AS rank_ci,
+             count(*) OVER (PARTITION BY collate(s, 'UTF8_LCASE')) AS n_ci,
+             collate(s, 'UTF8_LCASE') = 'apple' AS is_apple
+      FROM (VALUES (1, 'Apple'), (2, 'apple'), (3, 'BANANA'), (4, 'banana'),
+                   (5, 'Cherry'), (6, 'APPLE'), (7, 'cherry'), (8, 'Banana'))
+           AS v(id, s)
+      ORDER BY id""",
+
     // ANSI-mode error surface: try_* forms return NULL where strict
     // evaluation would raise (division by zero, malformed cast, int64
     // overflow) — the oracle recomputes with NULLIF/TRY_CAST/constant
@@ -584,6 +598,16 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    "sql_collation" -> """
+      SELECT id, s,
+             row_number() OVER (ORDER BY lower(s), id) AS rank_ci,
+             count(*) OVER (PARTITION BY lower(s)) AS n_ci,
+             lower(s) = 'apple' AS is_apple
+      FROM (VALUES (1, 'Apple'), (2, 'apple'), (3, 'BANANA'), (4, 'banana'),
+                   (5, 'Cherry'), (6, 'APPLE'), (7, 'cherry'), (8, 'Banana'))
+           AS v(id, s)
+      ORDER BY id""",
+
     "fn_try_surface" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(l_extendedprice AS DOUBLE) / l_quantity AS ratio,

@@ -150,6 +150,26 @@ object Windows {
              CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS cum_users
-      FROM daily ORDER BY event_type, day"""
+      FROM daily ORDER BY event_type, day""",
+
+    // OHLC downsampling (the classic time-series resample): per
+    // (type, hour) bucket — open/close picked by deterministic
+    // (ts, event_id)-ordered row_numbers (single-row picks, exact
+    // doubles, no aggregation arithmetic), high/low as plain min/max.
+    // Window partitions are (type, hour) — bounded by per-hour data
+    // rate, never a whole-key timeline
+    "ts_resample_ohlc" -> """
+      WITH r AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rno,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rnc
+                 FROM events)
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             MAX(CASE WHEN rno = 1 THEN value END) AS open,
+             MAX(value) AS high, MIN(value) AS low,
+             MAX(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM r GROUP BY event_type, bucket
+      ORDER BY event_type, bucket"""
   )
 }

@@ -115,6 +115,29 @@ class AsOfSpec extends SparkSpec {
       s"no (key, bucket) partitioning stage in plan:\n$plan")
   }
 
+  test("joinNearest picks the closer side, ties backward, single-sided rows kept") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, t("10:30")), // b at 10:00 (30m), f at 10:40 (10m) -> f
+      (2L, 1L, t("10:10")), // b at 10:00 (10m), f at 10:40 (30m) -> b
+      (3L, 1L, t("10:20")), // exact tie 20m/20m -> backward
+      (4L, 2L, t("09:00")), // only a forward match -> f
+      (5L, 2L, t("11:00")), // only a backward match -> b
+      (6L, 3L, t("10:00"))  // no right rows at all -> dropped
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("10:00"), 10.0), (1L, t("10:40"), 40.0),
+      (2L, t("10:30"), 30.0)
+    ).toDF("k", "rts", "v").selectExpr("k", "rts AS ts", "rts", "v")
+    val got = AsOf.joinNearest(left, right, "k", "ts", "id",
+        Seq("rts", "v"), "rts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getString(5))).toMap
+    assert(got == Map(
+      1L -> (40.0, "f"), 2L -> (10.0, "b"), 3L -> (10.0, "b"),
+      4L -> (30.0, "f"), 5L -> (30.0, "b")))
+  }
+
   test("randomized differential: matches a brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -699,6 +699,25 @@ class LlmOperatorSpec extends SparkSpec {
     assert(got == cross.toSet ++ intra)
   }
 
+  test("labelPropagation: plurality spread, min-label ties, seeds clamped") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq((1L, "a"), (4L, "b"), (5L, "x")).toDF("doc_id", "label")
+    val got = Dedup.labelPropagation(pairs, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // round 1: 2<-a (from 1), 3<-b (from 4), 6<-x; round 2: 2 sees
+    // {a, b} -> tie -> min label a; 3 sees {a, b} -> a; seeds never move
+    assert(got == Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b",
+      5L -> "x", 6L -> "x"))
+    // a component with no seed stays unlabeled
+    val lonely = Dedup.labelPropagation(
+      Seq((7L, 8L)).toDF("doc_a", "doc_b"),
+      Seq((1L, "a")).toDF("doc_id", "label"), iters = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(lonely == Map(7L -> None, 8L -> None))
+  }
+
   test("audio decode recovers the synthesized PCM samples exactly") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 63L, 511L, 4999L)

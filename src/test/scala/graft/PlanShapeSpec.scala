@@ -574,6 +574,34 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom prefilter missing from the corpus-shingle stream:\n$plan")
   }
 
+  test("llm_dsir_select: the bucket histograms ride a broadcast join, never a shuffle") {
+    val df = SparkEntry.queries("llm_dsir_select")(spark, sfSmoke)
+    val plan = staticPlan(df)
+    // model-apply join: 64 histogram rows broadcast to the gram stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket histogram must broadcast to the gram stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the model-apply join shuffled the corpus:\n$plan")
+    // two corpus passes by construction (build + apply), never more
+    val docScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(docScans.size <= 2,
+      s"documents scanned ${docScans.size}x (model build + apply = 2):\n$plan")
+  }
+
+  test("qc_dp_histogram: one scan, one aggregate, noise is pure projection") {
+    val df = SparkEntry.queries("qc_dp_histogram")(spark, sfSmoke)
+    val plan = staticPlan(df)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"DP histogram must be a single scan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"noise must ride as a projection over class rows, not a join:\n$plan")
+  }
+
   test("llm_pagerank: every iteration join is an equi join on node id") {
     val plan = staticPlan(SparkEntry.queries("llm_pagerank")(spark, sfSmoke))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
