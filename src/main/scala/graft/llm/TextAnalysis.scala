@@ -1219,6 +1219,12 @@ object TextAnalysis {
                   maskPct: Int = 15): DataFrame = {
     require(blockSize >= 1 && maskPct >= 0 && maskPct <= 100,
       "need blockSize >= 1 and maskPct in [0, 100]")
+    // ONE corpus pass: every output (counts, span count, both sequence
+    // fingerprints) folds out of a single grouped aggregation over the
+    // token stream — per-token rows carry 0–2 sequence items as
+    // conditional arrays (a masked block's FIRST present token also
+    // emits the sentinel), flatten+sort inside the agg rebuilds order.
+    // The two windows partition by doc_id (cluster-scale cardinality).
     val toks = docs
       .select(col("doc_id"),
         posexplode(expr(s"split(${Dedup.normalizeExpr}, ' ')"))
@@ -1228,37 +1234,33 @@ object TextAnalysis {
       .withColumn("masked", expr(
         s"CAST(conv(substr(md5(concat(doc_id, ':', blk)), 1, 15), 16, 10)" +
           s" AS BIGINT) % 100 < $maskPct"))
-    val w = Window.partitionBy("doc_id").orderBy("blk")
-    val spans = toks.where(col("masked"))
-      .groupBy("doc_id", "blk").agg(count(lit(1)).as("blk_toks"))
-      .withColumn("k", row_number().over(w))
-      .select(col("doc_id"), col("blk"), col("k"),
-        concat(lit("<X"), col("k"), lit(">")).as("sentinel"))
-    val inputItems = toks.where(!col("masked"))
-      .select(col("doc_id"), expr("2 * i + 1").as("pos"), col("tok").as("txt"))
-      .unionByName(spans.select(col("doc_id"),
-        expr(s"6 * blk").as("pos"), col("sentinel").as("txt")))
-    val targetItems = toks.where(col("masked"))
-      .select(col("doc_id"), expr("2 * i + 1").as("pos"), col("tok").as("txt"))
-      .unionByName(spans.select(col("doc_id"),
-        expr(s"6 * blk").as("pos"), col("sentinel").as("txt")))
-    def fp(items: DataFrame): org.apache.spark.sql.Column = expr(
-      """md5(array_join(transform(array_sort(collect_list(struct(pos, txt))),
-        |  s -> s.txt), ' '))""".stripMargin)
-    val counts = toks.groupBy("doc_id").agg(
+    // k: the block's rank among the doc's masked blocks (dense over
+    // masked token rows; the masked=false branch is never read).
+    // r: position of this token within its block — r=1 emits sentinels.
+    val wk = Window.partitionBy(col("doc_id"), col("masked")).orderBy("blk")
+    val wr = Window.partitionBy(col("doc_id"), col("blk")).orderBy("i")
+    val tagged = toks
+      .withColumn("k", dense_rank().over(wk))
+      .withColumn("r", row_number().over(wr))
+      .withColumn("in_items", expr(
+        """CASE WHEN NOT masked THEN array(struct(2 * i + 1 AS pos, tok AS txt))
+          |     WHEN r = 1 THEN
+          |       array(struct(6 * blk AS pos, concat('<X', k, '>') AS txt))
+          |     ELSE array() END""".stripMargin))
+      .withColumn("tg_items", expr(
+        """CASE WHEN masked AND r = 1 THEN
+          |       array(struct(6 * blk AS pos, concat('<X', k, '>') AS txt),
+          |             struct(2 * i + 1 AS pos, tok AS txt))
+          |     WHEN masked THEN array(struct(2 * i + 1 AS pos, tok AS txt))
+          |     ELSE array() END""".stripMargin))
+    def fp(c: String) = expr(
+      s"""md5(array_join(transform(array_sort(flatten(collect_list($c))),
+         |  s -> s.txt), ' '))""".stripMargin)
+    tagged.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
-      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
-    val inFp = inputItems.groupBy("doc_id").agg(fp(inputItems).as("input_md5"))
-    val tgFp = targetItems.groupBy("doc_id").agg(fp(targetItems).as("target_md5"))
-    val nSpans = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    counts
-      .join(inFp, Seq("doc_id"), "left")
-      .join(tgFp, Seq("doc_id"), "left")
-      .join(nSpans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        col("input_md5"),
-        when(col("n_masked") > 0, col("target_md5")).otherwise(md5(lit("")))
-          .as("target_md5"))
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+      countDistinct(when(col("masked"), col("blk"))).as("n_spans"),
+      fp("in_items").as("input_md5"),
+      fp("tg_items").as("target_md5"))
   }
 }

@@ -98,6 +98,22 @@ object Constraints {
       .withColumn("k_ok", col("class_size") >= k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion: a k-anonymous
+    * equivalence class still re-identifies its members' SENSITIVE
+    * attribute if everyone in it shares one value (the homogeneity
+    * attack); each class must carry at least `l` distinct sensitive
+    * values. One scan + one partial-aggregated groupBy with a distinct
+    * count — the same admission-gate shape as every rule here.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("l_ok", col("n_sensitive") >= l)
+  }
+
   /** Cumulative inverse-CDF thresholds for the truncated two-sided
     * geometric distribution p(k) ∝ α^|k|, α = exp(-ε), support
     * [-bound, bound]: returns P(Z ≤ k) for k = -bound … bound-1, so

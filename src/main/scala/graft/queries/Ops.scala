@@ -160,6 +160,15 @@ object Ops {
           "c_mktsegment", "class_size", "k_ok")
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // l-diversity: the homogeneity-attack gate — every (status, year)
+    // class must carry >= 3 distinct order priorities
+    "qc_l_diversity" -> ((s, d) =>
+      Constraints.lDiversity(
+          Tables.load(s, d, "orders").withColumn("o_year",
+            expr("CAST(year(CAST(o_orderdate AS DATE)) AS INT)")),
+          Seq("o_orderstatus", "o_year"), "o_orderpriority", l = 3)
+        .orderBy("o_orderstatus", "o_year")),
+
     // eps-DP release histogram: geometric-mechanism noise, seeded and
     // deterministic (md5-uniform inverse-CDF against driver-computed
     // threshold literals — exp/pow never run in-plan, so the oracle
@@ -372,6 +381,15 @@ object Ops {
              count(*) AS class_size, count(*) >= 40 AS k_ok
       FROM customer GROUP BY 1, 2
       ORDER BY c_nationkey, c_mktsegment""",
+
+    "qc_l_diversity" -> """
+      SELECT o_orderstatus,
+             CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             count(*) AS class_size,
+             count(DISTINCT o_orderpriority) AS n_sensitive,
+             count(DISTINCT o_orderpriority) >= 3 AS l_ok
+      FROM orders GROUP BY 1, 2
+      ORDER BY o_orderstatus, o_year""",
 
     // the SAME driver-computed threshold literals (one source of truth:
     // Constraints.dpCumThresholds) replayed through DuckDB's

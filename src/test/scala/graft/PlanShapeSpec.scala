@@ -591,6 +591,22 @@ class PlanShapeSpec extends SparkSpec {
       s"documents scanned ${docScans.size}x (model build + apply = 2):\n$plan")
   }
 
+  test("llm_image_neardup: banded equi-join only — never an all-pairs image comparison") {
+    val plan = staticPlan(SparkEntry.queries("llm_image_neardup")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"perceptual near-dup must ride the banded equi-join:\n$plan")
+  }
+
+  test("llm_span_corrupt: one corpus scan feeds every output") {
+    val df = SparkEntry.queries("llm_span_corrupt")(spark, sfSmoke)
+    val docScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(docScans.size == 1,
+      s"span corruption rescans the corpus (${docScans.size} scans):\n${staticPlan(df)}")
+  }
+
   test("qc_dp_histogram: one scan, one aggregate, noise is pure projection") {
     val df = SparkEntry.queries("qc_dp_histogram")(spark, sfSmoke)
     val plan = staticPlan(df)
