@@ -170,6 +170,59 @@ object Windows {
              MAX(value) AS high, MIN(value) AS low,
              MAX(CASE WHEN rnc = 1 THEN value END) AS close
       FROM r GROUP BY event_type, bucket
-      ORDER BY event_type, bucket"""
+      ORDER BY event_type, bucket""",
+
+    // exact GINI coefficient of per-doc length by source (the token-mass
+    // inequality metric a curation team tracks per crawl) — the
+    // HISTOGRAM formulation: ties collapse to (value, count) bins first,
+    // so the cumulative window runs over DISTINCT values per source
+    // (bounded domain), never a per-row sort — the tie-run rank algebra
+    // Σ_{i=a..a+c-1}(2i-n-1) = c·(2a+c-n-2) keeps it exact in integers,
+    // ONE double division at the edge
+    "agg_gini" -> """
+      WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+                 FROM documents GROUP BY source, n_chars),
+      cum AS (SELECT source, v, c,
+                COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0) AS bf,
+                SUM(c) OVER (PARTITION BY source) AS n,
+                SUM(v * c) OVER (PARTITION BY source) AS s
+              FROM h)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(ROUND(
+               CAST(SUM(v * c * (2 * (bf + 1) + c - n - 2)) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(max(s) AS DOUBLE)), 6)
+               AS DOUBLE) AS gini
+      FROM cum GROUP BY source ORDER BY source""",
+
+    // sliding mean-shift CHANGEPOINT score per user timeline: |mean of
+    // the 8 preceding - mean of the 8 following| events, flagged above
+    // threshold. DECIMAL frame sums (exact, order-free — DuckDB's
+    // segment-tree window summation order differs from Spark's
+    // sequential frame scan, so double sums would drift), one double
+    // division per side at the edge; partitions are per-user
+    // (cluster-scale cardinality)
+    "ts_changepoint" -> """
+      WITH b AS (SELECT user_id, ts, event_id,
+                        CAST(value AS DECIMAL(18,6)) AS v
+                 FROM events),
+      w AS (SELECT user_id, event_id,
+              SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS ls,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS lc,
+              SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS rs,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS rc
+            FROM b)
+      SELECT user_id, event_id,
+             CAST(ROUND(ABS(CAST(ls AS DOUBLE) / lc
+                          - CAST(rs AS DOUBLE) / rc), 6) AS DOUBLE) AS shift
+      FROM w
+      WHERE lc = 8 AND rc = 8
+        AND ABS(CAST(ls AS DOUBLE) / lc - CAST(rs AS DOUBLE) / rc) > 30
+      ORDER BY user_id, event_id"""
   )
 }
