@@ -873,6 +873,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** One WORDPIECE training selection step (Schuster & Nakajima 2012 —
+    * the BERT tokenizer's merge rule): instead of BPE's raw pair
+    * frequency, rank candidate merges by the likelihood gain
+    * score(a b) = freq(ab) / (freq(a)·freq(b)), so a pair of rare
+    * symbols that always co-occur beats a pair of frequent symbols that
+    * merely collide. Same word-frequency-dictionary shape as
+    * [[bpeMergeStep]] — counting shuffles the VOCABULARY, never the
+    * corpus. Counts are exact BIGINTs; the score is one double division
+    * over double products (correctly-rounded IEEE ops on identical
+    * inputs — no ROUND edge, the weighted-sample precedent), ties
+    * broken lexicographically by pair.
+    */
+  def wordpieceStep(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(expr(s"split(${Dedup.normalizeExpr}, ' ')")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("seq", concat_ws(" ", split(col("w"), "")))
+    val syms = words
+      .select(col("wc"), explode(split(col("seq"), " ")).as("sym"))
+      .where(length(col("sym")) > 0)
+      .groupBy("sym").agg(sum("wc").as("sf"))
+    val pairs = words.select(col("wc"), split(col("seq"), " ").as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1]))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+    val scored = pairs
+      .withColumn("l", expr("split(pair, ' ')[0]"))
+      .withColumn("r", expr("split(pair, ' ')[1]"))
+      .join(broadcast(syms.select(col("sym").as("l"), col("sf").as("lf"))),
+        Seq("l"))
+      .join(broadcast(syms.select(col("sym").as("r"), col("sf").as("rf"))),
+        Seq("r"))
+      .withColumn("score", expr(
+        "CAST(n AS DOUBLE) / (CAST(lf AS DOUBLE) * CAST(rf AS DOUBLE))"))
+    val w = Window.orderBy(col("score").desc, col("pair"))
+    scored.orderBy(col("score").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "pair", "n", "lf", "rf", "score")
+  }
+
   /** Full BPE training loop — `iters` chained merge steps over the
     * word-frequency dictionary, returning the learned merge table
     * (iter, merge_pair, n_merged): the artifact a tokenizer build

@@ -962,6 +962,13 @@ object Llm {
     "llm_bpe_merge_step" -> ((s, d) =>
       TextAnalysis.bpeMergeStep(docs(s, d))),
 
+    // WordPiece's likelihood criterion over the same dictionary: rank
+    // merges by freq(ab)/(freq(a)·freq(b)) — rare-but-cohesive pairs
+    // beat frequent collisions; score is a raw IEEE division (no ROUND
+    // edge), ties lexicographic
+    "llm_wordpiece_step" -> ((s, d) =>
+      TextAnalysis.wordpieceStep(docs(s, d)).orderBy("rank")),
+
     // eval hygiene: held-out (val/test) docs whose content leaks from the
     // train split — exact fingerprint or cross-band near-dup — i.e. the
     // complement of dedupeIncremental's survivors; the check that runs
@@ -2724,6 +2731,35 @@ object Llm {
          |       CAST(COALESCE(pa.n, 0) AS BIGINT) AS n_after
          |FROM pb LEFT JOIN pa USING (pair)
          |ORDER BY n_before DESC, pair LIMIT 20""".stripMargin,
+
+    // the same dictionary, symbol frequencies and likelihood ratio —
+    // double(n) / (double(lf) · double(rf)) is the identical IEEE op
+    // sequence, so raw scores hash-match with no rounding edge
+    "llm_wordpiece_step" ->
+      s"""WITH toksw AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),
+         |wcs AS (SELECT w, count(*) AS wc FROM toksw WHERE length(w) > 0 GROUP BY w),
+         |seqs AS (SELECT w, wc,
+         |                array_to_string(regexp_split_to_array(w, ''), ' ') AS seq
+         |         FROM wcs),
+         |symf AS (SELECT sym, SUM(wc) AS sf
+         |         FROM (SELECT wc, unnest(string_split(seq, ' ')) AS sym FROM seqs)
+         |         WHERE length(sym) > 0 GROUP BY sym),
+         |pb AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
+         |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM seqs),
+         |            unnest(generate_series(1, len(s) - 1)) u(i)
+         |       GROUP BY 1),
+         |sc AS (SELECT pb.pair, pb.n, l.sf AS lf, r.sf AS rf,
+         |              CAST(pb.n AS DOUBLE)
+         |                / (CAST(l.sf AS DOUBLE) * CAST(r.sf AS DOUBLE)) AS score
+         |       FROM pb
+         |       JOIN symf l ON l.sym = string_split(pb.pair, ' ')[1]
+         |       JOIN symf r ON r.sym = string_split(pb.pair, ' ')[2]),
+         |rk AS (SELECT row_number() OVER (ORDER BY score DESC, pair) AS rank,
+         |              pair, n, lf, rf, score
+         |       FROM sc)
+         |SELECT CAST(rank AS INT) AS rank, pair, CAST(n AS BIGINT) AS n,
+         |       CAST(lf AS BIGINT) AS lf, CAST(rf AS BIGINT) AS rf, score
+         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // the split derivation, exact-fingerprint check and cross-band
     // near-dup check all replayed; leaked = exact ∪ near over survivors

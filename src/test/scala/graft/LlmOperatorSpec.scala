@@ -699,6 +699,32 @@ class LlmOperatorSpec extends SparkSpec {
     assert(got == cross.toSet ++ intra)
   }
 
+  test("fingerprintNearGroups equals brute force on random 60-bit fingerprints") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(40)(rnd.nextLong() & ((1L << 60) - 1))
+    // seed genuine near pairs: <=3-bit perturbations of existing prints
+    val fps = base ++ base.take(10).map { f =>
+      (0 until 1 + rnd.nextInt(3)).foldLeft(f)((a, _) => a ^ (1L << rnd.nextInt(60)))
+    } ++ base.take(5) // and exact duplicates
+    val df = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("doc_id", "simhash")
+    val got = Dedup.fingerprintNearGroups(df)
+      .select("sim_a", "sim_b", "hamming", "pair_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val counts = fps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cross = for {
+      a <- counts.keys; b <- counts.keys
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b, java.lang.Long.bitCount(a ^ b), counts(a) * counts(b))
+    val intra = counts.collect { case (f, n) if n > 1 =>
+      (f, f, 0, n * (n - 1) / 2) }
+    assert(got == cross.toSet ++ intra,
+      "banded result diverged from the all-pairs Hamming join")
+    assert(cross.nonEmpty, "fixture produced no cross pairs — test is vacuous")
+  }
+
   test("labelPropagation: plurality spread, min-label ties, seeds clamped") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
