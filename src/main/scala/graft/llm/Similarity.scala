@@ -124,6 +124,44 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** k-NN label-vote classification eval — the standard embedding-quality
+    * probe (and the kNN-LM / retrieval-classifier serving primitive): each
+    * probe vector is classified by the plurality label of its k nearest
+    * corpus neighbors (self excluded), then scored against its own label.
+    * Vote tie-break is deterministic: more votes, then the closer best
+    * supporter (min rank), then min label. Probe-bounded brute force like
+    * [[bruteForceTopK]] (probes are a labeled eval batch by definition);
+    * at corpus scale swap the all-pairs candidate generator for
+    * [[lshTopKBanded]] / the IVF partition-pruned layout — the vote and
+    * the tie-break compose unchanged over any top-k candidate set.
+    */
+  def knnClassify(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = probes.as("a")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("label").as("true_label"))
+      .join(corpus.as("b")
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("label").as("cand_label")),
+        expr("cand_id <> probe_id"))
+      .select(col("probe_id"), col("true_label"), col("cand_id"),
+        col("cand_label"), cosine("pe", "ce").as("cos"))
+    val wK = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val topk = pairs
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+    val wVote = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("best_rank").asc, col("cand_label").asc)
+    topk
+      .groupBy("probe_id", "true_label", "cand_label")
+      .agg(count(lit(1)).as("votes"), min("rank").as("best_rank"))
+      .withColumn("__rn", row_number().over(wVote))
+      .where(col("__rn") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("votes"),
+        (col("cand_label") === col("true_label")).cast("int").as("correct"))
+  }
+
   /** Deterministic md5-derived hyperplane component for plane `p`, dim `i`:
     * uniform-ish half-integer in [-32767.5, 32767.5]. Computed once on the
     * driver; a float×half-integer product is exact in double (24+17 bit

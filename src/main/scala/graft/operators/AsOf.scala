@@ -180,7 +180,22 @@ object AsOf {
     */
   def joinNearest(left: DataFrame, right: DataFrame, key: String,
                   ts: String, leftId: String, rightVals: Seq[String],
-                  rightTs: String): DataFrame = {
+                  rightTs: String): DataFrame =
+    joinNearest(left, right, key, ts, leftId, rightVals, rightTs,
+      Long.MaxValue)
+
+  /** [[joinNearest]] with a max-gap `toleranceMicros` (pandas merge_asof
+    * `tolerance=`): a directed match farther than the tolerance is
+    * treated as ABSENT — so a backward match inside the window beats a
+    * closer forward match outside it, and a left row whose only matches
+    * are out of window is dropped, exactly pandas' rule. The tolerance is
+    * a post-stitch predicate on the same exact integer-micros distances;
+    * the two carry passes are unchanged (still one shuffle each, still no
+    * range join), so the bound costs a comparison, not a plan.
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, leftId: String, rightVals: Seq[String],
+                  rightTs: String, toleranceMicros: Long): DataFrame = {
     require(rightVals.contains(rightTs),
       s"rightVals must carry the right timestamp column $rightTs")
     val b = joinBackward(left, right, key, ts, rightVals)
@@ -191,9 +206,11 @@ object AsOf {
         rightVals.map(c => col(s"right_$c").as(s"__f_$c")): _*)
     val bTs = col(s"__b_$rightTs")
     val fTs = col(s"__f_$rightTs")
-    val useB = fTs.isNull || (bTs.isNotNull &&
-      (unix_micros(col(ts)) - unix_micros(bTs)) <=
-        (unix_micros(fTs) - unix_micros(col(ts))))
+    val bDist = unix_micros(col(ts)) - unix_micros(bTs)
+    val fDist = unix_micros(fTs) - unix_micros(col(ts))
+    val bOk = bTs.isNotNull && bDist <= toleranceMicros
+    val fOk = fTs.isNotNull && fDist <= toleranceMicros
+    val useB = !fOk || (bOk && bDist <= fDist)
     val out: Seq[Column] =
       left.columns.toSeq.map(col) ++
         rightVals.map(c =>
@@ -201,7 +218,7 @@ object AsOf {
         when(useB, lit("b")).otherwise(lit("f")).as("direction")
     left.join(b, Seq(leftId), "left")
       .join(f, Seq(leftId), "left")
-      .where(bTs.isNotNull || fTs.isNotNull)
+      .where(bOk || fOk)
       .select(out: _*)
   }
 }

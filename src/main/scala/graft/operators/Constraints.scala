@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality constraint validation — the admission gate a training-data
@@ -112,6 +113,55 @@ object Constraints {
       .agg(count(lit(1)).as("class_size"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("l_ok", col("n_sensitive") >= l)
+  }
+
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] and [[lDiversity]]: an l-diverse class can still leak
+    * if its sensitive-value DISTRIBUTION differs sharply from the
+    * corpus-wide one (the skewness attack); each class's total-variation
+    * distance to the global distribution must stay ≤ t. All arithmetic is
+    * exact-integer until the single output division: with class counts
+    * c_gv, class size n_g, global counts C_v and corpus size N,
+    *   TVD·(2·N·n_g) = Σ_{v∈class} |c_gv·N − C_v·n_g| + (N − Σ_{v∈class} C_v)·n_g
+    * (the second term folds every sensitive value ABSENT from the class —
+    * no class×value cross join is ever materialized). The t gate compares
+    * the rational t = tNum/tDen cross-multiplied in integers, so the
+    * verdict never touches IEEE; products ride in DECIMAL so corpus-scale
+    * N·c never overflows BIGINT. Plan shape: one scan → (quasi, sensitive)
+    * partial-agg, a broadcast of the |V|-row global histogram, one class
+    * window — the same admission-gate economics as every rule here.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(tNum >= 0 && tDen > 0, "t must be a non-negative rational")
+    val cls = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c_gv"))
+    val glob = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("__c_v"))
+    val tot = glob.agg(sum(col("__c_v")).cast("decimal(18,0)").as("__n"))
+    val wCls = Window.partitionBy(quasiCols.map(col): _*)
+    val dec = (c: String) => col(c).cast("decimal(18,0)")
+    cls
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__n_g", sum(col("__c_gv")).over(wCls).cast("decimal(18,0)"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        max(col("__n_g")).as("__ng"),
+        max(col("__n")).as("__nn"),
+        sum(abs(dec("__c_gv") * dec("__n") - dec("__c_v") * dec("__n_g")))
+          .as("__present"),
+        sum(dec("__c_v")).as("__cv_present"))
+      .withColumn("__num",
+        col("__present") + (col("__nn") - col("__cv_present")) * col("__ng"))
+      .withColumn("__den", lit(2).cast("decimal(18,0)") * col("__nn") * col("__ng"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("__ng").cast("long").as("class_size"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("tvd"),
+        (col("__num") * lit(tDen).cast("decimal(18,0)") <=
+          col("__den") * lit(tNum).cast("decimal(18,0)")).as("t_ok")): _*)
   }
 
   /** Cumulative inverse-CDF thresholds for the truncated two-sided

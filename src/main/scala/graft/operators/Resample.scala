@@ -61,4 +61,52 @@ object Resample {
         last(col("day_sum_dec"), ignoreNulls = true).over(w)
           .cast("double").as("locf_sum"))
   }
+
+  /** Largest-Triangle-One-Bucket downsampling (Steinarsson 2013, the
+    * LTTB family's order-preserving sibling): per key, keep from each of
+    * `buckets` equal-count buckets the point whose triangle with its
+    * IMMEDIATE neighbors has the largest area — the visually dominant
+    * point — plus both endpoints. One-bucket (not three-bucket) on
+    * purpose: LTTB's anchor is the previous bucket's *average*, and a
+    * floating-point average is aggregation-order-dependent, while the
+    * neighbor triangle is three lag/lead values combined in one fixed
+    * expression — bit-identical across engines and partitionings.
+    *
+    * Arithmetic: x = epoch micros as double (exact — |micros| < 2^53),
+    * area = |(x−xₚ)·(yₙ−yₚ) − (xₙ−xₚ)·(y−yₚ)| with correctly-rounded
+    * IEEE ops only, so cross-engine comparisons agree; bucket index is
+    * pure integer math ((rn−1)·buckets div n). Ties: max area, then min
+    * row. Plan: one shuffle on the key, three window passes over the SAME
+    * (key, ts, id) sort order — a single sort feeds lag/lead, the bucket
+    * arithmetic, and the per-bucket argmax; partitions are one key's
+    * series (chunk a pathological mega-key upstream before calling).
+    */
+  def ltob(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val wSer = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(keyCol)
+    val staged = events
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col(valueCol).cast("double").as("__y"),
+        unix_micros(col(tsCol)).cast("double").as("__x"))
+      .withColumn("__rn", row_number().over(wSer))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__px", lag("__x", 1).over(wSer))
+      .withColumn("__py", lag("__y", 1).over(wSer))
+      .withColumn("__nx", lead("__x", 1).over(wSer))
+      .withColumn("__ny", lead("__y", 1).over(wSer))
+      .withColumn("area", abs(
+        (col("__x") - col("__px")) * (col("__ny") - col("__py")) -
+          (col("__nx") - col("__px")) * (col("__y") - col("__py"))))
+      .withColumn("bucket",
+        expr(s"(CAST(__rn - 1 AS BIGINT) * $buckets) div __n"))
+    val wBkt = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("area").desc_nulls_last, col("__rn"))
+    staged
+      .withColumn("__pick", row_number().over(wBkt))
+      .where(col("__pick") === 1 || col("__rn") === 1 || col("__rn") === col("__n"))
+      .select(col(keyCol), col("bucket"), col(tsCol), col(idCol),
+        col("__y").as("value"), col("area"))
+  }
 }

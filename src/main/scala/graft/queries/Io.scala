@@ -1708,6 +1708,29 @@ object Io {
         .orderBy("event_id")
     }),
 
+    // nearest as-of BOUNDED by a 10-minute tolerance (pandas merge_asof
+    // tolerance=): a directed match beyond the window counts as absent —
+    // an in-window backward match beats a closer out-of-window forward
+    // one, and purchases with no view within ±10 min drop out entirely.
+    // Same two carry passes; the bound is a post-stitch integer-micros
+    // predicate, not a new plan
+    "ts_asof_nearest_tol" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where("event_type = 'view'")
+        .groupBy(col("user_id"), col("ts").as("v_ts"))
+        .agg(max("value").as("v_value"))
+        .selectExpr("user_id", "v_ts AS ts", "v_ts", "v_value")
+      graft.operators.AsOf.joinNearest(purchases, views, "user_id", "ts",
+          "event_id", Seq("v_ts", "v_value"), "v_ts",
+          toleranceMicros = 600L * 1000000L)
+        .selectExpr("event_id", "user_id",
+          "abs(unix_micros(ts) - unix_micros(right_v_ts)) AS delta_us",
+          "CAST(right_v_value AS DOUBLE) AS v_value", "direction")
+        .orderBy("event_id")
+    }),
+
     // ordered conversion funnel view → click → purchase, 7-day max gap per
     // step (operators/Funnel): per-user frontier timestamps as exact epoch
     // micros + step_reached. The oracle replays the frontier-greedy rule as
@@ -2618,6 +2641,34 @@ object Io {
         |                  <= epoch_us(f.fts) - epoch_us(p.ts))) AS use_b
         |      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
         |      WHERE b.bts IS NOT NULL OR f.fts IS NOT NULL)
+        |SELECT event_id, user_id,
+        |       CAST(abs(epoch_us(ts) - epoch_us(CASE WHEN use_b THEN bts ELSE fts END))
+        |            AS BIGINT) AS delta_us,
+        |       CAST(CASE WHEN use_b THEN bval ELSE fval END AS DOUBLE) AS v_value,
+        |       CASE WHEN use_b THEN 'b' ELSE 'f' END AS direction
+        |FROM j ORDER BY event_id""".stripMargin,
+
+    // the same two-ASOF stitch with each side masked by the tolerance
+    // BEFORE the pick — pandas' rule, replayed in closed form
+    "ts_asof_nearest_tol" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT p.event_id, v.ts AS bts, v.v_value AS bval
+        |      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+        |f AS (SELECT p.event_id, v.ts AS fts, v.v_value AS fval
+        |      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts),
+        |m AS (SELECT p.event_id, p.user_id, p.ts, b.bts, b.bval, f.fts, f.fval,
+        |             (b.bts IS NOT NULL AND
+        |              epoch_us(p.ts) - epoch_us(b.bts) <= 600000000) AS b_ok,
+        |             (f.fts IS NOT NULL AND
+        |              epoch_us(f.fts) - epoch_us(p.ts) <= 600000000) AS f_ok
+        |      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)),
+        |j AS (SELECT *, (NOT f_ok OR (b_ok AND
+        |                epoch_us(ts) - epoch_us(bts)
+        |                  <= epoch_us(fts) - epoch_us(ts))) AS use_b
+        |      FROM m WHERE b_ok OR f_ok)
         |SELECT event_id, user_id,
         |       CAST(abs(epoch_us(ts) - epoch_us(CASE WHEN use_b THEN bts ELSE fts END))
         |            AS BIGINT) AS delta_us,

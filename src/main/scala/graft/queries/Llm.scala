@@ -884,6 +884,36 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // k-NN label-vote classification eval: each probe classified by the
+    // plurality label of its 5 nearest neighbors, scored against its own
+    // label — the standard embedding-quality probe; deterministic vote
+    // tie-break (votes, then closest supporter, then min label)
+    "llm_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnClassify(e.where("vec_id < 100"), e, 5)
+        .orderBy("probe_id")
+    }),
+
+    // per-source dataset card + the ALL rollup row in the same single
+    // scan: docs, chars, word tokens, language spread, short-doc ratio —
+    // the corpus datasheet a curation run publishes next to its output
+    "llm_dataset_card" -> ((s, d) =>
+      docs(s, d)
+        .rollup("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_sum"),
+          sum(expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)"))
+            .as("n_words"),
+          countDistinct("lang").as("n_langs"),
+          sum(expr("CAST(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS BIGINT)"))
+            .as("n_short"))
+        .selectExpr("coalesce(source, 'ALL') AS source", "n_docs",
+          "n_chars_sum", "n_words", "n_langs",
+          "CAST(ROUND(n_short / n_docs, 6) AS DOUBLE) AS short_ratio",
+          "CAST(ROUND(n_chars_sum / n_docs, 6) AS DOUBLE) AS mean_chars")
+        .orderBy("source")),
+
     // winnowing fingerprints (MOSS): per-doc window-minima digest over
     // 8-char gram hashes — shared substrings of >= 11 chars must share
     // a fingerprint
@@ -2596,6 +2626,43 @@ object Llm {
          |WHERE rank <= 10 AND cand_label = probe_label
          |GROUP BY probe_id
          |ORDER BY probe_id""".stripMargin,
+
+    // the same rounded-cosine top-5 ranking as llm_cosine_topk, then the
+    // plurality vote with the identical (votes, best_rank, label)
+    // tie-break replayed flat
+    "llm_knn_classify" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, p.label AS true_label,
+         |         c.vec_id AS cand_id, c.label AS cand_label,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 100),
+         |topk AS (SELECT * FROM (
+         |           SELECT probe_id, true_label, cand_label,
+         |                  row_number() OVER (PARTITION BY probe_id
+         |                    ORDER BY cos DESC, cand_id) AS rank
+         |           FROM pairs) WHERE rank <= 5),
+         |votes AS (SELECT probe_id, true_label, cand_label,
+         |                 count(*) AS votes, min(rank) AS best_rank
+         |          FROM topk GROUP BY 1, 2, 3),
+         |pick AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                ORDER BY votes DESC, best_rank, cand_label) AS rn
+         |         FROM votes)
+         |SELECT probe_id, true_label, cand_label AS pred_label,
+         |       CAST(votes AS BIGINT) AS votes,
+         |       CAST(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM pick WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "llm_dataset_card" ->
+      """SELECT coalesce(source, 'ALL') AS source, count(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS BIGINT) AS n_words,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |                  / count(*), 6) AS DOUBLE) AS short_ratio,
+        |       CAST(ROUND(CAST(SUM(n_chars) AS BIGINT) / count(*), 6) AS DOUBLE) AS mean_chars
+        |FROM documents GROUP BY ROLLUP (source)
+        |ORDER BY source""".stripMargin,
 
     // the window-minima selection replayed over 1-based gram positions
     // (Spark's posexplode is 0-based: its pos >= 3 == i >= 4 here)

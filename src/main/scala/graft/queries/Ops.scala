@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Cdc, Constraints, OrderStats}
+import graft.operators.{Cdc, Constraints, OrderStats, Resample}
 import graft.llm.TrainOrder
 
 /** Incremental-pipeline operator entries: CDC changelog apply, snapshot
@@ -179,6 +179,55 @@ object Ops {
           Seq("source", "lang"), eps = 0.5, seed = "dp42")
         .select(col("source"), col("lang"), col("noisy_count"), col("noise"))
         .orderBy("source", "lang")),
+
+    // t-closeness: the skewness-attack gate above k-anonymity and
+    // l-diversity — each (status, year) class's priority DISTRIBUTION
+    // must sit within total-variation t = 1/30 of the corpus-wide one;
+    // exact integer arithmetic end-to-end (the absent-value mass folds
+    // in closed form, no class x value cross join), one IEEE division
+    // at the output edge
+    "qc_t_closeness" -> ((s, d) =>
+      Constraints.tCloseness(
+          Tables.load(s, d, "orders").withColumn("o_year",
+            expr("CAST(year(CAST(o_orderdate AS DATE)) AS INT)")),
+          Seq("o_orderstatus", "o_year"), "o_orderpriority",
+          tNum = 1, tDen = 30)
+        .orderBy("o_orderstatus", "o_year")),
+
+    // event-sequence pattern mining (MATCH_RECOGNIZE-lite): each user's
+    // history collapses to one ordered initial-letter string (c/e/p/s/v
+    // are distinct initials by fixture construction), then regex counts
+    // surface behavioral motifs — view-to-purchase conversions with only
+    // clicks/errors between, and error bursts. The per-user sequence is
+    // one partial-aggregated collect over the user shuffle (partition =
+    // one user's events, bounded by activity; chunk a celebrity key
+    // upstream); the regex is a codegen'd per-row projection. Both
+    // engines count non-overlapping leftmost matches.
+    "ts_event_pattern" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .selectExpr("user_id", "ts", "event_id",
+          "substring(event_type, 1, 1) AS i")
+        .groupBy("user_id")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(ts, event_id, i))), x -> x.i), '')").as("seq"))
+        .selectExpr("user_id",
+          "CAST(length(seq) AS INT) AS seq_len",
+          "CAST(regexp_count(seq, 'v[ce]*p') AS INT) AS n_conversion",
+          "CAST(regexp_count(seq, 'ee+') AS INT) AS n_error_burst")
+        .orderBy("user_id")),
+
+    // LTOB downsampling: per user, the largest-neighbor-triangle point
+    // of each of 6 equal-count buckets + both endpoints — the series
+    // sketch a dashboard draws from 100 TB of raw points. Neighbor
+    // triangles (not LTTB's bucket averages) on purpose: every operand
+    // is a fixed three-row window expression, bit-identical across
+    // engines; a float average would be aggregation-order-dependent
+    "ts_downsample_ltob" -> ((s, d) =>
+      Resample.ltob(Tables.load(s, d, "events"), "user_id", "ts",
+          "event_id", "value", buckets = 6)
+        .selectExpr("user_id", "CAST(bucket AS BIGINT) AS bucket",
+          "event_id", "unix_micros(ts) AS ts_us", "value", "area")
+        .orderBy("user_id", "bucket", "event_id")),
 
     "cdc_snapshot_diff" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
@@ -413,6 +462,59 @@ object Ops {
              CAST(noise AS INT) AS noise
       FROM n ORDER BY source, lang"""
     },
+
+    // the same closed-form absent-mass fold, recomputed flat: DuckDB's
+    // int128 covers the products the entry carries in DECIMAL
+    "qc_t_closeness" -> """
+      WITH cls AS (SELECT o_orderstatus,
+                          CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+                          o_orderpriority AS v, count(*) AS c_gv
+                   FROM orders GROUP BY 1, 2, 3),
+      g AS (SELECT o_orderpriority AS v, count(*) AS c_v FROM orders GROUP BY 1),
+      tot AS (SELECT SUM(c_v) AS n FROM g),
+      j AS (SELECT cls.*, g.c_v, tot.n,
+                   SUM(c_gv) OVER (PARTITION BY o_orderstatus, o_year) AS n_g
+            FROM cls JOIN g USING (v) CROSS JOIN tot),
+      per AS (SELECT o_orderstatus, o_year, max(n_g) AS ng, max(n) AS nn,
+                     SUM(abs(c_gv * n - c_v * n_g)) AS present,
+                     SUM(c_v) AS cvp
+              FROM j GROUP BY 1, 2)
+      SELECT o_orderstatus, o_year, CAST(ng AS BIGINT) AS class_size,
+             CAST(ROUND(CAST(present + (nn - cvp) * ng AS DOUBLE)
+                        / CAST(2 * nn * ng AS DOUBLE), 6) AS DOUBLE) AS tvd,
+             (present + (nn - cvp) * ng) * 30 <= (2 * nn * ng) * 1 AS t_ok
+      FROM per ORDER BY o_orderstatus, o_year""",
+
+    "ts_event_pattern" -> """
+      WITH seqs AS (SELECT user_id,
+                           string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+                    FROM events GROUP BY user_id)
+      SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+             CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS INT) AS n_conversion,
+             CAST(len(regexp_extract_all(seq, 'ee+')) AS INT) AS n_error_burst
+      FROM seqs ORDER BY user_id""",
+
+    "ts_downsample_ltob" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                        CAST(value AS DOUBLE) AS y,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x
+                 FROM events),
+      s AS (SELECT *, row_number() OVER w AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   lag(x) OVER w AS px, lag(y) OVER w AS py,
+                   lead(x) OVER w AS nx, lead(y) OVER w AS ny
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      a AS (SELECT *, abs((x - px) * (ny - py) - (nx - px) * (y - py)) AS area,
+                   ((rn - 1) * 6) // n AS bucket
+            FROM s),
+      p AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                        ORDER BY area DESC NULLS LAST, rn) AS pick
+            FROM a)
+      SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, y AS value, area
+      FROM p WHERE pick = 1 OR rn = 1 OR rn = n
+      ORDER BY user_id, bucket, event_id""",
 
     // one independent SELECT per column — never the entry's Expand shape
     "qc_column_profile" -> """

@@ -138,6 +138,44 @@ class AsOfSpec extends SparkSpec {
       4L -> (30.0, "f"), 5L -> (30.0, "b")))
   }
 
+  test("joinNearest tolerance masks each side before the pick (pandas rule)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, t("10:30")), // b 30m (out), f 10m (in)  -> f
+      (2L, 1L, t("10:10")), // b 10m (in),  f 30m (out) -> b
+      (3L, 1L, t("10:20")), // 20m/20m both out of the 15m window -> dropped
+      (4L, 2L, t("09:00")), // only f, 90m out -> dropped
+      (5L, 2L, t("10:40"))  // only b, 10m in -> b
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, t("10:00"), 10.0), (1L, t("10:40"), 40.0),
+      (2L, t("10:30"), 30.0)
+    ).toDF("k", "rts", "v").selectExpr("k", "rts AS ts", "rts", "v")
+    val got = AsOf.joinNearest(left, right, "k", "ts", "id",
+        Seq("rts", "v"), "rts", toleranceMicros = 15L * 60 * 1000000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getString(5))).toMap
+    assert(got == Map(1L -> (40.0, "f"), 2L -> (10.0, "b"),
+      5L -> (30.0, "b")), s"got $got")
+  }
+
+  test("joinNearest with MaxValue tolerance == unbounded joinNearest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 80).map { i =>
+      (i.toLong, 1L + rnd.nextInt(4).toLong, t(f"10:${rnd.nextInt(50)}%02d"))
+    }.toDF("id", "k", "ts")
+    val right = (for { k <- 1L to 4L; m <- 0 until 50 if rnd.nextBoolean() }
+      yield (k, t(f"10:$m%02d"), k * 10.0 + m)).toDF("k", "rts", "v")
+      .selectExpr("k", "rts AS ts", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(4), r.getString(5))).toSet
+    assert(rows(AsOf.joinNearest(left, right, "k", "ts", "id",
+        Seq("rts", "v"), "rts", Long.MaxValue))
+      == rows(AsOf.joinNearest(left, right, "k", "ts", "id",
+        Seq("rts", "v"), "rts")))
+  }
+
   test("randomized differential: matches a brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

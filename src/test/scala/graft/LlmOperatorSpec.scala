@@ -1142,4 +1142,24 @@ class LlmOperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(one == Seq((2L, 2L, 2L)), s"got $one")
   }
+
+  test("knnClassify: plurality vote, majority beats the single closest") {
+    import spark.implicits._
+    // cluster A along (1,0), cluster B along (0,1). Probe 3 (label B)'s
+    // single nearest is B but its k=3 neighborhood holds two A's -> the
+    // vote (2 > 1) misclassifies it; probe 0 is a clean A.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.2f), 0),
+      (3L, Array(0.5f, 0.6f), 1),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(vecs.where("vec_id IN (0, 3)"), vecs, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got.map(x => (x._1, x._2, x._3, x._5)) ==
+      Set((0L, 0, 0, 1), (3L, 1, 0, 0)), s"got $got")
+  }
 }

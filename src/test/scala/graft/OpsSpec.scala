@@ -395,4 +395,44 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == Set(("x", 7L, true), ("y", 3L, false)))
   }
+
+  test("tCloseness: hand-computed TVDs, absent-value mass folded correctly") {
+    // global: a=6, b=4, N=10. class x = 4×a (b ABSENT): TVD =
+    // (|4·10−6·4| + 4·4)/(2·10·4) = 32/80 = 0.4; class y = 2a+4b:
+    // (|2·10−6·6| + |4·10−4·6|)/(2·10·6) = 32/120 = 0.266667
+    val rows = (Seq.fill(4)(("x", "a")) ++ Seq.fill(2)(("y", "a")) ++
+      Seq.fill(4)(("y", "b"))).toDF("qid", "sens")
+    val got = Constraints.tCloseness(rows, Seq("qid"), "sens",
+        tNum = 3, tDen = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(("x", 4L, 0.4, false), ("y", 6L, 0.266667, true)),
+      s"got $got")
+  }
+
+  test("tCloseness == brute-force class×value cross-join reference") {
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(300)((s"q${rnd.nextInt(6)}", s"v${rnd.nextInt(5)}"))
+    val got = Constraints.tCloseness(raw.toDF("qid", "sens"), Seq("qid"),
+        "sens", tNum = 1, tDen = 20)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val n = raw.size
+    val glob = raw.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = raw.groupBy(_._1).map { case (q, rs) =>
+      val ng = rs.size
+      val cls = rs.groupBy(_._2).view.mapValues(_.size).toMap
+      val num = glob.map { case (v, cv) =>
+        math.abs(cls.getOrElse(v, 0).toLong * n - cv.toLong * ng)
+      }.sum
+      val den = 2L * n * ng
+      // the same double division + HALF_UP round Spark applies at the edge
+      // (valueOf = shortest-repr BigDecimal, matching Spark's Round)
+      val tvd = java.math.BigDecimal.valueOf(num.toDouble / den.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      q -> ((tvd, num * 20 <= den * 1))
+    }
+    assert(got == want, s"got $got want $want")
+  }
 }

@@ -108,4 +108,52 @@ class TimeSeriesOpSpec extends SparkSpec {
       (2L, "2026-01-03", 0L, 0.0, Some(1.0)),
       (2L, "2026-01-04", 0L, 0.0, Some(1.0))))
   }
+
+  test("ltob keeps both endpoints and each bucket's max-area point") {
+    import spark.implicits._
+    // 6 points, 2 buckets (rows 1-3, 4-6). y: flat except a spike at
+    // row 3 (bucket 0 interior max) and a dip at row 5 (bucket 1 max)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    val ys = Seq(1.0, 1.0, 9.0, 1.0, -7.0, 1.0)
+    val ev = ys.zipWithIndex.map { case (y, i) => (1L, at(i), i.toLong, y) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Resample.ltob(ev, "user_id", "ts", "event_id", "value", 2)
+      .select("event_id").as[Long].collect().toSet
+    // endpoints 0 and 5; spike id2 wins bucket 0; dip id4 wins bucket 1
+    assert(got == Set(0L, 2L, 4L, 5L), s"got $got")
+  }
+
+  test("ltob == per-key brute-force reference on a random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val raw = for (k <- 1L to 4L; i <- 0 until (5 + rnd.nextInt(40))) yield
+      (k, new java.sql.Timestamp(ts0.getTime + i * 60000L + k), i.toLong,
+        rnd.nextInt(1000).toDouble)
+    val buckets = 6
+    val got = Resample.ltob(raw.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", buckets)
+      .select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    // .toSeq first: flatMap on a Map of (k, id) pairs would re-collapse
+    // to one entry per key
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val srt = rows.sortBy(r => (r._2.getTime, r._3)).toIndexedSeq
+      val n = srt.size
+      def x(i: Int) = srt(i)._2.getTime * 1000.0
+      def y(i: Int) = srt(i)._4
+      val area = (i: Int) =>
+        if (i == 0 || i == n - 1) None
+        else Some(math.abs((x(i) - x(i - 1)) * (y(i + 1) - y(i - 1)) -
+          (x(i + 1) - x(i - 1)) * (y(i) - y(i - 1))))
+      val picks = srt.indices.groupBy(i => i.toLong * buckets / n).values.map {
+        // area DESC NULLS LAST, then row order — endpoints (None) last
+        idx => idx.minBy(i =>
+          (if (area(i).isEmpty) 1 else 0, area(i).map(-_).getOrElse(0.0), i))
+      }
+      (picks.toSet + 0 + (n - 1)).map(i => k -> srt(i)._3)
+    }.toSet
+    assert(got == want, s"got ${got.diff(want)} extra, ${want.diff(got)} missing")
+  }
 }
