@@ -1142,6 +1142,46 @@ object Dedup {
     labels
   }
 
+  /** k-CORE decomposition by iterative peeling (Seidman 1983) over a
+    * candidate-pair graph — the density gate that separates template /
+    * boilerplate farms (every member near-duplicates many others, so the
+    * cluster survives peeling) from incidental pairwise matches (degree-1
+    * edges dissolve in the first round). Each round: one degree
+    * aggregation over the surviving symmetric edge list, one semi-join
+    * filter of edges to nodes with degree ≥ k on BOTH endpoints — no
+    * adjacency materialization, rounds track the candidate graph like
+    * [[dupClusters]]. Fixed `rounds` here (the differential oracle
+    * replays them as chained CTEs); a production fixpoint loops until the
+    * edge count stops shrinking, checkpointing each round like
+    * [[dupClusters]] — `localCheckpoint` already cuts the per-round
+    * lineage.
+    *
+    * Output: (doc_id, degree) for nodes still alive after the last peel,
+    * degree = surviving within-core neighbor count.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val und = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    var sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src"))
+      sym = sym
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    sym.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
   /** Corpus-source similarity via group-level MinHash: which crawls / dumps
     * / sources substantially duplicate each other, answered WITHOUT ever
     * comparing documents.

@@ -162,6 +162,46 @@ object Similarity {
         (col("cand_label") === col("true_label")).cast("int").as("correct"))
   }
 
+  /** Sign-bit binarization: dimension i of the embedding contributes bit
+    * i iff its component is positive — the 1-bit-per-dim extreme of the
+    * quantization ladder (int8 [[quantizeCodes]] → PQ [[pqCodes]] →
+    * this), 60 bits so the fingerprint rides the house ≤64-bit
+    * conventions ([[graft.llm.Dedup.fingerprintNearGroups]] bands it
+    * losslessly at corpus scale). Map-only over the scan; cosine of
+    * sign-binarized vectors ≈ 1 − 2·hamming/bits (the SimHash identity),
+    * so Hamming top-k is the serving-side search.
+    */
+  def signBits(vecs: DataFrame, bits: Int = 60): DataFrame =
+    vecs.select(col("vec_id"), expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L,
+         | (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0
+         |                        THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+      .as("fp"))
+
+  /** Exact Hamming top-k over [[signBits]] fingerprints: for each probe,
+    * the k corpus vectors with the fewest differing sign bits (ties →
+    * min cand_id). The XOR+popcount distance is one codegen'd integer
+    * expression — 64 dims of float math collapse to two ALU ops, the
+    * point of binary embeddings; at corpus scale the all-pairs candidate
+    * generator swaps for the banded Hamming equi-join
+    * ([[graft.llm.Dedup.fingerprintNearGroups]]) with the same ranking.
+    */
+  def hammingTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                  bits: Int = 60): DataFrame = {
+    val pairs = signBits(probes, bits)
+      .select(col("vec_id").as("probe_id"), col("fp").as("pfp"))
+      .join(signBits(corpus, bits)
+        .select(col("vec_id").as("cand_id"), col("fp").as("cfp")),
+        expr("cand_id <> probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        expr("CAST(bit_count(pfp ^ cfp) AS INT)").as("hamming"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("hamming").asc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic md5-derived hyperplane component for plane `p`, dim `i`:
     * uniform-ish half-integer in [-32767.5, 32767.5]. Computed once on the
     * driver; a float×half-integer product is exact in double (24+17 bit

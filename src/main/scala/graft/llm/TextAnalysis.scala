@@ -355,6 +355,37 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** N-gram draft table for speculative decoding (the corpus-statistics
+    * draft model of Prompt-Lookup/NGram-Spec style serving): for every
+    * word whose most frequent successor occurs at least `minCount`
+    * times, emit that argmax successor plus its count and the word's
+    * successor-vocabulary width. One explode over the normalized token
+    * stream (NO distinct — corpus frequency, not document frequency,
+    * is what a draft model samples), one (w1, w2) partial-aggregated
+    * count, then the per-w1 argmax as a second AGGREGATE (`min_by` on
+    * the composite (−cnt, w2) key) — no window, no per-partition sort,
+    * both aggregations map-side partial; ties break to the
+    * lexicographically first successor so the table is deterministic.
+    */
+  def ngramDraft(docs: DataFrame, minCount: Long = 3): DataFrame =
+    docs
+      .select(expr(s"split(${Dedup.normalizeExpr}, ' ')").as("w"))
+      .where(expr("size(w) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("w1")
+      .agg(
+        expr("min_by(named_struct('draft', w2, 'cnt', cnt)," +
+          " named_struct('nc', -cnt, 'w2', w2))").as("best"),
+        count(lit(1)).as("n_next"))
+      .where(col("best.cnt") >= minCount)
+      .select(col("w1"), col("best.draft").as("draft"),
+        col("best.cnt").as("cnt"), col("n_next"))
+
   /** Token-budget shard packing: assign documents to output shards so
     * each shard carries ~`tokensPerShard` tokens — the balanced-shard
     * writer step of a training pipeline (downstream dataloaders want

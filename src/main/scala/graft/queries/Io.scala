@@ -541,6 +541,30 @@ object Io {
         .orderBy("p_brand")
     }),
 
+    // XML round-trip through Spark 4's built-in XML source (rowTag
+    // records, schema inference on read): entity escaping must preserve
+    // the raw text bit-for-bit — the per-doc md5 fingerprint sum catches
+    // any mangling; ignoreSurroundingSpaces=false so legitimate edge
+    // whitespace survives. NULL text round-trips as an absent element →
+    // both engines read it back through the same coalesce.
+    "src_xml_roundtrip" -> ((s, d) => {
+      val docsDf = t(s, d, "documents")
+      val p = s"${base(d)}/documents_xml"
+      docsDf.repartition(3).write.mode("overwrite")
+        .option("rowTag", "doc").format("xml").save(p)
+      s.read.format("xml").option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(p)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_sum"),
+          // 48-bit digests: the per-lang SUM stays < 2^63 up to ~32k
+          // docs per lang (15 hex chars overflowed int64 at 500 docs)
+          sum(expr("CAST(conv(substr(md5(coalesce(text, '')), 1, 12), 16, 10) AS BIGINT)"))
+            .as("fp_sum"))
+        .orderBy("lang")
+    }),
+
     // AGGREGATE PUSHDOWN into the parquet scan: with the v2 reader and
     // spark.sql.parquet.aggregatePushdown on, COUNT/MIN/MAX answer from
     // row-group FOOTER STATISTICS — zero data pages read, the
@@ -1152,6 +1176,54 @@ object Io {
     // across batches, so green against the full-recompute oracle IS the
     // out-of-order convergence property, exercised through a real
     // checkpointed stream
+    // STREAMING pattern matching (the ts_event_pattern regex as a live
+    // state machine): v[ce]*p conversions counted per user across
+    // micro-batches via transformWithState — two scalars of state per
+    // user, never the sequence. Replay files are TIME-sliced quartiles
+    // (order-dependent state: key-split files would interleave history —
+    // the CLAUDE.md trap), rows re-sort by (ts, event_id) inside each
+    // batch. The drained count per user must equal the batch
+    // regexp_count over the full sequence — the differential oracle.
+    "ts_stream_pattern" -> ((s, d) => {
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select("ts", "event_id", "user_id", "event_type")
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_pattern_in").toString
+      val mm = evs
+        .selectExpr("unix_micros(min(ts)) AS mn", "unix_micros(max(ts)) AS mx")
+        .head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val cuts = Seq(mn + (mx - mn) / 4, mn + (mx - mn) / 2,
+        mn + 3 * (mx - mn) / 4)
+      val t0 = System.currentTimeMillis() - 600000
+      val slices = Seq(
+        evs.where(expr(s"unix_micros(ts) <= ${cuts(0)}")),
+        evs.where(expr(
+          s"unix_micros(ts) > ${cuts(0)} AND unix_micros(ts) <= ${cuts(1)}")),
+        evs.where(expr(
+          s"unix_micros(ts) > ${cuts(1)} AND unix_micros(ts) <= ${cuts(2)}")),
+        evs.where(expr(s"unix_micros(ts) > ${cuts(2)}")))
+      slices.zipWithIndex.foreach { case (df, i) =>
+        stageOrderedFile(landing, df, s"f$i.parquet", t0 + i * 60000)
+      }
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+        import s.implicits._
+        val out = graft.streaming.Streams.conversionTws(
+          stream.as[graft.streaming.Streams.ConvEvent])
+        graft.streaming.Streams.runToMemory(out.toDF(),
+          "ts_stream_pattern_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+      deleteRecursively(new java.io.File(landing))
+      s.table("ts_stream_pattern_sink")
+        .groupBy("user_id")
+        .agg(max("n_conversion").as("n_conversion"))
+        .orderBy("user_id")
+    }),
+
     "ts_stream_scd2" -> ((s, d) => {
       val events = Tables.load(s, d, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -2089,6 +2161,13 @@ object Io {
         |FROM part WHERE p_size <= 25
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
+    "src_xml_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+        |       CAST(SUM(('0x' || substr(md5(coalesce(text, '')), 1, 12))::BIGINT)
+        |            AS BIGINT) AS fp_sum
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "src_listing_dir" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -2583,6 +2662,17 @@ object Io {
 
     // the FULL-changelog SCD2 recompute — whatever micro-batch split the
     // stream fed through scd2Incremental must converge to exactly this
+    // the streaming state machine's drained counts == batch regexp_count
+    // over each user's full ordered sequence
+    "ts_stream_pattern" ->
+      """WITH seqs AS (SELECT user_id,
+        |                     string_agg(substr(event_type, 1, 1), ''
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        |              FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conversion
+        |FROM seqs ORDER BY user_id""".stripMargin,
+
     "ts_stream_scd2" ->
       """WITH ch AS (SELECT user_id AS k, event_id AS seq,
         |    CASE WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'D'

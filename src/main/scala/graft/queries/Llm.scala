@@ -354,6 +354,16 @@ object Llm {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
+    // k-core peel over the verified-pair graph: 3 rounds of degree>=2
+    // filtering leave only the dense duplicate cores (template farms) —
+    // incidental one-off matches dissolve in round 1
+    "llm_kcore" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      Dedup.kCore(pairs, k = 2, rounds = 3).orderBy("doc_id")
+    }),
+
     // the full pipeline with transitive-closure semantics: only each
     // duplicate component's minimum doc_id survives (vs dedupe()'s
     // documented one-pass greedy rule)
@@ -881,6 +891,28 @@ object Llm {
     "llm_hard_negatives" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.hardNegatives(e.where("vec_id < 16"), e, 3)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // speculative-decoding draft table: per word, the argmax corpus
+    // successor (count >= 3) + successor-vocab width — corpus frequency
+    // (no per-doc distinct), vocabulary-bounded argmax partitions
+    "llm_ngram_draft" -> ((s, d) =>
+      TextAnalysis.ngramDraft(docs(s, d), minCount = 3).orderBy("w1")),
+
+    // binary-embedding ANN: 60 sign bits per vector, exact XOR+popcount
+    // Hamming top-5, each hit flagged against the exact cosine top-5 —
+    // the 1-bit quantization recall row next to llm_quantize_recall's
+    // int8 and llm_pq_recall's PQ points
+    "llm_hamming_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.where("vec_id < 16")
+      val exact = Similarity.bruteForceTopK(probes, e, 5)
+        .select(col("probe_id"), col("cand_id"), lit(1).as("__hit"))
+      Similarity.hammingTopK(probes, e, 5)
+        .join(exact, Seq("probe_id", "cand_id"), "left")
+        .selectExpr("probe_id", "rank", "cand_id", "hamming",
+          "CAST(coalesce(__hit, 0) AS INT) AS in_exact")
         .orderBy("probe_id", "rank")
     }),
 
@@ -1735,6 +1767,27 @@ object Llm {
          |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
          |SELECT doc_id, min(lab) AS cluster_rep FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the three peel rounds replayed as chained CTEs — a wrong degree
+    // count, a one-sided endpoint filter, or an extra/missing round all
+    // change the surviving multiset
+    "llm_kcore" ->
+      s"""WITH ${minhashCtes()},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
+         |e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 x ON e.src = x.src
+         |       JOIN k1 y ON e.dst = y.src),
+         |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2),
+         |e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 x ON e.src = x.src
+         |       JOIN k2 y ON e.dst = y.src),
+         |k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2),
+         |e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 x ON e.src = x.src
+         |       JOIN k3 y ON e.dst = y.src)
+         |SELECT src AS doc_id, count(*) AS degree
+         |FROM e3 GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_cc" ->
       s"""WITH RECURSIVE fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
@@ -2626,6 +2679,55 @@ object Llm {
          |WHERE rank <= 10 AND cand_label = probe_label
          |GROUP BY probe_id
          |ORDER BY probe_id""".stripMargin,
+
+    // corpus bigram counts (no DISTINCT — draft tables sample corpus
+    // frequency), argmax per first word with the same (cnt, w2) tie-break
+    "llm_ngram_draft" ->
+      s"""WITH norm AS (SELECT string_split($NORM, ' ') AS w FROM documents),
+         |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+         |       FROM norm, unnest(generate_series(1, length(w) - 1)) AS u(i)
+         |       WHERE length(w) >= 2),
+         |cnt AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY w1
+         |                   ORDER BY cnt DESC, w2) AS rn,
+         |              count(*) OVER (PARTITION BY w1) AS n_next
+         |       FROM cnt)
+         |SELECT w1, w2 AS draft, cnt, CAST(n_next AS BIGINT) AS n_next
+         |FROM rk WHERE rn = 1 AND cnt >= 3
+         |ORDER BY w1""".stripMargin,
+
+    // sign bits rebuilt by OR-folding shifted bits, Hamming ranked with
+    // the same (distance, cand_id) cut, exact top-5 via the rounded
+    // cosine ranking llm_cosine_topk pins
+    "llm_hamming_topk" ->
+      s"""WITH fp AS (SELECT vec_id,
+         |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(generate_series(1, 60),
+         |                  i -> CASE WHEN embedding[i] > 0
+         |                            THEN CAST(1 AS BIGINT) << (i - 1)
+         |                            ELSE CAST(0 AS BIGINT) END)),
+         |                (a, b) -> a | b) AS fp
+         |            FROM embeddings),
+         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |                 CAST(bit_count(xor(p.fp, c.fp)) AS INT) AS hamming
+         |          FROM fp p JOIN fp c ON c.vec_id <> p.vec_id
+         |          WHERE p.vec_id < 16),
+         |hk AS (SELECT * FROM (
+         |         SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY hamming, cand_id) AS INT) AS rank
+         |         FROM pairs) WHERE rank <= 5),
+         |ex AS (SELECT probe_id, cand_id FROM (
+         |         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |                row_number() OVER (PARTITION BY p.vec_id
+         |                  ORDER BY ${duckCosine("p.embedding", "c.embedding")} DESC,
+         |                           c.vec_id) AS r
+         |         FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |         WHERE p.vec_id < 16) WHERE r <= 5)
+         |SELECT h.probe_id, h.rank, h.cand_id, h.hamming,
+         |       CAST(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact
+         |FROM hk h LEFT JOIN ex e
+         |  ON h.probe_id = e.probe_id AND h.cand_id = e.cand_id
+         |ORDER BY h.probe_id, h.rank""".stripMargin,
 
     // the same rounded-cosine top-5 ranking as llm_cosine_topk, then the
     // plurality vote with the identical (votes, best_rank, label)

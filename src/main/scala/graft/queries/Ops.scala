@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Cdc, Constraints, OrderStats, Resample}
+import graft.operators.{Bootstrap, Cdc, Constraints, OrderStats, Resample}
 import graft.llm.TrainOrder
 
 /** Incremental-pipeline operator entries: CDC changelog apply, snapshot
@@ -179,6 +179,55 @@ object Ops {
           Seq("source", "lang"), eps = 0.5, seed = "dp42")
         .select(col("source"), col("lang"), col("noisy_count"), col("noise"))
         .orderBy("source", "lang")),
+
+    // Poisson bootstrap (the distributed bootstrap): 16 deterministic
+    // Poisson(1) replicas in ONE pass — per-row multiplicities from an
+    // md5-uniform inverse-CDF against driver-computed Poisson CDF
+    // literals (the qc_dp_histogram mechanism), replica means as order
+    // statistics -> a 75% CI of mean order value per status. Classic
+    // resampling is unshardable; this is how uncertainty is estimated
+    // over data that cannot be collected
+    "agg_poisson_bootstrap" -> ((s, d) =>
+      Bootstrap.poissonMeanCI(
+          Tables.load(s, d, "orders").selectExpr("o_orderstatus",
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents",
+            "o_orderkey"),
+          Seq("o_orderstatus"), "cents", "o_orderkey", seed = "boot7")
+        .orderBy("o_orderstatus")),
+
+    // cross-correlation at hourly lags 0..3 between view and purchase
+    // traffic — signal-alignment detection ("purchases trail views by an
+    // hour?"): hourly counts are exact integers, the Pearson r comes
+    // from the same integer closed form as agg_regression_exact, the
+    // lag join is an equi join on shifted hour INDEX (pure int64
+    // arithmetic, no interval math) with the 4-row lag table broadcast
+    "ts_lag_correlation" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val hourly = ev.groupBy(
+          expr("CAST(unix_micros(date_trunc('HOUR', ts)) div 3600000000 AS BIGINT)")
+            .as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val v = hourly.where("event_type = 'view'")
+        .select(col("h"), col("n").as("x"))
+      val p = hourly.where("event_type = 'purchase'")
+        .select(col("h").as("ph"), col("n").as("y"))
+      val lags = s.range(0, 4).select(col("id").as("lag"))
+      v.crossJoin(broadcast(lags))
+        .join(p, expr("ph = h + lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_hours"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .selectExpr("lag", "n_hours",
+          """CAST(ROUND(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+            |  / NULLIF(sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+            |               * CAST(n_hours * syy - sy * sy AS DOUBLE)), 0.0),
+            |  6) AS DOUBLE) AS r""".stripMargin)
+        .orderBy("lag")
+    }),
 
     // t-closeness: the skewness-attack gate above k-anonymity and
     // l-diversity — each (status, year) class's priority DISTRIBUTION
@@ -462,6 +511,62 @@ object Ops {
              CAST(noise AS INT) AS noise
       FROM n ORDER BY source, lang"""
     },
+
+    // the SAME driver-computed Poisson CDF literals (one source of
+    // truth: Bootstrap.poissonCumThresholds) replayed through DuckDB —
+    // draw, replica sums, sorted means and order-statistic CI all
+    // IEEE-exact, so the interval hash-matches
+    "agg_poisson_bootstrap" -> {
+      val cum = Bootstrap.poissonCumThresholds()
+        .map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
+      s"""
+      WITH r AS (SELECT o_orderstatus AS g,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                        o_orderkey AS k
+                 FROM orders),
+      e AS (SELECT g, v, k, b FROM r, unnest(generate_series(0, 15)) AS t(b)),
+      u AS (SELECT g, v, b,
+                   ('0x' || substr(md5(concat_ws('|', 'boot7', b, k)), 1, 15))::BIGINT::DOUBLE
+                     / ${1L << 60}.0 AS u
+            FROM e),
+      w AS (SELECT g, v, b, len(list_filter($cum, c -> u >= c)) AS w FROM u),
+      rb AS (SELECT g, b, SUM(w) AS nb, SUM(w * v) AS sb FROM w GROUP BY 1, 2),
+      mb AS (SELECT g, b,
+                    CAST(ROUND(CAST(sb AS DOUBLE) / NULLIF(nb, 0) / 100, 6)
+                         AS DOUBLE) AS m
+             FROM rb),
+      ms AS (SELECT g, list_sort(list(m)) AS ml FROM mb GROUP BY g),
+      pt AS (SELECT g, count(*) AS n,
+                    CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE)
+                               / count(*) / 100, 6) AS DOUBLE) AS mean
+             FROM r GROUP BY g)
+      SELECT pt.g AS o_orderstatus, pt.n, pt.mean,
+             ml[3] AS ci_lo, ml[14] AS ci_hi
+      FROM pt JOIN ms ON pt.g = ms.g
+      ORDER BY o_orderstatus"""
+    },
+
+    // hourly counts + shifted-index join + integer Pearson closed form,
+    // recomputed flat
+    "ts_lag_correlation" -> """
+      WITH hc AS (SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                              // 3600000000 AS BIGINT) AS h,
+                         event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2),
+      v AS (SELECT h, n AS x FROM hc WHERE event_type = 'view'),
+      p AS (SELECT h, n AS y FROM hc WHERE event_type = 'purchase'),
+      l AS (SELECT unnest(generate_series(0, 3)) AS lag),
+      j AS (SELECT l.lag, v.x, p.y
+            FROM l CROSS JOIN v JOIN p ON p.h = v.h + l.lag),
+      s AS (SELECT lag, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM j GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+             CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+               6) AS DOUBLE) AS r
+      FROM s ORDER BY lag""",
 
     // the same closed-form absent-mass fold, recomputed flat: DuckDB's
     // int128 covers the products the entry carries in DECIMAL

@@ -372,6 +372,46 @@ object Relational {
     * DuckDB uses unnest + generate_subscripts (1-based) — same rows out.
     */
   val sparkSql: Map[String, String] = Map(
+    // dynamic SQL surface: EXECUTE IMMEDIATE compiles a query literal at
+    // runtime with a positional USING parameter — the programmatic-SQL
+    // escape hatch (Spark 4); the oracle runs the resolved statement
+    "sql_execute_immediate" -> """
+      EXECUTE IMMEDIATE
+        'SELECT l_returnflag, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_quantity < ? GROUP BY l_returnflag
+         ORDER BY l_returnflag'
+        USING 10""",
+
+    // data-masking surface: mask() with default chars, full custom
+    // chars, and all-NULL (identity) — the PII-redaction function
+    // family; the oracle rebuilds each via regexp_replace chains
+    "fn_mask_surface" -> """
+      SELECT c_custkey,
+             mask(c_name) AS m_default,
+             mask(c_name, 'U', 'l', '9', '-') AS m_custom,
+             mask(c_mktsegment, NULL, NULL, NULL, NULL) AS m_keep
+      FROM customer WHERE c_custkey < 100
+      ORDER BY c_custkey""",
+
+    // URL function surface: parse_url component extraction (+ keyed
+    // query lookup) and the encode/decode round-trip over synthesized
+    // URLs; the oracle rebuilds every component from the same columns
+    "fn_url_surface" -> """
+      SELECT c_custkey,
+             parse_url(url, 'HOST') AS host,
+             parse_url(url, 'PATH') AS path,
+             parse_url(url, 'QUERY') AS query,
+             parse_url(url, 'QUERY', 'seg') AS seg,
+             url_encode(concat(c_mktsegment, ' & co')) AS enc,
+             url_decode(url_encode(concat(c_mktsegment, ' & co'))) AS dec
+      FROM (SELECT c_custkey, c_mktsegment,
+                   concat('https://', lower(c_mktsegment),
+                          '.example.com:8080/cust/', c_custkey,
+                          '?seg=', c_mktsegment, '&x=1#top') AS url
+            FROM customer WHERE c_custkey < 50) u
+      ORDER BY c_custkey""",
+
     // Spark-4 collation surface: UTF8_LCASE comparison drives both an
     // ORDER BY (rank baked into row_number — the comparator canonicalizes
     // row order) and a case-insensitive grouped count; the oracle
@@ -598,6 +638,40 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // replacement chars are alphanumeric, so later passes never touch
+    // earlier substitutions; default mask keeps non-alnum chars
+    "fn_mask_surface" -> """
+      SELECT c_custkey,
+             regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS m_default,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '9', 'g'),
+               '[^A-Za-z0-9]', '-', 'g') AS m_custom,
+             c_mktsegment AS m_keep
+      FROM customer WHERE c_custkey < 100
+      ORDER BY c_custkey""",
+
+    // every URL component rebuilt from the source columns (segments are
+    // single uppercase words, so encoding only touches the ' & ' suffix)
+    "fn_url_surface" -> """
+      SELECT c_custkey,
+             lower(c_mktsegment) || '.example.com' AS host,
+             '/cust/' || c_custkey AS path,
+             'seg=' || c_mktsegment || '&x=1' AS query,
+             c_mktsegment AS seg,
+             c_mktsegment || '+%26+co' AS enc,
+             c_mktsegment || ' & co' AS dec
+      FROM customer WHERE c_custkey < 50
+      ORDER BY c_custkey""",
+
+    "sql_execute_immediate" -> """
+      SELECT l_returnflag, count(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_quantity < 10
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "sql_collation" -> """
       SELECT id, s,
              row_number() OVER (ORDER BY lower(s), id) AS rank_ci,

@@ -196,6 +196,72 @@ object Windows {
                AS DOUBLE) AS gini
       FROM cum GROUP BY source ORDER BY source""",
 
+    // EXACT distributed OLS per group — never the built-in regr_*
+    // aggregates (their double running sums are aggregation-order-
+    // dependent): work in integer cents, per-row BIGINT products (bounded
+    // by domain), DECIMAL(38,0) exact sums, the classic closed forms
+    // n·Σxy−ΣxΣy over n·Σx²−(Σx)², and IEEE divisions only at the edge.
+    // r² avoids squaring 38-digit decimals by moving to double first.
+    "agg_regression_exact" -> """
+      WITH pts AS (SELECT l_returnflag AS flag,
+                          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xi,
+                          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yi
+                   FROM lineitem),
+      s AS (SELECT flag, count(*) AS n,
+                   CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+            FROM pts GROUP BY flag),
+      d AS (SELECT flag, n,
+                   CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS denx,
+                   CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS deny,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM s)
+      SELECT flag, CAST(n AS BIGINT) AS n,
+             CAST(ROUND(num / denx, 6) AS DOUBLE) AS slope,
+             CAST(ROUND((syd - num / denx * sxd) / (100.0 * n), 6) AS DOUBLE) AS intercept,
+             CAST(ROUND(num * num / (denx * deny), 6) AS DOUBLE) AS r2
+      FROM d ORDER BY flag""",
+
+    // hour-of-day seasonality profile per event type: DECIMAL-exact
+    // hourly means + each hour's share of the type's traffic — the
+    // diurnal fingerprint a scheduler/anomaly baseline consumes; one
+    // scan, |types|×24 output rows at any event volume
+    "ts_seasonality" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(extract(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT) AS hh,
+                        CAST(value AS DECIMAL(18,6)) AS v
+                 FROM events),
+      h AS (SELECT event_type, hh, count(*) AS n, SUM(v) AS sv
+            FROM e GROUP BY 1, 2),
+      t AS (SELECT event_type, SUM(n) AS nt FROM h GROUP BY 1)
+      SELECT h.event_type, h.hh, CAST(h.n AS BIGINT) AS n_events,
+             CAST(ROUND(CAST(h.sv AS DOUBLE) / h.n, 6) AS DOUBLE) AS mean_value,
+             CAST(ROUND(CAST(h.n AS DOUBLE) / t.nt, 6) AS DOUBLE) AS hour_share
+      FROM h JOIN t ON h.event_type = t.event_type
+      ORDER BY h.event_type, h.hh""",
+
+    // exact HOOVER (Robin Hood) index of per-doc length by source —
+    // agg_gini's sortless companion: the share of total mass that would
+    // have to move to equalize, H = Σ|x_i·n − S| / (2·n·S). No ordering
+    // at all: one per-source (n, S) aggregate broadcast back over the
+    // rows, integer products (int128 in DuckDB, BIGINT here — document
+    // lengths × doc counts stay < 2^63 per source at any plausible
+    // shard), ONE double division at the edge
+    "agg_hoover" -> """
+      WITH st AS (SELECT source, count(*) AS n, SUM(n_chars) AS s
+                  FROM documents GROUP BY source)
+      SELECT d.source, CAST(max(st.n) AS BIGINT) AS n_docs,
+             CAST(ROUND(
+               CAST(SUM(ABS(d.n_chars * st.n - st.s)) AS DOUBLE)
+                 / (2.0 * CAST(max(st.n) AS DOUBLE) * CAST(max(st.s) AS DOUBLE)),
+               6) AS DOUBLE) AS hoover
+      FROM documents d JOIN st ON d.source = st.source
+      GROUP BY d.source ORDER BY d.source""",
+
     // sliding mean-shift CHANGEPOINT score per user timeline: |mean of
     // the 8 preceding - mean of the 8 following| events, flagged above
     // threshold. DECIMAL frame sums (exact, order-free — DuckDB's

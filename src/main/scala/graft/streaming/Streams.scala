@@ -389,6 +389,66 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Event row for the order-sensitive pattern processor — carries
+    * event_id so within-batch replay order is total.
+    */
+  case class ConvEvent(ts: java.sql.Timestamp, event_id: Long, user_id: Long,
+                       event_type: String)
+
+  /** Per-user running conversion count for [[conversionTws]]. */
+  case class ConvCount(user_id: Long, n_conversion: Long)
+
+  /** Streaming MATCH_RECOGNIZE-lite: the regex `v[ce]*p` (a view
+    * converting to a purchase with only clicks/errors between) run as a
+    * per-user two-field state machine — `armed` (a view is pending, no
+    * signup/purchase since) + the running match count. Non-overlapping
+    * leftmost-match semantics fall out of disarming on every purchase,
+    * so on a drained bounded replay the count equals the batch
+    * `regexp_count` over the user's full sequence (the differential
+    * oracle — the streaming twin of the `ts_event_pattern` entry).
+    *
+    * ORDER-DEPENDENT: the caller must slice replay files by TIME (the
+    * CLAUDE.md streaming trap), and within a batch rows re-sort by
+    * (ts, event_id) here — the group shuffle does not preserve order.
+    * State per user is two scalars regardless of history length.
+    */
+  class ConversionProcessor extends StatefulProcessor[Long, ConvEvent, ConvCount] {
+    @transient private var armed: ValueState[Boolean] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      armed = getHandle.getValueState[Boolean]("armed",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[ConvEvent],
+                                 timerValues: TimerValues): Iterator[ConvCount] = {
+      var a = armed.exists() && armed.get()
+      var c = if (cnt.exists()) cnt.get() else 0L
+      // total order: seconds, sub-second nanos, then event_id
+      rows.toSeq.sortBy(e =>
+        (e.ts.getTime / 1000, e.ts.getNanos, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view"     => a = true
+          case "signup"   => a = false
+          case "purchase" => if (a) { c += 1; a = false }
+          case _          => () // click / error keep the pattern alive
+        }
+      }
+      armed.update(a)
+      cnt.update(c)
+      Iterator.single(ConvCount(key, c))
+    }
+  }
+
+  def conversionTws(events: Dataset[ConvEvent]): Dataset[ConvCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ConversionProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Drive any of the above to an in-memory table and block until the
     * source drains — the test/demo harness path.
     */

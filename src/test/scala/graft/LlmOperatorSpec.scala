@@ -1143,6 +1143,50 @@ class LlmOperatorSpec extends SparkSpec {
     assert(one == Seq((2L, 2L, 2L)), s"got $one")
   }
 
+  test("kCore: triangle survives k=2 peeling, pendants and pairs dissolve") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 3-4, isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.kCore(pairs, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)), s"got $got")
+  }
+
+  test("kCore peeling cascades: a chain hung off a triangle dies one hop per round") {
+    import spark.implicits._
+    // triangle 1-2-3 with chain 3-4-5: round 1 kills 5 (deg 1), round 2
+    // kills 4 — two rounds strictly shrink, the third is the fixpoint
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val r1 = Dedup.kCore(pairs, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    val r2 = Dedup.kCore(pairs, k = 2, rounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L), s"round 1 got $r1")
+    assert(r2 == Set(1L, 2L, 3L), s"round 2 got $r2")
+  }
+
+  test("signBits + hammingTopK: XOR popcount distances, ties to min cand") {
+    import spark.implicits._
+    // 4-dim vectors, bits 0..3: fingerprints 0b0011, 0b0001, 0b0111, 0b1100
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f, -1.0f)),
+      (1L, Array(1.0f, -1.0f, -1.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, -1.0f)),
+      (3L, Array(-1.0f, -1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val fps = Similarity.signBits(vecs, bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == Map(0L -> 3L, 1L -> 1L, 2L -> 7L, 3L -> 12L), s"got $fps")
+    val top = Similarity.hammingTopK(vecs.where("vec_id = 0"), vecs, 3,
+        bits = 4)
+      .collect().map(r => (r.getInt(3), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(_._1)
+    // distances from 0b0011: id1 -> 1 bit, id2 -> 1 bit, id3 -> 4 bits
+    assert(top == Seq((1, 1L, 1), (2, 2L, 1), (3, 3L, 4)), s"got $top")
+  }
+
   test("knnClassify: plurality vote, majority beats the single closest") {
     import spark.implicits._
     // cluster A along (1,0), cluster B along (0,1). Probe 3 (label B)'s

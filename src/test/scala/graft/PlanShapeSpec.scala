@@ -31,6 +31,45 @@ class PlanShapeSpec extends SparkSpec {
       "latest-sequence selection should be a hash aggregation")
   }
 
+  test("llm_dataset_card: rollup reads the corpus exactly once (Expand, no re-scan)") {
+    val plan = staticPlan(SparkEntry.queries("llm_dataset_card")(spark, sfSmoke))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"dataset card should be ONE corpus scan, saw $scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"rollup should plan an Expand over the single scan:\n$plan")
+  }
+
+  test("agg_hoover: per-source stats broadcast back, corpus never sort-merge-joins") {
+    val plan = staticPlan(SparkEntry.queries("agg_hoover")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row stats table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a model-sized stats table shuffled the corpus:\n$plan")
+  }
+
+  test("ts_event_pattern: one user shuffle, no window sort, no join") {
+    val plan = staticPlan(SparkEntry.queries("ts_event_pattern")(spark, sfSmoke))
+    assert(!plan.contains("Window"),
+      s"sequence build should be sort-inside-aggregate, not a window:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+  }
+
+  test("qc_t_closeness: the |V|-row global histogram broadcasts") {
+    val plan = staticPlan(SparkEntry.queries("qc_t_closeness")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"global sensitive-value histogram must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a |V|-row table shuffled the class counts:\n$plan")
+  }
+
+  test("llm_ngram_draft: argmax is pure aggregation — no window sort anywhere") {
+    val plan = staticPlan(SparkEntry.queries("llm_ngram_draft")(spark, sfSmoke))
+    assert(!plan.contains("Window"),
+      s"per-word argmax should be min_by aggregation, not a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"expected hash aggregation:\n$plan")
+  }
+
   test("llm_negative_sample: probes broadcast into the corpus join") {
     val plan = staticPlan(SparkEntry.queries("llm_negative_sample")(spark, sfSmoke))
     assert(plan.contains("BroadcastHashJoin"),
