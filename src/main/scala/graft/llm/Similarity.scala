@@ -202,6 +202,39 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval merge of heterogeneous rankings (lexical BM25 + dense
+    * cosine being THE pair): fused(d) = Σ_lists 1/(kRrf + rank_list(d)),
+    * summing only over lists that ranked d. Scores never mix — only
+    * ranks — which is why RRF survives incomparable score scales.
+    *
+    * Each input is an already-CUT per-query top-N list (TakeOrdered on
+    * the retriever side, never a global sort), so the fusion join is
+    * bounded-by-construction: N rows per list per query, full-outer
+    * joined on the id, the addition chain a FIXED left-to-right
+    * expression in list-declaration order (each 1/(k+rank) is one
+    * correctly-rounded division; with a handful of lists the sum order
+    * is pinned by the expression tree, not aggregation order — cross-
+    * engine deterministic). Final cut: top `topN` by (score, id).
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String = "doc_id",
+              kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col(idCol), col("rank").cast("int").as(s"rank_$tag"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.map { case (tag, _) =>
+      s"coalesce(CAST(1.0 AS DOUBLE) / CAST($kRrf + rank_$tag AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    }.mkString(" + ")
+    val w = Window.orderBy(col("__rrf").desc, col(idCol))
+    joined.withColumn("__rrf", expr(score))
+      .orderBy(col("__rrf").desc, col(idCol)).limit(topN)
+      .withColumn("fused_rank", row_number().over(w))
+      .withColumn("rrf", expr("CAST(ROUND(__rrf, 6) AS DOUBLE)"))
+      .drop("__rrf")
+  }
+
   /** Deterministic md5-derived hyperplane component for plane `p`, dim `i`:
     * uniform-ish half-integer in [-32767.5, 32767.5]. Computed once on the
     * driver; a float×half-integer product is exact in double (24+17 bit

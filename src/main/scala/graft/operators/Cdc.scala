@@ -159,4 +159,46 @@ object Cdc {
       .groupBy(col(groupCol))
       .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol))
       .where(col(cntCol) > 0)
+
+  /** Incremental maintenance of a materialized JOIN view (delta-join
+    * refresh): `view` is yesterday's `fact ⋈ dim` result; today's upsert
+    * batches touched `factDeltaKeys` fact rows and `dimDeltaKeys` dim
+    * rows. Only rows involving a touched key are recomputed — a view row
+    * is stale iff its fact key was upserted OR its dim key changed, so
+    * the refresh is: anti-join the view against both (broadcast) key
+    * sets to carry untouched rows bit-identically, re-join only the
+    * touched slice of the CURRENT fact table against the CURRENT dim.
+    * The result equals the full `fact ⋈ dim` recompute (the
+    * differential oracle) at delta-proportional cost — the only
+    * affordable daily refresh of a 100 TB enriched fact view.
+    *
+    * Scale shape: both delta key sets are batch-sized and broadcast, so
+    * the carried path is two broadcast anti-joins (no shuffle of the
+    * view); the recompute path semi-joins the fact table down to
+    * touched rows BEFORE the dim join. Inner-join semantics: a dim
+    * delta that drops a key removes its rows from the view.
+    *
+    * `fact`/`dim` are the POST-merge current tables; `fkCol` names the
+    * fact-side join column, `dimKey` the dim-side one (must differ —
+    * the output carries both).
+    */
+  def incrementalJoin(view: DataFrame, fact: DataFrame, dim: DataFrame,
+                      factDeltaKeys: DataFrame, dimDeltaKeys: DataFrame,
+                      factKey: String, fkCol: String, dimKey: String): DataFrame = {
+    require(fkCol != dimKey, "fact-side and dim-side key columns must differ")
+    val fk = broadcast(factDeltaKeys.select(col(factKey)).distinct())
+    val dk = broadcast(dimDeltaKeys.select(col(dimKey)).distinct())
+    val carried = view
+      .join(fk, Seq(factKey), "left_anti")
+      .join(dk.withColumnRenamed(dimKey, fkCol), Seq(fkCol), "left_anti")
+      .select(view.columns.map(col): _*) // USING-joins float the key first
+    val touched = fact
+      .join(fk.withColumn("__tf", lit(1)), Seq(factKey), "left")
+      .join(dk.withColumnRenamed(dimKey, fkCol).withColumn("__td", lit(1)),
+        Seq(fkCol), "left")
+      .where(col("__tf").isNotNull || col("__td").isNotNull)
+      .drop("__tf", "__td")
+    val recomputed = touched.join(dim, col(fkCol) === col(dimKey))
+    carried.unionByName(recomputed.select(view.columns.map(col): _*))
+  }
 }

@@ -212,4 +212,42 @@ object Constraints {
         expr("CAST(GREATEST(0, __cnt + noise) AS BIGINT)"))
       .drop("__cnt", "__u")
   }
+
+  /** Benford expected leading-digit fractions log10(1 + 1/d), d = 1…9 —
+    * computed ONCE on the driver (log never runs in-plan; both engines
+    * embed the identical literals, the [[dpCumThresholds]] discipline).
+    */
+  def benfordFracs: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law audit of a positive integer measure (fraud /
+    * fabrication screening — synthesized or tampered financial columns
+    * drift from the log-uniform leading-digit law): per leading digit,
+    * the observed count, observed vs expected fraction, and the χ²
+    * contribution (n_obs − n·e)²/(n·e). One scan into a 9-row aggregate;
+    * the total-count frame broadcasts back into the projection. The
+    * per-digit decomposition is emitted instead of the summed statistic
+    * — strictly more informative, and it keeps every division a fixed
+    * two-operand IEEE tree (a cross-digit sum would fold in aggregation
+    * order).
+    */
+  def benford(df: DataFrame, centsCol: String): DataFrame = {
+    val obs = df.where(col(centsCol) > 0)
+      .select(expr(s"CAST(substr(CAST($centsCol AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val expCase = benfordFracs.zipWithIndex
+      .map { case (f, i) => s"WHEN ${i + 1} THEN CAST(${f}D AS DOUBLE)" }
+      .mkString("CASE digit ", " ", " END")
+    obs.crossJoin(broadcast(obs.agg(sum("n_obs").as("n"))))
+      .withColumn("__e", expr(expCase))
+      .select(col("digit"), col("n_obs"),
+        expr("CAST(ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)")
+          .as("obs_frac"),
+        expr("CAST(ROUND(__e, 6) AS DOUBLE)").as("exp_frac"),
+        expr("""CAST(ROUND(
+          |  (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * __e)
+          |  * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * __e)
+          |  / (CAST(n AS DOUBLE) * __e), 6) AS DOUBLE)""".stripMargin)
+          .as("chi2_term"))
+  }
 }

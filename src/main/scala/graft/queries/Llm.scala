@@ -916,6 +916,27 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // hybrid-retrieval rank fusion: the BM25 lexical top-50 (TakeOrdered,
+    // never a global sort) fused with the dense cosine top-50 for probe
+    // vec 0 via reciprocal-rank fusion — scores never mix, only ranks,
+    // the reason RRF survives incomparable scales; fixed-order addition
+    // chain keeps the doubles cross-engine deterministic
+    "llm_rrf_fusion" -> ((s, d) => {
+      val lex = TextAnalysis.bm25(docs(s, d), Seq("hash", "join", "window"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rank",
+          expr("row_number() OVER (ORDER BY bm25 DESC, doc_id)"))
+        .select("doc_id", "rank")
+      val e = emb(s, d)
+      val sem = Similarity.bruteForceTopK(e.where("vec_id = 0"), e, 50)
+        .select(col("cand_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem))
+        .selectExpr("fused_rank", "doc_id",
+          "CAST(coalesce(rank_lex, 0) AS INT) AS rank_lex",
+          "CAST(coalesce(rank_sem, 0) AS INT) AS rank_sem", "rrf")
+        .orderBy("fused_rank")
+    }),
+
     // k-NN label-vote classification eval: each probe classified by the
     // plurality label of its 5 nearest neighbors, scored against its own
     // label — the standard embedding-quality probe; deterministic vote
@@ -2728,6 +2749,40 @@ object Llm {
          |FROM hk h LEFT JOIN ex e
          |  ON h.probe_id = e.probe_id AND h.cand_id = e.cand_id
          |ORDER BY h.probe_id, h.rank""".stripMargin,
+
+    // both retriever lists rebuilt flat (the llm_bm25 contribution string
+    // and the llm_cosine_topk rounded ranking), fused with the identical
+    // fixed-order coalesce sum and (score, doc_id) cut
+    "llm_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |consts AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dlen),
+         |tfreq AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |          WHERE tok IN ('hash', 'join', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tfreq GROUP BY 1),
+         |contrib AS (SELECT t.doc_id,
+         |                   ${TextAnalysis.bm25Contribution(1.2, 0.75)} AS c
+         |            FROM tfreq t JOIN dfreq USING (tok)
+         |                 JOIN dlen USING (doc_id) CROSS JOIN consts),
+         |bm AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25 FROM contrib GROUP BY 1),
+         |lex AS (SELECT doc_id, rank_lex FROM (
+         |          SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+         |          FROM bm) WHERE rank_lex <= 50),
+         |sem AS (SELECT doc_id, rank_sem FROM (
+         |          SELECT c.vec_id AS doc_id,
+         |                 CAST(row_number() OVER (ORDER BY ${duckCosine("p.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS rank_sem
+         |          FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |          WHERE p.vec_id = 0) WHERE rank_sem <= 50),
+         |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+         |             coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + l.rank_lex AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |               + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + s.rank_sem AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score
+         |      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS fused_rank FROM f)
+         |SELECT fused_rank, doc_id,
+         |       CAST(coalesce(rank_lex, 0) AS INT) AS rank_lex,
+         |       CAST(coalesce(rank_sem, 0) AS INT) AS rank_sem,
+         |       CAST(ROUND(score, 6) AS DOUBLE) AS rrf
+         |FROM r WHERE fused_rank <= 20 ORDER BY fused_rank""".stripMargin,
 
     // the same rounded-cosine top-5 ranking as llm_cosine_topk, then the
     // plurality vote with the identical (votes, best_rank, label)

@@ -112,6 +112,37 @@ object Ops {
         .orderBy("k")
     }),
 
+    // delta-join refresh of a materialized enriched view: yesterday's
+    // orders⋈customer view plus today's upserts (order inserts %10=3,
+    // re-prices %10=4, customer segment moves %7=2) — untouched rows
+    // carry through two broadcast anti-joins bit-identically, only
+    // touched keys re-join; green against the full-recompute oracle IS
+    // the delta-maintenance identity
+    "cdc_join_incremental" -> ((s, d) => {
+      Tables.register(s, d)
+      val orders = s.table("orders")
+      val cust = s.table("customer")
+      def view(f: DataFrame, dm: DataFrame): DataFrame =
+        f.join(dm, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)")
+              .as("o_totalprice"),
+            col("c_nationkey"), col("c_mktsegment"))
+      val view0 = view(orders.where("o_orderkey % 10 <> 3"), cust)
+      val fact1 = orders.withColumn("o_totalprice", expr(
+        "CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 100.0 ELSE o_totalprice END"))
+        .withColumn("o_totalprice",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)"))
+      val dim1 = cust.withColumn("c_mktsegment", expr(
+        "CASE WHEN c_custkey % 7 = 2 THEN 'MOVED' ELSE c_mktsegment END"))
+      Cdc.incrementalJoin(view0, fact1, dim1,
+          factDeltaKeys = orders.where("o_orderkey % 10 IN (3, 4)")
+            .select("o_orderkey"),
+          dimDeltaKeys = cust.where("c_custkey % 7 = 2").select("c_custkey"),
+          factKey = "o_orderkey", fkCol = "o_custkey", dimKey = "c_custkey")
+        .orderBy("o_orderkey")
+    }),
+
     // ANALYZE-style column profile in ONE scan: counts, nulls, exact NDV
     // and min/max for three columns of mixed type. Multi-column DISTINCT
     // aggregation costs an Expand (stream × #distinct-aggs) — the honest
@@ -228,6 +259,17 @@ object Ops {
             |  6) AS DOUBLE) AS r""".stripMargin)
         .orderBy("lag")
     }),
+
+    // Benford's-law audit of the money column: leading-digit counts vs
+    // the log-uniform law (expected fractions are DRIVER-computed log10
+    // literals — log never runs in-plan), per-digit χ² contributions as
+    // fixed two-operand IEEE trees. One scan, 9-row output
+    "qc_benford" -> ((s, d) =>
+      Constraints.benford(
+          Tables.load(s, d, "orders").selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents"),
+          "cents")
+        .orderBy("digit")),
 
     // t-closeness: the skewness-attack gate above k-anonymity and
     // l-diversity — each (status, year) class's priority DISTRIBUTION
@@ -474,6 +516,26 @@ object Ops {
       SELECT k, count(*) AS cnt, CAST(SUM(v) AS DOUBLE) AS total
       FROM fin GROUP BY k ORDER BY k""",
 
+    // the full post-upsert join, recomputed from scratch — never touches
+    // the carried/touched decomposition
+    "cdc_join_incremental" -> """
+      WITH fact1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(CASE WHEN o_orderkey % 10 = 4
+                              THEN o_totalprice + 100.0
+                              ELSE o_totalprice END AS DECIMAL(12,2))
+                    AS DOUBLE) AS o_totalprice
+        FROM orders),
+      dim1 AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 2 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer)
+      SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+             d.c_nationkey, d.c_mktsegment
+      FROM fact1 f JOIN dim1 d ON f.o_custkey = d.c_custkey
+      ORDER BY f.o_orderkey""",
+
     "qc_k_anonymity" -> """
       SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
              count(*) AS class_size, count(*) >= 40 AS k_ok
@@ -567,6 +629,29 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY lag""",
+
+    // the SAME driver-computed log10 literals (one source of truth:
+    // Constraints.benfordFracs) replayed flat through DuckDB
+    "qc_benford" -> {
+      val eCase = graft.operators.Constraints.benfordFracs.zipWithIndex
+        .map { case (f, i) => s"WHEN ${i + 1} THEN CAST($f AS DOUBLE)" }
+        .mkString("CASE digit ", " ", " END")
+      s"""
+      WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                 FROM orders),
+      o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM c WHERE cents > 0 GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o),
+      e AS (SELECT digit, n_obs, n, $eCase AS ef FROM o CROSS JOIN t)
+      SELECT digit, n_obs,
+             CAST(ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS obs_frac,
+             CAST(ROUND(ef, 6) AS DOUBLE) AS exp_frac,
+             CAST(ROUND((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ef)
+                        * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ef)
+                        / (CAST(n AS DOUBLE) * ef), 6) AS DOUBLE) AS chi2_term
+      FROM e ORDER BY digit"""
+    },
 
     // the same closed-form absent-mass fold, recomputed flat: DuckDB's
     // int128 covers the products the entry carries in DECIMAL

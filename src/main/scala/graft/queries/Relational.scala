@@ -76,6 +76,40 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // Holt linear-trend forecast as a DRIVER-UNROLLED linear filter
+    // (operators/Forecast.scala): the α=β=1/2 recurrence over each
+    // user's last 8 observations is linear, so level/trend/forecast are
+    // fixed dyadic dot products — coefficients derived ONCE on the
+    // driver as exact BigInt rationals, the plan pays one integer dot
+    // product per key (micro-unit values × integer literals, a single
+    // closing IEEE division). Pivot by reverse row_number instead of a
+    // LAG chain: one aggregation, map-side partial, no per-key state —
+    // forecasting a billion keys is one groupBy. Keys with fewer than 8
+    // points drop (the truncated-filter contract, as ts_ewma).
+    "ts_holt_forecast" -> {
+      val (cl, cb, cf, den) = graft.operators.Forecast.holtCoefficients(8)
+      def xc(k: Int) = s"x$k"
+      val pivots = (1 to 8).map(k =>
+        s"CAST(SUM(CASE WHEN rn = ${9 - k} THEN v ELSE 0 END) AS BIGINT) AS x$k")
+        .mkString(",\n               ")
+      s"""
+      WITH v AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 40),
+      p AS (SELECT user_id,
+               $pivots,
+               count(*) AS n
+            FROM v WHERE rn <= 8 GROUP BY user_id HAVING count(*) = 8)
+      SELECT user_id,
+             ${graft.operators.Forecast.dotSql(cl, den, 1000000L, xc)} AS level,
+             ${graft.operators.Forecast.dotSql(cb, den, 1000000L, xc)} AS trend,
+             ${graft.operators.Forecast.dotSql(cf, den, 1000000L, xc)} AS forecast1
+      FROM p ORDER BY user_id"""
+    },
+
     // bitwise aggregate surface shared verbatim: bit_and / bit_or /
     // bit_xor fold exact integers (order-free, no rounding anywhere) —
     // the flag-mask rollups feature tables use

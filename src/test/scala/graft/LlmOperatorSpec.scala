@@ -1187,6 +1187,21 @@ class LlmOperatorSpec extends SparkSpec {
     assert(top == Seq((1, 1L, 1), (2, 2L, 1), (3, 3L, 4)), s"got $top")
   }
 
+  test("rrfFuse: rank-only fusion, doc in both lists outranks either single") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val sem = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem), topN = 3)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getAs[Int]("fused_rank"), r.getAs[Long]("doc_id")))
+      .toSeq
+    // d2 = 1/62 + 1/61 > d1 = 1/61 > d3 = 1/62
+    assert(got == Seq((1, 2L), (2, 1L), (3, 3L)), s"got $got")
+    val scores = Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem), topN = 3)
+      .orderBy("fused_rank").collect().map(_.getAs[Double]("rrf"))
+    assert(math.abs(scores.head - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+  }
+
   test("knnClassify: plurality vote, majority beats the single closest") {
     import spark.implicits._
     // cluster A along (1,0), cluster B along (0,1). Probe 3 (label B)'s

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Constraints, OrderStats}
+import graft.operators.{Cdc, Constraints, Forecast, OrderStats}
 import graft.llm.TrainOrder
 
 /** Property tests for the incremental-pipeline operators: changelog apply
@@ -97,6 +97,80 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cur == snap,
       "open SCD2 intervals must be exactly the live snapshot")
+  }
+
+  test("incrementalJoin delta refresh == full join recompute; carried rows untouched") {
+    val fact0 = Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0))
+      .toDF("fk", "ck", "amt")
+    val dim0 = Seq((10L, "A"), (20L, "B"), (30L, "C")).toDF("dk", "seg")
+    def view(f: org.apache.spark.sql.DataFrame, dm: org.apache.spark.sql.DataFrame) =
+      f.join(dm, col("ck") === col("dk")).select("fk", "ck", "amt", "seg")
+    val view0 = view(fact0, dim0)
+    // fact upserts: new fact 4 on dim 30, re-priced fact 2; dim 10 renamed
+    val fact1 = Seq((1L, 10L, 5.0), (2L, 20L, 9.0), (3L, 10L, 7.0),
+      (4L, 30L, 8.0)).toDF("fk", "ck", "amt")
+    val dim1 = Seq((10L, "A2"), (20L, "B"), (30L, "C")).toDF("dk", "seg")
+    val got = Cdc.incrementalJoin(view0, fact1, dim1,
+        factDeltaKeys = Seq(2L, 4L).toDF("fk"),
+        dimDeltaKeys = Seq(10L).toDF("dk"),
+        factKey = "fk", fkCol = "ck", dimKey = "dk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    val full = view(fact1, dim1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(got == full, s"got $got want $full")
+    // facts 1 and 3 ride dim 10 (renamed) -> recomputed; fact 2 re-priced
+    // -> recomputed; nothing here is carried except... none (all touched).
+    // Second refresh with an empty dim delta: fact 1/3's rows must carry
+    val got2 = Cdc.incrementalJoin(view(fact1, dim1), fact1, dim1,
+        factDeltaKeys = Seq(2L).toDF("fk"),
+        dimDeltaKeys = Seq.empty[Long].toDF("dk"),
+        factKey = "fk", fkCol = "ck", dimKey = "dk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(got2 == full, s"idempotent refresh diverged: $got2")
+  }
+
+  test("holtCoefficients: unrolled dot product reproduces the recurrence") {
+    val n = 8
+    val (cl, cb, cf, den) = Forecast.holtCoefficients(n)
+    assert(den == BigInt(16384), s"den $den")
+    assert(cf == cl.zip(cb).map { case (a, b) => a + b },
+      "forecast coefficients must be level + trend")
+    // integer observations scaled by the denominator keep every
+    // intermediate value exactly representable -> bitwise comparison
+    val xs = Seq(3L, -1L, 4L, 1L, -5L, 9L, 2L, 6L).map(_.toDouble)
+    var l = xs.head; var b = 0.0
+    for (t <- 1 until n) {
+      val ln = (xs(t) + l + b) / 2
+      b = ((ln - l) + b) / 2
+      l = ln
+    }
+    def dot(cs: Seq[BigInt]) =
+      cs.zip(xs).map { case (c, x) => c.toDouble * x }.sum / den.toDouble
+    assert(math.abs(dot(cl) - l) < 1e-12, s"level ${dot(cl)} vs $l")
+    assert(math.abs(dot(cb) - b) < 1e-12, s"trend ${dot(cb)} vs $b")
+    assert(math.abs(dot(cf) - (l + b)) < 1e-12, "forecast")
+  }
+
+  test("benford: digit extraction, fractions, and chi-square terms") {
+    // 20 values: leading digits 1x8, 2x6, 3x6 (cents > 0 filter drops 0)
+    val vals = Seq.fill(8)(123L) ++ Seq.fill(6)(234L) ++ Seq.fill(6)(345L) ++ Seq(0L)
+    val got = Constraints.benford(vals.toDF("cents"), "cents")
+      .orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1, 8L), (2, 6L), (3, 6L)),
+      s"got $got")
+    assert(got.head._3 == 0.4, s"obs_frac ${got.head._3}")
+    val row1 = Constraints.benford(vals.toDF("cents"), "cents")
+      .where(col("digit") === 1).select("exp_frac", "chi2_term")
+      .head
+    val e = math.log10(2.0)
+    assert(math.abs(row1.getDouble(0) - e) < 1e-6)
+    val want = (8.0 - 20 * e) * (8.0 - 20 * e) / (20 * e)
+    assert(math.abs(row1.getDouble(1) - want) < 1e-5,
+      s"chi2 ${row1.getDouble(1)} vs $want")
   }
 
   test("scd2History intervals are disjoint: at most one active version per (key, t)") {

@@ -70,6 +70,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected hash aggregation:\n$plan")
   }
 
+  test("cdc_join_incremental: delta key sets broadcast, no cartesian") {
+    val plan = staticPlan(SparkEntry.queries("cdc_join_incremental")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch-sized delta keys must broadcast into the view/fact joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in refresh:\n$plan")
+  }
+
+  test("ts_holt_forecast: the unrolled filter is one aggregation, no join") {
+    val plan = staticPlan(SparkEntry.queries("ts_holt_forecast")(spark, sfSmoke))
+    assert(!plan.contains("Join"),
+      s"driver-unrolled coefficients must not join anything:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected the pivot agg:\n$plan")
+  }
+
+  test("llm_rrf_fusion: retriever lists are TakeOrdered cuts, never global sorts") {
+    val plan = staticPlan(SparkEntry.queries("llm_rrf_fusion")(spark, sfSmoke))
+    assert(plan.contains("TakeOrdered"),
+      s"the lexical top-50 must be a TakeOrdered, not a full sort+limit:\n$plan")
+  }
+
   test("llm_negative_sample: probes broadcast into the corpus join") {
     val plan = staticPlan(SparkEntry.queries("llm_negative_sample")(spark, sfSmoke))
     assert(plan.contains("BroadcastHashJoin"),
