@@ -463,7 +463,12 @@ object Multimodal {
     }
   }
 
-  private def decodeOneAvi(docId: Long, bytes: Array[Byte]): DecodedVideo = {
+  /** The spec-driven RIFF walk shared by [[decodeVideo]] and
+    * [[sceneCuts]]: locates the BITMAPINFOHEADER and the movi frame
+    * chunks, validates BI_RGB 24-bit, returns (width, height, stride,
+    * frame pixel-data offsets). Knows nothing of the synth.
+    */
+  private def parseAvi(docId: Long, bytes: Array[Byte]): (Int, Int, Int, Seq[Int]) = {
     def u32(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
         ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
@@ -490,7 +495,11 @@ object Multimodal {
     walk(12, 8 + u32(4))
     require(width > 0 && height > 0, s"doc_id=$docId: no strf header found")
     require(frames.nonEmpty, s"doc_id=$docId: no frames in movi list")
-    val stride = (width * 3 + 3) / 4 * 4
+    (width, height, (width * 3 + 3) / 4 * 4, frames.toSeq)
+  }
+
+  private def decodeOneAvi(docId: Long, bytes: Array[Byte]): DecodedVideo = {
+    val (width, height, stride, frames) = parseAvi(docId, bytes)
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
     var prevBlue: Array[Int] = null
     frames.foreach { base =>
@@ -519,6 +528,58 @@ object Multimodal {
     }
     DecodedVideo(docId, frames.length, width, height, sumR, sumG, sumB,
       motion)
+  }
+
+  /** One frame boundary's shot-change evidence: `frame` is the LATER
+    * frame's 0-based index, `sad_luma` the exact integer sum of absolute
+    * per-pixel milli-luma differences (299r+587g+114b — the [[dhashImages]]
+    * scale: no division anywhere), `is_cut` the mean-threshold verdict.
+    */
+  case class SceneCut(doc_id: Long, frame: Int, sad_luma: Long, is_cut: Boolean)
+
+  /** Scene-change (shot-cut) detection over REAL decoded rasters: per
+    * consecutive frame pair, the luma sum-of-absolute-differences; a cut
+    * where the mean per-pixel difference clears `cutMilliLumaPerPx`
+    * (milli-luma units, so the comparison is `sad >= thr·w·h` — pure
+    * integers). The keyframe-selection primitive of a video training
+    * pipeline: map-only over the payload scan like every decode path
+    * here, one row per boundary, no shuffle until the caller aggregates.
+    */
+  def sceneCuts(video: Dataset[VideoBlob], cutMilliLumaPerPx: Long = 32000L,
+                batchSize: Int = 64): Dataset[SceneCut] = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.flatMap { vb =>
+      val bytes = vb.avi
+      val (width, height, stride, frames) = parseAvi(vb.doc_id, bytes)
+      def lumas(base: Int): Array[Long] = {
+        val out = new Array[Long](width * height)
+        var y = 0
+        while (y < height) {
+          val rowOff = base + (height - 1 - y) * stride // bottom-up rows
+          var x = 0
+          while (x < width) {
+            val b = bytes(rowOff + x * 3) & 0xff // BGR order
+            val g = bytes(rowOff + x * 3 + 1) & 0xff
+            val r = bytes(rowOff + x * 3 + 2) & 0xff
+            out(y * width + x) = 299L * r + 587L * g + 114L * b
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      var prev = lumas(frames.head)
+      frames.tail.zipWithIndex.map { case (base, i) =>
+        val cur = lumas(base)
+        var sad = 0L
+        var j = 0
+        while (j < cur.length) { sad += math.abs(cur(j) - prev(j)); j += 1 }
+        prev = cur
+        SceneCut(vb.doc_id, i + 1, sad,
+          sad >= cutMilliLumaPerPx * width * height)
+      }
+    }
   }
 
   /** A typed multimodal record: opaque payload + metadata. */

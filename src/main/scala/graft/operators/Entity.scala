@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked record linkage (entity resolution) — Fellegi–Sunter shape:
+  * candidate pairs come from an EQUI-join on blocking keys (the only way
+  * linkage scales: a 100 TB customer file never all-pairs; block quality
+  * governs recall, block cardinality governs cost), then each pair is
+  * scored by a weighted sum of field-agreement indicators and thresholded.
+  * Integer weights and exact predicates (equality, levenshtein bounds)
+  * keep the verdict engine-independent — no probabilistic EM fit here,
+  * the weights are the caller's trained/odds-derived constants.
+  *
+  * Scale shape: one shuffle on the blocking key per side; per-block work
+  * is |L_b|×|R_b|, so a skewed block (everyone named "SMITH") is the
+  * operational risk — cap or salt hot blocks upstream, exactly the
+  * [[Skew]] treatment. The agreement expressions run inside the join's
+  * generated code; no UDFs.
+  */
+object Entity {
+
+  /** Link `left` to `right`: both frames must carry the `blockCols`
+    * (same names) plus their payload fields; every non-block column is
+    * prefixed `l_`/`r_` so `agreements` predicates can reference both
+    * sides. Each agreement is (SQL predicate, integer weight); a pair's
+    * score is the weight sum of satisfied predicates, kept when
+    * `score >= threshold`. Output: block cols + prefixed fields +
+    * one `a<i>` indicator per agreement + `score`.
+    */
+  def blockedLink(left: DataFrame, right: DataFrame, blockCols: Seq[String],
+                  agreements: Seq[(String, Int)], threshold: Int): DataFrame = {
+    require(blockCols.nonEmpty, "blocking keys required — never all-pairs")
+    require(agreements.nonEmpty, "need at least one agreement predicate")
+    def prefix(df: DataFrame, p: String) =
+      df.columns.filterNot(blockCols.contains).foldLeft(df)(
+        (d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val cand = prefix(left, "l_").join(prefix(right, "r_"), blockCols)
+    val scored = agreements.zipWithIndex.foldLeft(cand) {
+      case (d, ((pred, w), i)) =>
+        d.withColumn(s"a$i",
+          expr(s"CASE WHEN $pred THEN $w ELSE 0 END"))
+    }
+    scored
+      .withColumn("score",
+        expr(agreements.indices.map(i => s"a$i").mkString(" + ")))
+      .where(col("score") >= threshold)
+  }
+}

@@ -1896,6 +1896,49 @@ object Io {
         .orderBy("a_id", "b_id")
     }),
 
+    // Allen's interval-algebra census over the SAME binned overlap join
+    // (never an all-pairs NLJ): every overlapping event-interval pair
+    // classified into the 9 concurrent Allen relations (equals, starts/
+    // started_by, finishes/finished_by, during/contains, overlaps/
+    // overlapped_by — the disjoint before/after/meets need no join) by a
+    // CASE over exact endpoint micros. Variable durations (value-derived,
+    // floor() to dodge the CAST-rounding divergence) populate every
+    // branch; pairs attribute once via the shared-bin rule + a_id < b_id
+    "join_allen_relations" -> ((s, d) => {
+      // minute-floored starts + minute-multiple durations: endpoint
+      // coincidences (equals/starts/finishes/meets-free census) actually
+      // occur, so every CASE branch carries pairs
+      val ev = t(s, d, "events").where("event_type IN ('error', 'signup')")
+        .select(col("event_id"),
+          expr("(unix_micros(ts) div 60000000) * 60000000").as("su"))
+        .withColumn("eu",
+          expr("su + 60000000 * (1 + (event_id % 10))"))
+      val a = ev.select(col("event_id").as("a_id"),
+        expr("timestamp_micros(su)").as("a_s"),
+        expr("timestamp_micros(eu)").as("a_e"),
+        col("su").as("a_su"), col("eu").as("a_eu"))
+      val b = ev.select(col("event_id").as("b_id"),
+        expr("timestamp_micros(su)").as("b_s"),
+        expr("timestamp_micros(eu)").as("b_e"),
+        col("su").as("b_su"), col("eu").as("b_eu"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, "a_s", "a_e", b, "b_s", "b_e", binSeconds = 600L)
+        .where("a_id < b_id")
+        .withColumn("relation", expr(
+          """CASE WHEN a_su = b_su AND a_eu = b_eu THEN 'equals'
+            |     WHEN a_su = b_su AND a_eu < b_eu THEN 'starts'
+            |     WHEN a_su = b_su THEN 'started_by'
+            |     WHEN a_eu = b_eu AND a_su > b_su THEN 'finishes'
+            |     WHEN a_eu = b_eu THEN 'finished_by'
+            |     WHEN a_su > b_su AND a_eu < b_eu THEN 'during'
+            |     WHEN a_su < b_su AND a_eu > b_eu THEN 'contains'
+            |     WHEN a_su < b_su THEN 'overlaps'
+            |     ELSE 'overlapped_by' END""".stripMargin))
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("relation")
+    }),
+
     // z-order clustered WRITE (ZOrder.writeClustered): range-partitioned
     // by z, sorted within files; reading it back must reproduce the
     // original lineitem aggregate exactly — the layout rewrite is
@@ -2831,6 +2874,33 @@ object Io {
         |  ON a.event_id < b.event_id
         | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 300000000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the flat inequality join (DuckDB IEJoin) + the identical CASE —
+    // a binning bug (double-attributed or dropped pair) or a relation
+    // misclassification both change the census
+    "join_allen_relations" ->
+      """WITH iv AS (SELECT event_id,
+        |                   (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000)
+        |                     * 60000000 AS s,
+        |                   (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000)
+        |                     * 60000000
+        |                     + 60000000 * (1 + event_id % 10) AS e
+        |            FROM events WHERE event_type IN ('error', 'signup')),
+        |p AS (SELECT a.s AS a_su, a.e AS a_eu, b.s AS b_su, b.e AS b_eu
+        |      FROM iv a JOIN iv b
+        |        ON a.event_id < b.event_id AND a.s < b.e AND b.s < a.e),
+        |r AS (SELECT CASE WHEN a_su = b_su AND a_eu = b_eu THEN 'equals'
+        |                  WHEN a_su = b_su AND a_eu < b_eu THEN 'starts'
+        |                  WHEN a_su = b_su THEN 'started_by'
+        |                  WHEN a_eu = b_eu AND a_su > b_su THEN 'finishes'
+        |                  WHEN a_eu = b_eu THEN 'finished_by'
+        |                  WHEN a_su > b_su AND a_eu < b_eu THEN 'during'
+        |                  WHEN a_su < b_su AND a_eu > b_eu THEN 'contains'
+        |                  WHEN a_su < b_su THEN 'overlaps'
+        |                  ELSE 'overlapped_by' END AS relation
+        |      FROM p)
+        |SELECT relation, count(*) AS n_pairs
+        |FROM r GROUP BY 1 ORDER BY relation""".stripMargin,
 
     "sink_zorder_clustered" ->
       """SELECT l_partkey % 10 AS pk_mod, count(*) AS n_rows,

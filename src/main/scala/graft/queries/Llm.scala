@@ -874,6 +874,14 @@ object Llm {
       Multimodal.decodeVideo(Multimodal.synthesizeVideo(docs(s, d)))
         .toDF().orderBy("doc_id")),
 
+    // scene-change detection over the REAL decoded rasters: per frame
+    // boundary, the exact integer luma SAD + the mean-threshold cut
+    // verdict — the keyframe-selection primitive; map-only over the
+    // payload scan, one row per boundary
+    "llm_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(Multimodal.synthesizeVideo(docs(s, d)))
+        .toDF().orderBy("doc_id", "frame")),
+
     // the opaque-payload path (compressed video stays env-bound — no
     // codec in the JDK or this container): md5-derived pseudo-features
     // through the same batched mapPartitions shape a JNI/ffmpeg codec
@@ -2627,6 +2635,31 @@ object Llm {
         |       CAST(motion_b AS BIGINT) AS motion_b
         |FROM geo g JOIN s USING (doc_id) JOIN mv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // per-boundary luma SADs recomputed from the synth formulas over a
+    // (frame, x, y) grid — a wrong walk, stride pad, channel order or
+    // threshold scale cannot hash-match
+    "llm_scene_cuts" ->
+      """WITH geo AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n,
+        |                    CAST(8 + doc_id % 9 AS INT) AS w,
+        |                    CAST(4 + doc_id % 7 AS INT) AS h
+        |             FROM documents),
+        |px AS (SELECT doc_id, w, h, f.f, x.x, y.y
+        |       FROM geo, unnest(generate_series(1, n - 1)) f(f),
+        |            unnest(generate_series(0, w - 1)) x(x),
+        |            unnest(generate_series(0, h - 1)) y(y)),
+        |d AS (SELECT doc_id, w, h, f,
+        |             ABS((299*((doc_id*7+f*23+x*17+y*3)%256)
+        |                 +587*((doc_id*3+f*17+x*13+y*5)%256)
+        |                 +114*((doc_id+f*29+x*7+y*11)%256))
+        |               - (299*((doc_id*7+(f-1)*23+x*17+y*3)%256)
+        |                 +587*((doc_id*3+(f-1)*17+x*13+y*5)%256)
+        |                 +114*((doc_id+(f-1)*29+x*7+y*11)%256))) AS dl
+        |      FROM px)
+        |SELECT doc_id, CAST(f AS INT) AS frame,
+        |       CAST(SUM(dl) AS BIGINT) AS sad_luma,
+        |       CAST(SUM(dl) >= 32000 * max(w) * max(h) AS BOOLEAN) AS is_cut
+        |FROM d GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
 
     "llm_av_features" -> {
       val feats = (0 until 8).map(j =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bootstrap, Cdc, Constraints, OrderStats, Resample}
+import graft.operators.{Bootstrap, Cdc, Constraints, Entity, OrderStats, Resample}
 import graft.llm.TrainOrder
 
 /** Incremental-pipeline operator entries: CDC changelog apply, snapshot
@@ -258,6 +258,38 @@ object Ops {
             |               * CAST(n_hours * syy - sy * sy AS DOUBLE)), 0.0),
             |  6) AS DOUBLE) AS r""".stripMargin)
         .orderBy("lag")
+    }),
+
+    // blocked record linkage: customers vs a synthesized dirty feed
+    // (trailing-char name typos, drifted segments, shifted balances) —
+    // candidates from an EQUI-join on (nation, 17-char name prefix),
+    // never all-pairs; Fellegi–Sunter-style integer agreement weights
+    // (levenshtein<=1 worth 2, segment/balance 1 each), match at >= 3.
+    // Near-identical ids in one block produce honest false positives —
+    // the oracle replays them identically
+    "er_blocked_link" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val leftDf = cust.selectExpr("c_custkey AS lid", "c_nationkey",
+        "substr(c_name, 1, 17) AS blk", "c_name AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
+          "c_custkey + 1000000 AS rid", "c_nationkey",
+          "CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X') ELSE c_name END AS name",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
+          "name", "seg", "bal")
+      Entity.blockedLink(leftDf, rightDf, Seq("c_nationkey", "blk"),
+          Seq(("levenshtein(l_name, r_name) <= 1", 2),
+            ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
+          threshold = 3)
+        .selectExpr("l_lid AS left_id", "r_rid AS right_id",
+          "CAST(a0 AS INT) AS a0", "CAST(a1 AS INT) AS a1",
+          "CAST(a2 AS INT) AS a2", "CAST(score AS INT) AS score")
+        .orderBy("left_id", "right_id")
     }),
 
     // Benford's-law audit of the money column: leading-digit counts vs
@@ -629,6 +661,37 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY lag""",
+
+    // the same blocking join + agreement weights replayed flat — both
+    // engines share levenshtein; a block-key or threshold drift changes
+    // the matched-pair multiset
+    "er_blocked_link" -> """
+      WITH l AS (SELECT c_custkey AS lid, c_nationkey,
+                        substr(c_name, 1, 17) AS blk, c_name AS lname,
+                        c_mktsegment AS lseg,
+                        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+                 FROM customer),
+      r0 AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                    CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+                         ELSE c_name END AS rname,
+                    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                         ELSE c_mktsegment END AS rseg,
+                    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+             FROM customer WHERE c_custkey % 3 = 0),
+      r AS (SELECT rid, c_nationkey, substr(rname, 1, 17) AS blk,
+                   rname, rseg, rbal
+            FROM r0),
+      sc AS (SELECT lid, rid,
+                    CASE WHEN levenshtein(lname, rname) <= 1 THEN 2 ELSE 0 END AS a0,
+                    CASE WHEN lseg = rseg THEN 1 ELSE 0 END AS a1,
+                    CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS a2
+             FROM l JOIN r USING (c_nationkey, blk))
+      SELECT lid AS left_id, rid AS right_id,
+             CAST(a0 AS INT) AS a0, CAST(a1 AS INT) AS a1,
+             CAST(a2 AS INT) AS a2, CAST(a0 + a1 + a2 AS INT) AS score
+      FROM sc WHERE a0 + a1 + a2 >= 3
+      ORDER BY left_id, right_id""",
 
     // the SAME driver-computed log10 literals (one source of truth:
     // Constraints.benfordFracs) replayed flat through DuckDB

@@ -406,6 +406,30 @@ object Relational {
     * DuckDB uses unnest + generate_subscripts (1-based) — same rows out.
     */
   val sparkSql: Map[String, String] = Map(
+    // EXACT rolling median (5-point) per user — the robust smoother a
+    // noisy telemetry pipeline runs where a rolling mean chases spikes:
+    // the frame's micro-unit values collect into a 5-element array,
+    // sort, take the middle — integer selection, no arithmetic at all,
+    // so cross-engine exact by construction (an engine-native
+    // median()-over-window would interpolate in engine-specific float).
+    // Frame width bounds per-row state; the window partitions by key
+    "ts_rolling_median" -> """
+      WITH v AS (SELECT user_id, event_id, ts,
+                        CAST(ROUND(value * 1000000) AS BIGINT) AS v
+                 FROM events WHERE user_id < 40),
+      w AS (SELECT user_id, event_id,
+                   ROW_NUMBER() OVER win AS rn,
+                   element_at(sort_array(
+                     collect_list(v) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)), 3)
+                     AS med_micros
+            FROM v
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id, med_micros
+      FROM w WHERE rn >= 5
+      ORDER BY user_id, event_id""",
+
     // dynamic SQL surface: EXECUTE IMMEDIATE compiles a query literal at
     // runtime with a positional USING parameter — the programmatic-SQL
     // escape hatch (Spark 4); the oracle runs the resolved statement
@@ -672,6 +696,24 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // the same frame collected via DuckDB's list window + list_sort —
+    // identical multiset, identical middle pick
+    "ts_rolling_median" -> """
+      WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                        CAST(ROUND(value * 1000000) AS BIGINT) AS v
+                 FROM events WHERE user_id < 40),
+      w AS (SELECT user_id, event_id,
+                   ROW_NUMBER() OVER win AS rn,
+                   list_sort(list(v) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))[3]
+                     AS med_micros
+            FROM v
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id, med_micros
+      FROM w WHERE rn >= 5
+      ORDER BY user_id, event_id""",
+
     // replacement chars are alphanumeric, so later passes never touch
     // earlier substitutions; default mask keeps non-alnum chars
     "fn_mask_surface" -> """

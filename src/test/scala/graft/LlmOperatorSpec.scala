@@ -1187,6 +1187,35 @@ class LlmOperatorSpec extends SparkSpec {
     assert(top == Seq((1, 1L, 1), (2, 2L, 1), (3, 3L, 4)), s"got $top")
   }
 
+  test("sceneCuts: SAD matches the synth formulas, threshold splits boundaries") {
+    import spark.implicits._
+    val ids = Seq(7L, 12L, 33L)
+    val vids = ids.map(id => Multimodal.VideoBlob(id, Multimodal.VideoSynth.encodeAvi(id)))
+      .toDS()
+    val got = Multimodal.sceneCuts(vids).collect()
+      .map(c => (c.doc_id, c.frame) -> ((c.sad_luma, c.is_cut))).toMap
+    // independent recomputation straight from the synth formulas
+    val want = ids.flatMap { id =>
+      val n = Multimodal.VideoSynth.nFrames(id)
+      val w = Multimodal.VideoSynth.width(id)
+      val h = Multimodal.VideoSynth.height(id)
+      (1 until n).map { f =>
+        var sad = 0L
+        for (x <- 0 until w; y <- 0 until h) {
+          def luma(fr: Int) =
+            299L * Multimodal.VideoSynth.r(id, fr, x, y) +
+              587L * Multimodal.VideoSynth.g(id, fr, x, y) +
+              114L * Multimodal.VideoSynth.b(id, fr, x, y)
+          sad += math.abs(luma(f) - luma(f - 1))
+        }
+        (id, f) -> ((sad, sad >= 32000L * w * h))
+      }
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "fixture should produce both cut and non-cut boundaries")
+  }
+
   test("rrfFuse: rank-only fusion, doc in both lists outranks either single") {
     import spark.implicits._
     val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")

@@ -132,6 +132,24 @@ class OpsSpec extends SparkSpec {
     assert(got2 == full, s"idempotent refresh diverged: $got2")
   }
 
+  test("blockedLink: blocking bounds candidates, weights and threshold gate matches") {
+    import graft.operators.Entity
+    val left = Seq((1L, "B1", "Ann Smith", "GOLD"), (2L, "B1", "Bob Jones", "SILVER"),
+      (3L, "B2", "Cal Poly", "GOLD")).toDF("lid", "blk", "name", "seg")
+    val right = Seq((10L, "B1", "Ann Smyth", "GOLD"), (11L, "B3", "Ann Smith", "GOLD"))
+      .toDF("rid", "blk", "name", "seg")
+    val got = Entity.blockedLink(left, right, Seq("blk"),
+        Seq(("levenshtein(l_name, r_name) <= 1", 2), ("l_seg = r_seg", 1)),
+        threshold = 3)
+      .select("l_lid", "r_rid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 1-10: lev(Smith,Smyth)=1 (2) + seg (1) = 3 -> match.
+    // 2-10: same block but lev>1 -> 1 < 3. 11 is in block B3: never a
+    // candidate for 1 despite the exact name — blocking recall loss is
+    // the operator's documented contract, not a bug
+    assert(got == Set((1L, 10L, 3)), s"got $got")
+  }
+
   test("holtCoefficients: unrolled dot product reproduces the recurrence") {
     val n = 8
     val (cl, cb, cf, den) = Forecast.holtCoefficients(n)

@@ -90,6 +90,20 @@ class PlanShapeSpec extends SparkSpec {
       s"the lexical top-50 must be a TakeOrdered, not a full sort+limit:\n$plan")
   }
 
+  test("er_blocked_link: candidates from the block equi-join, never all-pairs") {
+    val plan = staticPlan(SparkEntry.queries("er_blocked_link")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"linkage must candidate via the blocking equi-join:\n$plan")
+  }
+
+  test("join_allen_relations: binned equi-join, no nested loop") {
+    val plan = staticPlan(SparkEntry.queries("join_allen_relations")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval census must ride the binned equi-join:\n$plan")
+  }
+
   test("llm_negative_sample: probes broadcast into the corpus join") {
     val plan = staticPlan(SparkEntry.queries("llm_negative_sample")(spark, sfSmoke))
     assert(plan.contains("BroadcastHashJoin"),
