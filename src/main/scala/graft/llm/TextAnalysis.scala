@@ -252,6 +252,55 @@ object TextAnalysis {
         col("n_exact_union"), col("sum_exact_sources"))
   }
 
+  /** Pairwise source-vocabulary overlap WITHOUT comparing tokens across
+    * sources: every (source a, source b) pair's distinct-token
+    * intersection estimated by HLL inclusion–exclusion — est(a) + est(b)
+    * − est(a ∪ b), where the union sketch is the bucketwise register max
+    * (the property that makes HLL mergeable). One token scan builds the
+    * per-source registers; everything after operates on |sources| × 64
+    * integers, so answering "which crawls duplicate each other's
+    * vocabulary" over a 100 TB corpus costs one scan + model-sized
+    * arithmetic — the [[distinctSketchMerged]] state taken to its real
+    * multi-way use.
+    *
+    * Determinism: registers are exact integers (md5-derived), harmonic
+    * sums are exact integer Σ 2^(53−mj) over DENSIFIED registers (all 64
+    * buckets, absent → 0), each estimate is ONE IEEE division, and the
+    * inclusion–exclusion is a fixed three-term tree — rounding only at
+    * the output edge.
+    */
+  def distinctOverlap(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val m = 64
+    val alphaNum = 0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 53)
+    val regs = hllRegisters(hllTokens(docs, groupCol))
+    val dense = regs.select(col("grp")).distinct()
+      .withColumn("bucket", explode(expr(s"sequence(0, ${m - 1})")))
+      .join(regs, Seq("grp", "bucket"), "left")
+      .withColumn("mj", expr("coalesce(mj, 0)"))
+    val perSource = dense.groupBy("grp")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("hs"))
+      .withColumn("est", expr(s"CAST($alphaNum AS DOUBLE) / hs"))
+    val pairs = dense.select(col("grp").as("src_a"), col("bucket"),
+        col("mj").as("ma"))
+      .join(dense.select(col("grp").as("src_b"), col("bucket"),
+        col("mj").as("mb")), Seq("bucket"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - greatest(ma, mb))"))
+        .as("hs_u"))
+      .withColumn("est_u", expr(s"CAST($alphaNum AS DOUBLE) / hs_u"))
+    pairs
+      .join(broadcast(perSource.select(col("grp").as("src_a"),
+        col("est").as("ea"))), Seq("src_a"))
+      .join(broadcast(perSource.select(col("grp").as("src_b"),
+        col("est").as("eb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("CAST(ROUND(ea, 6) AS DOUBLE)").as("est_a"),
+        expr("CAST(ROUND(eb, 6) AS DOUBLE)").as("est_b"),
+        expr("CAST(ROUND(est_u, 6) AS DOUBLE)").as("est_union"),
+        expr("CAST(ROUND(ea + eb - est_u, 6) AS DOUBLE)").as("est_overlap"))
+  }
+
   /** Per-document TF-IDF keyword extraction: each doc's top-k tokens by
     * tf · N/df (the log-free idf variant — tf·N is an exact BIGINT, one
     * IEEE division by df, so the ranking doubles are bit-identical

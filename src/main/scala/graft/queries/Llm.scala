@@ -924,6 +924,13 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // pairwise source-vocabulary overlap by HLL inclusion-exclusion:
+    // union sketch = bucketwise register max, ONE token scan then
+    // |sources|x64 integer arithmetic — "which crawls duplicate each
+    // other" without any cross-source token comparison
+    "llm_hll_overlap" -> ((s, d) =>
+      TextAnalysis.distinctOverlap(docs(s, d)).orderBy("src_a", "src_b")),
+
     // hybrid-retrieval rank fusion: the BM25 lexical top-50 (TakeOrdered,
     // never a global sort) fused with the dense cosine top-50 for probe
     // vec 0 via reciprocal-rank fusion — scores never mix, only ranks,
@@ -2782,6 +2789,54 @@ object Llm {
          |FROM hk h LEFT JOIN ex e
          |  ON h.probe_id = e.probe_id AND h.cand_id = e.cand_id
          |ORDER BY h.probe_id, h.rank""".stripMargin,
+
+    // the llm_sketch_merge register pipeline extended to DENSE per-source
+    // registers, pairwise bucket-max unions and the same single-division
+    // estimates — a register or densification drift breaks every pair
+    "llm_hll_overlap" -> {
+      val alphaNum = 0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 53)
+      s"""WITH dtoks AS (SELECT grp, tok FROM (
+         |        SELECT source AS grp, unnest(string_split($NORM, ' ')) AS tok
+         |        FROM documents) WHERE length(tok) > 0),
+         |h AS (SELECT grp, tok, md5(tok) AS hh FROM dtoks),
+         |f AS (SELECT grp,
+         |             CAST(('0x' || substr(hh, 14, 3))::BIGINT % 64 AS INT) AS bucket,
+         |             length(regexp_extract(substr(hh, 1, 13), '^0*')) AS zeros,
+         |             substr(hh, length(regexp_extract(substr(hh, 1, 13), '^0*')) + 1, 1) AS fd
+         |      FROM h),
+         |r AS (SELECT grp, bucket,
+         |             CASE WHEN zeros = 13 THEN 53
+         |             ELSE zeros * 4 + 1 + (CASE fd
+         |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+         |               WHEN '7' THEN 1 ELSE 0 END) END AS rho
+         |      FROM f),
+         |regs AS (SELECT grp, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |srcs AS (SELECT DISTINCT grp FROM regs),
+         |bk AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+         |dense AS (SELECT s.grp, bk.bucket,
+         |                 CAST(coalesce(regs.mj, 0) AS INT) AS mj
+         |          FROM srcs s CROSS JOIN bk
+         |          LEFT JOIN regs ON regs.grp = s.grp AND regs.bucket = bk.bucket),
+         |per AS (SELECT grp,
+         |               CAST($alphaNum AS DOUBLE)
+         |                 / CAST(SUM(1::BIGINT << (53 - mj)) AS BIGINT) AS est
+         |        FROM dense GROUP BY 1),
+         |pr AS (SELECT a.grp AS src_a, b.grp AS src_b,
+         |              CAST(SUM(1::BIGINT << (53 - greatest(a.mj, b.mj))) AS BIGINT) AS hs_u
+         |       FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.grp < b.grp
+         |       GROUP BY 1, 2),
+         |u AS (SELECT src_a, src_b,
+         |             CAST($alphaNum AS DOUBLE) / hs_u AS est_u FROM pr)
+         |SELECT src_a, src_b,
+         |       CAST(ROUND(pa.est, 6) AS DOUBLE) AS est_a,
+         |       CAST(ROUND(pb.est, 6) AS DOUBLE) AS est_b,
+         |       CAST(ROUND(est_u, 6) AS DOUBLE) AS est_union,
+         |       CAST(ROUND(pa.est + pb.est - est_u, 6) AS DOUBLE) AS est_overlap
+         |FROM u JOIN per pa ON pa.grp = u.src_a
+         |       JOIN per pb ON pb.grp = u.src_b
+         |ORDER BY src_a, src_b""".stripMargin
+    },
 
     // both retriever lists rebuilt flat (the llm_bm25 contribution string
     // and the llm_cosine_topk rounded ranking), fused with the identical

@@ -262,6 +262,43 @@ object Windows {
       FROM documents d JOIN st ON d.source = st.source
       GROUP BY d.source ORDER BY d.source""",
 
+    // Welch two-sample t-statistic (the unequal-variance A/B test) per
+    // status: urgent vs low priority order values. The five sufficient
+    // statistics per arm are EXACT (counts + DECIMAL(38,0) sums of cents
+    // and squared cents — never regr_*/var_samp, whose double running
+    // sums fold in partition order), the closed form is a fixed tree of
+    // correctly-rounded IEEE ops; one scan, conditional aggregation
+    "agg_ab_welch" -> """
+      WITH g AS (SELECT o_orderstatus AS st,
+                        CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                             ELSE 'b' END AS grp,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+                 FROM orders
+                 WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      s AS (SELECT st,
+                   SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS n1,
+                   CAST(SUM(CASE WHEN grp = 'a' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(CASE WHEN grp = 'a' THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q1,
+                   SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS n2,
+                   CAST(SUM(CASE WHEN grp = 'b' THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(CASE WHEN grp = 'b' THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q2
+            FROM g GROUP BY st),
+      d AS (SELECT st, n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                   CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) AS v2
+            FROM s WHERE n1 >= 2 AND n2 >= 2)
+      SELECT st AS o_orderstatus,
+             CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(ROUND((m1 - m2) / 100.0, 6) AS DOUBLE) AS mean_diff,
+             CAST(ROUND((m1 - m2)
+               / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)),
+               6) AS DOUBLE) AS t_welch
+      FROM d ORDER BY o_orderstatus""",
+
     // sliding mean-shift CHANGEPOINT score per user timeline: |mean of
     // the 8 preceding - mean of the 8 following| events, flagged above
     // threshold. DECIMAL frame sums (exact, order-free — DuckDB's

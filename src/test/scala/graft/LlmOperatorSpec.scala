@@ -1187,6 +1187,27 @@ class LlmOperatorSpec extends SparkSpec {
     assert(top == Seq((1, 1L, 1), (2, 2L, 1), (3, 3L, 4)), s"got $top")
   }
 
+  test("distinctOverlap: identical sources overlap fully, disjoint ones near zero") {
+    import spark.implicits._
+    val vocabA = (0 until 300).map(i => s"alpha$i").mkString(" ")
+    val vocabB = (0 until 300).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, vocabA, "s1"), (2L, vocabA, "s2"), // identical vocabularies
+      (3L, vocabB, "s3") // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.distinctOverlap(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(4), r.getDouble(5)))).toMap
+    // s1 and s2 share every register -> union == each, overlap == est
+    val (e12, u12, o12) = got(("s1", "s2"))
+    assert(u12 == e12 && o12 == e12, s"identical sources: $e12 $u12 $o12")
+    // s1 vs s3: union ~ 2x each, overlap a small sketch-noise residual
+    val (e13, u13, o13) = got(("s1", "s3"))
+    assert(u13 > e13 * 1.5, s"disjoint union too small: $e13 $u13")
+    assert(math.abs(o13) < e13 * 0.35, s"disjoint overlap too large: $o13 vs $e13")
+  }
+
   test("sceneCuts: SAD matches the synth formulas, threshold splits boundaries") {
     import spark.implicits._
     val ids = Seq(7L, 12L, 33L)
