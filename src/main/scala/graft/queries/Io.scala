@@ -1603,6 +1603,41 @@ object Io {
         .orderBy("user_id", "event_type")
     }),
 
+    // STREAMING HLL: per event type, the 64-register distinct-user
+    // sketch as TWS MapState — cardinality state stays 64 ints per key
+    // at any user volume. Register max-merge is order-independent, so
+    // the unordered repartition(3) replay converges to the batch
+    // register pipeline (the differential oracle); estimate = the same
+    // alpha*m^2 / harmonic division as llm_distinct_sketch
+    "ts_stream_hll" -> ((s, d) => {
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+      evs.repartition(3).write.mode("overwrite").parquet(dir)
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val snaps = graft.streaming.Streams.hllDistinctTws(
+          stream.as[graft.streaming.Streams.Event])
+        graft.streaming.Streams.runToMemory(snaps.toDF(),
+          "ts_stream_hll_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+      deleteRecursively(new java.io.File(dir))
+      val alphaNum = 0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 53)
+      s.table("ts_stream_hll_sink")
+        .groupBy("event_type")
+        .agg(max("n_buckets_hit").as("n_buckets_hit"),
+          min("harmonic_s").as("harmonic_s"))
+        .withColumn("hll_est", expr(
+          s"CAST(ROUND(CAST($alphaNum AS DOUBLE) / harmonic_s, 6) AS DOUBLE)"))
+        .orderBy("event_type")
+    }),
+
     // event-time TIMERS — the last v2 surface without an entry (r9
     // verdict #8): per-user inactivity sessionization through
     // registerTimer/handleExpiredTimer on the RocksDB store, over a
@@ -2442,6 +2477,37 @@ object Io {
         |       CAST(date_trunc('DAY', CAST(ts AS TIMESTAMP)) AS DATE) AS day
         |FROM events WHERE CAST(value AS DOUBLE) > 100.0
         |ORDER BY event_id""".stripMargin,
+
+    // the batch register pipeline over the full table IS the drained
+    // stream state (max-merge order independence); same md5 bucket/rho
+    // derivation as llm_distinct_sketch, same estimate division
+    "ts_stream_hll" -> {
+      val alphaNum = 0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 53)
+      s"""WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+         |           FROM events),
+         |f AS (SELECT event_type,
+         |             CAST(('0x' || substr(hh, 14, 3))::BIGINT % 64 AS INT) AS bucket,
+         |             length(regexp_extract(substr(hh, 1, 13), '^0*')) AS zeros,
+         |             substr(hh, length(regexp_extract(substr(hh, 1, 13), '^0*')) + 1, 1) AS fd
+         |      FROM h),
+         |r AS (SELECT event_type, bucket,
+         |             CASE WHEN zeros = 13 THEN 53
+         |             ELSE zeros * 4 + 1 + (CASE fd
+         |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+         |               WHEN '7' THEN 1 ELSE 0 END) END AS rho
+         |      FROM f),
+         |regs AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sk AS (SELECT event_type, count(*) AS nb,
+         |              CAST(SUM(1::BIGINT << (53 - mj)) AS BIGINT) AS s_hit
+         |       FROM regs GROUP BY 1)
+         |SELECT event_type, CAST(nb AS BIGINT) AS n_buckets_hit,
+         |       CAST(s_hit + (64 - nb) * (1::BIGINT << 53) AS BIGINT) AS harmonic_s,
+         |       CAST(ROUND(CAST($alphaNum AS DOUBLE)
+         |            / CAST(s_hit + (64 - nb) * (1::BIGINT << 53) AS BIGINT),
+         |            6) AS DOUBLE) AS hll_est
+         |FROM sk ORDER BY event_type""".stripMargin
+    },
 
     // replay the timer arithmetic: a user fires iff its expiry
     // (ms-floored last event ts + 4h gap) is strictly below the final

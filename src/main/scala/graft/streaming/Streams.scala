@@ -449,6 +449,67 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** One per-key HLL snapshot from [[HllDistinctProcessor]]: bucket-hit
+    * count + the exact integer harmonic sum Σ 2^(53−mj) over all 64
+    * buckets (absent → 2^53) — the caller divides αm² out of it.
+    */
+  case class HllSnapshot(event_type: String, n_buckets_hit: Long,
+                         harmonic_s: Long)
+
+  /** STREAMING distinct-count sketch: per event type, the 64-register
+    * HLL of distinct user_ids held as MapState (bucket → register) —
+    * cardinality state bounded at 64 ints per key no matter how many
+    * users stream past, the sketch a live dashboard actually keeps.
+    * Register update is max-merge (associative + commutative +
+    * idempotent), so the drained state is REPLAY-ORDER-INDEPENDENT —
+    * key-split or time-split files converge identically, and the batch
+    * register pipeline over the full table is the exact differential
+    * oracle (the md5 bucket/rho derivation is character-for-character
+    * the llm_distinct_sketch formula).
+    */
+  class HllDistinctProcessor extends StatefulProcessor[String, Event, HllSnapshot] {
+    @transient private var regs: org.apache.spark.sql.streaming.MapState[Int, Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[Int, Int]("hll_regs",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[HllSnapshot] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { e =>
+        md.reset()
+        val h = md.digest(e.user_id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val bucket = Integer.parseInt(h.substring(13, 16), 16) % 64
+        val zeros = h.substring(0, 13).takeWhile(_ == '0').length
+        val rho =
+          if (zeros == 13) 53
+          else zeros * 4 + 1 + (h.charAt(zeros) match {
+            case '1' => 3
+            case '2' | '3' => 2
+            case '4' | '5' | '6' | '7' => 1
+            case _ => 0
+          })
+        val prev = if (regs.containsKey(bucket)) regs.getValue(bucket) else 0
+        if (rho > prev) regs.updateValue(bucket, rho)
+      }
+      var nb = 0L
+      var hit = 0L
+      regs.iterator().foreach { case (_, mj) =>
+        nb += 1; hit += 1L << (53 - mj)
+      }
+      Iterator.single(HllSnapshot(key, nb, hit + (64L - nb) * (1L << 53)))
+    }
+  }
+
+  def hllDistinctTws(events: Dataset[Event]): Dataset[HllSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HllDistinctProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Drive any of the above to an in-memory table and block until the
     * source drains — the test/demo harness path.
     */
