@@ -749,6 +749,26 @@ object Io {
         .orderBy("bucket")
     }),
 
+    // Hilbert-curve layout index (ZOrder's stronger sibling — no quadrant
+    // seams, consecutive indexes always grid neighbors): the unrolled
+    // state-machine walk as 10 chained codegen projections; bucket
+    // min/max spans of BOTH keys mirror layout_zorder's pruning audit
+    "layout_hilbert" -> ((s, d) => {
+      import graft.operators.Hilbert
+      val li = t(s, d, "lineitem")
+        .selectExpr("l_partkey % 1024 AS px", "l_orderkey % 1024 AS sy")
+      val h = Hilbert.hilbertIndex(li, "px", "sy", bits = 10)
+      val hmax = h.agg(max("h").as("hmax"))
+      h.crossJoin(broadcast(hmax))
+        .withColumn("bucket", expr("h * 8 div (hmax + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("px").as("min_px"), max("px").as("max_px"),
+          min("sy").as("min_sy"), max("sy").as("max_sy"),
+          min("h").as("min_h"), max("h").as("max_h"))
+        .orderBy("bucket")
+    }),
+
     // ---- partitioning surface -------------------------------------------
     "repartition_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -2303,6 +2323,25 @@ object Io {
       """SELECT l_linestatus, count(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    // the identical unrolled walk as chained CTEs (Hilbert.hilbertCtes —
+    // one shared per-level expression source, the ZOrder mask-table rule)
+    "layout_hilbert" -> {
+      val ctes = graft.operators.Hilbert.hilbertCtes(10, "b", Seq("px", "sy"))
+      s"""WITH b AS (SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS sy,
+         |                  CAST(l_partkey % 1024 AS BIGINT) & 1023 AS hx,
+         |                  CAST(l_orderkey % 1024 AS BIGINT) & 1023 AS hy,
+         |                  CAST(0 AS BIGINT) AS hd
+         |           FROM lineitem),
+         |$ctes,
+         |hh AS (SELECT px, sy, hd AS h FROM h10),
+         |m AS (SELECT max(h) AS hmax FROM hh)
+         |SELECT (h * 8) // (hmax + 1) AS bucket, count(*) AS n_rows,
+         |       min(px) AS min_px, max(px) AS max_px,
+         |       min(sy) AS min_sy, max(sy) AS max_sy,
+         |       min(h) AS min_h, max(h) AS max_h
+         |FROM hh CROSS JOIN m GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "skew_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Compact, ZOrder}
+import graft.operators.{Compact, Hilbert, ZOrder}
 
 /** Compact (small-file rewrite) + ZOrder (Morton layout) mechanics.
   * The `sink_compact_small_files` / `layout_zorder` differential entries
@@ -26,6 +26,39 @@ class LayoutOperatorSpec extends SparkSpec {
       val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(z == ZOrder.zvalueRef(a, b), s"interleave($a,$b)")
     }
+  }
+
+  test("hilbertIndex: bijective on the grid, matches the reference loop") {
+    val bits = 4
+    val n = 1 << bits
+    val grid = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val got = Hilbert.hilbertIndex(grid.toDF("x", "y"), "x", "y", bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == Hilbert.hilbertRef(bits, x, y),
+        s"unrolled vs reference at ($x,$y)")
+    }
+    // bijective: all n^2 indexes distinct and exactly 0..n^2-1
+    assert(got.values.toSet == (0L until n.toLong * n).toSet,
+      "Hilbert index must be a bijection on the grid")
+  }
+
+  test("hilbert locality: consecutive indexes are always grid neighbors (z-order is not)") {
+    val bits = 5
+    val n = 1 << bits
+    val byD = (for (x <- 0L until n; y <- 0L until n)
+      yield Hilbert.hilbertRef(bits, x, y) -> ((x, y))).sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d-neighbors ($x1,$y1)->($x2,$y2)")
+    }
+    // the property Morton lacks: its quadrant seams jump
+    val zJumps = (for (x <- 0L until n; y <- 0L until n)
+      yield ZOrder.zvalueRef(x, y) -> ((x, y))).sortBy(_._1).map(_._2)
+      .sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+      }
+    assert(zJumps > 0, "sanity: Morton should have seam jumps")
   }
 
   test("zvalue is monotone on each dimension within the other fixed") {
