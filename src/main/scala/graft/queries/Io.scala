@@ -749,6 +749,28 @@ object Io {
         .orderBy("bucket")
     }),
 
+    // SQL-defined functions (Spark 4): a scalar UDF (CREATE TEMPORARY
+    // FUNCTION ... RETURN expr) and a TABLE function, both consumed by
+    // one aggregate — the catalog-function surface; the optimizer
+    // INLINES the bodies, so the oracle replays the inlined SQL
+    "sql_udf" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc(p DOUBLE, disc DOUBLE)
+               RETURNS DECIMAL(26,4)
+               RETURN CAST(p AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(disc AS DECIMAL(4,2)))""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(minp DOUBLE)
+               RETURNS TABLE(o_orderkey BIGINT, o_orderstatus STRING)
+               RETURN SELECT o_orderkey, o_orderstatus FROM orders
+                      WHERE o_totalprice > minp""")
+      s.sql("""SELECT l.l_returnflag, b.o_orderstatus, count(*) AS n,
+                      CAST(SUM(graft_disc(l.l_extendedprice, l.l_discount))
+                           AS DOUBLE) AS disc_total
+               FROM lineitem l
+               JOIN graft_big_orders(150000.0) b ON l.l_orderkey = b.o_orderkey
+               GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
     // Hilbert-curve layout index (ZOrder's stronger sibling — no quadrant
     // seams, consecutive indexes always grid neighbors): the unrolled
     // state-machine walk as 10 chained codegen projections; bucket
@@ -2323,6 +2345,19 @@ object Io {
       """SELECT l_linestatus, count(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    // the two function bodies inlined by hand — what Spark's optimizer
+    // does mechanically
+    "sql_udf" ->
+      """SELECT l.l_returnflag, o.o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(4,2))
+        |                   - CAST(l.l_discount AS DECIMAL(4,2))))
+        |            AS DOUBLE) AS disc_total
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 150000.0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the identical unrolled walk as chained CTEs (Hilbert.hilbertCtes —
     // one shared per-level expression source, the ZOrder mask-table rule)

@@ -430,6 +430,38 @@ object Relational {
       FROM w WHERE rn >= 5
       ORDER BY user_id, event_id""",
 
+    // interval-union coverage (the sweep-line classic): per user, total
+    // time covered by overlapping 10-minute activity windows — merged
+    // segments found by comparing each start to the running max of all
+    // PRIOR ends (never a self-join), segment ids by prefix sum, span =
+    // max(e)−min(s) per segment (gap-free within a merged segment by
+    // construction). Exact integer micros end-to-end; per-user window
+    // partitions
+    "ts_interval_union" -> """
+      WITH iv AS (SELECT user_id, event_id, unix_micros(ts) AS s,
+                         unix_micros(ts) + 600000000 AS e
+                  FROM events WHERE user_id < 60),
+      m AS (SELECT user_id, event_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+            FROM iv),
+      g AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END AS new_seg
+            FROM m),
+      seg AS (SELECT *, SUM(new_seg) OVER (PARTITION BY user_id
+                          ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS seg_id
+              FROM g),
+      spans AS (SELECT user_id, seg_id, max(e) - min(s) AS span_us,
+                       count(*) AS n_iv
+                FROM seg GROUP BY user_id, seg_id)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(SUM(span_us) AS BIGINT) AS covered_us,
+             CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+      FROM spans GROUP BY user_id ORDER BY user_id""",
+
     // dynamic SQL surface: EXECUTE IMMEDIATE compiles a query literal at
     // runtime with a positional USING parameter — the programmatic-SQL
     // escape hatch (Spark 4); the oracle runs the resolved statement
@@ -696,6 +728,33 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // identical sweep, DuckDB's epoch_us for Spark's unix_micros
+    "ts_interval_union" -> """
+      WITH iv AS (SELECT user_id, event_id,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                         epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+                  FROM events WHERE user_id < 60),
+      m AS (SELECT user_id, event_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+            FROM iv),
+      g AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END AS new_seg
+            FROM m),
+      seg AS (SELECT *, SUM(new_seg) OVER (PARTITION BY user_id
+                          ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS seg_id
+              FROM g),
+      spans AS (SELECT user_id, seg_id, max(e) - min(s) AS span_us,
+                       count(*) AS n_iv
+                FROM seg GROUP BY user_id, seg_id)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(SUM(span_us) AS BIGINT) AS covered_us,
+             CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+      FROM spans GROUP BY user_id ORDER BY user_id""",
+
     // the same frame collected via DuckDB's list window + list_sort —
     // identical multiset, identical middle pick
     "ts_rolling_median" -> """
