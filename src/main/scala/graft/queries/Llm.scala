@@ -924,6 +924,33 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // embedding-table data-quality profile in ONE scan: count, zero/
+    // short vectors, exact norm² extremes and corpus mean — the vector
+    // twin of qc_column_profile (a corrupted export shows up as zero
+    // vectors, NaN components or a collapsed norm distribution before
+    // any ANN index is built). Per-row norm² is a deterministic
+    // left-fold; the corpus SUM rides DECIMAL after a per-row ROUND
+    // (order-free), never a raw double sum
+    "qc_embedding_profile" -> ((s, d) =>
+      emb(s, d)
+        .selectExpr("vec_id", "size(embedding) AS dims",
+          """aggregate(embedding, CAST(0.0 AS DOUBLE),
+            |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+            .stripMargin + " AS n2")
+        .selectExpr("vec_id", "dims",
+          "CAST(ROUND(n2, 6) AS DECIMAL(18,6)) AS n2d",
+          "CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END AS is_zero",
+          "CASE WHEN isnan(n2) THEN 1 ELSE 0 END AS is_nan")
+        .groupBy("dims")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("is_zero").cast("long").as("n_zero"),
+          sum("is_nan").cast("long").as("n_nan"),
+          expr("CAST(min(n2d) AS DOUBLE)").as("min_norm2"),
+          expr("CAST(max(n2d) AS DOUBLE)").as("max_norm2"),
+          expr("CAST(ROUND(CAST(SUM(n2d) AS DOUBLE) / count(1), 6) AS DOUBLE)")
+            .as("mean_norm2"))
+        .orderBy("dims")),
+
     // pairwise source-vocabulary overlap by HLL inclusion-exclusion:
     // union sketch = bucketwise register max, ONE token scan then
     // |sources|x64 integer arithmetic — "which crawls duplicate each
@@ -2789,6 +2816,28 @@ object Llm {
          |FROM hk h LEFT JOIN ex e
          |  ON h.probe_id = e.probe_id AND h.cand_id = e.cand_id
          |ORDER BY h.probe_id, h.rank""".stripMargin,
+
+    // the same left-fold norm² (list_reduce == aggregate), the same
+    // per-row ROUND→DECIMAL before any cross-row sum
+    "qc_embedding_profile" ->
+      """WITH n AS (SELECT vec_id, len(embedding) AS dims,
+        |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                    list_transform(embedding,
+        |                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |                    (a, b) -> a + b) AS n2
+        |           FROM embeddings),
+        |p AS (SELECT vec_id, dims,
+        |             CAST(ROUND(n2, 6) AS DECIMAL(18,6)) AS n2d,
+        |             CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END AS is_zero,
+        |             CASE WHEN isnan(n2) THEN 1 ELSE 0 END AS is_nan
+        |      FROM n)
+        |SELECT CAST(dims AS INT) AS dims, count(*) AS n_vecs,
+        |       CAST(SUM(is_zero) AS BIGINT) AS n_zero,
+        |       CAST(SUM(is_nan) AS BIGINT) AS n_nan,
+        |       CAST(min(n2d) AS DOUBLE) AS min_norm2,
+        |       CAST(max(n2d) AS DOUBLE) AS max_norm2,
+        |       CAST(ROUND(CAST(SUM(n2d) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_norm2
+        |FROM p GROUP BY dims ORDER BY dims""".stripMargin,
 
     // the llm_sketch_merge register pipeline extended to DENSE per-source
     // registers, pairwise bucket-max unions and the same single-division

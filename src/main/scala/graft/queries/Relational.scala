@@ -430,6 +430,28 @@ object Relational {
       FROM w WHERE rn >= 5
       ORDER BY user_id, event_id""",
 
+    // MAP lambda-function surface: map_from_arrays / transform_values /
+    // map_filter / map_values plus zip_with — the map-typed half of the
+    // higher-order family (fn_collection_surface covers the array half).
+    // All-integer lambda arithmetic; the oracle recomputes each result
+    // FLAT from the generating lists (DuckDB has no map lambdas — the
+    // semantics, not the operators, are what must agree)
+    "fn_map_lambda_surface" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                        sequence(1, 1 + l_linenumber) AS arr
+                 FROM lineitem WHERE l_orderkey < 1000),
+      m AS (SELECT l_orderkey, l_linenumber, arr,
+                   map_from_arrays(arr,
+                     transform(arr, x -> (x * l_partkey) % 97)) AS mp
+            FROM b)
+      SELECT l_orderkey, l_linenumber,
+             CAST(aggregate(map_values(transform_values(mp, (k, v) -> v * 2)),
+                            0L, (a, x) -> a + x) AS BIGINT) AS mv_sum,
+             CAST(size(map_filter(mp, (k, v) -> k % 2 = 0)) AS INT) AS mk_even,
+             CAST(aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b),
+                            0L, (acc, x) -> acc + x) AS BIGINT) AS zip_dot
+      FROM m ORDER BY l_orderkey, l_linenumber""",
+
     // interval-union coverage (the sweep-line classic): per user, total
     // time covered by overlapping 10-minute activity windows — merged
     // segments found by comparing each start to the running max of all
@@ -728,6 +750,22 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // each map-lambda result recomputed flat from the generating list
+    "fn_map_lambda_surface" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                        generate_series(1, 1 + l_linenumber) AS arr
+                 FROM lineitem WHERE l_orderkey < 1000)
+      SELECT l_orderkey, l_linenumber,
+             CAST(list_reduce(list_prepend(0,
+                    list_transform(arr, x -> 2 * ((x * l_partkey) % 97))),
+                    (a, x) -> a + x) AS BIGINT) AS mv_sum,
+             CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS mk_even,
+             CAST(list_reduce(list_prepend(0,
+                    list_transform(generate_series(1, len(arr)),
+                      i -> arr[i] * arr[len(arr) + 1 - i])),
+                    (a, x) -> a + x) AS BIGINT) AS zip_dot
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+
     // identical sweep, DuckDB's epoch_us for Spark's unix_micros
     "ts_interval_union" -> """
       WITH iv AS (SELECT user_id, event_id,

@@ -90,6 +90,12 @@ class PlanShapeSpec extends SparkSpec {
       s"the lexical top-50 must be a TakeOrdered, not a full sort+limit:\n$plan")
   }
 
+  test("sql_udf: SQL function bodies inline — no UDF call survives in the plan") {
+    val plan = staticPlan(SparkEntry.queries("sql_udf")(spark, sfSmoke))
+    assert(!plan.contains("graft_disc") && !plan.contains("graft_big_orders"),
+      s"SQL UDF bodies must inline into the plan:\n$plan")
+  }
+
   test("er_blocked_link: candidates from the block equi-join, never all-pairs") {
     val plan = staticPlan(SparkEntry.queries("er_blocked_link")(spark, sfSmoke))
     assert(!plan.contains("CartesianProduct") &&
