@@ -76,6 +76,32 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // market-basket association (support + lift) shared verbatim: orders
+    // are baskets, parts are items; co-occurrence from the within-basket
+    // self-join (a.pk < b.pk — baskets are bounded, so the pair
+    // expansion is per-basket quadratic in a SMALL constant, never a
+    // corpus blowup), lift = n·c(a,b)/(c(a)·c(b)) with exact integer
+    // counts and ONE closing division. The recommendation/affinity
+    // primitive of any analytics engine
+    "agg_basket_lift" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+      n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+      sup AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+      pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS both_c
+                FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2
+                HAVING count(*) >= 3)
+      SELECT p.pk_a, p.pk_b, CAST(p.both_c AS BIGINT) AS both_c,
+             CAST(sa.c AS BIGINT) AS c_a, CAST(sb.c AS BIGINT) AS c_b,
+             CAST(ROUND(CAST(p.both_c * n.n_orders AS DOUBLE)
+                        / CAST(sa.c * sb.c AS DOUBLE), 6) AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN sup sa ON sa.pk = p.pk_a
+      JOIN sup sb ON sb.pk = p.pk_b
+      CROSS JOIN n
+      ORDER BY pk_a, pk_b""",
+
     // Holt linear-trend forecast as a DRIVER-UNROLLED linear filter
     // (operators/Forecast.scala): the α=β=1/2 recurrence over each
     // user's last 8 observations is linear, so level/trend/forecast are
@@ -430,6 +456,23 @@ object Relational {
       FROM w WHERE rn >= 5
       ORDER BY user_id, event_id""",
 
+    // last-touch attribution: each purchase credited to the user's most
+    // recent preceding non-purchase event — IGNORE-NULLS last_value over
+    // the per-user timeline (per-key partitions, no self-join); the
+    // conversion-credit primitive of event analytics
+    "ts_attribution" -> """
+      WITH m AS (SELECT user_id, event_type,
+                        last_value(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END, true)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS last_touch
+                 FROM events)
+      SELECT coalesce(last_touch, 'none') AS channel,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM m WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel""",
+
     // MAP lambda-function surface: map_from_arrays / transform_values /
     // map_filter / map_values plus zip_with — the map-typed half of the
     // higher-order family (fn_collection_surface covers the array half).
@@ -750,6 +793,21 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // DuckDB spells ignore-nulls inside the call
+    "ts_attribution" -> """
+      WITH m AS (SELECT user_id, event_type,
+                        last_value(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS)
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS last_touch
+                 FROM events)
+      SELECT coalesce(last_touch, 'none') AS channel,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM m WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel""",
+
     // each map-lambda result recomputed flat from the generating list
     "fn_map_lambda_surface" -> """
       WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
