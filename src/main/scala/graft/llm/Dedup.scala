@@ -1182,6 +1182,38 @@ object Dedup {
       .agg(count(lit(1)).as("degree"))
   }
 
+  /** Link prediction by common-neighbor count (the simplest principled
+    * scorer — Liben-Nowell & Kleinberg 2003): for every NON-adjacent doc
+    * pair two hops apart in the candidate-pair graph, how many shared
+    * neighbors connect them. On a near-dup graph this surfaces "probable
+    * duplicates the banding missed": two docs each near-identical to the
+    * same third documents almost certainly match each other.
+    *
+    * One wedge self-join on the shared middle (the [[dupTriangles]]
+    * shape — work ∝ Σ deg², bounded by the same front-collapse rule) +
+    * one integer count + one anti-join against the existing edge set;
+    * log-free on purpose (Adamic–Adar's 1/log(deg) weights die at the
+    * cross-engine gate — counts and min-degree carry the same ranking
+    * signal exactly).
+    */
+  def linkPredict(pairs: DataFrame, minCommon: Long = 2): DataFrame = {
+    val und = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val wedges = sym.select(col("src").as("u"), col("dst").as("m"))
+      .join(sym.select(col("src").as("m"), col("dst").as("w")), Seq("m"))
+      .where(col("u") < col("w"))
+      .groupBy(col("u").as("doc_a"), col("w").as("doc_b"))
+      .agg(count(lit(1)).as("common_cnt"))
+      .where(col("common_cnt") >= minCommon)
+    wedges.join(und.select(col("a").as("doc_a"), col("b").as("doc_b")),
+      Seq("doc_a", "doc_b"), "left_anti")
+  }
+
   /** Corpus-source similarity via group-level MinHash: which crawls / dumps
     * / sources substantially duplicate each other, answered WITHOUT ever
     * comparing documents.

@@ -364,6 +364,23 @@ object Llm {
       Dedup.kCore(pairs, k = 2, rounds = 3).orderBy("doc_id")
     }),
 
+    // link prediction by common-neighbor count: non-adjacent pairs two
+    // hops apart in the co-purchase graph (basket pairs bought together
+    // >= 3 times) — wedge join + adjacency anti-join, log-free on
+    // purpose. The co-purchase graph, not the near-dup one: duplicate
+    // clusters are complete cliques (every 2-hop pair already adjacent),
+    // so an open wedge cannot exist there by construction
+    "llm_link_predict" -> ((s, d) => {
+      val items = Tables.load(s, d, "lineitem")
+        .selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct()
+      val edges = items.as("x")
+        .join(items.as("y"), expr("x.ok = y.ok AND x.pk < y.pk"))
+        .selectExpr("x.pk AS doc_a", "y.pk AS doc_b")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 3).select("doc_a", "doc_b")
+      Dedup.linkPredict(edges, minCommon = 1).orderBy("doc_a", "doc_b")
+    }),
+
     // the full pipeline with transitive-closure semantics: only each
     // duplicate component's minimum doc_id survives (vs dedupe()'s
     // documented one-pass greedy rule)
@@ -1830,6 +1847,25 @@ object Llm {
          |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
          |SELECT doc_id, min(lab) AS cluster_rep FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same wedge join + adjacency anti-join over the replayed
+    // co-purchase edge set
+    "llm_link_predict" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |und AS (SELECT a.pk AS a, b.pk AS b
+        |        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS src, b AS dst FROM und
+        |        UNION SELECT b, a FROM und),
+        |wg AS (SELECT e1.src AS u, e2.dst AS w, count(*) AS common_cnt
+        |       FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+        |       WHERE e1.src < e2.dst
+        |       GROUP BY 1, 2 HAVING count(*) >= 1)
+        |SELECT wg.u AS doc_a, wg.w AS doc_b,
+        |       CAST(common_cnt AS BIGINT) AS common_cnt
+        |FROM wg ANTI JOIN und ON wg.u = und.a AND wg.w = und.b
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the three peel rounds replayed as chained CTEs — a wrong degree
     // count, a one-sided endpoint filter, or an extra/missing round all

@@ -456,6 +456,24 @@ object Relational {
       FROM w WHERE rn >= 5
       ORDER BY user_id, event_id""",
 
+    // rolling 7-day distinct users per event type (the WAU/MAU family):
+    // EXACT trailing-window distinct — not expressible as a window
+    // aggregate, so it joins the day-level (type, day, user) DISTINCT
+    // pre-aggregate to the tiny (type, day) spine over a 7-day band and
+    // re-distincts. Work ∝ active-days × 7, never events × 7; the spine
+    // broadcasts
+    "ts_rolling_distinct" -> """
+      WITH du AS (SELECT DISTINCT event_type,
+                         CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+                  FROM events),
+      days AS (SELECT DISTINCT event_type, day FROM du)
+      SELECT d.event_type, d.day,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+      FROM days d JOIN du u
+        ON u.event_type = d.event_type
+       AND u.day BETWEEN date_sub(d.day, 6) AND d.day
+      GROUP BY 1, 2 ORDER BY event_type, day""",
+
     // last-touch attribution: each purchase credited to the user's most
     // recent preceding non-purchase event — IGNORE-NULLS last_value over
     // the per-user timeline (per-key partitions, no self-join); the
@@ -793,6 +811,20 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // DuckDB spells the date band with plain integer day arithmetic
+    "ts_rolling_distinct" -> """
+      WITH du AS (SELECT DISTINCT event_type,
+                         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                         user_id
+                  FROM events),
+      days AS (SELECT DISTINCT event_type, day FROM du)
+      SELECT d.event_type, d.day,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+      FROM days d JOIN du u
+        ON u.event_type = d.event_type
+       AND u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // DuckDB spells ignore-nulls inside the call
     "ts_attribution" -> """
       WITH m AS (SELECT user_id, event_type,

@@ -1143,6 +1143,18 @@ class LlmOperatorSpec extends SparkSpec {
     assert(one == Seq((2L, 2L, 2L)), s"got $one")
   }
 
+  test("linkPredict: open wedges only — closed triangles predict nothing") {
+    import spark.implicits._
+    // path 1-2-3 (open wedge at (1,3)); triangle 4-5-6 (all closed);
+    // star 7-{8,9,10} (three open wedges among leaves)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (7L, 9L), (7L, 10L)).toDF("doc_a", "doc_b")
+    val got = Dedup.linkPredict(pairs, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 1L), (8L, 9L, 1L), (8L, 10L, 1L),
+      (9L, 10L, 1L)), s"got $got")
+  }
+
   test("kCore: triangle survives k=2 peeling, pendants and pairs dissolve") {
     import spark.implicits._
     // triangle 1-2-3, pendant 3-4, isolated pair 5-6
