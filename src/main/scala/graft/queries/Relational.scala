@@ -76,6 +76,106 @@ object Relational {
       FROM l WHERE rn > 4
       ORDER BY user_id, event_id""",
 
+    // EXACT two-sample Kolmogorov–Smirnov D (distribution-shift gate —
+    // the drift alarm between two arms/corpus versions) shared verbatim:
+    // D = max|F1−F2| evaluated on the distinct-value histogram with the
+    // supremum taken over CROSS-MULTIPLIED integers (|c1·n2 − c2·n1| —
+    // no per-value division, so the max is exact), ONE closing division.
+    // Same histogram-window machinery as agg_mann_whitney
+    "agg_ks_test" -> """
+      WITH vals AS (SELECT o_orderstatus AS st,
+                           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+                    FROM orders
+                    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      h AS (SELECT st, v,
+                   CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(SUM(1 - ia) AS BIGINT) AS cb
+            FROM vals GROUP BY st, v),
+      c AS (SELECT st, v, ca, cb,
+                   CAST(SUM(ca) OVER w AS BIGINT) AS cum1,
+                   CAST(SUM(cb) OVER w AS BIGINT) AS cum2
+            FROM h
+            WINDOW w AS (PARTITION BY st ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      n AS (SELECT st, CAST(SUM(ca) AS BIGINT) AS n1,
+                   CAST(SUM(cb) AS BIGINT) AS n2
+            FROM h GROUP BY st),
+      d AS (SELECT c.st, n.n1, n.n2,
+                   CAST(MAX(ABS(c.cum1 * n.n2 - c.cum2 * n.n1)) AS BIGINT) AS dnum
+            FROM c JOIN n ON c.st = n.st
+            GROUP BY c.st, n.n1, n.n2)
+      SELECT st AS o_orderstatus, n1, n2, dnum,
+             CAST(ROUND(CAST(dnum AS DOUBLE)
+                        / CAST(n1 * n2 AS DOUBLE), 6) AS DOUBLE) AS ks_d
+      FROM d WHERE n1 > 0 AND n2 > 0
+      ORDER BY o_orderstatus""",
+
+    // chi-square INDEPENDENCE test on the status × priority contingency
+    // table, shared verbatim: observed counts and row/col marginals are
+    // exact integers, each cell's term (o − r·c/n)²/(r·c/n) reduces to
+    // (o·n − r·c)² / (r·c·n) — numerator an exact integer product
+    // (DECIMAL(38,0) headroom), ONE division per cell, per-cell output
+    // (cross-cell sums would fold in aggregation order)
+    "agg_chi2_independence" -> """
+      WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                        count(*) AS obs
+                 FROM orders GROUP BY 1, 2),
+      r AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY st),
+      c AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY pri),
+      n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nt FROM o)
+      SELECT o.st AS o_orderstatus, o.pri AS o_orderpriority,
+             CAST(o.obs AS BIGINT) AS obs,
+             CAST(ROUND(CAST(r.rt * c.ct AS DOUBLE) / CAST(n.nt AS DOUBLE),
+                  6) AS DOUBLE) AS expected,
+             CAST(ROUND(
+               CAST(CAST(o.obs AS DECIMAL(38,0)) * n.nt
+                    - CAST(r.rt AS DECIMAL(38,0)) * c.ct AS DOUBLE)
+               * CAST(CAST(o.obs AS DECIMAL(38,0)) * n.nt
+                      - CAST(r.rt AS DECIMAL(38,0)) * c.ct AS DOUBLE)
+               / (CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                  * CAST(n.nt AS DOUBLE)), 6) AS DOUBLE) AS chi2_term
+      FROM o JOIN r ON o.st = r.st
+             JOIN c ON o.pri = c.pri
+             CROSS JOIN n
+      ORDER BY o_orderstatus, o_orderpriority""",
+
+    // EXACT distributed Mann–Whitney U (the nonparametric A/B sibling of
+    // agg_ab_welch) shared verbatim: rank sums computed from the
+    // per-distinct-VALUE histogram, never a per-row sort — midranks with
+    // ties carry a /2, so everything is DOUBLED to stay integer
+    // (2·midrank-sum for arm a at value v = ca·(2·cum_before + c + 1));
+    // U2 = 2R1 − n1(n1+1) is an exact BIGINT, and the common-language
+    // effect size AUC = U/(n1·n2) is the single closing division. The
+    // cumulative window runs over the value histogram per status
+    // (histogram-sized partitions, the agg_gini discipline)
+    "agg_mann_whitney" -> """
+      WITH vals AS (SELECT o_orderstatus AS st,
+                           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+                    FROM orders
+                    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      h AS (SELECT st, v,
+                   CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(SUM(1 - ia) AS BIGINT) AS cb
+            FROM vals GROUP BY st, v),
+      c AS (SELECT st, v, ca, cb,
+                   COALESCE(SUM(ca + cb) OVER (PARTITION BY st ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+            FROM h),
+      s AS (SELECT st,
+                   CAST(SUM(ca) AS BIGINT) AS n1,
+                   CAST(SUM(cb) AS BIGINT) AS n2,
+                   CAST(SUM(ca * (2 * cum_before + ca + cb + 1)) AS BIGINT) AS r1_x2
+            FROM c GROUP BY st)
+      SELECT st AS o_orderstatus, n1, n2,
+             CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+             CAST(ROUND(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                        / CAST(2 * n1 * n2 AS DOUBLE), 6) AS DOUBLE) AS auc
+      FROM s WHERE n1 > 0 AND n2 > 0
+      ORDER BY o_orderstatus""",
+
     // market-basket association (support + lift) shared verbatim: orders
     // are baskets, parts are items; co-occurrence from the within-basket
     // self-join (a.pk < b.pk — baskets are bounded, so the pair
