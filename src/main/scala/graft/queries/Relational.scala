@@ -574,6 +574,27 @@ object Relational {
        AND u.day BETWEEN date_sub(d.day, 6) AND d.day
       GROUP BY 1, 2 ORDER BY event_type, day""",
 
+    // longest per-user PURCHASE STREAK (gaps-and-islands): consecutive
+    // purchase events grouped by the row_number-difference trick — two
+    // per-user windows and an integer subtraction, no self-join, no
+    // recursion; the classic engagement/run-length analytic. Shared
+    // verbatim except the ts cast
+    "win_streaks" -> """
+      WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+                 WHERE user_id < 80),
+      r AS (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn_all,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn_type
+            FROM e),
+      isl AS (SELECT user_id, count(*) AS streak
+              FROM r WHERE event_type = 'purchase'
+              GROUP BY user_id, rn_all - rn_type)
+      SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM isl GROUP BY user_id ORDER BY user_id""",
+
     // last-touch attribution: each purchase credited to the user's most
     // recent preceding non-purchase event — IGNORE-NULLS last_value over
     // the per-user timeline (per-key partitions, no self-join); the
@@ -911,6 +932,24 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // identical islands, DuckDB ts cast
+    "win_streaks" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                        event_type
+                 FROM events WHERE user_id < 80),
+      r AS (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn_all,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn_type
+            FROM e),
+      isl AS (SELECT user_id, count(*) AS streak
+              FROM r WHERE event_type = 'purchase'
+              GROUP BY user_id, rn_all - rn_type)
+      SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM isl GROUP BY user_id ORDER BY user_id""",
+
     // DuckDB spells the date band with plain integer day arithmetic
     "ts_rolling_distinct" -> """
       WITH du AS (SELECT DISTINCT event_type,
