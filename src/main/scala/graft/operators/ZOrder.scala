@@ -88,4 +88,51 @@ object ZOrder {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Standard geohash alphabet (no a/i/l/o). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** 6-character geohash from integer CENTI-degree coordinates — geohash
+    * IS a Morton code in base32 dress (lon bit leads), so this reuses the
+    * same mask-table interleave: 15 quantization bits per axis = 30 bits
+    * = 6 base32 chars, and everything stays exact-integer until the
+    * substr lookups. Centi-degrees in, so the quantization
+    * `(c + offset) · 2^15 div span` is an integer division — no float
+    * rounding can disagree across engines. The geo blocking/clustering
+    * primitive: equal prefixes = nearby cells, so a prefix equi-join is
+    * the spatial candidate generator.
+    */
+  def geohashSql(latCentiCol: String, lonCentiCol: String): String = {
+    val latBits = s"((($latCentiCol) + 9000) * 32768 div 18000)"
+    val lonBits = s"((($lonCentiCol) + 18000) * 32768 div 36000)"
+    // z with lat at even bits, lon at odd → MSB (bit 29) is lon bit 14,
+    // exactly geohash's lon-first bit order
+    val z = zvalueSql(latBits, lonBits)
+    val chars = (0 until 6).map { i =>
+      s"substr('$GeohashAlphabet', CAST((($z) >> ${25 - 5 * i}) & 31 AS INT) + 1, 1)"
+    }
+    chars.mkString("concat(", ", ", ")")
+  }
+
+  /** The same geohash for DuckDB: identical except integer division
+    * spelling (`//` for Spark's `div`).
+    */
+  def geohashDuckSql(latCentiCol: String, lonCentiCol: String): String =
+    geohashSql(latCentiCol, lonCentiCol)
+      .replace(" div 18000", " // 18000")
+      .replace(" div 36000", " // 36000")
+
+  /** Plain-Scala reference for property tests (textbook bit loop). */
+  def geohashRef(latDeg: Double, lonDeg: Double): String = {
+    val lat = ((latDeg + 90.0) / 180.0 * 32768).toLong min 32767
+    val lon = ((lonDeg + 180.0) / 360.0 * 32768).toLong min 32767
+    val bits = (0 until 30).map { i =>
+      // MSB first, lon leads on even sequence positions
+      if (i % 2 == 0) (lon >> (14 - i / 2)) & 1
+      else (lat >> (14 - i / 2)) & 1
+    }
+    bits.grouped(5).map { g =>
+      GeohashAlphabet.charAt(g.foldLeft(0L)((a, b) => a * 2 + b).toInt)
+    }.mkString
+  }
 }

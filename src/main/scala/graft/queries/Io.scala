@@ -749,6 +749,25 @@ object Io {
         .orderBy("bucket")
     }),
 
+    // geohash encode (geohash IS a Morton code in base32 dress — reuses
+    // the ZOrder mask-table interleave, lon bit leading): synthesized
+    // centi-degree points, 6-char cells, prefix-blocked aggregate (equal
+    // prefixes = nearby cells — the spatial candidate generator)
+    "fn_geohash" -> ((s, d) => {
+      Tables.register(s, d)
+      val pts = s.table("customer").selectExpr("c_custkey",
+        "(c_custkey * 7919) % 18000 - 9000 AS lat_c",
+        "(c_custkey * 104729) % 36000 - 18000 AS lon_c")
+      pts
+        .withColumn("geohash",
+          expr(graft.operators.ZOrder.geohashSql("lat_c", "lon_c")))
+        .groupBy(expr("substr(geohash, 1, 2)").as("cell"))
+        .agg(count(lit(1)).as("n_points"),
+          min("c_custkey").as("min_key"),
+          min("geohash").as("min_hash"), max("geohash").as("max_hash"))
+        .orderBy("cell")
+    }),
+
     // SQL-defined functions (Spark 4): a scalar UDF (CREATE TEMPORARY
     // FUNCTION ... RETURN expr) and a TABLE function, both consumed by
     // one aggregate — the catalog-function surface; the optimizer
@@ -2345,6 +2364,20 @@ object Io {
       """SELECT l_linestatus, count(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    // the identical interleave + alphabet lookups, DuckDB's // division
+    "fn_geohash" -> {
+      val gh = graft.operators.ZOrder.geohashDuckSql("lat_c", "lon_c")
+      s"""WITH p AS (SELECT c_custkey,
+         |                  (c_custkey * 7919) % 18000 - 9000 AS lat_c,
+         |                  (c_custkey * 104729) % 36000 - 18000 AS lon_c
+         |           FROM customer),
+         |g AS (SELECT c_custkey, $gh AS geohash FROM p)
+         |SELECT substr(geohash, 1, 2) AS cell, count(*) AS n_points,
+         |       min(c_custkey) AS min_key,
+         |       min(geohash) AS min_hash, max(geohash) AS max_hash
+         |FROM g GROUP BY 1 ORDER BY cell""".stripMargin
+    },
 
     // the two function bodies inlined by hand — what Spark's optimizer
     // does mechanically

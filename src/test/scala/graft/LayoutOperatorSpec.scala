@@ -28,6 +28,23 @@ class LayoutOperatorSpec extends SparkSpec {
     }
   }
 
+  test("geohash: canonical vector and SQL-vs-reference agreement") {
+    // the textbook example: geohash(57.64911, 10.40744) = u4pruy
+    assert(ZOrder.geohashRef(57.64911, 10.40744) == "u4pruy")
+    assert(ZOrder.geohashRef(0.0, 0.0).startsWith("s00"))
+    // the SQL expression (centi-degree integer path) matches the
+    // reference loop on centi-degree-exact coordinates
+    val pts = Seq((5764L, 1040L), (0L, 0L), (-9000L, -18000L),
+      (8999L, 17999L), (4075L, -7400L))
+    val got = pts.toDF("lat_c", "lon_c")
+      .selectExpr(s"${ZOrder.geohashSql("lat_c", "lon_c")} AS gh")
+      .collect().map(_.getString(0))
+    val want = pts.map { case (la, lo) =>
+      ZOrder.geohashRef(la / 100.0, lo / 100.0)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
   test("hilbertIndex: bijective on the grid, matches the reference loop") {
     val bits = 4
     val n = 1 << bits
