@@ -749,6 +749,34 @@ object Io {
         .orderBy("bucket")
     }),
 
+    // spatial proximity join via CELL-NEIGHBORHOOD blocking (the geo
+    // twin of the binned range join): one side explodes to its 3×3
+    // neighbor cells, the other keeps its home cell, so every candidate
+    // pair meets EXACTLY once (at the plain side's cell — no dedup
+    // pass); residual = the exact integer centi-degree box. Never an
+    // all-pairs NLJ: work ∝ points × 9 + per-cell density²
+    "join_geo_box" -> ((s, d) => {
+      Tables.register(s, d)
+      val pts = s.table("customer").selectExpr("c_custkey AS id",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 18000 - 9000 AS lat_c",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10) AS BIGINT) % 36000 - 18000 AS lon_c")
+      val a = pts.selectExpr("id AS a_id", "lat_c AS a_lat", "lon_c AS a_lon",
+          "lat_c div 100 AS clat", "lon_c div 100 AS clon")
+        .withColumn("dlat", explode(expr("sequence(-1, 1)")))
+        .withColumn("dlon", explode(expr("sequence(-1, 1)")))
+        .selectExpr("a_id", "a_lat", "a_lon",
+          "clat + dlat AS clat", "clon + dlon AS clon")
+      val b = pts.selectExpr("id AS b_id", "lat_c AS b_lat", "lon_c AS b_lon",
+        "lat_c div 100 AS clat", "lon_c div 100 AS clon")
+      a.join(b, Seq("clat", "clon"))
+        .where(expr("""a_id < b_id
+          | AND abs(a_lat - b_lat) <= 100
+          | AND abs(a_lon - b_lon) <= 100""".stripMargin))
+        .selectExpr("a_id", "b_id",
+          "abs(a_lat - b_lat) AS dlat_c", "abs(a_lon - b_lon) AS dlon_c")
+        .orderBy("a_id", "b_id")
+    }),
+
     // geohash encode (geohash IS a Morton code in base32 dress — reuses
     // the ZOrder mask-table interleave, lon bit leading): synthesized
     // centi-degree points, 6-char cells, prefix-blocked aggregate (equal
@@ -2364,6 +2392,22 @@ object Io {
       """SELECT l_linestatus, count(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    // the flat box inequality join — a blocking bug (pair met twice or
+    // missed at a cell edge) changes the multiset
+    "join_geo_box" -> """
+      WITH p AS (SELECT c_custkey AS id,
+                        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 18000 - 9000 AS lat_c,
+                        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT % 36000 - 18000 AS lon_c
+                 FROM customer)
+      SELECT a.id AS a_id, b.id AS b_id,
+             abs(a.lat_c - b.lat_c) AS dlat_c,
+             abs(a.lon_c - b.lon_c) AS dlon_c
+      FROM p a JOIN p b
+        ON a.id < b.id
+       AND abs(a.lat_c - b.lat_c) <= 100
+       AND abs(a.lon_c - b.lon_c) <= 100
+      ORDER BY a_id, b_id""",
 
     // the identical interleave + alphabet lookups, DuckDB's // division
     "fn_geohash" -> {

@@ -96,6 +96,13 @@ class PlanShapeSpec extends SparkSpec {
       s"SQL UDF bodies must inline into the plan:\n$plan")
   }
 
+  test("join_geo_box: cell-neighborhood equi-join, never an all-pairs NLJ") {
+    val plan = staticPlan(SparkEntry.queries("join_geo_box")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial candidates must come from the cell equi-join:\n$plan")
+  }
+
   test("er_blocked_link: candidates from the block equi-join, never all-pairs") {
     val plan = staticPlan(SparkEntry.queries("er_blocked_link")(spark, sfSmoke))
     assert(!plan.contains("CartesianProduct") &&
