@@ -556,6 +556,18 @@ object Relational {
       FROM w WHERE rn >= 5
       ORDER BY user_id, event_id""",
 
+    // cryptographic-hash function surface (DuckDB has no sha1 — md5 and
+    // sha-256 are the shared set): hex digests + the house 60-bit
+    // digest-prefix integer derivation, the content-addressing
+    // primitives every fingerprint in this repo rides
+    "fn_hash_surface" -> """
+      SELECT c_custkey,
+             md5(c_name) AS h_md5,
+             sha2(c_name, 256) AS h_sha256,
+             CAST(conv(substr(md5(c_name), 1, 15), 16, 10) AS BIGINT) AS h_int60
+      FROM customer WHERE c_custkey < 200
+      ORDER BY c_custkey""",
+
     // rolling 7-day distinct users per event type (the WAU/MAU family):
     // EXACT trailing-window distinct — not expressible as a window
     // aggregate, so it joins the day-level (type, day, user) DISTINCT
@@ -932,6 +944,15 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // DuckDB's sha256/hex-cast spellings
+    "fn_hash_surface" -> """
+      SELECT c_custkey,
+             md5(c_name) AS h_md5,
+             sha256(c_name) AS h_sha256,
+             ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS h_int60
+      FROM customer WHERE c_custkey < 200
+      ORDER BY c_custkey""",
+
     // identical islands, DuckDB ts cast
     "win_streaks" -> """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

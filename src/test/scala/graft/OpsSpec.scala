@@ -150,6 +150,41 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 3)), s"got $got")
   }
 
+  test("incrementalJoin converges under chained random delta batches") {
+    val rnd = new scala.util.Random(13)
+    // 40 facts over 12 dims; three successive upsert rounds touching
+    // random key subsets on both sides
+    var fact = Seq.tabulate(40)(i =>
+      (i.toLong, (i % 12).toLong, i * 1.0)).toSeq
+    var dim = Seq.tabulate(12)(j => (j.toLong, s"seg$j"))
+    def fdf(f: Seq[(Long, Long, Double)]) = f.toDF("fk", "ck", "amt")
+    def ddf(dd: Seq[(Long, String)]) = dd.toDF("dk", "seg")
+    def full(f: Seq[(Long, Long, Double)], dd: Seq[(Long, String)]) =
+      fdf(f).join(ddf(dd), col("ck") === col("dk"))
+        .select("fk", "ck", "amt", "seg")
+    var view = full(fact, dim)
+    (1 to 3).foreach { round =>
+      val fKeys = (0 until 40).filter(_ => rnd.nextDouble() < 0.3)
+        .map(_.toLong) :+ (40L + round) // updates + one insert
+      val dKeys = (0 until 12).filter(_ => rnd.nextDouble() < 0.25).map(_.toLong)
+      fact = fact.filterNot(r => fKeys.contains(r._1)) ++
+        fKeys.map(k => (k, (k % 12), k * 10.0 + round))
+      dim = dim.map { case (k, s) =>
+        if (dKeys.contains(k)) (k, s"$s-r$round") else (k, s)
+      }
+      view = Cdc.incrementalJoin(view, fdf(fact), ddf(dim),
+        factDeltaKeys = fKeys.toDF("fk"), dimDeltaKeys = dKeys.toDF("dk"),
+        factKey = "fk", fkCol = "ck", dimKey = "dk")
+      val got = view.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSet
+      val want = full(fact, dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSet
+      assert(got == want, s"round $round diverged from the full recompute")
+    }
+  }
+
   test("holtCoefficients: unrolled dot product reproduces the recurrence") {
     val n = 8
     val (cl, cb, cf, den) = Forecast.holtCoefficients(n)
