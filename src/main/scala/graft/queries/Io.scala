@@ -749,6 +749,36 @@ object Io {
         .orderBy("bucket")
     }),
 
+    // LINEAR multi-touch attribution: each purchase's credit split 1/n
+    // across the same user's touches in the preceding 2 hours — the
+    // lookback is the binned point-in-interval join (touch = point,
+    // purchase = [ts-2h, ts) interval; exactly-once by bin ownership,
+    // never an NLJ), per-touch credit is ONE division rounded to 6 and
+    // summed on DECIMAL (order-free). The fractional-credit sibling of
+    // ts_attribution's last-touch rule
+    "ts_attribution_linear" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val touches = ev.where("event_type <> 'purchase'")
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"))
+      val purchases = ev.where("event_type = 'purchase'")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          expr("ts - INTERVAL 2 HOURS").as("w_start"), col("ts").as("w_end"))
+      val pairs = graft.operators.RangeJoin.pointInInterval(
+          touches, "t_ts", purchases, "w_start", "w_end", binSeconds = 7200L)
+        .where(col("t_user") === col("p_user"))
+      // n per purchase via a whole-partition window (purchase-bounded
+      // partitions) — no second join, one shuffle on p_id
+      pairs
+        .withColumn("n_touches", expr("count(1) OVER (PARTITION BY p_id)"))
+        .withColumn("credit",
+          expr("CAST(ROUND(CAST(1.0 AS DOUBLE) / n_touches, 6) AS DECIMAL(16,6))"))
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_touch_events"),
+          expr("CAST(SUM(credit) AS DOUBLE)").as("credit_sum"))
+        .orderBy("touch_type")
+    }),
+
     // spatial proximity join via CELL-NEIGHBORHOOD blocking (the geo
     // twin of the binned range join): one side explodes to its 3×3
     // neighbor cells, the other keeps its home cell, so every candidate
@@ -2392,6 +2422,26 @@ object Io {
       """SELECT l_linestatus, count(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    // the flat lookback join + the same rounded 1/n credit on DECIMAL
+    "ts_attribution_linear" -> """
+      WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                 FROM events WHERE event_type <> 'purchase'),
+      p AS (SELECT event_id AS p_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS w_end,
+                   CAST(ts AS TIMESTAMP) - INTERVAL 2 HOUR AS w_start
+            FROM events WHERE event_type = 'purchase'),
+      pairs AS (SELECT p.p_id, t.event_type AS touch_type
+                FROM t JOIN p ON t.user_id = p.user_id
+                              AND t.ts >= p.w_start AND t.ts < p.w_end),
+      c AS (SELECT p_id, touch_type,
+                   CAST(ROUND(CAST(1.0 AS DOUBLE)
+                              / count(*) OVER (PARTITION BY p_id), 6)
+                        AS DECIMAL(16,6)) AS credit
+            FROM pairs)
+      SELECT touch_type, count(*) AS n_touch_events,
+             CAST(SUM(credit) AS DOUBLE) AS credit_sum
+      FROM c GROUP BY 1 ORDER BY touch_type""",
 
     // the flat box inequality join — a blocking bug (pair met twice or
     // missed at a cell edge) changes the multiset
