@@ -556,6 +556,18 @@ object Relational {
       FROM w WHERE rn >= 5
       ORDER BY user_id, event_id""",
 
+    // ordered string aggregation (Spark 4's listagg WITHIN GROUP): the
+    // report-formatting classic; the ORDER BY inside the aggregate is
+    // total, so the concatenation is deterministic — md5 the long string
+    // at the edge (scalar-output contract)
+    "fn_listagg" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n,
+             md5(listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey)) AS keys_md5
+      FROM orders WHERE o_custkey < 100
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // cryptographic-hash function surface (DuckDB has no sha1 — md5 and
     // sha-256 are the shared set): hex digests + the house 60-bit
     // digest-prefix integer derivation, the content-addressing
@@ -944,6 +956,15 @@ object Relational {
   )
 
   val oracleOnlySql: Map[String, String] = Map(
+    // DuckDB's string_agg with in-call ORDER BY
+    "fn_listagg" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n,
+             md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                 ORDER BY o_orderkey)) AS keys_md5
+      FROM orders WHERE o_custkey < 100
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // DuckDB's sha256/hex-cast spellings
     "fn_hash_surface" -> """
       SELECT c_custkey,
