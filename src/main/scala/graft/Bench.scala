@@ -72,6 +72,20 @@ object Bench {
       val sec =
         try {
           (1 to repeat).map { _ =>
+            // off-the-clock hygiene: localCheckpoint() blocks from PRIOR
+            // entries persist until the driver GC's their RDD references
+            // (ContextCleaner is reference-triggered); across 300+ entries
+            // they accumulate into storage pressure that taxed the late-
+            // alphabet heavies (r12: llm_pipeline_e2e 10.99 s in the full
+            // suite vs 8.37 s solo, zero code change). One entry's leakage
+            // must not be charged to the next, so drop all persisted
+            // blocks before each timed run — entries (re)build their own.
+            // clearCache first: dropping an InMemoryRelation's blocks
+            // behind the CacheManager's back would leave later plans
+            // substituting a cache they must recompute anyway
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9

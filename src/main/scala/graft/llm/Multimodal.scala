@@ -549,7 +549,7 @@ object Multimodal {
                 batchSize: Int = 64): Dataset[SceneCut] = {
     val spark = video.sparkSession
     import spark.implicits._
-    video.flatMap { vb =>
+    video.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { vb =>
       val bytes = vb.avi
       val (width, height, stride, frames) = parseAvi(vb.doc_id, bytes)
       def lumas(base: Int): Array[Long] = {
@@ -579,7 +579,7 @@ object Multimodal {
         SceneCut(vb.doc_id, i + 1, sad,
           sad >= cutMilliLumaPerPx * width * height)
       }
-    }
+    }))
   }
 
   /** A typed multimodal record: opaque payload + metadata. */

@@ -1333,7 +1333,8 @@ object TextAnalysis {
     * blocks); the TARGET sequence is each sentinel followed by the
     * tokens it hid. Sequences leave the operator as md5 fingerprints
     * (+ exact counts) — scalar, order-pinned via doubled positions
-    * (token 2i+1, sentinel 6·block < first hidden token's position), so
+    * (token 2i+1, sentinel 2·blockSize·block < first hidden token's
+    * position), so
     * the oracle rebuilds both strings with string_agg ORDER BY pos.
     * One corpus pass; the only window partitions by doc_id (cluster-
     * scale cardinality).
@@ -1366,16 +1367,16 @@ object TextAnalysis {
       .withColumn("k", dense_rank().over(wk))
       .withColumn("r", row_number().over(wr))
       .withColumn("in_items", expr(
-        """CASE WHEN NOT masked THEN array(struct(2 * i + 1 AS pos, tok AS txt))
-          |     WHEN r = 1 THEN
-          |       array(struct(6 * blk AS pos, concat('<X', k, '>') AS txt))
-          |     ELSE array() END""".stripMargin))
+        s"""CASE WHEN NOT masked THEN array(struct(2 * i + 1 AS pos, tok AS txt))
+           |     WHEN r = 1 THEN
+           |       array(struct(${2 * blockSize} * blk AS pos, concat('<X', k, '>') AS txt))
+           |     ELSE array() END""".stripMargin))
       .withColumn("tg_items", expr(
-        """CASE WHEN masked AND r = 1 THEN
-          |       array(struct(6 * blk AS pos, concat('<X', k, '>') AS txt),
-          |             struct(2 * i + 1 AS pos, tok AS txt))
-          |     WHEN masked THEN array(struct(2 * i + 1 AS pos, tok AS txt))
-          |     ELSE array() END""".stripMargin))
+        s"""CASE WHEN masked AND r = 1 THEN
+           |       array(struct(${2 * blockSize} * blk AS pos, concat('<X', k, '>') AS txt),
+           |             struct(2 * i + 1 AS pos, tok AS txt))
+           |     WHEN masked THEN array(struct(2 * i + 1 AS pos, tok AS txt))
+           |     ELSE array() END""".stripMargin))
     def fp(c: String) = expr(
       s"""md5(array_join(transform(array_sort(flatten(collect_list($c))),
          |  s -> s.txt), ' '))""".stripMargin)

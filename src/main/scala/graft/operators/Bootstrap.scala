@@ -34,12 +34,29 @@ object Bootstrap {
     probs.scanLeft(0.0)(_ + _).drop(1)
   }
 
+  /** Symmetric order-statistic CI indices for `replicas` sorted replica
+    * means: (lo, hi) with lo = ceil(replicas·3/16) (so 16 → (3, 14), the
+    * 75% percentile interval) and hi = replicas + 1 − lo — derived, never
+    * hardcoded, so ci_lo < ci_hi holds for every legal replica count.
+    */
+  def ciIndices(replicas: Int): (Int, Int) = {
+    require(replicas >= 4, "need >= 4 replicas")
+    val lo = math.max(1, math.ceil(replicas * 3.0 / 16).toInt)
+    (lo, replicas + 1 - lo)
+  }
+
   /** Per-group bootstrap CI of the mean of `valueCents` (an exact-integer
     * column, e.g. money in cents): B=16 Poisson replicas, each replica's
-    * mean one IEEE division, CI = the 3rd/14th order statistics of the 16
-    * sorted replica means (a 75% percentile interval). Output: group
-    * cols, n, mean (exact-sum point estimate), ci_lo, ci_hi — all means
-    * scaled by `scaleDiv` (100 for cents → currency units).
+    * mean one IEEE division, CI = the [[ciIndices]] order statistics of
+    * the sorted replica means (16 → 3rd/14th, a 75% percentile interval).
+    * Output: group cols, n, mean (exact-sum point estimate), ci_lo,
+    * ci_hi — all means scaled by `scaleDiv` (100 for cents → currency
+    * units). A replica whose every draw is 0 has no mean: both engines
+    * FILTER the NULL replica mean before sorting (Spark's collect_list
+    * drops nulls silently; DuckDB's list() keeps them — the explicit
+    * filter pins identical order statistics), and the order-statistic
+    * lookup is try_element_at so a shrunken array yields NULL bounds in
+    * both engines instead of an ANSI error.
     */
   def poissonMeanCI(df: DataFrame, groupCols: Seq[String], valueCents: String,
                     idCol: String, seed: String, replicas: Int = 16,
@@ -65,6 +82,7 @@ object Bootstrap {
       .agg(sum(col("__w")).as("__nb"), sum(col("__w") * col("__v")).as("__sb"))
       .withColumn("__m", expr(
         s"CAST(ROUND(CAST(__sb AS DOUBLE) / NULLIF(__nb, 0) / $scaleDiv, 6) AS DOUBLE)"))
+      .where(col("__m").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("__m"))).as("__ms"))
     val point = df
@@ -74,9 +92,10 @@ object Bootstrap {
       .withColumn("mean", expr(
         s"CAST(ROUND(CAST(__s AS DOUBLE) / n / $scaleDiv, 6) AS DOUBLE)"))
       .drop("__s")
+    val (loIdx, hiIdx) = ciIndices(replicas)
     point.join(boot, groupCols)
       .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
-        element_at(col("__ms"), 3).as("ci_lo"),
-        element_at(col("__ms"), replicas - 2).as("ci_hi")): _*)
+        expr(s"try_element_at(__ms, $loIdx)").as("ci_lo"),
+        expr(s"try_element_at(__ms, $hiIdx)").as("ci_hi")): _*)
   }
 }

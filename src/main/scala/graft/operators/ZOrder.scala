@@ -103,8 +103,12 @@ object ZOrder {
     * the spatial candidate generator.
     */
   def geohashSql(latCentiCol: String, lonCentiCol: String): String = {
-    val latBits = s"((($latCentiCol) + 9000) * 32768 div 18000)"
-    val lonBits = s"((($lonCentiCol) + 18000) * 32768 div 36000)"
+    // LEAST(..., 32767) pins the domain boundary: lat=+90.00° (9000
+    // centideg) or lon=+180.00° would quantize to 32768 — bit 15 set,
+    // above the 30 bits the 6-char hash reads — and alias the opposite
+    // extreme; geohashRef clamps the same way (min 32767).
+    val latBits = s"LEAST((($latCentiCol) + 9000) * 32768 div 18000, 32767)"
+    val lonBits = s"LEAST((($lonCentiCol) + 18000) * 32768 div 36000, 32767)"
     // z with lat at even bits, lon at odd → MSB (bit 29) is lon bit 14,
     // exactly geohash's lon-first bit order
     val z = zvalueSql(latBits, lonBits)

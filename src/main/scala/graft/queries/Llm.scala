@@ -311,7 +311,12 @@ object Llm {
     // no ORDER BY: the candidate set is ~n² in dup-heavy corpora and the
     // differential compare canonicalizes row order anyway — a global sort
     // of the pair set would be pure benchmark overhead at scale.
-    // Default banding = the web-scale point (15-bit bands, Hamming <= 3)
+    // Default banding = the web-scale point (15-bit bands, Hamming <= 3).
+    // AUDIT/REPORT FORM, not the pipeline form: the doc-level expanded
+    // pair list is inherently output-bound on dup-heavy corpora (561.7 s
+    // at SF~10 vs simhash_groups 17.1 s / simhash_pipeline 4.96 s) —
+    // benchmark and deploy those two for dedup at scale; this entry
+    // exists to hand auditors the explicit pairs.
     "llm_simhash_near" -> ((s, d) => Dedup.simhashCandidates(docs(s, d))),
 
     // the wide-radius configuration (6-bit bands, Hamming <= 8): higher

@@ -613,6 +613,7 @@ object Ops {
     "agg_poisson_bootstrap" -> {
       val cum = Bootstrap.poissonCumThresholds()
         .map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")
+      val (loIdx, hiIdx) = Bootstrap.ciIndices(16)
       s"""
       WITH r AS (SELECT o_orderstatus AS g,
                         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
@@ -629,13 +630,14 @@ object Ops {
                     CAST(ROUND(CAST(sb AS DOUBLE) / NULLIF(nb, 0) / 100, 6)
                          AS DOUBLE) AS m
              FROM rb),
-      ms AS (SELECT g, list_sort(list(m)) AS ml FROM mb GROUP BY g),
+      ms AS (SELECT g, list_sort(list(m)) AS ml FROM mb
+             WHERE m IS NOT NULL GROUP BY g),
       pt AS (SELECT g, count(*) AS n,
                     CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE)
                                / count(*) / 100, 6) AS DOUBLE) AS mean
              FROM r GROUP BY g)
       SELECT pt.g AS o_orderstatus, pt.n, pt.mean,
-             ml[3] AS ci_lo, ml[14] AS ci_hi
+             ml[$loIdx] AS ci_lo, ml[$hiIdx] AS ci_hi
       FROM pt JOIN ms ON pt.g = ms.g
       ORDER BY o_orderstatus"""
     },

@@ -34,8 +34,11 @@ class LayoutOperatorSpec extends SparkSpec {
     assert(ZOrder.geohashRef(0.0, 0.0).startsWith("s00"))
     // the SQL expression (centi-degree integer path) matches the
     // reference loop on centi-degree-exact coordinates
+    // 9000/18000 are the exact +90°/+180° boundary: quantization hits
+    // 32768 unclamped (bit 15, aliases the opposite extreme) — pins the
+    // LEAST(..., 32767) clamp matching geohashRef's min
     val pts = Seq((5764L, 1040L), (0L, 0L), (-9000L, -18000L),
-      (8999L, 17999L), (4075L, -7400L))
+      (8999L, 17999L), (4075L, -7400L), (9000L, 18000L), (9000L, -18000L))
     val got = pts.toDF("lat_c", "lon_c")
       .selectExpr(s"${ZOrder.geohashSql("lat_c", "lon_c")} AS gh")
       .collect().map(_.getString(0))
