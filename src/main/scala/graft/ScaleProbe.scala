@@ -158,6 +158,59 @@ object ScaleProbe {
       s""""asof_bucketed_hotkey":{"sec":${Fmt.sec(tb)},"max_task_sec":${Fmt.sec(mb)}}""")
   }
 
+  /** Hot-block linkage probe (round-12 verdict #4): one blocking key owns
+    * 80% of a 200k-row left feed and 80% of a 250-row right feed, with
+    * broadcast DISABLED (the 100 TB premise: the dirty feed is too big to
+    * broadcast, so the block join shuffles and the hot block lands in one
+    * reducer). Three treatments, wall-clock + max single-task seconds:
+    * plain with AQE's runtime skew split active, plain with it off (the
+    * worst case the manual treatment exists for — e.g. when a downstream
+    * op pins the join's partitioning and AQE must keep it), and
+    * [[graft.operators.Entity.blockedLinkSalted]]. The max-task column is
+    * the claim: salting caps tasks at |hot∩salt|×|R_b| regardless of
+    * what AQE may or may not do.
+    */
+  private def erSkewProbe(spark: SparkSession): Seq[String] = {
+    val dir = "/tmp/graft_scale/er_skew"
+    spark.range(200000).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 'HOT' ELSE concat('B', id % 997) END AS blk",
+        "id AS lid", "id % 9973 AS lv", "concat('n', id % 4999) AS lname")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/left")
+    spark.range(250).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 'HOT' ELSE concat('B', id % 997) END AS blk",
+        "id + 1000000 AS rid", "id % 9973 AS rv", "concat('n', id % 4999) AS rname")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/right")
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    val agreements = Seq(("l_lv = r_rv", 2), ("l_lname = r_rname", 1))
+    def measure(skewJoin: Boolean)(f: => DataFrame): (Double, Double) = {
+      val lis = new MaxTaskListener
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      try {
+        spark.sparkContext.addSparkListener(lis)
+        val t = time(f.write.mode("overwrite").format("noop").save())
+        Thread.sleep(500) // async listener bus
+        spark.sparkContext.removeSparkListener(lis)
+        (t, lis.maxMs / 1000.0)
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      }
+    }
+    def plain() = operators.Entity.blockedLink(l, r, Seq("blk"), agreements, 2)
+    def salted() = operators.Entity.blockedLinkSalted(
+      l, r, Seq("blk"), agreements, 2, salts = 16)
+    measure(skewJoin = true)(plain()); measure(skewJoin = true)(salted()) // warm
+    val (ta, ma) = measure(skewJoin = true)(plain())
+    val (tp, mp) = measure(skewJoin = false)(plain())
+    val (ts, ms) = measure(skewJoin = true)(salted())
+    Seq(
+      s""""er_plain_aqe_hotblock":{"sec":${Fmt.sec(ta)},"max_task_sec":${Fmt.sec(ma)}}""",
+      s""""er_plain_noskew_hotblock":{"sec":${Fmt.sec(tp)},"max_task_sec":${Fmt.sec(mp)}}""",
+      s""""er_salted_hotblock":{"sec":${Fmt.sec(ts)},"max_task_sec":${Fmt.sec(ms)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
@@ -200,8 +253,9 @@ object ScaleProbe {
           s""""pairs_x1":$pa,"pairs_x$factor":$pb}"""
       }
       val asof = asofSkewProbe(spark)
+      val er = erSkewProbe(spark)
       val cc = ccProbe(big)
-      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof ++ cc).mkString(",")}}""")
+      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof ++ er ++ cc).mkString(",")}}""")
     } finally {
       spark.stop()
       // Same hygiene as ScaleBench: drop the /tmp replicas so a later

@@ -129,11 +129,15 @@ object Similarity {
     * probe vector is classified by the plurality label of its k nearest
     * corpus neighbors (self excluded), then scored against its own label.
     * Vote tie-break is deterministic: more votes, then the closer best
-    * supporter (min rank), then min label. Probe-bounded brute force like
-    * [[bruteForceTopK]] (probes are a labeled eval batch by definition);
-    * at corpus scale swap the all-pairs candidate generator for
+    * supporter (min rank), then min label.
+    *
+    * PRECONDITION (like [[mmrSelect]]'s shortlist rule): `probes` must be
+    * a BOUNDED eval slice — the candidate generator here is exact
+    * probes×corpus brute force (a broadcast NLJ), linear in corpus only
+    * because |probes| is batch-sized. This is the EVAL BASELINE; the
+    * serving shape is [[knnClassifyFrom]] over [[hammingTopK]] /
     * [[lshTopKBanded]] / the IVF partition-pruned layout — the vote and
-    * the tie-break compose unchanged over any top-k candidate set.
+    * the tie-break compose unchanged over any ranked candidate set.
     */
   def knnClassify(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val pairs = probes.as("a")
@@ -147,9 +151,32 @@ object Similarity {
         col("cand_label"), cosine("pe", "ce").as("cos"))
     val wK = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("cand_id"))
-    val topk = pairs
+    vote(pairs
       .withColumn("rank", row_number().over(wK))
-      .where(col("rank") <= k)
+      .where(col("rank") <= k))
+  }
+
+  /** [[knnClassify]]'s vote over ANY ranked candidate set — the SERVING
+    * shape: `topk` is (probe_id, cand_id, rank) from whatever candidate
+    * generator the deployment runs ([[hammingTopK]]'s XOR+popcount,
+    * [[lshTopKBanded]]'s banded buckets, the IVF partition-pruned probe);
+    * labels join in here (one broadcast-sized lookup per side), then the
+    * identical plurality vote + tie-break. Score the candidate set itself
+    * with [[annRecall]] against [[bruteForceTopK]] before trusting the
+    * classifications — recall@k bounds the vote's agreement with exact.
+    */
+  def knnClassifyFrom(topk: DataFrame, probes: DataFrame,
+                      corpus: DataFrame): DataFrame =
+    vote(topk.select("probe_id", "cand_id", "rank")
+      .join(probes.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), Seq("probe_id"))
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label")), Seq("cand_id")))
+
+  /** Plurality vote with the pinned tie-break (votes desc, closest best
+    * supporter, min label) over (probe_id, true_label, cand_label, rank).
+    */
+  private def vote(topk: DataFrame): DataFrame = {
     val wVote = Window.partitionBy("probe_id")
       .orderBy(col("votes").desc, col("best_rank").asc, col("cand_label").asc)
     topk

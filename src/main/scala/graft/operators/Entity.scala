@@ -32,10 +32,43 @@ object Entity {
                   agreements: Seq[(String, Int)], threshold: Int): DataFrame = {
     require(blockCols.nonEmpty, "blocking keys required — never all-pairs")
     require(agreements.nonEmpty, "need at least one agreement predicate")
-    def prefix(df: DataFrame, p: String) =
-      df.columns.filterNot(blockCols.contains).foldLeft(df)(
-        (d, c) => d.withColumnRenamed(c, s"$p$c"))
-    val cand = prefix(left, "l_").join(prefix(right, "r_"), blockCols)
+    val cand = prefix(left, "l_", blockCols).join(prefix(right, "r_", blockCols),
+      blockCols)
+    score(cand, agreements, threshold)
+  }
+
+  /** [[blockedLink]] with the hot-block (skew) treatment applied: the
+    * scaladoc's "everyone named SMITH" block puts |L_b|×|R_b| pair work
+    * in ONE reducer under the plain equi-join; here the `left` side
+    * scatters over `salts` sub-keys ([[Skew.saltExpr]] — content hash +
+    * partition id, so identical hot rows still spread) and the `right`
+    * side replicates `salts`×, so the hot block's max task shrinks to
+    * (|L_b|/salts)×|R_b|. Total pair work is unchanged — salting moves
+    * the straggler/OOM ceiling, not the join size — and the OUTPUT is
+    * row-identical to [[blockedLink]] (each left row meets each right
+    * block-mate exactly once: only on the left row's own salt).
+    */
+  def blockedLinkSalted(left: DataFrame, right: DataFrame,
+                        blockCols: Seq[String],
+                        agreements: Seq[(String, Int)], threshold: Int,
+                        salts: Int = 16): DataFrame = {
+    require(blockCols.nonEmpty, "blocking keys required — never all-pairs")
+    require(agreements.nonEmpty, "need at least one agreement predicate")
+    require(salts > 0, "salts must be positive")
+    val l = prefix(left, "l_", blockCols)
+    val saltedL = l.withColumn("__salt", Skew.saltExpr(l, salts))
+    val saltedR = prefix(right, "r_", blockCols)
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    score(saltedL.join(saltedR, blockCols :+ "__salt"), agreements, threshold)
+      .drop("__salt")
+  }
+
+  private def prefix(df: DataFrame, p: String, blockCols: Seq[String]) =
+    df.columns.filterNot(blockCols.contains).foldLeft(df)(
+      (d, c) => d.withColumnRenamed(c, s"$p$c"))
+
+  private def score(cand: DataFrame, agreements: Seq[(String, Int)],
+                    threshold: Int): DataFrame = {
     val scored = agreements.zipWithIndex.foldLeft(cand) {
       case (d, ((pred, w), i)) =>
         d.withColumn(s"a$i",

@@ -61,6 +61,25 @@ object Hilbert {
     }.withColumn(out, col("hd")).drop("hx", "hy", "hd")
   }
 
+  /** The write side, mirroring [[ZOrder.writeClustered]]: cluster `df` by
+    * h(x, y) into `numFiles` parquet files via range partitioning + an
+    * intra-file sort, so each file's min/max footer stats bound BOTH
+    * keys tightly (the curve has no quadrant seams, so the per-file key
+    * boxes are smaller than Morton's — LayoutOperatorSpec's skipping
+    * gate measures the payoff: a box predicate intersects only the files
+    * whose h-range crosses the box). One range shuffle + local sort —
+    * the cost of any global sort, which is what clustering IS.
+    */
+  def writeClustered(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                     outDir: String, numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    hilbertIndex(df, xCol, yCol, bits, out = "__h")
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** The identical unrolled walk as chained SQL CTEs for the oracle:
     * `base` must expose columns hx, hy (pre-masked) and any carry
     * columns; returns CTE text `h1 AS (...), …, hN AS (...)` whose last

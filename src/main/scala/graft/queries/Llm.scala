@@ -1011,6 +1011,26 @@ object Llm {
         .orderBy("probe_id")
     }),
 
+    // the SERVING-shaped kNN (r12 verdict #5): candidates from the
+    // 1-bit XOR+popcount Hamming top-5 (not exact cosine), classified by
+    // the same vote via knnClassifyFrom, with the per-probe recall@5 of
+    // the candidate set vs exact published in the SAME row — the
+    // deploy-or-not evidence (vote agreement is bounded by candidate
+    // recall). llm_knn_classify stays as the exact eval baseline
+    "llm_knn_approx" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.where("vec_id < 100")
+      val approx = Similarity.hammingTopK(probes, e, 5)
+      val exact = Similarity.bruteForceTopK(probes, e, 5)
+      Similarity.knnClassifyFrom(approx, probes, e)
+        .join(Similarity.annRecall(exact, approx), Seq("probe_id"))
+        .selectExpr("probe_id", "true_label", "pred_label",
+          "CAST(votes AS BIGINT) AS votes", "correct",
+          "CAST(n_exact AS BIGINT) AS n_exact",
+          "CAST(n_hit AS BIGINT) AS n_hit", "recall")
+        .orderBy("probe_id")
+    }),
+
     // per-source dataset card + the ALL rollup row in the same single
     // scan: docs, chars, word tokens, language spread, short-doc ratio —
     // the corpus datasheet a curation run publishes next to its output
@@ -2987,6 +3007,57 @@ object Llm {
          |       CAST(votes AS BIGINT) AS votes,
          |       CAST(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END AS INT) AS correct
          |FROM pick WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    // the hamming_topk fingerprint/candidate CTEs with the knn_classify
+    // vote grafted on, plus the exact-vs-approx recall join — every
+    // stage already pinned by its own entry, composed here
+    "llm_knn_approx" ->
+      s"""WITH fp AS (SELECT vec_id,
+         |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(generate_series(1, 60),
+         |                  i -> CASE WHEN embedding[i] > 0
+         |                            THEN CAST(1 AS BIGINT) << (i - 1)
+         |                            ELSE CAST(0 AS BIGINT) END)),
+         |                (a, b) -> a | b) AS fp
+         |            FROM embeddings),
+         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |                 CAST(bit_count(xor(p.fp, c.fp)) AS INT) AS hamming
+         |          FROM fp p JOIN fp c ON c.vec_id <> p.vec_id
+         |          WHERE p.vec_id < 100),
+         |hk AS (SELECT * FROM (
+         |         SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY hamming, cand_id) AS INT) AS rank
+         |         FROM pairs) WHERE rank <= 5),
+         |ex AS (SELECT probe_id, cand_id FROM (
+         |         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |                row_number() OVER (PARTITION BY p.vec_id
+         |                  ORDER BY ${duckCosine("p.embedding", "c.embedding")} DESC,
+         |                           c.vec_id) AS r
+         |         FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |         WHERE p.vec_id < 100) WHERE r <= 5),
+         |votes AS (SELECT h.probe_id, pl.label AS true_label,
+         |                 cl.label AS cand_label,
+         |                 count(*) AS votes, min(h.rank) AS best_rank
+         |          FROM hk h
+         |               JOIN embeddings pl ON pl.vec_id = h.probe_id
+         |               JOIN embeddings cl ON cl.vec_id = h.cand_id
+         |          GROUP BY 1, 2, 3),
+         |pick AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                ORDER BY votes DESC, best_rank, cand_label) AS rn
+         |         FROM votes),
+         |rec AS (SELECT e.probe_id, count(*) AS n_exact,
+         |               SUM(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |        FROM ex e LEFT JOIN hk h
+         |          ON h.probe_id = e.probe_id AND h.cand_id = e.cand_id
+         |        GROUP BY 1)
+         |SELECT p.probe_id, p.true_label, p.cand_label AS pred_label,
+         |       CAST(p.votes AS BIGINT) AS votes,
+         |       CAST(CASE WHEN p.cand_label = p.true_label THEN 1 ELSE 0 END AS INT) AS correct,
+         |       CAST(r.n_exact AS BIGINT) AS n_exact,
+         |       CAST(r.n_hit AS BIGINT) AS n_hit,
+         |       CAST(ROUND(CAST(r.n_hit AS DOUBLE) / r.n_exact, 6) AS DOUBLE) AS recall
+         |FROM pick p JOIN rec r ON r.probe_id = p.probe_id
+         |WHERE p.rn = 1 ORDER BY p.probe_id""".stripMargin,
 
     "llm_dataset_card" ->
       """SELECT coalesce(source, 'ALL') AS source, count(*) AS n_docs,

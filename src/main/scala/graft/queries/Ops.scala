@@ -292,6 +292,42 @@ object Ops {
         .orderBy("left_id", "right_id")
     }),
 
+    // HOT-BLOCK linkage — the operational risk Entity.scala's scaladoc
+    // names ("everyone named SMITH"): every 5th customer collapses onto
+    // one shared 17-char name prefix, so a single block owns 20% of BOTH
+    // sides and the plain equi-join would put that block's |L_b|×|R_b|
+    // pair scoring in ONE task. blockedLinkSalted scatters the left side
+    // 8 ways (content-hash+partition-id salt) and replicates the right,
+    // with row-identical output (EntityLinkSpec proves equivalence;
+    // ScaleProbe's er probe measures the max-task win). threshold 4 =
+    // all three agreements, so the hot block's n² candidates stay a
+    // selective match set — exactly the dirty-feed reconciliation shape
+    "er_blocked_link_hot" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val smith = "CASE WHEN c_custkey % 5 = 0 " +
+        "THEN concat('Customer#SMITH-SMITH-', c_custkey) ELSE c_name END"
+      val leftDf = cust.selectExpr("c_custkey AS lid",
+        s"substr($smith, 1, 17) AS blk", s"$smith AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
+          "c_custkey + 1000000 AS rid",
+          s"CASE WHEN c_custkey % 2 = 0 THEN concat($smith, 'X') ELSE $smith END AS name",
+          "CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "substr(name, 1, 17) AS blk", "name", "seg", "bal")
+      Entity.blockedLinkSalted(leftDf, rightDf, Seq("blk"),
+          Seq(("levenshtein(l_name, r_name) <= 1", 2),
+            ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
+          threshold = 4, salts = 8)
+        .selectExpr("l_lid AS left_id", "r_rid AS right_id",
+          "CAST(a0 AS INT) AS a0", "CAST(a1 AS INT) AS a1",
+          "CAST(a2 AS INT) AS a2", "CAST(score AS INT) AS score")
+        .orderBy("left_id", "right_id")
+    }),
+
     // Benford's-law audit of the money column: leading-digit counts vs
     // the log-uniform law (expected fractions are DRIVER-computed log10
     // literals — log never runs in-plan), per-digit χ² contributions as
@@ -693,6 +729,40 @@ object Ops {
              CAST(a0 AS INT) AS a0, CAST(a1 AS INT) AS a1,
              CAST(a2 AS INT) AS a2, CAST(a0 + a1 + a2 AS INT) AS score
       FROM sc WHERE a0 + a1 + a2 >= 3
+      ORDER BY left_id, right_id""",
+
+    // the salted variant's oracle is the PLAIN blocked join — salting
+    // must be output-invisible, so the oracle never mentions it
+    "er_blocked_link_hot" -> """
+      WITH sm AS (SELECT c_custkey,
+                         CASE WHEN c_custkey % 5 = 0
+                              THEN 'Customer#SMITH-SMITH-' || c_custkey
+                              ELSE c_name END AS sname,
+                         c_mktsegment, c_acctbal
+                  FROM customer),
+      l AS (SELECT c_custkey AS lid, substr(sname, 1, 17) AS blk,
+                   sname AS lname, c_mktsegment AS lseg,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+            FROM sm),
+      r0 AS (SELECT c_custkey + 1000000 AS rid,
+                    CASE WHEN c_custkey % 2 = 0 THEN sname || 'X'
+                         ELSE sname END AS rname,
+                    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                         ELSE c_mktsegment END AS rseg,
+                    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+             FROM sm WHERE c_custkey % 3 = 0),
+      r AS (SELECT rid, substr(rname, 1, 17) AS blk, rname, rseg, rbal
+            FROM r0),
+      sc AS (SELECT lid, rid,
+                    CASE WHEN levenshtein(lname, rname) <= 1 THEN 2 ELSE 0 END AS a0,
+                    CASE WHEN lseg = rseg THEN 1 ELSE 0 END AS a1,
+                    CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS a2
+             FROM l JOIN r USING (blk))
+      SELECT lid AS left_id, rid AS right_id,
+             CAST(a0 AS INT) AS a0, CAST(a1 AS INT) AS a1,
+             CAST(a2 AS INT) AS a2, CAST(a0 + a1 + a2 AS INT) AS score
+      FROM sc WHERE a0 + a1 + a2 >= 4
       ORDER BY left_id, right_id""",
 
     // the SAME driver-computed log10 literals (one source of truth:

@@ -180,6 +180,66 @@ class LayoutOperatorSpec extends SparkSpec {
     }
   }
 
+  test("hilbert clustered write: footer min/max stats prune files a box predicate never reads") {
+    // the round-12 verdict #9 gate: layout_hilbert proves seam-freedom,
+    // this proves the PAYOFF — after Hilbert.writeClustered, the per-file
+    // (x, y) min/max boxes are tight enough that a corner box predicate
+    // intersects only a few files, while the same data written round-
+    // robin leaves every file's box spanning the whole grid (zero
+    // skipping). The intersect count computed here from the real parquet
+    // footers is exactly what any min/max pruner (Spark's row-group
+    // filter, a lakehouse file index) consumes.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hilbert_skip").toString
+    try {
+      val nFiles = 16
+      val df = spark.range(0, 65536).select(
+        (col("id") % 256).as("x"),
+        (expr("(id * 2654435761) % 256")).as("y"),
+        col("id").as("payload"))
+      Hilbert.writeClustered(df, "x", "y", bits = 8, s"$dir/clustered", nFiles)
+      df.repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$dir/roundrobin")
+      // per-file [min, max] of both keys straight from the footers
+      def boxes(p: String): Seq[((Long, Long), (Long, Long))] =
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.toString),
+                spark.sparkContext.hadoopConfiguration))
+            try {
+              def mm(name: String): (Long, Long) = {
+                val stats = reader.getFooter.getBlocks.asScala.map(
+                  _.getColumns.asScala.find(_.getPath.toDotString == name)
+                    .get.getStatistics)
+                (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+                  stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+              }
+              (mm("x"), mm("y"))
+            } finally reader.close()
+          }
+      // corner box x<=31 AND y<=31: 1/64 of the grid area
+      def intersecting(p: String): Int = boxes(p).count {
+        case ((xmin, _), (ymin, _)) => xmin <= 31 && ymin <= 31
+      }
+      val clustered = intersecting(s"$dir/clustered")
+      val rr = intersecting(s"$dir/roundrobin")
+      assert(boxes(s"$dir/clustered").size == nFiles)
+      assert(rr == nFiles,
+        s"round-robin control should have zero skipping, got $rr/$nFiles")
+      // the corner box is a contiguous stretch of the curve: at most a
+      // couple of the 16 h-range files may touch it
+      assert(clustered <= 3,
+        s"clustered layout prunes too little: $clustered/$nFiles files intersect")
+      // lossless: the clustered copy holds the same rows
+      assert(spark.read.parquet(s"$dir/clustered").except(df).isEmpty &&
+        df.except(spark.read.parquet(s"$dir/clustered")).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("parquet bloom write: footer carries the bloom, membership answers") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("bloom").toString

@@ -150,6 +150,31 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 3)), s"got $got")
   }
 
+  test("blockedLinkSalted: row-identical to the plain blocked join on a hot block") {
+    import graft.operators.Entity
+    // one hot block (80% of rows share blk=HOT) + a tail of small blocks;
+    // duplicate left rows included — the content-hash-only salt trap
+    val left = (1L to 200L).map(i =>
+      (i, if (i % 5 != 0) "HOT" else s"B${i % 7}",
+        s"name${i % 40}", if (i % 3 == 0) "GOLD" else "SILVER")).toDF(
+      "lid", "blk", "name", "seg")
+    val right = (1L to 60L).map(i =>
+      (i + 1000, if (i % 4 != 0) "HOT" else s"B${i % 7}",
+        s"name${i % 40}", "GOLD")).toDF("rid", "blk", "name", "seg")
+    val agreements = Seq(("l_name = r_name", 2), ("l_seg = r_seg", 1))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    val plain = Entity.blockedLink(left, right, Seq("blk"), agreements, 2)
+      .select("l_lid", "r_rid", "score").collect().map(key).sorted.toSeq
+    (1 to 7 by 3).foreach { salts =>
+      val salted = Entity.blockedLinkSalted(left, right, Seq("blk"),
+          agreements, 2, salts = salts)
+        .select("l_lid", "r_rid", "score").collect().map(key).sorted.toSeq
+      assert(salted == plain, s"salts=$salts diverged from plain join")
+    }
+    assert(plain.nonEmpty, "fixture must produce matches")
+  }
+
   test("incrementalJoin converges under chained random delta batches") {
     val rnd = new scala.util.Random(13)
     // 40 facts over 12 dims; three successive upsert rounds touching
