@@ -807,6 +807,43 @@ object Io {
         .orderBy("a_id", "b_id")
     }),
 
+    // bounded-radius spatial kNN on the SAME 3×3 cell blocking: each
+    // point's 3 nearest neighbors among candidates within the 100-centi-
+    // degree box (the box the neighborhood provably contains — the
+    // OUTPUT contract is the box+rank, so the oracle needs no cell
+    // arithmetic and the div-vs-floor negative-cell divergence can't
+    // bite). Squared integer distance, ties by candidate id; the rank
+    // window partitions per point over ≤ per-cell-density² candidates.
+    // The standard geo serving shape: candidates from blocking, exact
+    // top-k inside
+    "join_geo_knn" -> ((s, d) => {
+      Tables.register(s, d)
+      val pts = s.table("customer").selectExpr("c_custkey AS id",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 18000 - 9000 AS lat_c",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10) AS BIGINT) % 36000 - 18000 AS lon_c")
+      val a = pts.selectExpr("id AS a_id", "lat_c AS a_lat", "lon_c AS a_lon",
+          "lat_c div 100 AS clat", "lon_c div 100 AS clon")
+        .withColumn("dlat", explode(expr("sequence(-1, 1)")))
+        .withColumn("dlon", explode(expr("sequence(-1, 1)")))
+        .selectExpr("a_id", "a_lat", "a_lon",
+          "clat + dlat AS clat", "clon + dlon AS clon")
+      val b = pts.selectExpr("id AS b_id", "lat_c AS b_lat", "lon_c AS b_lon",
+        "lat_c div 100 AS clat", "lon_c div 100 AS clon")
+      a.join(b, Seq("clat", "clon"))
+        .where(expr("""a_id <> b_id
+          | AND abs(a_lat - b_lat) <= 100
+          | AND abs(a_lon - b_lon) <= 100""".stripMargin))
+        .selectExpr("a_id", "b_id",
+          """(a_lat - b_lat) * (a_lat - b_lat)
+            | + (a_lon - b_lon) * (a_lon - b_lon) AS d2""".stripMargin)
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id)"))
+        .where(col("rank") <= 3)
+        .select(col("a_id"), col("rank").cast("int").as("rank"),
+          col("b_id"), col("d2"))
+        .orderBy("a_id", "rank")
+    }),
+
     // geohash encode (geohash IS a Morton code in base32 dress — reuses
     // the ZOrder mask-table interleave, lon bit leading): synthesized
     // centi-degree points, 6-char cells, prefix-blocked aggregate (equal
@@ -2458,6 +2495,28 @@ object Io {
        AND abs(a.lat_c - b.lat_c) <= 100
        AND abs(a.lon_c - b.lon_c) <= 100
       ORDER BY a_id, b_id""",
+
+    // the box+rank contract replayed directly (no cell arithmetic — the
+    // blocking is the entry's plan concern, not the output's)
+    "join_geo_knn" -> """
+      WITH p AS (SELECT c_custkey AS id,
+                        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 18000 - 9000 AS lat_c,
+                        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT % 36000 - 18000 AS lon_c
+                 FROM customer),
+      cand AS (SELECT a.id AS a_id, b.id AS b_id,
+                      (a.lat_c - b.lat_c) * (a.lat_c - b.lat_c)
+                        + (a.lon_c - b.lon_c) * (a.lon_c - b.lon_c) AS d2
+               FROM p a JOIN p b
+                 ON a.id <> b.id
+                AND abs(a.lat_c - b.lat_c) <= 100
+                AND abs(a.lon_c - b.lon_c) <= 100),
+      rk AS (SELECT a_id, b_id, d2,
+                    row_number() OVER (PARTITION BY a_id
+                      ORDER BY d2, b_id) AS rank
+             FROM cand)
+      SELECT a_id, CAST(rank AS INT) AS rank, b_id, CAST(d2 AS BIGINT) AS d2
+      FROM rk WHERE rank <= 3
+      ORDER BY a_id, rank""",
 
     // the identical interleave + alphabet lookups, DuckDB's // division
     "fn_geohash" -> {

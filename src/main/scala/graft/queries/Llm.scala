@@ -1051,6 +1051,29 @@ object Llm {
           "CAST(ROUND(n_chars_sum / n_docs, 6) AS DOUBLE) AS mean_chars")
         .orderBy("source")),
 
+    // Flesch-Kincaid-style readability for quality filtering: word /
+    // sentence / vowel-group counts are three regexp passes over the map
+    // side (one scan, no shuffle before the output sort), the grade one
+    // FIXED IEEE tree over the integer counts (the qc_benford
+    // discipline), banding on the ROUNDED grade so both engines compare
+    // the identical double
+    "llm_readability" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("doc_id",
+          "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_words",
+          "CAST(GREATEST(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT) AS n_sents",
+          "CAST(GREATEST(1, size(regexp_extract_all(lower(text), '[aeiouy]+', 0))) AS BIGINT) AS n_syll")
+        .where("n_words > 0")
+        .selectExpr("doc_id", "n_words", "n_sents", "n_syll",
+          """CAST(ROUND(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+            |  + CAST(11.8 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words)
+            |  - CAST(15.59 AS DOUBLE), 6) AS DOUBLE) AS fk""".stripMargin)
+        .selectExpr("doc_id", "n_words", "n_sents", "n_syll", "fk",
+          """CASE WHEN fk < CAST(6.0 AS DOUBLE) THEN 'easy'
+            |     WHEN fk < CAST(10.0 AS DOUBLE) THEN 'medium'
+            |     ELSE 'hard' END AS band""".stripMargin)
+        .orderBy("doc_id")),
+
     // winnowing fingerprints (MOSS): per-doc window-minima digest over
     // 8-char gram hashes — shared substrings of >= 11 chars must share
     // a fingerprint
@@ -3058,6 +3081,25 @@ object Llm {
          |       CAST(ROUND(CAST(r.n_hit AS DOUBLE) / r.n_exact, 6) AS DOUBLE) AS recall
          |FROM pick p JOIN rec r ON r.probe_id = p.probe_id
          |WHERE p.rn = 1 ORDER BY p.probe_id""".stripMargin,
+
+    // the same three regexp counts (len == size), the identical IEEE
+    // tree, banding on the shared rounded grade
+    "llm_readability" -> """
+      WITH m AS (SELECT doc_id,
+                        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_words,
+                        CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT) AS n_sents,
+                        CAST(GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+', 0))) AS BIGINT) AS n_syll
+                 FROM documents),
+      f AS (SELECT doc_id, n_words, n_sents, n_syll,
+                   CAST(ROUND(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+                     + CAST(11.8 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words)
+                     - CAST(15.59 AS DOUBLE), 6) AS DOUBLE) AS fk
+            FROM m WHERE n_words > 0)
+      SELECT doc_id, n_words, n_sents, n_syll, fk,
+             CASE WHEN fk < CAST(6.0 AS DOUBLE) THEN 'easy'
+                  WHEN fk < CAST(10.0 AS DOUBLE) THEN 'medium'
+                  ELSE 'hard' END AS band
+      FROM f ORDER BY doc_id""",
 
     "llm_dataset_card" ->
       """SELECT coalesce(source, 'ALL') AS source, count(*) AS n_docs,

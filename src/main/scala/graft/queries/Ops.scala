@@ -307,10 +307,17 @@ object Ops {
       val cust = s.table("customer")
       val smith = "CASE WHEN c_custkey % 5 = 0 " +
         "THEN concat('Customer#SMITH-SMITH-', c_custkey) ELSE c_name END"
+      // the fixture is ONE parquet file = one scan split, so without a
+      // spread the hot block's ~3M levenshteins run in a single task
+      // (measured 33 s; ~1 s spread 32 ways). At 100 TB the input
+      // arrives as thousands of splits and this repartition is free —
+      // the per-REDUCER hotspot is what the salt treats, and the probe
+      // measures that with broadcast disabled
       val leftDf = cust.selectExpr("c_custkey AS lid",
-        s"substr($smith, 1, 17) AS blk", s"$smith AS name",
-        "c_mktsegment AS seg",
-        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+          s"substr($smith, 1, 17) AS blk", s"$smith AS name",
+          "c_mktsegment AS seg",
+          "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+        .repartition(32)
       val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
           "c_custkey + 1000000 AS rid",
           s"CASE WHEN c_custkey % 2 = 0 THEN concat($smith, 'X') ELSE $smith END AS name",
@@ -338,6 +345,92 @@ object Ops {
             "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents"),
           "cents")
         .orderBy("digit")),
+
+    // MAD anomaly flags over hourly counts — the ROBUST sibling of
+    // ts_anomaly_zscore (one huge hour inflates the stddev enough to
+    // hide itself; medians don't move). Exactness discipline: DOUBLED
+    // values make every interpolated median integer-valued (the median
+    // of integers is a half-integer, so med2/dev2/mad2 are exact
+    // doubles) and the 3·MAD comparison never meets a rounded number.
+    // Two |types|-cardinality aggs + one broadcast-back join — no
+    // per-event window, no sort
+    "ts_anomaly_mad" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                          COUNT(*) AS cnt
+                   FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        med AS (SELECT event_type, percentile(2 * cnt, 0.5) AS med2
+                FROM h GROUP BY event_type),
+        dev AS (SELECT h.event_type, h.hr, h.cnt,
+                       abs(2 * h.cnt - m.med2) AS dev2
+                FROM h JOIN med m ON h.event_type = m.event_type),
+        mad AS (SELECT event_type, percentile(dev2, 0.5) AS mad2
+                FROM dev GROUP BY event_type)
+        SELECT d.event_type, d.hr, d.cnt,
+               CAST(d.dev2 > 3 * m.mad2 AS BOOLEAN) AS is_anomaly
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        ORDER BY d.event_type, d.hr""")
+    }),
+
+    // mergeable equi-width HISTOGRAM quantile sketch — the scale answer
+    // to exact percentiles (agg_percentile's sort-based exactness is the
+    // eval form; a 100 TB profile wants one map-side-combinable pass):
+    // bin = v div 10^6 cents, estimate = bin lower edge + integer
+    // within-bin interpolation. EVERYTHING stays integer — the estimate
+    // is exact arithmetic on (bin, count) state, no doubles anywhere —
+    // and the sketch merges by bin-count addition (associative), so the
+    // same state serves partial aggregation, cross-shard union, and
+    // incremental refresh
+    "agg_quantile_sketch" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH c AS (SELECT o_orderstatus AS g,
+                          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+                   FROM orders),
+        b AS (SELECT g, v DIV 1000000 AS bin, COUNT(*) AS n
+              FROM c GROUP BY g, v DIV 1000000),
+        cum AS (SELECT g, bin, n,
+                       SUM(n) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                       SUM(n) OVER (PARTITION BY g) AS total
+                FROM b),
+        q AS (SELECT 50 AS pct UNION ALL SELECT 90 UNION ALL SELECT 99),
+        tgt AS (SELECT g, pct, bin, n, cum,
+                       (pct * total + 99) DIV 100 AS k
+                FROM cum CROSS JOIN q),
+        hit AS (SELECT g, pct, MIN(bin) AS hbin
+                FROM tgt WHERE cum >= k GROUP BY g, pct)
+        SELECT t.g AS o_orderstatus, t.pct,
+               CAST(t.bin * 1000000
+                    + ((t.k - (t.cum - t.n)) * 1000000) DIV t.n AS BIGINT) AS est_cents
+        FROM tgt t JOIN hit h ON t.g = h.g AND t.pct = h.pct AND t.bin = h.hbin
+        ORDER BY o_orderstatus, pct""")
+    }),
+
+    // order-free dataset content fingerprint — the "did ANY row change"
+    // audit a 100 TB pipeline runs after every rewrite/compaction/
+    // migration: per-row md5 folded by XOR (60-bit) and by exact DECIMAL
+    // sum (48-bit prefixes), both commutative+associative so the
+    // aggregate is map-side-combinable, mergeable across shards, and
+    // independent of row order/partitioning. One scan; output is
+    // |sources| rows. The sum rides DECIMAL(38,0) (2^48·10^12 rows fits)
+    // and leaves as its decimal STRING — never through int128/double
+    "qc_dataset_fingerprint" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH r AS (SELECT source,
+                          md5(concat_ws('|', doc_id, coalesce(lang, ''),
+                                        n_chars, md5(text))) AS h
+                   FROM documents),
+        f AS (SELECT source,
+                     CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT) AS h60,
+                     CAST(conv(substr(h, 1, 12), 16, 10) AS DECIMAL(38,0)) AS h48
+              FROM r)
+        SELECT source, COUNT(*) AS n_rows,
+               bit_xor(h60) AS xor60,
+               CAST(SUM(h48) AS STRING) AS sum48
+        FROM f GROUP BY source ORDER BY source""")
+    }),
 
     // t-closeness: the skewness-attack gate above k-anonymity and
     // l-diversity — each (status, year) class's priority DISTRIBUTION
@@ -787,6 +880,64 @@ object Ops {
                         / (CAST(n AS DOUBLE) * ef), 6) AS DOUBLE) AS chi2_term
       FROM e ORDER BY digit"""
     },
+
+    // quantile_cont == Spark's percentile (both linearly interpolate the
+    // sorted multiset; doubled integers make the result exact either way)
+    "ts_anomaly_mad" -> """
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                        COUNT(*) AS cnt
+                 FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      med AS (SELECT event_type, quantile_cont(2 * cnt, 0.5) AS med2
+              FROM h GROUP BY event_type),
+      dev AS (SELECT h.event_type, h.hr, h.cnt,
+                     abs(2 * h.cnt - m.med2) AS dev2
+              FROM h JOIN med m ON h.event_type = m.event_type),
+      mad AS (SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+              FROM dev GROUP BY event_type)
+      SELECT d.event_type, d.hr, d.cnt,
+             CAST(d.dev2 > 3 * m.mad2 AS BOOLEAN) AS is_anomaly
+      FROM dev d JOIN mad m ON d.event_type = m.event_type
+      ORDER BY d.event_type, d.hr""",
+
+    // the identical integer bin/cumulative/interpolation algebra,
+    // DuckDB's // division (int128 intermediates cast at the edge)
+    "agg_quantile_sketch" -> """
+      WITH c AS (SELECT o_orderstatus AS g,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+                 FROM orders),
+      b AS (SELECT g, v // 1000000 AS bin, COUNT(*) AS n
+            FROM c GROUP BY g, v // 1000000),
+      cum AS (SELECT g, bin, n,
+                     SUM(n) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY g) AS total
+              FROM b),
+      q AS (SELECT 50 AS pct UNION ALL SELECT 90 UNION ALL SELECT 99),
+      tgt AS (SELECT g, pct, bin, n, cum,
+                     (pct * total + 99) // 100 AS k
+              FROM cum CROSS JOIN q),
+      hit AS (SELECT g, pct, MIN(bin) AS hbin
+              FROM tgt WHERE cum >= k GROUP BY g, pct)
+      SELECT t.g AS o_orderstatus, CAST(t.pct AS INT) AS pct,
+             CAST(t.bin * 1000000
+                  + ((t.k - (t.cum - t.n)) * 1000000) // t.n AS BIGINT) AS est_cents
+      FROM tgt t JOIN hit h ON t.g = h.g AND t.pct = h.pct AND t.bin = h.hbin
+      ORDER BY o_orderstatus, pct""",
+
+    // the same commutative folds over the same per-row md5; the 48-bit
+    // sum compared as its DECIMAL string (int128 never reaches a column)
+    "qc_dataset_fingerprint" -> """
+      WITH r AS (SELECT source,
+                        md5(concat_ws('|', doc_id, coalesce(lang, ''),
+                                      n_chars, md5(text))) AS h
+                 FROM documents),
+      f AS (SELECT source,
+                   ('0x' || substr(h, 1, 15))::BIGINT AS h60,
+                   CAST(('0x' || substr(h, 1, 12))::BIGINT AS DECIMAL(38,0)) AS h48
+            FROM r)
+      SELECT source, COUNT(*) AS n_rows,
+             bit_xor(h60) AS xor60,
+             CAST(SUM(h48) AS VARCHAR) AS sum48
+      FROM f GROUP BY source ORDER BY source""",
 
     // the same closed-form absent-mass fold, recomputed flat: DuckDB's
     // int128 covers the products the entry carries in DECIMAL

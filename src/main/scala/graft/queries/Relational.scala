@@ -525,7 +525,85 @@ object Relational {
              CAST((st.n*h.cnt - st.s)*(st.n*h.cnt - st.s)
                     > 4*(st.n*st.s2 - st.s*st.s) AS BOOLEAN) AS is_anomaly
       FROM h JOIN st ON h.event_type = st.event_type
-      ORDER BY h.event_type, h.hr"""
+      ORDER BY h.event_type, h.hr""",
+
+    // first-order Markov transition matrix of the event stream — the
+    // behavioral model a sessionization/recommendation pipeline fits:
+    // successor pairs from ONE lead() window per user timeline (partition
+    // cardinality = users, cluster-scale), then two tiny aggregations
+    // over the |types|² transition domain. Transition probability = one
+    // division at the output edge; counts stay integer
+    "ts_markov_transitions" -> s"""
+      WITH e AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+                 FROM events),
+      t AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+            FROM e WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+      tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tn FROM t GROUP BY src)
+      SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+             CAST(ROUND(CAST(t.n AS DOUBLE) / tot.tn, 6) AS DOUBLE) AS p
+      FROM t JOIN tot ON t.src = tot.src
+      ORDER BY t.src, t.dst""",
+
+    // 10%-trimmed mean on the agg_gini HISTOGRAM formulation: values
+    // collapse to (value, count) bins, the cumulative window runs over
+    // DISTINCT values per group (never a per-row sort), and each bin's
+    // kept mass is closed-form rank-interval overlap — integer-exact
+    // until the single closing division. floor(n/10.0) is safe double
+    // math (exact when n is a multiple of 10, >1 ulp from integers
+    // otherwise); money sums ride DECIMAL
+    "agg_trimmed_mean" -> s"""
+      WITH c AS (SELECT o_orderstatus AS g,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+                 FROM orders),
+      b AS (SELECT g, v, COUNT(*) AS cnt FROM c GROUP BY g, v),
+      w AS (SELECT g, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+                   SUM(cnt) OVER (PARTITION BY g) AS n
+            FROM b),
+      k AS (SELECT g, v, cnt, cum,
+                   CAST(floor(n / 10.0) AS BIGINT) AS lo,
+                   n - CAST(floor(n / 10.0) AS BIGINT) AS hi
+            FROM w),
+      t AS (SELECT g, v,
+                   CAST(GREATEST(0, LEAST(cum, hi) - GREATEST(cum - cnt, lo))
+                        AS BIGINT) AS kept
+            FROM k)
+      SELECT g AS o_orderstatus,
+             CAST(SUM(kept) AS BIGINT) AS n_kept,
+             CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0)) * kept) AS DOUBLE)
+                        / SUM(kept) / 100, 6) AS DOUBLE) AS trimmed_mean
+      FROM t WHERE kept > 0
+      GROUP BY g ORDER BY o_orderstatus""",
+
+    // one-sided CUSUM drift detector per metric series — the classic
+    // sequential change alarm (Page 1954). The recurrence
+    // s_t = max(0, s_{t-1} + (x_t − target)) is NOT a window aggregate,
+    // but its closed form is: s_t = P_t − min(0, min_{j≤t} P_j) with P
+    // the running sum of deviations — ONE ordered window computing two
+    // running aggregates, integer-exact end to end (micro-unit values,
+    // the ts_rolling_median ROUND discipline). Partitions = monitored
+    // series (CUSUM is inherently sequential per series); alarms
+    // thresholded at h = 5e6 micro-units, reported as per-series counts
+    "ts_cusum_drift" -> s"""
+      WITH v AS (SELECT event_type, event_id, ts,
+                        CAST(ROUND(value * 1000000) AS BIGINT) - 500000 AS d
+                 FROM events),
+      p AS (SELECT event_type, event_id, ts,
+                   SUM(d) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS pr
+            FROM v),
+      m AS (SELECT event_type, pr,
+                   MIN(pr) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS mn
+            FROM p),
+      s AS (SELECT event_type, pr - LEAST(0, mn) AS cusum FROM m)
+      SELECT event_type, COUNT(*) AS n_points,
+             CAST(SUM(CASE WHEN cusum >= 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+             CAST(MAX(cusum) AS BIGINT) AS max_cusum
+      FROM s GROUP BY event_type ORDER BY event_type"""
   )
 
   /** Engine-specific pair: Spark uses LATERAL VIEW posexplode (0-based),
