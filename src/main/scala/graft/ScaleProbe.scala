@@ -159,20 +159,22 @@ object ScaleProbe {
   }
 
   /** Hot-block linkage probe (round-12 verdict #4): one blocking key owns
-    * 80% of a 200k-row left feed and 80% of a 250-row right feed, with
+    * 80% of a 2M-row left feed and 80% of a 250-row right feed, with
     * broadcast DISABLED (the 100 TB premise: the dirty feed is too big to
     * broadcast, so the block join shuffles and the hot block lands in one
-    * reducer). Three treatments, wall-clock + max single-task seconds:
-    * plain with AQE's runtime skew split active, plain with it off (the
-    * worst case the manual treatment exists for — e.g. when a downstream
-    * op pins the join's partitioning and AQE must keep it), and
+    * reducer — 1.6M × 200 = 320M scored pairs in ONE task). Three
+    * treatments, wall-clock + max single-task seconds: plain with AQE's
+    * runtime skew split active, plain with it off, and
     * [[graft.operators.Entity.blockedLinkSalted]]. The max-task column is
     * the claim: salting caps tasks at |hot∩salt|×|R_b| regardless of
-    * what AQE may or may not do.
+    * what AQE does — and AQE's skew split keys on partition BYTES
+    * (spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes), so a
+    * compute-amplified hot block whose INPUT is megabytes sails under it
+    * entirely; the manual salt is the only treatment that moves this.
     */
   private def erSkewProbe(spark: SparkSession): Seq[String] = {
     val dir = "/tmp/graft_scale/er_skew"
-    spark.range(200000).selectExpr(
+    spark.range(2000000).selectExpr(
         "CASE WHEN id % 5 < 4 THEN 'HOT' ELSE concat('B', id % 997) END AS blk",
         "id AS lid", "id % 9973 AS lv", "concat('n', id % 4999) AS lname")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/left")

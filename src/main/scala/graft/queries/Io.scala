@@ -1380,6 +1380,56 @@ object Io {
         .orderBy("user_id")
     }),
 
+    // STREAMING CUSUM drift alarm (the ts_cusum_drift closed form run
+    // live): per metric series the state is TWO Longs — running prefix
+    // sum + running prefix min — because s_t = P_t − min(0, min P_j);
+    // alarms/extremes are monotone counters, so max over the Update-mode
+    // snapshots is the drained answer and the BATCH windows are the
+    // differential oracle. Order-dependent state → TIME-sliced replay
+    // quartiles (the CLAUDE.md trap), in-batch re-sort by (ts, event_id)
+    "ts_stream_cusum" -> ((s, d) => {
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select("ts", "event_id", "event_type", "value")
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_cusum_in").toString
+      val mm = evs
+        .selectExpr("unix_micros(min(ts)) AS mn", "unix_micros(max(ts)) AS mx")
+        .head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val cuts = Seq(mn + (mx - mn) / 4, mn + (mx - mn) / 2,
+        mn + 3 * (mx - mn) / 4)
+      val t0 = System.currentTimeMillis() - 600000
+      val slices = Seq(
+        evs.where(expr(s"unix_micros(ts) <= ${cuts(0)}")),
+        evs.where(expr(
+          s"unix_micros(ts) > ${cuts(0)} AND unix_micros(ts) <= ${cuts(1)}")),
+        evs.where(expr(
+          s"unix_micros(ts) > ${cuts(1)} AND unix_micros(ts) <= ${cuts(2)}")),
+        evs.where(expr(s"unix_micros(ts) > ${cuts(2)}")))
+      slices.zipWithIndex.foreach { case (df, i) =>
+        stageOrderedFile(landing, df, s"f$i.parquet", t0 + i * 60000)
+      }
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+        import s.implicits._
+        val out = graft.streaming.Streams.cusumTws(
+          stream.as[graft.streaming.Streams.MetricEvent],
+          targetMicro = 500000L, alarmMicro = 5000000L)
+        graft.streaming.Streams.runToMemory(out.toDF(),
+          "ts_stream_cusum_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+      deleteRecursively(new java.io.File(landing))
+      s.table("ts_stream_cusum_sink")
+        .groupBy("event_type")
+        .agg(max("n_points").as("n_points"),
+          max("n_alarms").as("n_alarms"),
+          max("max_cusum").as("max_cusum"))
+        .orderBy("event_type")
+    }),
+
     "ts_stream_scd2" -> ((s, d) => {
       val events = Tables.load(s, d, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -3041,6 +3091,10 @@ object Io {
         |SELECT user_id,
         |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conversion
         |FROM seqs ORDER BY user_id""".stripMargin,
+
+    // the drained CUSUM state must equal the batch closed form — the
+    // oracle IS the batch twin's windows, verbatim
+    "ts_stream_cusum" -> Relational.sql("ts_cusum_drift"),
 
     "ts_stream_scd2" ->
       """WITH ch AS (SELECT user_id AS k, event_id AS seq,

@@ -449,6 +449,72 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** Metric row for the order-sensitive CUSUM processor. */
+  case class MetricEvent(ts: java.sql.Timestamp, event_id: Long,
+                         event_type: String, value: Double)
+
+  /** Per-series CUSUM snapshot (monotone counters — max over batches is
+    * the drained answer).
+    */
+  case class CusumStat(event_type: String, n_points: Long, n_alarms: Long,
+                       max_cusum: Long)
+
+  /** STREAMING one-sided CUSUM drift alarm — the live twin of the batch
+    * `ts_cusum_drift` entry: the recurrence s_t = max(0, s_{t−1} + d_t)
+    * needs only (running prefix sum, running prefix min) per series —
+    * two Longs of state no matter how long the series — because
+    * s_t = P_t − min(0, min_{j≤t} P_j), the same closed form the batch
+    * windows compute. ORDER-DEPENDENT like [[ConversionProcessor]]:
+    * replay files must be TIME-sliced, rows re-sort by (ts, event_id)
+    * within each batch. The micro-unit rounding replays Spark SQL's
+    * ROUND exactly (BigDecimal.valueOf + HALF_UP — valueOf goes through
+    * the canonical decimal string like Spark's Round expression; a raw
+    * binary BigDecimal would diverge on some doubles).
+    */
+  class CusumProcessor(targetMicro: Long, alarmMicro: Long)
+      extends StatefulProcessor[String, MetricEvent, CusumStat] {
+    @transient private var pr: ValueState[Long] = _
+    @transient private var mn: ValueState[Long] = _
+    @transient private var np: ValueState[Long] = _
+    @transient private var na: ValueState[Long] = _
+    @transient private var mx: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      def mk(n: String) = getHandle.getValueState[Long](n,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      pr = mk("pr"); mn = mk("mn"); np = mk("np"); na = mk("na"); mx = mk("mx")
+    }
+    override def handleInputRows(key: String, rows: Iterator[MetricEvent],
+                                 timerValues: TimerValues): Iterator[CusumStat] = {
+      var p = if (pr.exists()) pr.get() else 0L
+      var m = if (mn.exists()) mn.get() else Long.MaxValue
+      var n = if (np.exists()) np.get() else 0L
+      var a = if (na.exists()) na.get() else 0L
+      var x = if (mx.exists()) mx.get() else 0L
+      rows.toSeq.sortBy(e =>
+        (e.ts.getTime / 1000, e.ts.getNanos, e.event_id)).foreach { e =>
+        val v = java.math.BigDecimal.valueOf(e.value * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        p += v - targetMicro
+        if (p < m) m = p
+        val s = p - math.min(0L, m)
+        if (s >= alarmMicro) a += 1
+        if (s > x) x = s
+        n += 1
+      }
+      pr.update(p); mn.update(m); np.update(n); na.update(a); mx.update(x)
+      Iterator.single(CusumStat(key, n, a, x))
+    }
+  }
+
+  def cusumTws(events: Dataset[MetricEvent], targetMicro: Long,
+               alarmMicro: Long): Dataset[CusumStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(targetMicro, alarmMicro),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** One per-key HLL snapshot from [[HllDistinctProcessor]]: bucket-hit
     * count + the exact integer harmonic sum Σ 2^(53−mj) over all 64
     * buckets (absent → 2^53) — the caller divides αm² out of it.
