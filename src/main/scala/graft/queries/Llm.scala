@@ -1051,6 +1051,34 @@ object Llm {
           "CAST(ROUND(n_chars_sum / n_docs, 6) AS DOUBLE) AS mean_chars")
         .orderBy("source")),
 
+    // rarity-weighted keyword extraction (topic tagging for curation
+    // dashboards): score = tf · (N div df) — the INTEGER idf surrogate
+    // (log never runs in-plan, the house rule); two corpus-token aggs +
+    // one broadcast-sized df join, top-3 per doc through a rank window
+    // the WindowGroupLimit prunes before the shuffle
+    "llm_keywords" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__kw_docs")
+      s.sql(s"""
+        WITH toks AS (SELECT doc_id, tok
+                      FROM __kw_docs
+                      LATERAL VIEW explode(split(${graft.llm.Dedup.normalizeExpr}, ' ')) t AS tok
+                      WHERE length(tok) > 2),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+        sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                      tf.tf * (n.nd DIV df.df) AS score
+               FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, tok) AS rank
+               FROM sc)
+        SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               CAST(score AS BIGINT) AS score
+        FROM rk WHERE rank <= 3
+        ORDER BY doc_id, rank""")
+    }),
+
     // Flesch-Kincaid-style readability for quality filtering: word /
     // sentence / vowel-group counts are three regexp passes over the map
     // side (one scan, no shuffle before the output sort), the grade one
@@ -3081,6 +3109,26 @@ object Llm {
          |       CAST(ROUND(CAST(r.n_hit AS DOUBLE) / r.n_exact, 6) AS DOUBLE) AS recall
          |FROM pick p JOIN rec r ON r.probe_id = p.probe_id
          |WHERE p.rn = 1 ORDER BY p.probe_id""".stripMargin,
+
+    // same integer-idf algebra, DuckDB's unnest + // division
+    "llm_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |        SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |        FROM documents) WHERE length(tok) > 2),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+         |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |              tf.tf * (n.nd // df.df) AS score
+         |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                   ORDER BY score DESC, tok) AS rank
+         |       FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+         |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |       CAST(score AS BIGINT) AS score
+         |FROM rk WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     // the same three regexp counts (len == size), the identical IEEE
     // tree, banding on the shared rounded grade

@@ -373,6 +373,55 @@ object Ops {
         ORDER BY d.event_type, d.hr""")
     }),
 
+    // calendar GAP FILL with linear interpolation — the missing-day
+    // repair every daily-metric pipeline runs before modeling: per-series
+    // day spine (endpoints are known days by construction), carry
+    // prev/next known (value, day) via IGNORE-NULLS edge windows (the
+    // ts_attribution primitive, both directions), interpolate in the
+    // WEIGHTED-AVERAGE form (pv·(dn−dd) + nv·dd) div dn — one integer
+    // division on a NONNEGATIVE numerator, so Spark's truncating DIV and
+    // DuckDB's flooring // agree by construction. Partitions = series
+    // (per-series sequential, the cusum caveat); spine rows ∝ days, not
+    // events
+    "ts_gap_fill_interp" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH daily AS (SELECT event_type,
+                              CAST(date_trunc('day', ts) AS DATE) AS day,
+                              CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM events
+                       WHERE event_id % 97 = 0
+                       GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+        bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                   FROM daily GROUP BY event_type),
+        spine AS (SELECT event_type,
+                         explode(sequence(lo, hi, interval 1 day)) AS day
+                  FROM bounds),
+        j AS (SELECT s.event_type, s.day, d.v
+              FROM spine s LEFT JOIN daily d
+                ON s.event_type = d.event_type AND s.day = d.day),
+        f AS (SELECT event_type, day, v,
+                     last_value(v, true) OVER w AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN day END, true)
+                       OVER w AS pd,
+                     first_value(v, true) OVER w2 AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN day END, true)
+                       OVER w2 AS nd
+              FROM j
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     w2 AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, day,
+               CAST(CASE WHEN v IS NOT NULL THEN v
+                         ELSE (pv * (datediff(nd, pd) - datediff(day, pd))
+                               + nv * datediff(day, pd)) DIV datediff(nd, pd)
+                    END AS BIGINT) AS v_filled,
+               CAST(v IS NULL AS BOOLEAN) AS filled
+        FROM f ORDER BY event_type, day""")
+    }),
+
     // mergeable equi-width HISTOGRAM quantile sketch — the scale answer
     // to exact percentiles (agg_percentile's sort-based exactness is the
     // eval form; a 100 TB profile wants one map-side-combinable pass):
@@ -880,6 +929,47 @@ object Ops {
                         / (CAST(n AS DOUBLE) * ef), 6) AS DOUBLE) AS chi2_term
       FROM e ORDER BY digit"""
     },
+
+    // the same weighted-average integer interpolation (nonnegative
+    // numerator, so // == DIV); DuckDB date subtraction is already int
+    // days, generate_series spans the same inclusive spine
+    "ts_gap_fill_interp" -> """
+      WITH daily AS (SELECT event_type,
+                            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                            CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                                 AS BIGINT) AS v
+                     FROM events
+                     WHERE event_id % 97 = 0
+                     GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                 FROM daily GROUP BY event_type),
+      spine AS (SELECT event_type,
+                       CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                   CAST(hi AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds),
+      j AS (SELECT s.event_type, s.day, d.v
+            FROM spine s LEFT JOIN daily d
+              ON s.event_type = d.event_type AND s.day = d.day),
+      f AS (SELECT event_type, day, v,
+                   last_value(v IGNORE NULLS) OVER w AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                     OVER w AS pd,
+                   first_value(v IGNORE NULLS) OVER w2 AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                     OVER w2 AS nd
+            FROM j
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_type, day,
+             CAST(CASE WHEN v IS NOT NULL THEN v
+                       ELSE (pv * ((nd - pd) - (day - pd))
+                             + nv * (day - pd)) // (nd - pd)
+                  END AS BIGINT) AS v_filled,
+             CAST(v IS NULL AS BOOLEAN) AS filled
+      FROM f ORDER BY event_type, day""",
 
     // quantile_cont == Spark's percentile (both linearly interpolate the
     // sorted multiset; doubled integers make the result exact either way)
