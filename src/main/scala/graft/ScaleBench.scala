@@ -117,9 +117,17 @@ object ScaleBench {
     val spark = Session.local("graft-scale-bench")
     try {
       val tStage = time(stage(spark, src, out, factor))
-      def run(q: String): Unit =
+      def run(q: String): Unit = {
+        // same off-the-clock hygiene as graft.Bench: persisted blocks
+        // (localCheckpoints) from PRIOR queries are suite pressure, not
+        // this query's cost — the r13 factor-100 run timed tpch_q18 at
+        // 77.9 s under 32 queries' accumulated state vs 10.4 s clean
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         SparkEntry.queries(q)(spark, out)
           .write.mode("overwrite").format("noop").save()
+      }
       names.foreach(run) // warm every plan off the clock
       val timed = names.map(q => s""""$q":${Fmt.sec(time(run(q)))}""")
       val rows = spark.read.parquet(s"$out/lineitem.parquet").count()

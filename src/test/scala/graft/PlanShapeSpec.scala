@@ -110,6 +110,38 @@ class PlanShapeSpec extends SparkSpec {
       s"linkage must candidate via the blocking equi-join:\n$plan")
   }
 
+  test("er_blocked_link_hot: salted candidates stay a (blk, salt) equi-join") {
+    val plan = staticPlan(SparkEntry.queries("er_blocked_link_hot")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted linkage must candidate via the blocking equi-join:\n$plan")
+    assert(plan.contains("__salt"),
+      s"the hot-block treatment's salt column vanished from the plan:\n$plan")
+  }
+
+  test("join_geo_knn: kNN candidates from the cell equi-join, rank prunes via WindowGroupLimit") {
+    val plan = staticPlan(SparkEntry.queries("join_geo_knn")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial kNN candidates must come from the cell equi-join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=3 should prune below the window shuffle:\n$plan")
+  }
+
+  test("llm_keywords: top-3 rank prunes via WindowGroupLimit, df joins broadcast") {
+    val plan = staticPlan(SparkEntry.queries("llm_keywords")(spark, sfSmoke))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-3 should prune below the window shuffle:\n$plan")
+  }
+
+  test("qc_dataset_fingerprint: ONE corpus scan, commutative partial aggregation") {
+    val plan = staticPlan(SparkEntry.queries("qc_dataset_fingerprint")(spark, sfSmoke))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"fingerprint should be ONE corpus scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the commutative folds must partial-aggregate map-side:\n$plan")
+  }
+
   test("join_allen_relations: binned equi-join, no nested loop") {
     val plan = staticPlan(SparkEntry.queries("join_allen_relations")(spark, sfSmoke))
     assert(!plan.contains("CartesianProduct") &&
