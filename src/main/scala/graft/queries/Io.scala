@@ -1844,6 +1844,38 @@ object Io {
         .orderBy("event_type")
     }),
 
+    // STREAMING histogram-sketch quantiles: agg_quantile_sketch's
+    // (bin → count) state held live as TWS MapState — the sketch is
+    // commutative, so the unordered repartition(3) replay converges and
+    // the BATCH sketch SQL is the oracle verbatim; estimate arithmetic
+    // is the identical all-integer interpolation. n_total is strictly
+    // monotone per key → max_by picks the drained snapshot
+    "ts_stream_quantile" -> ((s, d) => {
+      Tables.register(s, d)
+      val rows = s.table("orders").selectExpr("o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_qsk").toString
+      rows.repartition(3).write.mode("overwrite").parquet(dir)
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val ests = graft.streaming.Streams.quantileSketchTws(
+          stream.as[graft.streaming.Streams.OrderCents], Seq(50, 90, 99))
+        graft.streaming.Streams.runToMemory(ests.toDF(),
+          "ts_stream_qsk_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+      deleteRecursively(new java.io.File(dir))
+      s.table("ts_stream_qsk_sink")
+        .groupBy("o_orderstatus", "pct")
+        .agg(expr("max_by(est_cents, n_total)").as("est_cents"))
+        .selectExpr("o_orderstatus", "CAST(pct AS INT) AS pct",
+          "CAST(est_cents AS BIGINT) AS est_cents")
+        .orderBy("o_orderstatus", "pct")
+    }),
+
     // event-time TIMERS — the last v2 surface without an entry (r9
     // verdict #8): per-user inactivity sessionization through
     // registerTimer/handleExpiredTimer on the RocksDB store, over a
@@ -3095,6 +3127,10 @@ object Io {
     // the drained CUSUM state must equal the batch closed form — the
     // oracle IS the batch twin's windows, verbatim
     "ts_stream_cusum" -> Relational.sql("ts_cusum_drift"),
+
+    // the drained sketch must equal the batch histogram sketch — oracle
+    // = the agg_quantile_sketch algebra (DuckDB's //), verbatim
+    "ts_stream_quantile" -> Ops.oracles("agg_quantile_sketch"),
 
     "ts_stream_scd2" ->
       """WITH ch AS (SELECT user_id AS k, event_id AS seq,

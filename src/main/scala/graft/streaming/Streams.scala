@@ -515,6 +515,65 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Money row for the streaming quantile sketch. */
+  case class OrderCents(o_orderstatus: String, cents: Long)
+
+  /** One quantile estimate row; n_total is strictly monotone per key, so
+    * `max_by(est_cents, n_total)` over the Update-mode snapshots is the
+    * drained answer.
+    */
+  case class QuantileEst(o_orderstatus: String, pct: Int, est_cents: Long,
+                         n_total: Long)
+
+  /** STREAMING equi-width histogram quantiles — the `agg_quantile_sketch`
+    * state (bin → count, bin = cents div 10^6) held live as MapState:
+    * the sketch is commutative+associative, so the drained state is
+    * REPLAY-ORDER-INDEPENDENT (key-split files converge — no
+    * time-slicing needed, same class as the HLL processor) and the batch
+    * sketch SQL is the exact oracle. Estimate arithmetic is the
+    * IDENTICAL integer algebra: k = (pct·total + 99) div 100, est =
+    * bin·10^6 + (k − cum_before)·10^6 div n — every term positive, so
+    * Scala `/` and SQL DIV/`//` agree. State per key = live-bin count
+    * (≈ value range / 10^6), not rows.
+    */
+  class QuantileSketchProcessor(pcts: Seq[Int])
+      extends StatefulProcessor[String, OrderCents, QuantileEst] {
+    @transient private var bins: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bins = getHandle.getMapState[Long, Long]("qsketch_bins",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[OrderCents],
+                                 timerValues: TimerValues): Iterator[QuantileEst] = {
+      rows.foreach { r =>
+        val b = r.cents / 1000000L
+        val prev = if (bins.containsKey(b)) bins.getValue(b) else 0L
+        bins.updateValue(b, prev + 1L)
+      }
+      val sorted = bins.iterator().toIndexedSeq.sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      var out = List.empty[QuantileEst]
+      pcts.foreach { pct =>
+        val k = (pct * total + 99L) / 100L
+        var cum = 0L
+        val hit = sorted.find { case (_, n) => cum += n; cum >= k }.get
+        val (bin, n) = hit
+        val est = bin * 1000000L + ((k - (cum - n)) * 1000000L) / n
+        out ::= QuantileEst(key, pct, est, total)
+      }
+      out.reverseIterator
+    }
+  }
+
+  def quantileSketchTws(rows: Dataset[OrderCents],
+                        pcts: Seq[Int]): Dataset[QuantileEst] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.o_orderstatus)
+      .transformWithState(new QuantileSketchProcessor(pcts), TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One per-key HLL snapshot from [[HllDistinctProcessor]]: bucket-hit
     * count + the exact integer harmonic sum Σ 2^(53−mj) over all 64
     * buckets (absent → 2^53) — the caller divides αm² out of it.
