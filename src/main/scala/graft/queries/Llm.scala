@@ -1051,6 +1051,44 @@ object Llm {
           "CAST(ROUND(n_chars_sum / n_docs, 6) AS DOUBLE) AS mean_chars")
         .orderBy("source")),
 
+    // tf-WEIGHTED lexical cosine for near-dup verification — the metric
+    // that tolerates boilerplate repetition where set-Jaccard dilutes
+    // (a doc that repeats its header 50× still scores ≈1 against its
+    // near-copy): candidates from 12-char normalized-prefix blocking
+    // (self-contained, replayable in SQL — the ER blocking shape), dot
+    // and norms exact integers, cos² = one fixed IEEE tree at the edge
+    // (squared on purpose: no sqrt cross-engine). Work ∝ per-block
+    // density² + shared-token join — never all-pairs
+    "llm_lexical_cosine" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__lc_docs")
+      s.sql(s"""
+        WITH nrm AS (SELECT doc_id, ${graft.llm.Dedup.normalizeExpr} AS t
+                     FROM __lc_docs),
+        blk AS (SELECT doc_id, substr(t, 1, 12) AS blk, t
+                FROM nrm WHERE length(t) >= 12),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM blk a JOIN blk b
+                    ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        toks AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+                   SELECT doc_id, tok
+                   FROM nrm LATERAL VIEW explode(split(t, ' ')) x AS tok
+                   WHERE length(tok) > 0)
+                 GROUP BY doc_id, tok),
+        n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM toks GROUP BY doc_id),
+        dt AS (SELECT p.doc_a, p.doc_b, SUM(x.tf * y.tf) AS dot
+               FROM pairs p
+                    JOIN toks x ON x.doc_id = p.doc_a
+                    JOIN toks y ON y.doc_id = p.doc_b AND y.tok = x.tok
+               GROUP BY p.doc_a, p.doc_b)
+        SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+               CAST(ROUND(CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+                          / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6)
+                    AS DOUBLE) AS cos2
+        FROM dt d JOIN n2 a ON a.doc_id = d.doc_a
+                  JOIN n2 b ON b.doc_id = d.doc_b
+        ORDER BY doc_a, doc_b""")
+    }),
+
     // rarity-weighted keyword extraction (topic tagging for curation
     // dashboards): score = tf · (N div df) — the INTEGER idf surrogate
     // (log never runs in-plan, the house rule); two corpus-token aggs +
@@ -3109,6 +3147,32 @@ object Llm {
          |       CAST(ROUND(CAST(r.n_hit AS DOUBLE) / r.n_exact, 6) AS DOUBLE) AS recall
          |FROM pick p JOIN rec r ON r.probe_id = p.probe_id
          |WHERE p.rn = 1 ORDER BY p.probe_id""".stripMargin,
+
+    // same prefix blocking, integer dot/norms, identical IEEE tree
+    "llm_lexical_cosine" ->
+      s"""WITH nrm AS (SELECT doc_id, $NORM AS t FROM documents),
+         |blk AS (SELECT doc_id, substr(t, 1, 12) AS blk, t
+         |        FROM nrm WHERE length(t) >= 12),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM blk a JOIN blk b
+         |            ON a.blk = b.blk AND a.doc_id < b.doc_id),
+         |toks AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |           SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+         |           FROM nrm) WHERE length(tok) > 0
+         |         GROUP BY doc_id, tok),
+         |n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM toks GROUP BY doc_id),
+         |dt AS (SELECT p.doc_a, p.doc_b, SUM(x.tf * y.tf) AS dot
+         |       FROM pairs p
+         |            JOIN toks x ON x.doc_id = p.doc_a
+         |            JOIN toks y ON y.doc_id = p.doc_b AND y.tok = x.tok
+         |       GROUP BY p.doc_a, p.doc_b)
+         |SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+         |       CAST(ROUND(CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+         |                  / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6)
+         |            AS DOUBLE) AS cos2
+         |FROM dt d JOIN n2 a ON a.doc_id = d.doc_a
+         |          JOIN n2 b ON b.doc_id = d.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same integer-idf algebra, DuckDB's unnest + // division
     "llm_keywords" ->
