@@ -1117,6 +1117,41 @@ object Llm {
         ORDER BY doc_id, rank""")
     }),
 
+    // PMI collocation mining — which word pairs co-occur far above
+    // chance (phrase/boilerplate discovery, tokenizer-merge candidates).
+    // Log-free by the house rule: the PMI EXPONENT ordering is the
+    // lift ratio c_xy·N²/(B·c_x·c_y), emitted through ONE fixed IEEE
+    // tree at the output edge; the qualifying-row SET is cut by the
+    // INTEGER occurrence threshold alone, so no float ever decides
+    // membership. Two token aggs (map-side combinable) + a
+    // vocabulary-sized unigram join + a 1-row totals broadcast — at
+    // 100 TB every shuffle key is a token, never a doc
+    "llm_pmi_collocations" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__pmi_docs")
+      s.sql(s"""
+        WITH norm AS (SELECT split(${graft.llm.Dedup.normalizeExpr}, ' ') AS w
+                      FROM __pmi_docs),
+        u AS (SELECT tok, COUNT(*) AS c FROM (
+                SELECT explode(w) AS tok FROM norm) t
+              WHERE length(tok) > 0 GROUP BY tok),
+        tot AS (SELECT (SELECT SUM(c) FROM u) AS n_tok,
+                       (SELECT SUM(size(w) - 1) FROM norm WHERE size(w) >= 2) AS n_big),
+        b AS (SELECT bigram, COUNT(*) AS c_xy FROM (
+                SELECT explode(transform(sequence(1, size(w) - 1),
+                         i -> concat(w[i-1], ' ', w[i]))) AS bigram
+                FROM norm WHERE size(w) >= 2) t
+              GROUP BY bigram HAVING COUNT(*) >= 20)
+        SELECT b.bigram, CAST(b.c_xy AS BIGINT) AS c_xy,
+               CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+               CAST(ROUND(CAST(b.c_xy AS DOUBLE) * CAST(tot.n_tok AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
+                    / (CAST(tot.n_big AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)), 6)
+                    AS DOUBLE) AS lift
+        FROM b JOIN u ux ON ux.tok = split(b.bigram, ' ')[0]
+               JOIN u uy ON uy.tok = split(b.bigram, ' ')[1]
+               CROSS JOIN tot
+        ORDER BY bigram""")
+    }),
+
     // Flesch-Kincaid-style readability for quality filtering: word /
     // sentence / vowel-group counts are three regexp passes over the map
     // side (one scan, no shuffle before the output sort), the grade one
@@ -3193,6 +3228,31 @@ object Llm {
          |       CAST(score AS BIGINT) AS score
          |FROM rk WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // same token/bigram algebra on DuckDB's 1-based lists; the lift
+    // expression is the character-identical IEEE tree, the row set is
+    // cut by the integer threshold only
+    "llm_pmi_collocations" ->
+      s"""WITH norm AS (SELECT string_split($NORM, ' ') AS w FROM documents),
+         |u AS (SELECT tok, COUNT(*) AS c FROM (
+         |        SELECT unnest(w) AS tok FROM norm) t
+         |      WHERE length(tok) > 0 GROUP BY tok),
+         |tot AS (SELECT (SELECT SUM(c) FROM u) AS n_tok,
+         |               (SELECT SUM(length(w) - 1) FROM norm WHERE length(w) >= 2) AS n_big),
+         |b AS (SELECT bigram, COUNT(*) AS c_xy FROM (
+         |        SELECT w[i] || ' ' || w[i+1] AS bigram
+         |        FROM norm, unnest(generate_series(1, length(w) - 1)) AS s(i)
+         |        WHERE length(w) >= 2) t
+         |      GROUP BY bigram HAVING COUNT(*) >= 20)
+         |SELECT b.bigram, CAST(b.c_xy AS BIGINT) AS c_xy,
+         |       CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+         |       CAST(ROUND(CAST(b.c_xy AS DOUBLE) * CAST(tot.n_tok AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
+         |            / (CAST(tot.n_big AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)), 6)
+         |            AS DOUBLE) AS lift
+         |FROM b JOIN u ux ON ux.tok = string_split(b.bigram, ' ')[1]
+         |       JOIN u uy ON uy.tok = string_split(b.bigram, ' ')[2]
+         |       CROSS JOIN tot
+         |ORDER BY bigram""".stripMargin,
 
     // the same three regexp counts (len == size), the identical IEEE
     // tree, banding on the shared rounded grade

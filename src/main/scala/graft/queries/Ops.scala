@@ -653,6 +653,105 @@ object Ops {
         Constraints.checkForeignKey(ord, "o_custkey",
           cust.where(expr("c_acctbal > 9000")), "c_custkey",
           "orders_fk_rich_customer")))
+    }),
+
+    // KMV (bottom-k) distinct sketch — the third mergeable cardinality
+    // sketch next to HLL (llm_distinct_sketch) and the exact count:
+    // keep the k=64 SMALLEST 48-bit hashes; estimate = (k-1)·2^48 DIV
+    // h_(k). The merge property is shown IN-PLAN: per-shard bottom-64
+    // first, then bottom-64 of the union — identical to one global
+    // bottom-64 because "k smallest of a union = k smallest over the
+    // shards' k-smallest", which is exactly how 1000 executors would
+    // combine bounded state. 48-bit hash keeps (k-1)·2^48 ≈ 1.8e16
+    // inside int64 — every quantity integer, zero float anywhere.
+    // Groups with fewer than k distinct values ARE the sketch (exact)
+    "agg_kmv_distinct" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH r AS (SELECT event_type AS g, user_id % 8 AS shard,
+                          CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h
+                   FROM events),
+        dd AS (SELECT DISTINCT g, shard, h FROM r),
+        p AS (SELECT g, shard, h,
+                     row_number() OVER (PARTITION BY g, shard ORDER BY h) AS rk
+              FROM dd),
+        m AS (SELECT g, h,
+                     row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+              FROM p WHERE rk <= 64),
+        kth AS (SELECT g, SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS n_kept,
+                       MAX(CASE WHEN rk = 64 THEN h END) AS h64
+                FROM m GROUP BY g),
+        ex AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY event_type)
+        SELECT k.g AS event_type, CAST(k.n_kept AS BIGINT) AS n_kept,
+               CAST(CASE WHEN k.n_kept < 64 THEN k.n_kept
+                         ELSE (63 * 281474976710656) DIV k.h64 END AS BIGINT) AS kmv_est,
+               CAST(e.n_exact AS BIGINT) AS n_exact
+        FROM kth k JOIN ex e ON e.g = k.g
+        ORDER BY event_type""")
+    }),
+
+    // autocorrelation function at hourly lags 0..6, per event stream —
+    // the seasonality/self-similarity diagnostic (a daily cycle shows as
+    // a lag-24 peak; here the fixture's short span keeps lags small).
+    // Same discipline as ts_lag_correlation: hourly counts are exact
+    // integers, the lag join is an equi join on shifted hour INDEX with
+    // the 7-row lag table broadcast, Pearson r comes from the integer
+    // closed form with one sqrt+division at the edge
+    "ts_acf" -> ((s, d) => {
+      val hourly = Tables.load(s, d, "events").groupBy(
+          expr("CAST(unix_micros(date_trunc('HOUR', ts)) div 3600000000 AS BIGINT)")
+            .as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val lagged = hourly.selectExpr("event_type AS et2", "h AS h2", "n AS y")
+      val lags = s.range(0, 7).select(col("id").as("lag"))
+      hourly.select(col("event_type"), col("h"), col("n").as("x"))
+        .crossJoin(broadcast(lags))
+        .join(lagged, expr("et2 = event_type AND h2 = h + lag"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("nh"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .selectExpr("event_type", "lag", "nh AS n_hours",
+          """CAST(ROUND(CAST(nh * sxy - sx * sy AS DOUBLE)
+            |  / NULLIF(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+            |               * CAST(nh * syy - sy * sy AS DOUBLE)), 0.0),
+            |  6) AS DOUBLE) AS r""".stripMargin)
+        .orderBy("event_type", "lag")
+    }),
+
+    // RFM segmentation — the marketing-analytics classic: per customer
+    // recency (days since last order), frequency (order count), monetary
+    // (lifetime cents), each cut into quartiles by the CLOSED-FORM rank
+    // formula ((rank-1)·4) DIV n + 1 — never ntile, whose remainder
+    // distribution would have to be trusted to agree across engines.
+    // Ties break on custkey, so every rank is total. The three global
+    // windows run over the POST-AGG customer table (|customers| ≪
+    // |orders| — the realistic segment-table shape); a pre-agg input at
+    // 100 TB would use the two-phase prefix-sum rank instead
+    "agg_rfm_segments" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        c AS (SELECT o_custkey AS cust,
+                     MIN(datediff(mx, CAST(o_orderdate AS DATE))) AS recency_days,
+                     COUNT(*) AS freq,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+              FROM orders CROSS JOIN maxd GROUP BY o_custkey),
+        n AS (SELECT COUNT(*) AS nc FROM c),
+        sc AS (SELECT cust, cents,
+                      ((row_number() OVER (ORDER BY recency_days ASC, cust) - 1) * 4) DIV nc + 1 AS r_score,
+                      ((row_number() OVER (ORDER BY freq DESC, cust) - 1) * 4) DIV nc + 1 AS f_score,
+                      ((row_number() OVER (ORDER BY cents DESC, cust) - 1) * 4) DIV nc + 1 AS m_score
+               FROM c CROSS JOIN n)
+        SELECT concat(CAST(r_score AS STRING), CAST(f_score AS STRING),
+                      CAST(m_score AS STRING)) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM sc GROUP BY 1 ORDER BY segment""")
     })
   )
 
@@ -1266,6 +1365,73 @@ object Ops {
             WHERE o_custkey IS NOT NULL AND NOT EXISTS
               (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey
                  AND c.c_acctbal > 9000)) w
-      ORDER BY rule"""
+      ORDER BY rule""",
+
+    // the same two-phase bottom-64 stitch (the merge identity makes it
+    // equal one global bottom-64); DuckDB hash idiom + // division
+    "agg_kmv_distinct" -> """
+      WITH r AS (SELECT event_type AS g, user_id % 8 AS shard,
+                        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+                 FROM events),
+      dd AS (SELECT DISTINCT g, shard, h FROM r),
+      p AS (SELECT g, shard, h,
+                   row_number() OVER (PARTITION BY g, shard ORDER BY h) AS rk
+            FROM dd),
+      m AS (SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+            FROM p WHERE rk <= 64),
+      kth AS (SELECT g, SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS n_kept,
+                     MAX(CASE WHEN rk = 64 THEN h END) AS h64
+              FROM m GROUP BY g),
+      ex AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS n_exact
+             FROM events GROUP BY event_type)
+      SELECT k.g AS event_type, CAST(k.n_kept AS BIGINT) AS n_kept,
+             CAST(CASE WHEN k.n_kept < 64 THEN k.n_kept
+                       ELSE (63 * 281474976710656) // k.h64 END AS BIGINT) AS kmv_est,
+             CAST(e.n_exact AS BIGINT) AS n_exact
+      FROM kth k JOIN ex e ON e.g = k.g
+      ORDER BY event_type""",
+
+    // hourly counts + per-type shifted-index self-join + the identical
+    // integer Pearson closed form
+    "ts_acf" -> """
+      WITH hc AS (SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                              // 3600000000 AS BIGINT) AS h,
+                         event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2),
+      l AS (SELECT unnest(generate_series(0, 6)) AS lag),
+      j AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+            FROM hc a CROSS JOIN l
+            JOIN hc b ON b.event_type = a.event_type AND b.h = a.h + l.lag),
+      s AS (SELECT event_type, lag, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM j GROUP BY event_type, lag)
+      SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+             CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+               6) AS DOUBLE) AS r
+      FROM s ORDER BY event_type, lag""",
+
+    // the same closed-form quartile rank ((rank-1)*4 // n + 1) —
+    // deliberately NOT ntile on either side
+    "agg_rfm_segments" -> """
+      WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+      c AS (SELECT o_custkey AS cust,
+                   MIN(date_diff('day', CAST(o_orderdate AS DATE), mx)) AS recency_days,
+                   COUNT(*) AS freq,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+            FROM orders CROSS JOIN maxd GROUP BY o_custkey),
+      n AS (SELECT COUNT(*) AS nc FROM c),
+      sc AS (SELECT cust, cents,
+                    ((row_number() OVER (ORDER BY recency_days ASC, cust) - 1) * 4) // nc + 1 AS r_score,
+                    ((row_number() OVER (ORDER BY freq DESC, cust) - 1) * 4) // nc + 1 AS f_score,
+                    ((row_number() OVER (ORDER BY cents DESC, cust) - 1) * 4) // nc + 1 AS m_score
+             FROM c CROSS JOIN n)
+      SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM sc GROUP BY 1 ORDER BY segment"""
   )
 }
