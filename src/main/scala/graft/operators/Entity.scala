@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked record linkage (entity resolution) — Fellegi–Sunter shape:
@@ -61,6 +62,61 @@ object Entity {
       .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     score(saltedL.join(saltedR, blockCols :+ "__salt"), agreements, threshold)
       .drop("__salt")
+  }
+
+  /** Survivorship over a matched-pair set — the step AFTER linkage: fold
+    * matches into entities (connected components) and elect ONE golden
+    * record per entity by the caller's ordered preference rule (the MDM
+    * "survivorship" policy: most-complete / most-trusted / freshest).
+    *
+    * Components come from fixed-`rounds` min-label propagation: linkage
+    * components are tiny by construction (stars and short chains around
+    * one real-world entity), so a bounded hop count covers them, and —
+    * like [[graft.llm.Dedup.kCore]]'s fixed peel rounds — the
+    * differential oracle replays the exact same rounds as chained CTEs;
+    * a production fixpoint would loop to convergence with per-round
+    * checkpoints like `Dedup.dupClusters`. Each round is one edge
+    * equi-join + one partial-aggregated min — never an adjacency
+    * materialization, so the per-round cost is |edges| regardless of
+    * entity count.
+    *
+    * `pairs`: matched (lid, rid) id pairs from [[blockedLink]] — the two
+    * id spaces must be disjoint. `records`: (id, payload…) for EVERY
+    * record on either side; unmatched records survive as singleton
+    * entities (the golden record is themselves — a real MDM table keeps
+    * them). `pick`: best-first sort for the election; make it total
+    * (tie-break on id) or the winner is nondeterministic.
+    *
+    * Output: (entity_id = min member id, n_members, golden payload…).
+    */
+  def goldenRecords(pairs: DataFrame, records: DataFrame,
+                    pick: Seq[Column], rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
+    val und = pairs.selectExpr("CAST(lid AS BIGINT) AS a",
+      "CAST(rid AS BIGINT) AS b").distinct()
+    val sym = und.union(und.selectExpr("b AS a", "a AS b"))
+      .localCheckpoint()
+    var labels = records.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbr = sym.select(col("a").as("id"), col("b").as("nb"))
+        .join(labels.select(col("id").as("nb"), col("label").as("nl")),
+          Seq("nb"))
+        .groupBy("id").agg(min("nl").as("minnl"))
+      labels = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("minnl"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+    }
+    val members = records.join(labels, Seq("id"))
+    val golden = members
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("label")).orderBy(pick: _*)))
+      .where(col("__rn") === 1).drop("__rn")
+    members.groupBy("label")
+      .agg(min("id").as("entity_id"), count(lit(1)).as("n_members"))
+      .join(golden, Seq("label"))
+      .drop("label")
   }
 
   private def prefix(df: DataFrame, p: String, blockCols: Seq[String]) =

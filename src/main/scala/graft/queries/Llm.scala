@@ -1152,6 +1152,53 @@ object Llm {
         ORDER BY bigram""")
     }),
 
+    // URL canonicalization dedup — the crawl-curation step BEFORE text
+    // dedup: the same page arrives under tracking-parameter and fragment
+    // variants, and canonical grouping collapses them without touching
+    // the payload. Recipe: strip #fragment, strip utm_* params (mid/
+    // first/sole positions — three anchored regexes, character classes
+    // only so the SAME pattern text runs on Java regex and RE2),
+    // lowercase scheme+host but never the path/query. Pure per-row
+    // projection + one hash agg — embarrassingly parallel at 100 TB.
+    // URLs are synthesized deterministically from doc_id/source (the
+    // fixture has no url column); min(doc_id) is the canonical keeper
+    "llm_url_dedup" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__url_docs")
+      s.sql("""
+        WITH u0 AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                 concat('https://', upper(source), '.Example.com/alt/',
+                        CAST(doc_id % 50 AS STRING),
+                        '?utm_medium=email&id=', CAST(doc_id % 20 AS STRING))
+               ELSE
+                 concat('https://', upper(source), '.Example.com/page/',
+                        CAST(doc_id % 50 AS STRING),
+                        '?id=', CAST(doc_id % 20 AS STRING),
+                        CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=spring' ELSE '' END,
+                        CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed' ELSE '' END,
+                        CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+               END AS url FROM __url_docs),
+        c AS (SELECT doc_id, url,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       '&utm_[a-z]+=[^&]*', ''),
+                       '[?]utm_[a-z]+=[^&]*&', '?'),
+                       '[?]utm_[a-z]+=[^&]*$', '') AS stripped
+              FROM u0),
+        k AS (SELECT doc_id, url,
+                     concat(lower(regexp_extract(stripped, '^https?://[^/]+', 0)),
+                            substr(stripped,
+                              length(regexp_extract(stripped, '^https?://[^/]+', 0)) + 1))
+                       AS canonical_url
+              FROM c)
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+               MIN(doc_id) AS keeper_doc_id
+        FROM k GROUP BY canonical_url
+        ORDER BY canonical_url""")
+    }),
+
     // Flesch-Kincaid-style readability for quality filtering: word /
     // sentence / vowel-group counts are three regexp passes over the map
     // side (one scan, no shuffle before the output sort), the grade one
@@ -3253,6 +3300,44 @@ object Llm {
          |       JOIN u uy ON uy.tok = string_split(b.bigram, ' ')[2]
          |       CROSS JOIN tot
          |ORDER BY bigram""".stripMargin,
+
+    // the identical synthesis + the identical backslash-free regex
+    // pipeline (RE2 and Java agree on character-class-only patterns);
+    // the one repeatable pattern carries DuckDB's 'g' flag — Spark
+    // replaces ALL matches by default, DuckDB only the first
+    "llm_url_dedup" -> """
+      WITH u0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               concat('https://', upper(source), '.Example.com/alt/',
+                      CAST(doc_id % 50 AS VARCHAR),
+                      '?utm_medium=email&id=', CAST(doc_id % 20 AS VARCHAR))
+             ELSE
+               concat('https://', upper(source), '.Example.com/page/',
+                      CAST(doc_id % 50 AS VARCHAR),
+                      '?id=', CAST(doc_id % 20 AS VARCHAR),
+                      CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=spring' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed' ELSE '' END,
+                      CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+             END AS url FROM documents),
+      c AS (SELECT doc_id, url,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(url, '#.*$', ''),
+                     '&utm_[a-z]+=[^&]*', '', 'g'),
+                     '[?]utm_[a-z]+=[^&]*&', '?'),
+                     '[?]utm_[a-z]+=[^&]*$', '') AS stripped
+            FROM u0),
+      k AS (SELECT doc_id, url,
+                   lower(regexp_extract(stripped, '^https?://[^/]+', 0))
+                     || substr(stripped,
+                          length(regexp_extract(stripped, '^https?://[^/]+', 0)) + 1)
+                     AS canonical_url
+            FROM c)
+      SELECT canonical_url,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+             MIN(doc_id) AS keeper_doc_id
+      FROM k GROUP BY canonical_url
+      ORDER BY canonical_url""",
 
     // the same three regexp counts (len == size), the identical IEEE
     // tree, banding on the shared rounded grade

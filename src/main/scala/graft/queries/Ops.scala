@@ -691,6 +691,84 @@ object Ops {
         ORDER BY event_type""")
     }),
 
+    // the step AFTER linkage — MDM survivorship: matched pairs fold into
+    // entities (6 fixed min-label rounds, oracle-replayable like
+    // llm_kcore's peels) and each entity elects ONE golden record by the
+    // ordered policy "never a MOVED segment if avoidable, then highest
+    // balance, then lowest id". Unmatched records stay as singleton
+    // entities — the full MDM table, not just the collisions
+    "er_golden_record" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val leftDf = cust.selectExpr("c_custkey AS lid", "c_nationkey",
+        "substr(c_name, 1, 17) AS blk", "c_name AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
+          "c_custkey + 1000000 AS rid", "c_nationkey",
+          "CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X') ELSE c_name END AS name",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
+          "name", "seg", "bal")
+      val matches = Entity.blockedLink(leftDf, rightDf,
+          Seq("c_nationkey", "blk"),
+          Seq(("levenshtein(l_name, r_name) <= 1", 2),
+            ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
+          threshold = 3)
+        .selectExpr("l_lid AS lid", "r_rid AS rid")
+      val records = leftDf.selectExpr("lid AS id", "name", "seg", "bal")
+        .unionByName(rightDf.selectExpr("rid AS id", "name", "seg", "bal"))
+      Entity.goldenRecords(matches, records,
+          Seq(expr("CASE WHEN seg = 'MOVED' THEN 1 ELSE 0 END").asc,
+            col("bal").desc, col("id").asc))
+        .selectExpr("entity_id", "CAST(n_members AS BIGINT) AS n_members",
+          "id AS golden_id", "name AS golden_name", "seg AS golden_seg",
+          "CAST(bal AS BIGINT) AS golden_bal")
+        .orderBy("entity_id")
+    }),
+
+    // per-column profile drift between two corpus versions — the
+    // "what changed in this refresh" audit a recurring ingest runs before
+    // promoting a snapshot: row count, null rate, distinct sources,
+    // min/max/sum of the length column, each as one exact integer per
+    // version. Both profiles are single map-side-combinable aggregates;
+    // the drifted v1 is synthesized from v0 by the cdc_snapshot_diff
+    // recipe (drops, edits, a nulled column) so every metric moves
+    "qc_profile_drift" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH v1 AS (SELECT doc_id,
+                           CASE WHEN doc_id % 31 = 0 THEN concat(text, ' drifted') ELSE text END AS text,
+                           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+                           source,
+                           n_chars + CASE WHEN doc_id % 31 = 0 THEN 8 ELSE 0 END AS n_chars
+                    FROM documents WHERE doc_id % 97 <> 0),
+        p0 AS (SELECT COUNT(*) AS n_rows,
+                      SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+                      COUNT(DISTINCT source) AS n_sources,
+                      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                      SUM(n_chars) AS sum_chars
+               FROM documents),
+        p1 AS (SELECT COUNT(*) AS n_rows,
+                      SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+                      COUNT(DISTINCT source) AS n_sources,
+                      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                      SUM(n_chars) AS sum_chars
+               FROM v1)
+        SELECT metric, CAST(v0 AS BIGINT) AS v0, CAST(v1 AS BIGINT) AS v1,
+               CAST(v1 - v0 AS BIGINT) AS delta
+        FROM (
+          SELECT 'n_rows' AS metric, p0.n_rows AS v0, p1.n_rows AS v1 FROM p0 CROSS JOIN p1
+          UNION ALL SELECT 'null_lang', p0.null_lang, p1.null_lang FROM p0 CROSS JOIN p1
+          UNION ALL SELECT 'n_sources', p0.n_sources, p1.n_sources FROM p0 CROSS JOIN p1
+          UNION ALL SELECT 'min_chars', p0.min_chars, p1.min_chars FROM p0 CROSS JOIN p1
+          UNION ALL SELECT 'max_chars', p0.max_chars, p1.max_chars FROM p0 CROSS JOIN p1
+          UNION ALL SELECT 'sum_chars', p0.sum_chars, p1.sum_chars FROM p0 CROSS JOIN p1
+        ) u ORDER BY metric""")
+    }),
+
     // autocorrelation function at hourly lags 0..6, per event stream —
     // the seasonality/self-similarity diagnostic (a daily cycle shows as
     // a lag-24 peak; here the fixture's short span keeps lags small).
@@ -1366,6 +1444,90 @@ object Ops {
               (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey
                  AND c.c_acctbal > 9000)) w
       ORDER BY rule""",
+
+    // the same six min-label rounds as chained CTEs (the kcore pattern),
+    // then the identical survivorship window
+    "er_golden_record" -> {
+      val rounds = (1 to 6).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (SELECT p.id,
+           |          LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+           |        FROM $prev p LEFT JOIN e ON e.a = p.id
+           |        LEFT JOIN $prev n ON n.id = e.b
+           |        GROUP BY p.id, p.label)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (SELECT c_custkey AS lid, c_nationkey,
+         |             substr(c_name, 1, 17) AS blk, c_name AS lname,
+         |             c_mktsegment AS lseg,
+         |             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+         |           FROM customer),
+         |r0 AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+         |              CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+         |                   ELSE c_name END AS rname,
+         |              CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+         |                   ELSE c_mktsegment END AS rseg,
+         |              CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |                + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+         |       FROM customer WHERE c_custkey % 3 = 0),
+         |r AS (SELECT rid, c_nationkey, substr(rname, 1, 17) AS blk,
+         |             rname, rseg, rbal
+         |      FROM r0),
+         |sc AS (SELECT lid, rid,
+         |              CASE WHEN levenshtein(lname, rname) <= 1 THEN 2 ELSE 0 END
+         |              + CASE WHEN lseg = rseg THEN 1 ELSE 0 END
+         |              + CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS score
+         |       FROM l JOIN r USING (c_nationkey, blk)),
+         |pr AS (SELECT DISTINCT lid AS a, rid AS b FROM sc WHERE score >= 3),
+         |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+         |rec AS (SELECT lid AS id, lname AS name, lseg AS seg, lbal AS bal FROM l
+         |        UNION ALL SELECT rid, rname, rseg, rbal FROM r),
+         |l0 AS (SELECT id, id AS label FROM rec),
+         |$rounds,
+         |m AS (SELECT rec.id, rec.name, rec.seg, rec.bal, l6.label
+         |      FROM rec JOIN l6 ON l6.id = rec.id),
+         |g AS (SELECT *, row_number() OVER (PARTITION BY label
+         |        ORDER BY CASE WHEN seg = 'MOVED' THEN 1 ELSE 0 END ASC,
+         |                 bal DESC, id ASC) AS rn
+         |      FROM m),
+         |st AS (SELECT label, MIN(id) AS entity_id, COUNT(*) AS n_members
+         |       FROM m GROUP BY label)
+         |SELECT st.entity_id, CAST(st.n_members AS BIGINT) AS n_members,
+         |       g.id AS golden_id, g.name AS golden_name, g.seg AS golden_seg,
+         |       CAST(g.bal AS BIGINT) AS golden_bal
+         |FROM st JOIN g ON g.label = st.label AND g.rn = 1
+         |ORDER BY entity_id""".stripMargin
+    },
+
+    // the same two single-scan profiles and metric pivot
+    "qc_profile_drift" -> """
+      WITH v1 AS (SELECT doc_id,
+                         CASE WHEN doc_id % 31 = 0 THEN concat(text, ' drifted') ELSE text END AS text,
+                         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+                         source,
+                         n_chars + CASE WHEN doc_id % 31 = 0 THEN 8 ELSE 0 END AS n_chars
+                  FROM documents WHERE doc_id % 97 <> 0),
+      p0 AS (SELECT COUNT(*) AS n_rows,
+                    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+                    COUNT(DISTINCT source) AS n_sources,
+                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                    SUM(n_chars) AS sum_chars
+             FROM documents),
+      p1 AS (SELECT COUNT(*) AS n_rows,
+                    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+                    COUNT(DISTINCT source) AS n_sources,
+                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                    SUM(n_chars) AS sum_chars
+             FROM v1)
+      SELECT metric, CAST(v0 AS BIGINT) AS v0, CAST(v1 AS BIGINT) AS v1,
+             CAST(v1 - v0 AS BIGINT) AS delta
+      FROM (
+        SELECT 'n_rows' AS metric, p0.n_rows AS v0, p1.n_rows AS v1 FROM p0 CROSS JOIN p1
+        UNION ALL SELECT 'null_lang', p0.null_lang, p1.null_lang FROM p0 CROSS JOIN p1
+        UNION ALL SELECT 'n_sources', p0.n_sources, p1.n_sources FROM p0 CROSS JOIN p1
+        UNION ALL SELECT 'min_chars', p0.min_chars, p1.min_chars FROM p0 CROSS JOIN p1
+        UNION ALL SELECT 'max_chars', p0.max_chars, p1.max_chars FROM p0 CROSS JOIN p1
+        UNION ALL SELECT 'sum_chars', p0.sum_chars, p1.sum_chars FROM p0 CROSS JOIN p1
+      ) u ORDER BY metric""",
 
     // the same two-phase bottom-64 stitch (the merge identity makes it
     // equal one global bottom-64); DuckDB hash idiom + // division
