@@ -1844,6 +1844,39 @@ object Io {
         .orderBy("event_type")
     }),
 
+    // STREAMING top-k heavy hitters: the exact per-type (user → count)
+    // map as TWS MapState, re-ranked each batch — counts are commutative
+    // so the unordered repartition(3) replay converges and the batch
+    // groupBy + rank window is the oracle verbatim; ties break on
+    // user_id so the ranking itself is deterministic. n_total is
+    // strictly monotone per key → max_by picks the drained snapshot
+    "ts_stream_topk" -> ((s, d) => {
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+      evs.repartition(3).write.mode("overwrite").parquet(dir)
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val snaps = graft.streaming.Streams.topKTws(
+          stream.as[graft.streaming.Streams.Event], k = 5)
+        graft.streaming.Streams.runToMemory(snaps.toDF(),
+          "ts_stream_topk_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+      deleteRecursively(new java.io.File(dir))
+      s.table("ts_stream_topk_sink")
+        .groupBy("event_type", "rank")
+        .agg(expr("max_by(struct(user_id, cnt), n_total)").as("m"))
+        .selectExpr("event_type", "CAST(rank AS INT) AS rank",
+          "m.user_id AS user_id", "CAST(m.cnt AS BIGINT) AS cnt")
+        .orderBy("event_type", "rank")
+    }),
+
     // STREAMING histogram-sketch quantiles: agg_quantile_sketch's
     // (bin → count) state held live as TWS MapState — the sketch is
     // commutative, so the unordered repartition(3) replay converges and
@@ -3131,6 +3164,20 @@ object Io {
     // the drained sketch must equal the batch histogram sketch — oracle
     // = the agg_quantile_sketch algebra (DuckDB's //), verbatim
     "ts_stream_quantile" -> Ops.oracles("agg_quantile_sketch"),
+
+    // the drained top-k map must equal the batch count + rank window
+    // (ties on user_id make the ranking total)
+    "ts_stream_topk" -> """
+      WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                 FROM events GROUP BY event_type, user_id),
+      r AS (SELECT event_type, user_id, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt DESC, user_id) AS rank
+            FROM c)
+      SELECT event_type, CAST(rank AS INT) AS rank, user_id,
+             CAST(cnt AS BIGINT) AS cnt
+      FROM r WHERE rank <= 5
+      ORDER BY event_type, rank""",
 
     "ts_stream_scd2" ->
       """WITH ch AS (SELECT user_id AS k, event_id AS seq,

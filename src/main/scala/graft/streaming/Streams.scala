@@ -644,6 +644,59 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** One top-k ranking row per (key, rank) snapshot; n_total (the key's
+    * total processed rows) is strictly monotone per key, so
+    * `max_by(..., n_total)` over the Update-mode snapshots is the
+    * drained ranking.
+    */
+  case class TopKSnap(event_type: String, rank: Int, user_id: Long,
+                      cnt: Long, n_total: Long)
+
+  /** STREAMING per-key top-k heavy hitters: per event type the exact
+    * (user → count) map as MapState, re-ranked to the top-k each batch.
+    * Count increment is commutative+associative, so the drained state is
+    * REPLAY-ORDER-INDEPENDENT (the unordered multi-file replay converges)
+    * and the batch groupBy + rank window is the exact differential
+    * oracle. Ties break on user_id ascending — the ranking is total, so
+    * the emitted rows are deterministic, not just the count multiset.
+    *
+    * State per key = one long per distinct user seen for that key: exact
+    * by design where the item space is bounded (the dashboard "top
+    * pages/users/queries" shape). An UNBOUNDED item space wants the
+    * capped SpaceSaving summary instead — but SpaceSaving's evictions are
+    * replay-order-DEPENDENT, so it cannot be differentially oracled; the
+    * batch CMS-prefilter + exact-confirm pipeline (llm_heavy_hitters) is
+    * the scale form of that measurement.
+    */
+  class TopKProcessor(k: Int) extends StatefulProcessor[String, Event, TopKSnap] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("topk_counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TopKSnap] = {
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.user_id)) counts.getValue(e.user_id) else 0L
+        counts.updateValue(e.user_id, prev + 1L)
+      }
+      val all = counts.iterator().toIndexedSeq
+      val nTotal = all.map(_._2).sum
+      all.sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex.map {
+        case ((u, c), i) => TopKSnap(key, i + 1, u, c, nTotal)
+      }.iterator
+    }
+  }
+
+  def topKTws(events: Dataset[Event], k: Int): Dataset[TopKSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Drive any of the above to an in-memory table and block until the
     * source drains — the test/demo harness path.
     */
