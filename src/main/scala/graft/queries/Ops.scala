@@ -801,6 +801,63 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // EXACT distinct counting via bitmap chunks — the roaring-bitmap
+    // pattern: pack each 62-id block into ONE bit_or-aggregated int64
+    // (62 not 64 — DuckDB's `<<` refuses the sign bit), then popcount.
+    // Both aggregation levels are map-side combinable (bit_or and SUM
+    // are monoids), so the full distinct count moves as |id-space|/62
+    // longs instead of every id — the exact-answer middle ground
+    // between COUNT(DISTINCT)'s full shuffle and the HLL/KMV sketches'
+    // approximation, and the state unions across shards/versions by OR
+    "agg_bitmap_distinct" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH b AS (SELECT event_type, user_id DIV 62 AS chunk,
+                          bit_or(shiftleft(CAST(1 AS BIGINT),
+                                 CAST(user_id % 62 AS INT))) AS bm
+                   FROM events GROUP BY event_type, user_id DIV 62),
+        a AS (SELECT event_type, COUNT(*) AS n_chunks,
+                     SUM(bit_count(bm)) AS n_distinct_bitmap
+              FROM b GROUP BY event_type),
+        ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY event_type)
+        SELECT a.event_type, CAST(a.n_chunks AS BIGINT) AS n_chunks,
+               CAST(a.n_distinct_bitmap AS BIGINT) AS n_distinct_bitmap,
+               CAST(ex.n_exact AS BIGINT) AS n_exact
+        FROM a JOIN ex ON ex.event_type = a.event_type
+        ORDER BY event_type""")
+    }),
+
+    // Theil–Sen robust trend: per event stream, the MEDIAN of all
+    // pairwise daily-count slopes — one wild day moves OLS
+    // (agg_regression_exact) but not the pairwise median. Slopes are
+    // single IEEE divisions of exact integers (identical both engines);
+    // the median picks rank (n+1) DIV 2 and (n+2) DIV 2 and averages —
+    // never a float percentile. Pair count is days², bounded by the
+    // CALENDAR not the data (30 days → 435 pairs per key even at 100 TB
+    // of events), which is what makes the exact pairwise form viable
+    "ts_theilsen" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT) AS day,
+                           COUNT(*) AS c
+                    FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+                     CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+              FROM dc a JOIN dc b
+                ON b.event_type = a.event_type AND b.day > a.day),
+        r AS (SELECT event_type, slope,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY slope, di, dj) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM p)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+               CAST(ROUND(SUM(slope) / COUNT(*), 6) AS DOUBLE) AS theil_slope
+        FROM r WHERE rk IN ((n + 1) DIV 2, (n + 2) DIV 2)
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // RFM segmentation — the marketing-analytics classic: per customer
     // recency (days since last order), frequency (order count), monetary
     // (lifetime cents), each cut into quartiles by the CLOSED-FORM rank
@@ -1574,6 +1631,43 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the same 62-bit packing; DuckDB's `<<` + // division
+    "agg_bitmap_distinct" -> """
+      WITH b AS (SELECT event_type, user_id // 62 AS chunk,
+                        bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm
+                 FROM events GROUP BY event_type, user_id // 62),
+      a AS (SELECT event_type, COUNT(*) AS n_chunks,
+                   SUM(bit_count(bm)) AS n_distinct_bitmap
+            FROM b GROUP BY event_type),
+      ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+             FROM events GROUP BY event_type)
+      SELECT a.event_type, CAST(a.n_chunks AS BIGINT) AS n_chunks,
+             CAST(a.n_distinct_bitmap AS BIGINT) AS n_distinct_bitmap,
+             CAST(ex.n_exact AS BIGINT) AS n_exact
+      FROM a JOIN ex ON ex.event_type = a.event_type
+      ORDER BY a.event_type""",
+
+    // the identical pairwise-slope median (ranks, never percentile)
+    "ts_theilsen" -> """
+      WITH dc AS (SELECT event_type,
+                         CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                              // 86400000000 AS BIGINT) AS day,
+                         COUNT(*) AS c
+                  FROM events GROUP BY 1, 2),
+      p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+                   CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+            FROM dc a JOIN dc b
+              ON b.event_type = a.event_type AND b.day > a.day),
+      r AS (SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY slope, di, dj) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM p)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+             CAST(ROUND(SUM(slope) / COUNT(*), 6) AS DOUBLE) AS theil_slope
+      FROM r WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type ORDER BY event_type""",
 
     // the same closed-form quartile rank ((rank-1)*4 // n + 1) —
     // deliberately NOT ntile on either side
