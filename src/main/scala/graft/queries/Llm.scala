@@ -836,6 +836,71 @@ object Llm {
           "CAST(conv(hex(substring(png, 26, 1)), 16, 10) AS INT) AS color_type")
         .orderBy("doc_id")),
 
+    // VLM-curation aspect bucketing (the SDXL trick: train at a fixed
+    // set of aspect ratios, route each image to its closest bucket) on
+    // REAL decoded raster geometry, plus the min-area admission gate.
+    // Closest bucket = argmin of |w·b − a·h|/b — one IEEE division per
+    // candidate over exact integers, ties to the lowest bucket id, so
+    // the routing is total; the oracle replays the generator's dimension
+    // formulas through the identical scoring. Decode is map-only; the
+    // rollup is one |buckets|-row agg — embarrassingly parallel at 100 TB
+    "llm_image_buckets" -> ((s, d) => {
+      Multimodal.decodeImages(Multimodal.synthesizeImages(docs(s, d)))
+        .toDF().createOrReplaceTempView("__img_bk")
+      s.sql("""
+        WITH dims AS (SELECT doc_id, width AS w, height AS h FROM __img_bk
+                      WHERE width * height >= 64),
+        buckets AS (SELECT * FROM VALUES (1, 1, 1), (2, 4, 3), (3, 3, 4),
+                      (4, 16, 9), (5, 9, 16) AS b(bid, a, bb)),
+        scored AS (SELECT doc_id, w, h, bid, a, bb,
+                          CAST(abs(w * bb - a * h) AS DOUBLE) / CAST(bb AS DOUBLE) AS m
+                   FROM dims CROSS JOIN buckets),
+        pick AS (SELECT doc_id, w, h, bid, a, bb,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY m, bid) AS rn
+                 FROM scored)
+        SELECT concat(CAST(a AS STRING), ':', CAST(bb AS STRING)) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+               MIN(doc_id) AS min_doc
+        FROM pick WHERE rn = 1
+        GROUP BY a, bb ORDER BY bucket""")
+    }),
+
+    // quality-score survival curve — the curation artifact a threshold
+    // decision is actually made from: docs ranked by an integer quality
+    // proxy (alnum-char fraction, scaled 0..1000 — log-free, exact),
+    // cut into deciles by the closed-form rank formula, each decile
+    // reporting its doc count, score band, and CUMULATIVE character
+    // share ("keep the top 3 deciles → keep 41% of the chars"). One
+    // scan + one post-agg global window over |docs| ranks; at 100 TB
+    // the rank runs through the two-phase prefix sum like shuffleOrder
+    "llm_quality_survival" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__qs_docs")
+      s.sql("""
+        WITH sc AS (SELECT doc_id, n_chars,
+                           (1000 * length(regexp_replace(text, '[^a-zA-Z0-9]', '')))
+                             DIV GREATEST(n_chars, 1) AS score
+                    FROM __qs_docs),
+        n AS (SELECT COUNT(*) AS nd, SUM(n_chars) AS total_chars FROM sc),
+        r AS (SELECT doc_id, n_chars, score,
+                     ((row_number() OVER (ORDER BY score DESC, doc_id) - 1) * 10)
+                       DIV nd + 1 AS decile
+              FROM sc CROSS JOIN n),
+        g AS (SELECT decile, COUNT(*) AS n_docs,
+                     MIN(score) AS min_score, MAX(score) AS max_score,
+                     SUM(n_chars) AS sum_chars
+              FROM r GROUP BY decile)
+        SELECT CAST(decile AS INT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(min_score AS BIGINT) AS min_score,
+               CAST(max_score AS BIGINT) AS max_score,
+               CAST(sum_chars AS BIGINT) AS sum_chars,
+               CAST(ROUND(CAST(SUM(sum_chars) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / CAST(n.total_chars AS DOUBLE), 6) AS DOUBLE)
+                 AS cum_char_frac
+        FROM g CROSS JOIN n ORDER BY decile""")
+    }),
+
     // decode -> nearest-neighbor resize to fit 24px: the resample reads
     // the real decoded raster; the oracle replays the integer source-pixel
     // map over the target grid
@@ -2618,6 +2683,54 @@ object Llm {
          |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
          |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
          |ORDER BY t.probe_id""".stripMargin,
+
+    // the generator's dimension formulas routed through the identical
+    // bucket scoring (one IEEE division, ties to lowest bucket id)
+    "llm_image_buckets" ->
+      """WITH dims AS (SELECT doc_id, 1 + doc_id % 47 AS w,
+        |                     1 + (doc_id * 3) % 37 AS h
+        |              FROM documents
+        |              WHERE (1 + doc_id % 47) * (1 + (doc_id * 3) % 37) >= 64),
+        |buckets(bid, a, bb) AS (VALUES (1, 1, 1), (2, 4, 3), (3, 3, 4),
+        |                               (4, 16, 9), (5, 9, 16)),
+        |scored AS (SELECT doc_id, w, h, bid, a, bb,
+        |                  CAST(abs(w * bb - a * h) AS DOUBLE) / CAST(bb AS DOUBLE) AS m
+        |           FROM dims CROSS JOIN buckets),
+        |pick AS (SELECT doc_id, w, h, bid, a, bb,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY m, bid) AS rn
+        |         FROM scored)
+        |SELECT CAST(a AS VARCHAR) || ':' || CAST(bb AS VARCHAR) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+        |       MIN(doc_id) AS min_doc
+        |FROM pick WHERE rn = 1
+        |GROUP BY a, bb ORDER BY bucket""".stripMargin,
+
+    // the same integer score, closed-form decile and cumulative share;
+    // DuckDB regex needs the 'g' flag Spark applies by default
+    "llm_quality_survival" ->
+      """WITH sc AS (SELECT doc_id, n_chars,
+        |                   (1000 * length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
+        |                     // GREATEST(n_chars, 1) AS score
+        |            FROM documents),
+        |n AS (SELECT COUNT(*) AS nd, SUM(n_chars) AS total_chars FROM sc),
+        |r AS (SELECT doc_id, n_chars, score,
+        |             ((row_number() OVER (ORDER BY score DESC, doc_id) - 1) * 10)
+        |               // nd + 1 AS decile
+        |      FROM sc CROSS JOIN n),
+        |g AS (SELECT decile, COUNT(*) AS n_docs,
+        |             MIN(score) AS min_score, MAX(score) AS max_score,
+        |             SUM(n_chars) AS sum_chars
+        |      FROM r GROUP BY decile)
+        |SELECT CAST(decile AS INT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(min_score AS BIGINT) AS min_score,
+        |       CAST(max_score AS BIGINT) AS max_score,
+        |       CAST(sum_chars AS BIGINT) AS sum_chars,
+        |       CAST(ROUND(CAST(SUM(sum_chars) OVER (ORDER BY decile
+        |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |            / CAST(n.total_chars AS DOUBLE), 6) AS DOUBLE)
+        |         AS cum_char_frac
+        |FROM g CROSS JOIN n ORDER BY decile""".stripMargin,
 
     // closed-form IHDR expectation: ImageIO writes 8-bit truecolor
     // (bit depth 8, color type 2) for TYPE_INT_RGB input per the PNG spec

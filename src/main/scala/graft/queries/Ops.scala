@@ -801,6 +801,63 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // burst detection — the ops-alerting sibling of ts_cusum_drift:
+    // an hour is a burst when its count exceeds 3× the trailing-24h
+    // average with at least 6 trailing hours of context. Pure integer
+    // comparison (cnt · nprev > 3 · sum_prev — the average never
+    // materializes as a float); the trailing window is a RANGE frame on
+    // the integer hour INDEX, so calendar gaps shrink the baseline
+    // honestly instead of silently stretching it. One agg + one
+    // bounded window per stream
+    "ts_burst_flags" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH h AS (SELECT event_type,
+                          CAST(unix_micros(date_trunc('HOUR', ts)) DIV 3600000000 AS BIGINT) AS hr,
+                          COUNT(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, hr, cnt,
+                     COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS sum_prev,
+                     COUNT(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+              FROM h)
+        SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+               CAST(sum_prev AS BIGINT) AS sum_prev,
+               CAST(n_prev AS BIGINT) AS n_prev,
+               CAST(n_prev >= 6 AND cnt * n_prev > 3 * sum_prev AS BOOLEAN) AS is_burst
+        FROM w ORDER BY event_type, hr""")
+    }),
+
+    // Pareto concentration — "how few customers carry 80% of revenue",
+    // per market segment: rank customers by lifetime cents, find the
+    // smallest prefix whose cumulative share reaches 4/5 (the crossing
+    // is the integer comparison cum·5 ≥ total·4 — no float decides
+    // membership). Revenue stays integer cents end-to-end; the window
+    // runs over the POST-AGG customer table like agg_rfm_segments
+    "agg_pareto_coverage" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH c AS (SELECT c_mktsegment AS seg, o_custkey AS cust,
+                          SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+                   FROM orders JOIN customer ON c_custkey = o_custkey
+                   GROUP BY c_mktsegment, o_custkey),
+        r AS (SELECT seg, cust, cents,
+                     row_number() OVER (PARTITION BY seg
+                       ORDER BY cents DESC, cust) AS rk,
+                     SUM(cents) OVER (PARTITION BY seg
+                       ORDER BY cents DESC, cust ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(cents) OVER (PARTITION BY seg) AS total,
+                     COUNT(*) OVER (PARTITION BY seg) AS n
+              FROM c)
+        SELECT seg, CAST(MIN(n) AS BIGINT) AS n_customers,
+               CAST(MIN(rk) AS BIGINT) AS n_top80,
+               CAST(ROUND(CAST(MIN(rk) AS DOUBLE) / CAST(MIN(n) AS DOUBLE), 6)
+                    AS DOUBLE) AS frac_top80
+        FROM r WHERE cum * 5 >= total * 4
+        GROUP BY seg ORDER BY seg""")
+    }),
+
     // EXACT distinct counting via bitmap chunks — the roaring-bitmap
     // pattern: pack each 62-id block into ONE bit_or-aggregated int64
     // (62 not 64 — DuckDB's `<<` refuses the sign bit), then popcount.
@@ -1631,6 +1688,47 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the same trailing RANGE frame on the hour index and the same
+    // integer burst comparison
+    "ts_burst_flags" -> """
+      WITH h AS (SELECT event_type,
+                        CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                             // 3600000000 AS BIGINT) AS hr,
+                        COUNT(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, hr, cnt,
+                   COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                     RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS sum_prev,
+                   COUNT(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                     RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+            FROM h)
+      SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+             CAST(sum_prev AS BIGINT) AS sum_prev,
+             CAST(n_prev AS BIGINT) AS n_prev,
+             CAST(n_prev >= 6 AND cnt * n_prev > 3 * sum_prev AS BOOLEAN) AS is_burst
+      FROM w ORDER BY event_type, hr""",
+
+    // the identical integer crossing rule over the same ranked prefix
+    "agg_pareto_coverage" -> """
+      WITH c AS (SELECT c_mktsegment AS seg, o_custkey AS cust,
+                        SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+                 FROM orders JOIN customer ON c_custkey = o_custkey
+                 GROUP BY c_mktsegment, o_custkey),
+      r AS (SELECT seg, cust, cents,
+                   row_number() OVER (PARTITION BY seg
+                     ORDER BY cents DESC, cust) AS rk,
+                   SUM(cents) OVER (PARTITION BY seg
+                     ORDER BY cents DESC, cust ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cents) OVER (PARTITION BY seg) AS total,
+                   COUNT(*) OVER (PARTITION BY seg) AS n
+            FROM c)
+      SELECT seg, CAST(MIN(n) AS BIGINT) AS n_customers,
+             CAST(MIN(rk) AS BIGINT) AS n_top80,
+             CAST(ROUND(CAST(MIN(rk) AS DOUBLE) / CAST(MIN(n) AS DOUBLE), 6)
+                  AS DOUBLE) AS frac_top80
+      FROM r WHERE cum * 5 >= total * 4
+      GROUP BY seg ORDER BY seg""",
 
     // the same 62-bit packing; DuckDB's `<<` + // division
     "agg_bitmap_distinct" -> """
