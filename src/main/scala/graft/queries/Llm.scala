@@ -602,6 +602,32 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // bitext mining (LASER/CCMatrix shape): for every source-language
+    // doc's embedding, the nearest target-language candidate with the
+    // top1−top2 margin criterion — margin-based filtering is what keeps
+    // mined pairs precise when absolute cosine is uninformative. Probes
+    // and candidates come from the lang column joined onto the embedding
+    // table (vec_id = doc_id); margin arithmetic runs on the ROUNDED
+    // ranked cosines, so both engines subtract identical doubles. The
+    // source side is the bounded probe set (one language's slice); at
+    // corpus scale the candidate join composes over lshTopKBanded like
+    // hardNegatives — the margin rule is unchanged
+    "llm_bitext_mine" -> ((s, d) => {
+      val e = emb(s, d)
+      val langs = docs(s, d).select(col("doc_id"), col("lang"))
+      def side(l: String) = e.join(langs, e("vec_id") === langs("doc_id"))
+        .where(s"lang = '$l'").select("vec_id", "embedding")
+      Similarity.bruteForceTopK(side("de"), side("en"), 2)
+        .groupBy("probe_id")
+        .agg(max(when(col("rank") === 1, col("cand_id"))).as("best_cand"),
+          max(when(col("rank") === 1, col("cos"))).as("cos1"),
+          max(when(col("rank") === 2, col("cos"))).as("cos2"))
+        .selectExpr("probe_id", "best_cand", "cos1",
+          "CAST(ROUND(cos1 - cos2, 6) AS DOUBLE) AS margin",
+          "cos1 - cos2 > 0.02 AS accepted")
+        .orderBy("probe_id")
+    }),
+
     "llm_ann_bucketed" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e.where("vec_id < 16"), e, 3, planes = 8)
@@ -2427,6 +2453,32 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same lang-sided pairs, ranked on the same rounded cosine, the
+    // same margin tree
+    "llm_bitext_mine" ->
+      s"""WITH src AS (SELECT e.vec_id, e.embedding
+         |             FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |             WHERE d.lang = 'de'),
+         |tgt AS (SELECT e.vec_id, e.embedding
+         |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |        WHERE d.lang = 'en'),
+         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |                 ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |          FROM src p JOIN tgt c ON c.vec_id <> p.vec_id),
+         |ranked AS (SELECT probe_id, cand_id, cos,
+         |                  row_number() OVER (PARTITION BY probe_id
+         |                    ORDER BY cos DESC, cand_id) AS rank
+         |           FROM pairs),
+         |a AS (SELECT probe_id,
+         |             MAX(CASE WHEN rank = 1 THEN cand_id END) AS best_cand,
+         |             MAX(CASE WHEN rank = 1 THEN cos END) AS cos1,
+         |             MAX(CASE WHEN rank = 2 THEN cos END) AS cos2
+         |      FROM ranked WHERE rank <= 2 GROUP BY probe_id)
+         |SELECT probe_id, best_cand, cos1,
+         |       CAST(ROUND(cos1 - cos2, 6) AS DOUBLE) AS margin,
+         |       cos1 - cos2 > 0.02 AS accepted
+         |FROM a ORDER BY probe_id""".stripMargin,
 
     "llm_ann_bucketed" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket

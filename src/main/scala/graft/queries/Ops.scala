@@ -801,6 +801,42 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // inter-arrival time quantiles — the latency/engagement texture of
+    // an event stream ("median seconds between a user's clicks"): one
+    // LAG per (type, user) partition gives exact integer gap seconds,
+    // then the agg_quantile_sketch algebra (minute bins, all-integer
+    // interpolation) turns billions of gaps into a |types|×|bins|
+    // mergeable state — the same sketch discipline, applied to a
+    // DERIVED series instead of a stored column
+    "ts_interarrival" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH e AS (SELECT event_type, user_id, unix_micros(ts) AS us, event_id
+                   FROM events),
+        g AS (SELECT event_type,
+                     (us - LAG(us) OVER (PARTITION BY event_type, user_id
+                        ORDER BY us, event_id)) DIV 1000000 AS gap_s
+              FROM e),
+        gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        b AS (SELECT event_type, gap_s DIV 60 AS bin, COUNT(*) AS n
+              FROM gg GROUP BY 1, 2),
+        cum AS (SELECT event_type, bin, n,
+                       SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS total
+                FROM b),
+        q AS (SELECT 50 AS pct UNION ALL SELECT 90 UNION ALL SELECT 99),
+        tgt AS (SELECT event_type, pct, bin, n, cum,
+                       (pct * total + 99) DIV 100 AS k
+                FROM cum CROSS JOIN q),
+        hit AS (SELECT event_type, pct, MIN(bin) AS hbin
+                FROM tgt WHERE cum >= k GROUP BY 1, 2)
+        SELECT t.event_type, CAST(t.pct AS INT) AS pct,
+               CAST(t.bin * 60 + ((t.k - (t.cum - t.n)) * 60) DIV t.n AS BIGINT) AS est_gap_s
+        FROM tgt t JOIN hit h ON t.event_type = h.event_type
+               AND t.pct = h.pct AND t.bin = h.hbin
+        ORDER BY t.event_type, pct""")
+    }),
+
     // burst detection — the ops-alerting sibling of ts_cusum_drift:
     // an hour is a burst when its count exceeds 3× the trailing-24h
     // average with at least 6 trailing hours of context. Pure integer
@@ -1688,6 +1724,34 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the same LAG-derived gaps through the same all-integer sketch
+    "ts_interarrival" -> """
+      WITH e AS (SELECT event_type, user_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+                 FROM events),
+      g AS (SELECT event_type,
+                   (us - LAG(us) OVER (PARTITION BY event_type, user_id
+                      ORDER BY us, event_id)) // 1000000 AS gap_s
+            FROM e),
+      gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+      b AS (SELECT event_type, gap_s // 60 AS bin, COUNT(*) AS n
+            FROM gg GROUP BY 1, 2),
+      cum AS (SELECT event_type, bin, n,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS total
+              FROM b),
+      q AS (SELECT 50 AS pct UNION ALL SELECT 90 UNION ALL SELECT 99),
+      tgt AS (SELECT event_type, pct, bin, n, cum,
+                     (pct * total + 99) // 100 AS k
+              FROM cum CROSS JOIN q),
+      hit AS (SELECT event_type, pct, MIN(bin) AS hbin
+              FROM tgt WHERE cum >= k GROUP BY 1, 2)
+      SELECT t.event_type, CAST(t.pct AS INT) AS pct,
+             CAST(t.bin * 60 + ((t.k - (t.cum - t.n)) * 60) // t.n AS BIGINT) AS est_gap_s
+      FROM tgt t JOIN hit h ON t.event_type = h.event_type
+             AND t.pct = h.pct AND t.bin = h.hbin
+      ORDER BY t.event_type, pct""",
 
     // the same trailing RANGE frame on the hour index and the same
     // integer burst comparison

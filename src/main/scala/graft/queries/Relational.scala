@@ -236,6 +236,41 @@ object Relational {
       FROM p ORDER BY user_id"""
     },
 
+    // rolling-origin BACKTEST of the Holt filter — the eval that decides
+    // whether the forecast is trustworthy before anyone schedules it:
+    // hold out each key's LAST observation, fit the same driver-unrolled
+    // dyadic filter on the 8 points before it, report |forecast −
+    // actual|. Same one-aggregation shape as ts_holt_forecast (the
+    // pivot just shifts one rank); keys need 9 points (8 train + 1 test)
+    "ts_forecast_backtest" -> {
+      val (_, _, cf, den) = graft.operators.Forecast.holtCoefficients(8)
+      def xc(k: Int) = s"x$k"
+      val pivots = (1 to 8).map(k =>
+        s"CAST(SUM(CASE WHEN rn = ${10 - k} THEN v ELSE 0 END) AS BIGINT) AS x$k")
+        .mkString(",\n               ")
+      s"""
+      WITH v AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 40),
+      p AS (SELECT user_id,
+               $pivots,
+               CAST(SUM(CASE WHEN rn = 1 THEN v ELSE 0 END) AS BIGINT) AS actual_micro,
+               count(*) AS n
+            FROM v WHERE rn <= 9 GROUP BY user_id HAVING count(*) = 9),
+      f AS (SELECT user_id,
+               ${graft.operators.Forecast.dotSql(cf, den, 1000000L, xc)} AS forecast1,
+               actual_micro
+            FROM p)
+      SELECT user_id, forecast1,
+             CAST(actual_micro AS DOUBLE) / 1000000.0 AS actual,
+             CAST(ROUND(ABS(forecast1 - CAST(actual_micro AS DOUBLE) / 1000000.0),
+                  6) AS DOUBLE) AS abs_err
+      FROM f ORDER BY user_id"""
+    },
+
     // bitwise aggregate surface shared verbatim: bit_and / bit_or /
     // bit_xor fold exact integers (order-free, no rounding anywhere) —
     // the flag-mask rollups feature tables use
