@@ -617,7 +617,11 @@ object Llm {
       val langs = docs(s, d).select(col("doc_id"), col("lang"))
       def side(l: String) = e.join(langs, e("vec_id") === langs("doc_id"))
         .where(s"lang = '$l'").select("vec_id", "embedding")
-      Similarity.bruteForceTopK(side("de"), side("en"), 2)
+      // the probe slice is the bounded side — hint it, or the theta join
+      // between two join OUTPUTS (no scan statistics) degenerates to a
+      // CartesianProduct instead of the probe-broadcast NLJ every other
+      // brute-force entry plans (PlanShapeSpec's global gate)
+      Similarity.bruteForceTopK(broadcast(side("de")), side("en"), 2)
         .groupBy("probe_id")
         .agg(max(when(col("rank") === 1, col("cand_id"))).as("best_cand"),
           max(when(col("rank") === 1, col("cos"))).as("cos1"),
@@ -1241,6 +1245,58 @@ object Llm {
                JOIN u uy ON uy.tok = split(b.bigram, ' ')[1]
                CROSS JOIN tot
         ORDER BY bigram""")
+    }),
+
+    // code-vs-prose detection — the routing filter a mixed crawl runs
+    // before tokenizer/quality decisions (code wants different
+    // normalization and its own mixture weight): integer densities of
+    // code punctuation ({};()=) and keyword hits vs word count, decision
+    // by a pure integer cross-multiplication rule. Code fragments are
+    // synthesized onto a deterministic doc subset (the fixture corpus is
+    // clean prose) so both verdict paths carry rows. Map-only + one
+    // rollup — embarrassingly parallel
+    "llm_code_detect" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__code_docs")
+      s.sql("""
+        WITH t AS (SELECT doc_id, source,
+                          CASE WHEN doc_id % 6 = 0 THEN concat(text,
+                                 ' function f(x) { return x * g(x); } var y = f(2);')
+                               WHEN doc_id % 7 = 0 THEN concat(text,
+                                 ' SELECT a, b FROM t WHERE x = 1; UPDATE t SET a = 2;')
+                               ELSE text END AS body
+                   FROM __code_docs),
+        m AS (SELECT doc_id, source,
+                     CAST(regexp_count(body, '[{}();=]') AS BIGINT) AS n_punct,
+                     CAST(regexp_count(body,
+                       'function|return|var |SELECT |FROM |WHERE |UPDATE ') AS BIGINT) AS n_kw,
+                     CAST(regexp_count(body, '[a-zA-Z0-9]+') AS BIGINT) AS n_words
+              FROM t)
+        SELECT doc_id, n_punct, n_kw, n_words,
+               CAST((n_punct + 3 * n_kw) * 10 > n_words AS BOOLEAN) AS is_code
+        FROM m ORDER BY doc_id""")
+    }),
+
+    // contrastive in-batch negative construction — same-label items
+    // scattered across training batches so in-batch negatives stay
+    // valid: rank within label by seeded md5, batch = rank mod 16 (the
+    // closed form guarantees a label's copies land in DISTINCT batches
+    // until it has more copies than batches — max_label_dup reports
+    // exactly ceil(|label|/16)). One window over the label partition +
+    // one rollup; the permutation is the shuffleOrder hash discipline
+    "llm_contrastive_batches" -> ((s, d) => {
+      emb(s, d).createOrReplaceTempView("__cb_emb")
+      s.sql("""
+        WITH r AS (SELECT vec_id, label,
+                          row_number() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS rn
+                   FROM __cb_emb),
+        a AS (SELECT vec_id, label, rn % 16 AS batch FROM r),
+        g AS (SELECT batch, label, COUNT(*) AS cnt FROM a GROUP BY batch, label)
+        SELECT CAST(batch AS INT) AS batch,
+               CAST(SUM(cnt) AS BIGINT) AS n_items,
+               CAST(COUNT(*) AS BIGINT) AS n_labels,
+               CAST(MAX(cnt) AS BIGINT) AS max_label_dup
+        FROM g GROUP BY batch ORDER BY batch""")
     }),
 
     // URL canonicalization dedup — the crawl-curation step BEFORE text
@@ -3465,6 +3521,40 @@ object Llm {
          |       JOIN u uy ON uy.tok = string_split(b.bigram, ' ')[2]
          |       CROSS JOIN tot
          |ORDER BY bigram""".stripMargin,
+
+    // Spark regexp_count == DuckDB len(regexp_extract_all) (the
+    // ts_event_pattern idiom); identical synthesis, identical integer rule
+    "llm_code_detect" -> """
+      WITH t AS (SELECT doc_id, source,
+                        CASE WHEN doc_id % 6 = 0 THEN concat(text,
+                               ' function f(x) { return x * g(x); } var y = f(2);')
+                             WHEN doc_id % 7 = 0 THEN concat(text,
+                               ' SELECT a, b FROM t WHERE x = 1; UPDATE t SET a = 2;')
+                             ELSE text END AS body
+                 FROM documents),
+      m AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(body, '[{}();=]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(body,
+                     'function|return|var |SELECT |FROM |WHERE |UPDATE ')) AS BIGINT) AS n_kw,
+                   CAST(len(regexp_extract_all(body, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words
+            FROM t)
+      SELECT doc_id, n_punct, n_kw, n_words,
+             CAST((n_punct + 3 * n_kw) * 10 > n_words AS BOOLEAN) AS is_code
+      FROM m ORDER BY doc_id""",
+
+    // the same label-partition rank permutation and mod-16 assignment
+    "llm_contrastive_batches" -> """
+      WITH r AS (SELECT vec_id, label,
+                        row_number() OVER (PARTITION BY label
+                          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+                 FROM embeddings),
+      a AS (SELECT vec_id, label, rn % 16 AS batch FROM r),
+      g AS (SELECT batch, label, COUNT(*) AS cnt FROM a GROUP BY batch, label)
+      SELECT CAST(batch AS INT) AS batch,
+             CAST(SUM(cnt) AS BIGINT) AS n_items,
+             CAST(COUNT(*) AS BIGINT) AS n_labels,
+             CAST(MAX(cnt) AS BIGINT) AS max_label_dup
+      FROM g GROUP BY batch ORDER BY batch""",
 
     // the identical synthesis + the identical backslash-free regex
     // pipeline (RE2 and Java agree on character-class-only patterns);

@@ -801,6 +801,49 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // ER threshold tuning — the precision/recall sweep a linkage
+    // threshold is actually chosen from: the fixture's dirty feed has
+    // KNOWN ground truth (rid − 1000000 is the source customer), so for
+    // every candidate threshold the true/false positive counts are exact
+    // integers and recall's denominator is the full right-side record
+    // count. ONE block join scored at threshold 0 feeds all four sweep
+    // points via a broadcast threshold table — the sweep costs one
+    // linkage, not four
+    "er_threshold_sweep" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val leftDf = cust.selectExpr("c_custkey AS lid", "c_nationkey",
+        "substr(c_name, 1, 17) AS blk", "c_name AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
+          "c_custkey + 1000000 AS rid", "c_nationkey",
+          "CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X') ELSE c_name END AS name",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
+          "name", "seg", "bal")
+      val nTrue = rightDf.count()
+      Entity.blockedLink(leftDf, rightDf, Seq("c_nationkey", "blk"),
+          Seq(("levenshtein(l_name, r_name) <= 1", 2),
+            ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
+          threshold = 0)
+        .selectExpr("l_lid AS lid", "r_rid AS rid", "score",
+          "CAST(l_lid = r_rid - 1000000 AS INT) AS is_true")
+        .crossJoin(broadcast(
+          s.range(1, 5).select(col("id").as("threshold"))))
+        .where("score >= threshold")
+        .groupBy("threshold")
+        .agg(sum("is_true").as("tp"),
+          sum(expr("1 - is_true")).as("fp"))
+        .selectExpr("CAST(threshold AS INT) AS threshold",
+          "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
+          "CAST(ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE) AS prec",
+          s"CAST(ROUND(CAST(tp AS DOUBLE) / CAST($nTrue AS DOUBLE), 6) AS DOUBLE) AS rec")
+        .orderBy("threshold")
+    }),
+
     // inter-arrival time quantiles — the latency/engagement texture of
     // an event stream ("median seconds between a user's clicks"): one
     // LAG per (type, user) partition gives exact integer gap seconds,
@@ -1724,6 +1767,44 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the sweep replayed flat: every scored candidate × thresholds 1..4,
+    // ground truth from the id offset
+    "er_threshold_sweep" -> """
+      WITH l AS (SELECT c_custkey AS lid, c_nationkey,
+                        substr(c_name, 1, 17) AS blk, c_name AS lname,
+                        c_mktsegment AS lseg,
+                        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+                 FROM customer),
+      r0 AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                    CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+                         ELSE c_name END AS rname,
+                    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                         ELSE c_mktsegment END AS rseg,
+                    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+             FROM customer WHERE c_custkey % 3 = 0),
+      r AS (SELECT rid, c_nationkey, substr(rname, 1, 17) AS blk,
+                   rname, rseg, rbal
+            FROM r0),
+      nt AS (SELECT COUNT(*) AS n_true FROM r),
+      sc AS (SELECT lid, rid,
+                    CASE WHEN levenshtein(lname, rname) <= 1 THEN 2 ELSE 0 END
+                    + CASE WHEN lseg = rseg THEN 1 ELSE 0 END
+                    + CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS score,
+                    CASE WHEN lid = rid - 1000000 THEN 1 ELSE 0 END AS is_true
+             FROM l JOIN r USING (c_nationkey, blk)),
+      t AS (SELECT unnest(generate_series(1, 4)) AS threshold),
+      sw AS (SELECT t.threshold, SUM(sc.is_true) AS tp,
+                    SUM(1 - sc.is_true) AS fp
+             FROM sc CROSS JOIN t WHERE sc.score >= t.threshold
+             GROUP BY t.threshold)
+      SELECT CAST(sw.threshold AS INT) AS threshold,
+             CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE) AS prec,
+             CAST(ROUND(CAST(tp AS DOUBLE) / CAST(nt.n_true AS DOUBLE), 6) AS DOUBLE) AS rec
+      FROM sw CROSS JOIN nt
+      ORDER BY threshold""",
 
     // the same LAG-derived gaps through the same all-integer sketch
     "ts_interarrival" -> """

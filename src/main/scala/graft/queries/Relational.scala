@@ -803,6 +803,17 @@ object Relational {
              CAST(SUM(n_iv) AS BIGINT) AS n_intervals
       FROM spans GROUP BY user_id ORDER BY user_id""",
 
+    // templated-name surface: IDENTIFIER() resolves table/column names
+    // from string literals at analysis time — the injection-safe way a
+    // metadata-driven pipeline parameterizes WHICH table/column a shared
+    // statement touches (Spark 4); the oracle runs the resolved statement
+    "sql_identifier_clause" -> """
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(IDENTIFIER('o_totalprice') AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM IDENTIFIER('orders')
+      GROUP BY IDENTIFIER('o_orderstatus')
+      ORDER BY o_orderstatus""",
+
     // dynamic SQL surface: EXECUTE IMMEDIATE compiles a query literal at
     // runtime with a positional USING parameter — the programmatic-SQL
     // escape hatch (Spark 4); the oracle runs the resolved statement
@@ -1221,6 +1232,13 @@ object Relational {
              c_mktsegment || ' & co' AS dec
       FROM customer WHERE c_custkey < 50
       ORDER BY c_custkey""",
+
+    "sql_identifier_clause" -> """
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
 
     "sql_execute_immediate" -> """
       SELECT l_returnflag, count(*) AS n_items,
