@@ -809,6 +809,43 @@ object Similarity {
             |AS DOUBLE)""".stripMargin).as("drift_cos"))
   }
 
+  /** Embedding-table outlier audit — the mislabel/corruption QC a vector
+    * store runs before training on it: flag each label's k members LEAST
+    * similar to the label's mean embedding. Centroids are DECIMAL-exact
+    * (each float rounds once to DECIMAL(18,9), the sum is exact, one
+    * closing division — the [[embeddingDrift]] discipline), member
+    * cosine folds the dims in ascending order on both engines, ranking
+    * ties break on vec_id. Two aggs + one broadcast-sized centroid join;
+    * the per-member work is one array fold — no pairwise anything.
+    */
+  def embedOutliers(emb: DataFrame, k: Int = 3): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("CAST(s AS DOUBLE) / n").as("m"))
+      .groupBy("label")
+      .agg(expr("array_sort(collect_list(struct(dim, m)))").as("__c"))
+    val scored = emb.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        expr(
+          """CAST(ROUND(
+            |  aggregate(transform(sequence(0, size(embedding) - 1),
+            |              i -> CAST(embedding[i] AS DOUBLE) * __c[i].m),
+            |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+            |  / (SQRT(aggregate(transform(embedding,
+            |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+            |     * SQRT(aggregate(transform(__c, s -> s.m * s.m),
+            |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 6)
+            |AS DOUBLE)""".stripMargin).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("label").orderBy(col("cos").asc, col("vec_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** Maximal-marginal-relevance (Carbonell & Goldstein 1998) diversified
     * top-k: greedily pick the candidate maximizing
     * `λ·cos(query, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the

@@ -1844,6 +1844,39 @@ object Io {
         .orderBy("event_type")
     }),
 
+    // STREAMING exact distinct via bitmap chunks — agg_bitmap_distinct's
+    // state held live as TWS MapState; OR-merge is idempotent, so the
+    // unordered replay (and any duplicate delivery) converges and the
+    // batch bit_or pipeline is the oracle. Both snapshot fields are
+    // monotone → max picks the drained state
+    "ts_stream_bitmap_distinct" -> ((s, d) => {
+      Tables.register(s, d)
+      val evs = s.table("events")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          expr("CAST(value AS DOUBLE)").as("value"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_bmd").toString
+      evs.repartition(3).write.mode("overwrite").parquet(dir)
+      withRocksDbProvider(s) {
+        val stream = s.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        import s.implicits._
+        val snaps = graft.streaming.Streams.bitmapDistinctTws(
+          stream.as[graft.streaming.Streams.Event])
+        graft.streaming.Streams.runToMemory(snaps.toDF(),
+          "ts_stream_bmd_sink",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+      deleteRecursively(new java.io.File(dir))
+      s.table("ts_stream_bmd_sink")
+        .groupBy("event_type")
+        .agg(max("n_chunks").as("n_chunks"),
+          max("n_distinct").as("n_distinct"))
+        .selectExpr("event_type", "CAST(n_chunks AS BIGINT) AS n_chunks",
+          "CAST(n_distinct AS BIGINT) AS n_distinct")
+        .orderBy("event_type")
+    }),
+
     // STREAMING top-k heavy hitters: the exact per-type (user → count)
     // map as TWS MapState, re-ranked each batch — counts are commutative
     // so the unordered repartition(3) replay converges and the batch
@@ -3164,6 +3197,16 @@ object Io {
     // the drained sketch must equal the batch histogram sketch — oracle
     // = the agg_quantile_sketch algebra (DuckDB's //), verbatim
     "ts_stream_quantile" -> Ops.oracles("agg_quantile_sketch"),
+
+    // the drained OR-merged bitmaps must equal the batch bit_or pipeline
+    "ts_stream_bitmap_distinct" -> """
+      WITH b AS (SELECT event_type, user_id // 62 AS chunk,
+                        bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm
+                 FROM events GROUP BY event_type, user_id // 62)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
+      FROM b GROUP BY event_type
+      ORDER BY event_type""",
 
     // the drained top-k map must equal the batch count + rank window
     // (ties on user_id make the ranking total)

@@ -602,6 +602,16 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // embedding-table outlier audit: each label's 3 members least
+    // similar to the label's DECIMAL-exact centroid — the mislabel QC
+    // of a vector store (Similarity.embedOutliers; the embeddingDrift
+    // decimal-mean discipline, ascending-dim cosine folds, vec_id ties)
+    "llm_embed_outliers" -> ((s, d) =>
+      Similarity.embedOutliers(emb(s, d), k = 3)
+        .selectExpr("vec_id", "CAST(label AS INT) AS label", "cos",
+          "CAST(rank AS INT) AS rank")
+        .orderBy("label", "rank")),
+
     // bitext mining (LASER/CCMatrix shape): for every source-language
     // doc's embedding, the nearest target-language candidate with the
     // top1−top2 margin criterion — margin-based filtering is what keeps
@@ -2509,6 +2519,41 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same decimal-rounded centroid sums, the same ascending-dim
+    // folds (list_reduce with the 0.0 prepend), the same ranking
+    "llm_embed_outliers" ->
+      """WITH ex AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |            FROM embeddings,
+        |                 unnest(generate_series(1, len(embedding))) AS t(i)),
+        |mm AS (SELECT label, dim,
+        |              SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS s,
+        |              COUNT(*) AS n
+        |       FROM ex GROUP BY label, dim),
+        |c AS (SELECT label, dim, CAST(s AS DOUBLE) / n AS m FROM mm),
+        |cl AS (SELECT label, list(m ORDER BY dim) AS cm FROM c GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label,
+        |              CAST(ROUND(
+        |                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                  list_transform(generate_series(1, len(e.embedding)),
+        |                    i -> CAST(e.embedding[i] AS DOUBLE) * cl.cm[i])),
+        |                  (acc, x) -> acc + x)
+        |                / (SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                     list_transform(e.embedding,
+        |                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |                     (acc, x) -> acc + x))
+        |                   * SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                       list_transform(cl.cm, m -> m * m)),
+        |                       (acc, x) -> acc + x))), 6) AS DOUBLE) AS cos
+        |       FROM embeddings e JOIN cl ON cl.label = e.label),
+        |r AS (SELECT vec_id, label, cos,
+        |             row_number() OVER (PARTITION BY label
+        |               ORDER BY cos ASC, vec_id) AS rank
+        |      FROM sc)
+        |SELECT vec_id, CAST(label AS INT) AS label, cos,
+        |       CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY label, rank""".stripMargin,
 
     // the same lang-sided pairs, ranked on the same rounded cosine, the
     // same margin tree

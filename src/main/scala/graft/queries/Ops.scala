@@ -801,6 +801,34 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // cohort LTV curve — the revenue sibling of ts_retention_cohorts:
+    // users grouped by first-seen week, purchase cents accumulated over
+    // cohort age. Week = day-index DIV 7 on purpose (date_trunc('week')
+    // couples both engines to ISO week-start conventions; integer day
+    // arithmetic can't disagree). Money enters as ROUND(value·100)
+    // cents and stays integer; the cumulative sum is a per-cohort
+    // ordered window over the post-agg (cohort × age) table
+    "ts_cohort_ltv" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH e AS (SELECT user_id, event_type,
+                          CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) DIV 7 AS wk,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+        r AS (SELECT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS age_wk,
+                     CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END AS cents
+              FROM e JOIN f ON f.user_id = e.user_id),
+        g AS (SELECT cohort_wk, age_wk, COUNT(DISTINCT user_id) AS n_active,
+                     SUM(cents) AS cents
+              FROM r GROUP BY cohort_wk, age_wk)
+        SELECT cohort_wk, age_wk, CAST(n_active AS BIGINT) AS n_active,
+               CAST(cents AS BIGINT) AS cents,
+               CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM g ORDER BY cohort_wk, age_wk""")
+    }),
+
     // ER threshold tuning — the precision/recall sweep a linkage
     // threshold is actually chosen from: the fixture's dirty feed has
     // KNOWN ground truth (rid − 1000000 is the source customer), so for
@@ -1767,6 +1795,25 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the same integer week index and cumulative window
+    "ts_cohort_ltv" -> """
+      WITH e AS (SELECT user_id, event_type,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) // 7 AS wk,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+      r AS (SELECT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS age_wk,
+                   CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END AS cents
+            FROM e JOIN f ON f.user_id = e.user_id),
+      g AS (SELECT cohort_wk, age_wk, COUNT(DISTINCT user_id) AS n_active,
+                   SUM(cents) AS cents
+            FROM r GROUP BY cohort_wk, age_wk)
+      SELECT cohort_wk, age_wk, CAST(n_active AS BIGINT) AS n_active,
+             CAST(cents AS BIGINT) AS cents,
+             CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM g ORDER BY cohort_wk, age_wk""",
 
     // the sweep replayed flat: every scored candidate × thresholds 1..4,
     // ground truth from the id offset

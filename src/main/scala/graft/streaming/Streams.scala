@@ -644,6 +644,54 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** One exact-distinct snapshot per key; both fields are monotone
+    * (bits only ever get set), so max() over the Update-mode snapshots
+    * is the drained answer.
+    */
+  case class BitmapSnap(event_type: String, n_chunks: Long, n_distinct: Long)
+
+  /** STREAMING exact distinct counting via bitmap chunks — the live twin
+    * of agg_bitmap_distinct: per event type, MapState maps id-block
+    * (user_id / 62) to a packed int64 bitmap; the update is OR (
+    * commutative + associative + IDEMPOTENT — replays and duplicate
+    * deliveries are both harmless), so the drained state is
+    * replay-order-independent and the batch bit_or pipeline is the exact
+    * oracle. State = |seen id blocks| longs per key — exact distinct at
+    * ~1 bit per id of the OBSERVED id space, the middle ground between
+    * COUNT(DISTINCT) materialization and the HLL sketch's ±error.
+    */
+  class BitmapDistinctProcessor
+      extends StatefulProcessor[String, Event, BitmapSnap] {
+    @transient private var chunks: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      chunks = getHandle.getMapState[Long, Long]("bitmap_chunks",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[BitmapSnap] = {
+      rows.foreach { e =>
+        val c = e.user_id / 62
+        val bit = 1L << (e.user_id % 62).toInt
+        val prev = if (chunks.containsKey(c)) chunks.getValue(c) else 0L
+        if ((prev | bit) != prev) chunks.updateValue(c, prev | bit)
+      }
+      var nc = 0L
+      var nd = 0L
+      chunks.iterator().foreach { case (_, bm) =>
+        nc += 1; nd += java.lang.Long.bitCount(bm)
+      }
+      Iterator.single(BitmapSnap(key, nc, nd))
+    }
+  }
+
+  def bitmapDistinctTws(events: Dataset[Event]): Dataset[BitmapSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new BitmapDistinctProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One top-k ranking row per (key, rank) snapshot; n_total (the key's
     * total processed rows) is strictly monotone per key, so
     * `max_by(..., n_total)` over the Update-mode snapshots is the
