@@ -495,6 +495,25 @@ object Llm {
     "llm_ngram_stats" -> ((s, d) =>
       TextAnalysis.ngramStats(docs(s, d), n = 2, k = 20)),
 
+    // packing-efficiency report over packShards' assignment — the
+    // artifact that says whether the shard budget is wasting context
+    // window: per shard, docs, used tokens, capacity remainder and an
+    // integer fill rate in ppm. Assignment is start-based, so a doc
+    // straddling a boundary overfills its start shard (remainder goes
+    // negative) and the next shard reads under-full — exactly what the
+    // report is for. One rollup over the two-phase prefix-sum output
+    "llm_pack_efficiency" -> ((s, d) => {
+      TextAnalysis.packShards(docs(s, d), tokensPerShard = 4096L)
+        .createOrReplaceTempView("__pack_eff")
+      s.sql("""
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS used_tokens,
+               CAST(4096 - SUM(n_tokens) AS BIGINT) AS waste_tokens,
+               CAST((SUM(n_tokens) * 1000000) DIV 4096 AS BIGINT) AS fill_ppm
+        FROM __pack_eff GROUP BY shard ORDER BY shard""")
+    }),
+
     // deterministic training order (llm/TrainOrder): seeded md5
     // permutation + 1024-doc shard assignment, computed with the
     // hash-prefix two-phase prefix sum — no single-task global window
@@ -2162,6 +2181,25 @@ object Llm {
          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
          |       CAST((cum_tokens - n_tokens) // 65536 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the flat cumsum assignment rolled up with the same integer ppm
+    "llm_pack_efficiency" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             sum(n_tokens) OVER (ORDER BY doc_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |      FROM t),
+         |a AS (SELECT doc_id, n_tokens,
+         |             (cum_tokens - n_tokens) // 4096 AS shard
+         |      FROM c)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS used_tokens,
+         |       CAST(4096 - SUM(n_tokens) AS BIGINT) AS waste_tokens,
+         |       CAST((SUM(n_tokens) * 1000000) // 4096 AS BIGINT) AS fill_ppm
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     "llm_shuffle_order" ->
       """WITH k AS (SELECT doc_id,

@@ -34,6 +34,36 @@ object Windows {
       WHERE rn <= 3
       ORDER BY o_custkey, rn""",
 
+    // time-interval RANGE frame — the frame a real sliding metric uses
+    // (trailing 1 hour BY EVENT TIME, not by row count): peer-inclusive,
+    // so deterministic without a unique ordering; money enters as
+    // ROUND(value·100) integer cents and the windowed SUM stays integer
+    "win_range_interval" -> s"""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cents_1h,
+        CAST(COUNT(*) OVER (
+          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_1h
+      FROM events
+      ORDER BY user_id, event_id""",
+
+    // named-WINDOW clause — one definition, many consumers (and the
+    // engine plans ONE sort for both functions); unique ordering chain
+    "sql_window_clause" -> s"""
+      SELECT user_id, event_id,
+        ROW_NUMBER() OVER w AS rn,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w2 AS BIGINT)
+          AS cum_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+             w2 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS UNBOUNDED PRECEDING)
+      ORDER BY user_id, rn""",
+
     // rank/dense_rank/percent_rank with ties (deterministic under ties)
     "win_rank_dense" -> s"""
       SELECT p_brand, p_size, p_partkey,
