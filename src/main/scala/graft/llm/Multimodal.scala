@@ -343,6 +343,63 @@ object Multimodal {
     }
   }
 
+  /** Per-doc voice-activity stats from [[vadSegments]]: frame counts,
+    * active-frame count, contiguous active segments and the longest one.
+    */
+  case class VadStats(doc_id: Long, n_frames: Long, n_active: Long,
+                      n_segments: Long, max_run: Long)
+
+  /** Energy-threshold voice-activity detection over the REAL decoded PCM
+    * — the segmentation step an audio-training pipeline runs before
+    * transcription/feature extraction (keep speechy spans, drop
+    * silence): frame the signal (`frameLen` samples), a frame is ACTIVE
+    * when its peak |amplitude| exceeds `threshold`, adjacent active
+    * frames merge into segments. All integer comparisons on decoded
+    * 16-bit samples — the oracle replays the generator's sample formula
+    * through the identical frame/run arithmetic, so a wrong decode or an
+    * off-by-one frame boundary cannot hash-match. Map-only like every
+    * decode path; run-length state is per-doc local.
+    */
+  def vadSegments(audio: Dataset[AudioBlob], frameLen: Int = 32,
+                  threshold: Int = 24576,
+                  batchSize: Int = 64): Dataset[VadStats] = {
+    require(frameLen >= 1 && threshold >= 0, "frameLen >= 1, threshold >= 0")
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b.wav))
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val nFrames = (n + frameLen - 1) / frameLen
+          var nActive = 0L; var nSeg = 0L; var maxRun = 0L; var run = 0L
+          var f = 0
+          while (f < nFrames) {
+            var peak = 0
+            var i = f * frameLen
+            val end = math.min(n, i + frameLen)
+            while (i < end) {
+              val s = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            if (peak > threshold) {
+              nActive += 1
+              if (run == 0L) nSeg += 1
+              run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0L
+            f += 1
+          }
+          VadStats(b.doc_id, nFrames.toLong, nActive, nSeg, maxRun)
+        }
+      }
+    }
+  }
+
   /** An encoded video payload: opaque AVI bytes + id. */
   case class VideoBlob(doc_id: Long, avi: Array[Byte])
 

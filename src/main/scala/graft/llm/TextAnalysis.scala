@@ -1157,6 +1157,52 @@ object TextAnalysis {
         expr("CAST(ROUND(__s / n_bigrams, 6) AS DOUBLE)").as("avg_p"))
   }
 
+  /** [[bigramScore]] with a HELD-OUT model — the honest form of the
+    * perplexity filter: transition counts come from `trainDocs` only,
+    * scoring runs over `docs` (a disjoint split), so no document is ever
+    * scored by a model it leaked into (in-corpus counts flatter every
+    * member; CCNet scores with a model trained elsewhere for exactly
+    * this reason). Bigrams absent from the trained table contribute
+    * p = 0 and are counted as `n_oov` — the log-free stand-in for the
+    * OOV penalty. Same shapes as [[bigramScore]]: two train-side aggs
+    * (vocabulary-bounded), one broadcast-sized model join onto the eval
+    * bigrams, position-ordered fold for the per-doc sum.
+    */
+  def bigramScoreHeldOut(docs: DataFrame, trainDocs: DataFrame,
+                         minCount: Long = 2): DataFrame = {
+    def toks(d: DataFrame) = d.select(col("doc_id"),
+      expr(s"filter(split(${Dedup.normalizeExpr}, ' '), w -> length(w) > 0)")
+        .as("t"))
+    def bigrams(t: DataFrame) = t.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(i AS pos, t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+    val trainToks = toks(trainDocs)
+    val uni = trainToks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val cbi = bigrams(trainToks).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    bigrams(toks(docs))
+      .join(cbi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("p", expr(
+        """CASE WHEN c12 IS NULL OR c1 IS NULL THEN CAST(0.0 AS DOUBLE)
+          |     ELSE CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) END""".stripMargin))
+      .withColumn("oov", expr("CASE WHEN c12 IS NULL THEN 1 ELSE 0 END"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(when(col("c12").isNotNull && col("c12") < minCount, 1L)
+          .otherwise(0L)).as("n_rare"),
+        expr(
+          """aggregate(transform(array_sort(collect_list(struct(pos, p))),
+            |  s -> s.p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+            .stripMargin).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("n_rare"),
+        expr("CAST(ROUND(__s / n_bigrams, 6) AS DOUBLE)").as("avg_p"))
+  }
+
   /** Build the training mix under a global token budget: source s with
     * weight w_s gets quota ⌊B·w_s/Σw⌋ tokens, filled in the seeded-md5
     * document order (reproducible across runs, engines and cluster

@@ -621,6 +621,31 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // held-out LM quality scoring — the honest perplexity filter: the
+    // bigram model trains on the hash-split train side ONLY and scores
+    // the held-out side (in-corpus counts leak every doc into its own
+    // model); unseen bigrams contribute p=0 and surface as n_oov
+    "llm_lm_heldout" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = TextAnalysis.hashSplit(dd)
+      def part(cond: String) = dd.join(
+        split.where(cond).select("doc_id"), Seq("doc_id"))
+      TextAnalysis.bigramScoreHeldOut(
+          part("split <> 'train'"), part("split = 'train'"))
+        .selectExpr("doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+          "CAST(n_oov AS BIGINT) AS n_oov",
+          "CAST(n_rare AS BIGINT) AS n_rare", "avg_p")
+        .orderBy("doc_id")
+    }),
+
+    // energy-threshold VAD over REAL decoded WAV PCM (frame peaks,
+    // run-length segments) — the speech/silence segmentation step; the
+    // oracle replays the generator's sample formula through identical
+    // frame and island arithmetic
+    "llm_audio_vad" -> ((s, d) =>
+      Multimodal.vadSegments(Multimodal.synthesizeAudio(docs(s, d)))
+        .toDF().orderBy("doc_id")),
+
     // embedding-table outlier audit: each label's 3 members least
     // similar to the label's DECIMAL-exact centroid — the mislabel QC
     // of a vector store (Similarity.embedOutliers; the embeddingDrift
@@ -2557,6 +2582,70 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the train-side counts joined LEFT onto the held-out bigrams; the
+    // hash-split bucket is the llm_hash_split idiom inline
+    "llm_lm_heldout" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              list_filter(string_split($NORM, ' '),
+         |                          w -> length(w) > 0) AS t,
+         |              CAST(('0x' || substr(md5($NORM), 1, 15))::BIGINT % 100 AS INT) AS bucket
+         |            FROM documents),
+         |uni AS (SELECT w AS w1, count(*) AS c1
+         |        FROM (SELECT unnest(t) AS w FROM tk WHERE bucket < 90)
+         |        GROUP BY w),
+         |tbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+         |        FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |        WHERE len(t) >= 2 AND bucket < 90),
+         |cbi AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY w1, w2),
+         |ebg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS w1,
+         |               t[i + 1] AS w2
+         |        FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |        WHERE len(t) >= 2 AND bucket >= 90),
+         |j AS (SELECT ebg.doc_id, ebg.pos, cbi.c12,
+         |             CASE WHEN cbi.c12 IS NULL OR uni.c1 IS NULL THEN CAST(0.0 AS DOUBLE)
+         |                  ELSE CAST(cbi.c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE) END AS p,
+         |             CASE WHEN cbi.c12 IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM ebg LEFT JOIN cbi ON ebg.w1 = cbi.w1 AND ebg.w2 = cbi.w2
+         |           LEFT JOIN uni ON ebg.w1 = uni.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN c12 IS NOT NULL AND c12 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(p ORDER BY pos)), (acc, v) -> acc + v) / count(*), 6)
+         |         AS DOUBLE) AS avg_p
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the generator's sample formula through the identical 32-sample
+    // frame peaks and gaps-and-islands run arithmetic
+    "llm_audio_vad" ->
+      """WITH nn AS (SELECT doc_id, CAST(64 + (doc_id * 13) % 512 AS INT) AS ns
+        |            FROM documents),
+        |s AS (SELECT doc_id, i,
+        |             ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp
+        |      FROM nn, unnest(generate_series(0, ns - 1)) u(i)),
+        |fr AS (SELECT doc_id, i // 32 AS f, MAX(ABS(smp)) > 24576 AS active
+        |       FROM s GROUP BY doc_id, i // 32),
+        |seg AS (SELECT doc_id, f, active,
+        |               CASE WHEN active AND NOT COALESCE(LAG(active)
+        |                      OVER (PARTITION BY doc_id ORDER BY f), FALSE)
+        |                    THEN 1 ELSE 0 END AS seg_start
+        |        FROM fr),
+        |act AS (SELECT doc_id, f,
+        |               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |        FROM fr WHERE active),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM act GROUP BY doc_id, grp),
+        |mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_frames,
+        |               SUM(CASE WHEN active THEN 1 ELSE 0 END) AS n_active,
+        |               SUM(seg_start) AS n_segments
+        |        FROM seg GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(a.n_frames AS BIGINT) AS n_frames,
+        |       CAST(a.n_active AS BIGINT) AS n_active,
+        |       CAST(a.n_segments AS BIGINT) AS n_segments,
+        |       CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run
+        |FROM agg a LEFT JOIN mr ON mr.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // the same decimal-rounded centroid sums, the same ascending-dim
     // folds (list_reduce with the 0.0 prepend), the same ranking
