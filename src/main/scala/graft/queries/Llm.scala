@@ -748,6 +748,59 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF shard-balance report — the nlist-occupancy audit an ANN
+    // deployment runs before trusting latency SLOs (a hot centroid owns
+    // the probe tail): nearest-centroid assignment (one broadcast of the
+    // k-row table, map-side argmax) rolled up to per-centroid occupancy,
+    // ppm share, and an integer hot flag (n·k > 2·total = twice the
+    // balanced share). Fixed centroids like llm_ivf_topk so the oracle
+    // replays assignment without oracling k-means
+    "llm_ivf_balance" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where("vec_id < 8")
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Ivf.assign(e, centroids)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vectors"))
+        .selectExpr("centroid_id", "CAST(n_vectors AS BIGINT) AS n_vectors",
+          "CAST(n_vectors * 1000000 DIV (SUM(n_vectors) OVER ()) AS BIGINT) AS share_ppm",
+          "CAST(n_vectors * 8 > 2 * (SUM(n_vectors) OVER ()) AS BOOLEAN) AS is_hot")
+        .orderBy("centroid_id")
+    }),
+
+    // ROUGE-2 recall verification of near-dup candidates — the CLIPPED
+    // MULTISET overlap (Σ min(count_a, count_b)), which catches repeated-
+    // passage duplication that set-Jaccard (llm_jaccard_verify) and
+    // tf-cosine (llm_lexical_cosine) each miss differently; both
+    // directions reported because recall is asymmetric. Candidates from
+    // the same MinHash banding — never all-pairs; counts exact integers,
+    // two ROUND divisions at the edge
+    "llm_rouge_verify" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = Dedup.lshCandidates(dd).select("doc_a", "doc_b")
+      val bg = dd.select(col("doc_id"),
+          expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val tot = bg.groupBy("doc_id").agg(sum("c").as("t"))
+      cand.as("c")
+        .join(bg.as("x"), expr("x.doc_id = c.doc_a"))
+        .join(bg.as("y"), expr("y.doc_id = c.doc_b AND y.bg = x.bg"))
+        .groupBy(col("c.doc_a"), col("c.doc_b"))
+        .agg(sum(expr("LEAST(x.c, y.c)")).as("ov"))
+        .join(tot.as("ta"), expr("ta.doc_id = doc_a"))
+        .join(tot.as("tb"), expr("tb.doc_id = doc_b"))
+        .selectExpr("doc_a", "doc_b", "CAST(ov AS BIGINT) AS overlap2",
+          "CAST(ta.t AS BIGINT) AS n2_a", "CAST(tb.t AS BIGINT) AS n2_b",
+          "CAST(ROUND(CAST(ov AS DOUBLE) / CAST(ta.t AS DOUBLE), 6) AS DOUBLE) AS rouge2_ra",
+          "CAST(ROUND(CAST(ov AS DOUBLE) / CAST(tb.t AS DOUBLE), 6) AS DOUBLE) AS rouge2_rb")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ANN EVALUATION: recall@3 of the LSH-bucketed ANN against the exact
     // brute-force top-3, per probe — the accept/reject measurement an
     // index deployment runs before trusting approximate results. The
@@ -2773,6 +2826,45 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same argmax assignment (unrounded cosine, min-cid ties via the
+    // struct ordering), rolled up with the same integer share arithmetic
+    "llm_ivf_balance" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+         |                     embedding AS centroid
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${duckCosineRaw("embedding", "centroid")} DESC, centroid_id) AS rn
+         |        FROM embeddings, cent),
+         |occ AS (SELECT centroid_id, COUNT(*) AS n_vectors
+         |        FROM asg WHERE rn = 1 GROUP BY centroid_id),
+         |tot AS (SELECT SUM(n_vectors) AS t FROM occ)
+         |SELECT o.centroid_id, CAST(o.n_vectors AS BIGINT) AS n_vectors,
+         |       CAST(o.n_vectors * 1000000 // tot.t AS BIGINT) AS share_ppm,
+         |       CAST(o.n_vectors * 8 > 2 * tot.t AS BOOLEAN) AS is_hot
+         |FROM occ o CROSS JOIN tot
+         |ORDER BY o.centroid_id""".stripMargin,
+
+    // the same banding candidates, clipped-multiset bigram overlap
+    "llm_rouge_verify" ->
+      s"""WITH ${minhashCtes()},
+         |nrm2 AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |bgc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, count(*) AS c
+         |        FROM nrm2, unnest(generate_series(1, length(w) - 1)) AS t(i)
+         |        WHERE length(w) >= 2 GROUP BY doc_id, bg),
+         |tot AS (SELECT doc_id, SUM(c) AS t FROM bgc GROUP BY doc_id),
+         |ov AS (SELECT c.doc_a, c.doc_b, SUM(LEAST(x.c, y.c)) AS ov
+         |       FROM cands c JOIN bgc x ON x.doc_id = c.doc_a
+         |            JOIN bgc y ON y.doc_id = c.doc_b AND y.bg = x.bg
+         |       GROUP BY 1, 2)
+         |SELECT o.doc_a, o.doc_b, CAST(o.ov AS BIGINT) AS overlap2,
+         |       CAST(ta.t AS BIGINT) AS n2_a, CAST(tb.t AS BIGINT) AS n2_b,
+         |       CAST(ROUND(CAST(o.ov AS DOUBLE) / CAST(ta.t AS DOUBLE), 6) AS DOUBLE) AS rouge2_ra,
+         |       CAST(ROUND(CAST(o.ov AS DOUBLE) / CAST(tb.t AS DOUBLE), 6) AS DOUBLE) AS rouge2_rb
+         |FROM ov o JOIN tot ta ON ta.doc_id = o.doc_a
+         |     JOIN tot tb ON tb.doc_id = o.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // candidates = DISTINCT pairs agreeing in ANY of the 4 disjoint
     // 8-plane bands, then exact-cosine rank — mirrors lshTopKBanded
