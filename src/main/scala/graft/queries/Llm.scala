@@ -621,6 +621,31 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // temperature-balanced mixture quotas (the multilingual-sampling
+    // trick: share ∝ tokens^(1/T), here T=2 → SQRT, the one sanctioned
+    // transcendental — correctly-rounded IEEE): high-resource sources
+    // are damped, low-resource boosted. The Σ√tokens denominator folds
+    // the |sources|-row list in source order (never an unordered double
+    // SUM); quotas are FLOOR of one fixed tree, so membership is
+    // integer-deterministic. Compare llm_token_budget_mix (linear
+    // weights): same quota machinery, different allocation curve
+    "llm_mixture_temperature" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__mt_docs")
+      s.sql(raw"""
+        WITH st AS (SELECT source,
+                           SUM(CAST(size(split(trim(text), '\\s+')) AS BIGINT)) AS tokens
+                    FROM __mt_docs GROUP BY source),
+        sq AS (SELECT source, tokens, SQRT(CAST(tokens AS DOUBLE)) AS w FROM st),
+        tot AS (SELECT aggregate(transform(array_sort(collect_list(struct(source, w))),
+                         s -> s.w), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS tw
+                FROM sq)
+        SELECT source, CAST(tokens AS BIGINT) AS tokens,
+               CAST(FLOOR(w / tw * 1000000) AS BIGINT) AS share_ppm,
+               CAST(FLOOR(w / tw * 100000) AS BIGINT) AS quota_tokens
+        FROM sq CROSS JOIN tot
+        ORDER BY source""")
+    }),
+
     // held-out LM quality scoring — the honest perplexity filter: the
     // bigram model trains on the hash-split train side ONLY and scores
     // the held-out side (in-corpus counts leak every doc into its own
@@ -2635,6 +2660,21 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same √tokens shares with the source-ordered list fold
+    "llm_mixture_temperature" ->
+      raw"""WITH st AS (SELECT source,
+         |               SUM(CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS tokens
+         |             FROM documents GROUP BY source),
+         |sq AS (SELECT source, tokens, SQRT(CAST(tokens AS DOUBLE)) AS w FROM st),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                 list(w ORDER BY source)), (acc, x) -> acc + x) AS tw
+         |        FROM sq)
+         |SELECT source, CAST(tokens AS BIGINT) AS tokens,
+         |       CAST(FLOOR(w / tw * 1000000) AS BIGINT) AS share_ppm,
+         |       CAST(FLOOR(w / tw * 100000) AS BIGINT) AS quota_tokens
+         |FROM sq CROSS JOIN tot
+         |ORDER BY source""".stripMargin,
 
     // the train-side counts joined LEFT onto the held-out bigrams; the
     // hash-split bucket is the llm_hash_split idiom inline

@@ -829,6 +829,44 @@ object Ops {
         FROM g ORDER BY cohort_wk, age_wk""")
     }),
 
+    // blocking-scheme evaluation — the OTHER linkage tuning axis
+    // (er_threshold_sweep prices the score cut; this prices the blocks):
+    // for three candidate schemes, the candidate volume (= pair-scoring
+    // cost) vs how many TRUE pairs the blocks retain (= recall ceiling —
+    // no threshold can recover a pair the blocking never generates).
+    // Counting joins only, no string scoring; ground truth from the id
+    // offset as in the sweep
+    "er_blocking_eval" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH l AS (SELECT c_custkey AS lid, c_nationkey, c_name AS name
+                   FROM customer),
+        r AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                     CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X')
+                          ELSE c_name END AS name
+              FROM customer WHERE c_custkey % 3 = 0),
+        nt AS (SELECT COUNT(*) AS n_true FROM r),
+        s1 AS (SELECT COUNT(*) AS cand,
+                      SUM(CASE WHEN l.lid = r.rid - 1000000 THEN 1 ELSE 0 END) AS cov
+               FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+                 AND substr(l.name, 1, 17) = substr(r.name, 1, 17)),
+        s2 AS (SELECT COUNT(*) AS cand,
+                      SUM(CASE WHEN l.lid = r.rid - 1000000 THEN 1 ELSE 0 END) AS cov
+               FROM l JOIN r ON substr(l.name, 1, 16) = substr(r.name, 1, 16)),
+        s3 AS (SELECT COUNT(*) AS cand,
+                      SUM(CASE WHEN l.lid = r.rid - 1000000 THEN 1 ELSE 0 END) AS cov
+               FROM l JOIN r ON l.c_nationkey = r.c_nationkey)
+        SELECT scheme, CAST(cand AS BIGINT) AS n_candidates,
+               CAST(cov AS BIGINT) AS n_true_covered,
+               CAST(ROUND(CAST(cov AS DOUBLE) / CAST(nt.n_true AS DOUBLE), 6)
+                    AS DOUBLE) AS recall_ceiling
+        FROM (SELECT 'nation_prefix17' AS scheme, cand, cov FROM s1
+              UNION ALL SELECT 'prefix16', cand, cov FROM s2
+              UNION ALL SELECT 'nation_only', cand, cov FROM s3) u
+        CROSS JOIN nt
+        ORDER BY scheme""")
+    }),
+
     // ER threshold tuning — the precision/recall sweep a linkage
     // threshold is actually chosen from: the fixture's dirty feed has
     // KNOWN ground truth (rid − 1000000 is the source customer), so for
@@ -993,20 +1031,24 @@ object Ops {
     }),
 
     // Theil–Sen robust trend: per event stream, the MEDIAN of all
-    // pairwise daily-count slopes — one wild day moves OLS
-    // (agg_regression_exact) but not the pairwise median. Slopes are
-    // single IEEE divisions of exact integers (identical both engines);
-    // the median picks rank (n+1) DIV 2 and (n+2) DIV 2 and averages —
-    // never a float percentile. Pair count is days², bounded by the
-    // CALENDAR not the data (30 days → 435 pairs per key even at 100 TB
-    // of events), which is what makes the exact pairwise form viable
+    // pairwise daily-count slopes over the TRAILING 120 days — one wild
+    // day moves OLS (agg_regression_exact) but not the pairwise median.
+    // Slopes are single IEEE divisions of exact integers (identical
+    // both engines); the median picks rank (n+1) DIV 2 and (n+2) DIV 2
+    // and averages — never a float percentile. The trailing clamp is
+    // what keeps the pairwise form viable: pairs are (window days)² —
+    // ≤ 7,140 per key forever — where an unbounded multi-year calendar
+    // went quadratic (110 s at the factor-100 time-replicated staging)
     "ts_theilsen" -> ((s, d) => {
       Tables.register(s, d)
       s.sql("""
-        WITH dc AS (SELECT event_type,
+        WITH dc0 AS (SELECT event_type,
                            CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT) AS day,
                            COUNT(*) AS c
                     FROM events GROUP BY 1, 2),
+        mx AS (SELECT event_type AS met, MAX(day) AS mxd FROM dc0 GROUP BY event_type),
+        dc AS (SELECT dc0.* FROM dc0 JOIN mx
+                 ON mx.met = dc0.event_type AND dc0.day > mx.mxd - 120),
         p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
                      CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
               FROM dc a JOIN dc b
@@ -1815,6 +1857,37 @@ object Ops {
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
       FROM g ORDER BY cohort_wk, age_wk""",
 
+    // the same three counting joins (DuckDB needs no dialect change —
+    // replayed verbatim but kept separate for the engines' substr/concat
+    // parity)
+    "er_blocking_eval" -> """
+      WITH l AS (SELECT c_custkey AS lid, c_nationkey, c_name AS name
+                 FROM customer),
+      r AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X')
+                        ELSE c_name END AS name
+            FROM customer WHERE c_custkey % 3 = 0),
+      nt AS (SELECT COUNT(*) AS n_true FROM r),
+      s1 AS (SELECT COUNT(*) AS cand,
+                    SUM(CASE WHEN l.lid = r.rid - 1000000 THEN 1 ELSE 0 END) AS cov
+             FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+               AND substr(l.name, 1, 17) = substr(r.name, 1, 17)),
+      s2 AS (SELECT COUNT(*) AS cand,
+                    SUM(CASE WHEN l.lid = r.rid - 1000000 THEN 1 ELSE 0 END) AS cov
+             FROM l JOIN r ON substr(l.name, 1, 16) = substr(r.name, 1, 16)),
+      s3 AS (SELECT COUNT(*) AS cand,
+                    SUM(CASE WHEN l.lid = r.rid - 1000000 THEN 1 ELSE 0 END) AS cov
+             FROM l JOIN r ON l.c_nationkey = r.c_nationkey)
+      SELECT scheme, CAST(cand AS BIGINT) AS n_candidates,
+             CAST(cov AS BIGINT) AS n_true_covered,
+             CAST(ROUND(CAST(cov AS DOUBLE) / CAST(nt.n_true AS DOUBLE), 6)
+                  AS DOUBLE) AS recall_ceiling
+      FROM (SELECT 'nation_prefix17' AS scheme, cand, cov FROM s1
+            UNION ALL SELECT 'prefix16', cand, cov FROM s2
+            UNION ALL SELECT 'nation_only', cand, cov FROM s3) u
+      CROSS JOIN nt
+      ORDER BY scheme""",
+
     // the sweep replayed flat: every scored candidate × thresholds 1..4,
     // ground truth from the id offset
     "er_threshold_sweep" -> """
@@ -1940,11 +2013,14 @@ object Ops {
 
     // the identical pairwise-slope median (ranks, never percentile)
     "ts_theilsen" -> """
-      WITH dc AS (SELECT event_type,
+      WITH dc0 AS (SELECT event_type,
                          CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
                               // 86400000000 AS BIGINT) AS day,
                          COUNT(*) AS c
                   FROM events GROUP BY 1, 2),
+      mx AS (SELECT event_type AS met, MAX(day) AS mxd FROM dc0 GROUP BY event_type),
+      dc AS (SELECT dc0.* FROM dc0 JOIN mx
+               ON mx.met = dc0.event_type AND dc0.day > mx.mxd - 120),
       p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
                    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
             FROM dc a JOIN dc b
