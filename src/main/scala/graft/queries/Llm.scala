@@ -359,6 +359,24 @@ object Llm {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
+    // cluster-size census over the connected components — the dedup
+    // dashboard's headline table ("how much of the corpus is 2-copies
+    // vs template farms"): one extra two-level rollup over dupClusters'
+    // output; n_docs = size × count makes the dup-mass per size class
+    // readable directly
+    "llm_cluster_size_hist" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      Dedup.dupClusters(pairs)
+        .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .selectExpr("CAST(sz AS BIGINT) AS cluster_size",
+          "CAST(n_clusters AS BIGINT) AS n_clusters",
+          "CAST(sz * n_clusters AS BIGINT) AS n_docs")
+        .orderBy("cluster_size")
+    }),
+
     // k-core peel over the verified-pair graph: 3 rounds of degree>=2
     // filtering leave only the dense duplicate cores (template farms) —
     // incidental one-off matches dissolve in round 1
@@ -2341,6 +2359,24 @@ object Llm {
          |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
          |SELECT doc_id, min(lab) AS cluster_rep FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the recursive reach components rolled into the same two-level
+    // size census
+    "llm_cluster_size_hist" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS doc_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |cl AS (SELECT doc_id, min(lab) AS cluster_rep FROM reach GROUP BY doc_id),
+         |szs AS (SELECT cluster_rep, COUNT(*) AS sz FROM cl GROUP BY cluster_rep)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // the same wedge join + adjacency anti-join over the replayed
     // co-purchase edge set

@@ -801,6 +801,56 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // week-over-week growth — the reporting staple: weekly counts per
+    // stream, LAG delta and one ROUND ratio (prev comes from an existing
+    // group, so it is never 0 — no NULLIF needed; the first week's NULLs
+    // pass through both engines identically). Integer week = day DIV 7
+    "ts_wow_growth" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH w AS (SELECT event_type,
+                          CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) DIV 7 AS wk,
+                          COUNT(*) AS c
+                   FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, wk, c,
+                     LAG(c) OVER (PARTITION BY event_type ORDER BY wk) AS p
+              FROM w)
+        SELECT event_type, wk, CAST(c AS BIGINT) AS cnt,
+               CAST(p AS BIGINT) AS prev_cnt,
+               CAST(c - p AS BIGINT) AS delta,
+               CAST(ROUND(CAST(c - p AS DOUBLE) / CAST(p AS DOUBLE), 6)
+                    AS DOUBLE) AS growth
+        FROM l ORDER BY event_type, wk""")
+    }),
+
+    // time-to-convert: first view → first purchase per user, reported
+    // as count/min/max plus the DOUBLED median (the rank-picked
+    // (n+1)/(n+2) DIV 2 middle, summed ×2 — a half-second median stays
+    // an exact integer; the ts_anomaly_mad doubling trick). The global
+    // rank runs over the post-agg |users| table
+    "ts_time_to_convert" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH fv AS (SELECT user_id, MIN(unix_micros(ts)) AS v
+                    FROM events WHERE event_type = 'view' GROUP BY user_id),
+        fp AS (SELECT user_id, MIN(unix_micros(ts)) AS p
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        d AS (SELECT fv.user_id, (p - v) DIV 1000000 AS sec
+              FROM fv JOIN fp ON fp.user_id = fv.user_id WHERE p >= v),
+        a AS (SELECT COUNT(*) AS n, MIN(sec) AS min_sec, MAX(sec) AS max_sec
+              FROM d),
+        r AS (SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM d),
+        m AS (SELECT (SUM(sec) * 2) DIV COUNT(*) AS median_x2
+              FROM r WHERE rk IN ((n + 1) DIV 2, (n + 2) DIV 2))
+        SELECT CAST(a.n AS BIGINT) AS n_converted,
+               CAST(a.min_sec AS BIGINT) AS min_sec,
+               CAST(a.max_sec AS BIGINT) AS max_sec,
+               CAST(m.median_x2 AS BIGINT) AS median_x2_sec
+        FROM a CROSS JOIN m""")
+    }),
+
     // cohort LTV curve — the revenue sibling of ts_retention_cohorts:
     // users grouped by first-seen week, purchase cents accumulated over
     // cohort age. Week = day-index DIV 7 on purpose (date_trunc('week')
@@ -1837,6 +1887,43 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the same weekly LAG arithmetic
+    "ts_wow_growth" -> """
+      WITH w AS (SELECT event_type,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) // 7 AS wk,
+                        COUNT(*) AS c
+                 FROM events GROUP BY 1, 2),
+      l AS (SELECT event_type, wk, c,
+                   LAG(c) OVER (PARTITION BY event_type ORDER BY wk) AS p
+            FROM w)
+      SELECT event_type, wk, CAST(c AS BIGINT) AS cnt,
+             CAST(p AS BIGINT) AS prev_cnt,
+             CAST(c - p AS BIGINT) AS delta,
+             CAST(ROUND(CAST(c - p AS DOUBLE) / CAST(p AS DOUBLE), 6)
+                  AS DOUBLE) AS growth
+      FROM l ORDER BY event_type, wk""",
+
+    // the same first-view/first-purchase join and doubled rank-median
+    "ts_time_to_convert" -> """
+      WITH fv AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v
+                  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      fp AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS p
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      d AS (SELECT fv.user_id, (p - v) // 1000000 AS sec
+            FROM fv JOIN fp ON fp.user_id = fv.user_id WHERE p >= v),
+      a AS (SELECT COUNT(*) AS n, MIN(sec) AS min_sec, MAX(sec) AS max_sec
+            FROM d),
+      r AS (SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM d),
+      m AS (SELECT (SUM(sec) * 2) // COUNT(*) AS median_x2
+            FROM r WHERE rk IN ((n + 1) // 2, (n + 2) // 2))
+      SELECT CAST(a.n AS BIGINT) AS n_converted,
+             CAST(a.min_sec AS BIGINT) AS min_sec,
+             CAST(a.max_sec AS BIGINT) AS max_sec,
+             CAST(m.median_x2 AS BIGINT) AS median_x2_sec
+      FROM a CROSS JOIN m""",
 
     // the same integer week index and cumulative window
     "ts_cohort_ltv" -> """
