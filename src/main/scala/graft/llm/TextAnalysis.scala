@@ -1157,6 +1157,47 @@ object TextAnalysis {
         expr("CAST(ROUND(__s / n_bigrams, 6) AS DOUBLE)").as("avg_p"))
   }
 
+  /** Greedy maximal-coverage subset selection (Nemhauser et al. 1978:
+    * the greedy pick is a (1−1/e) approximation for submodular
+    * coverage): each of the k steps takes the document adding the most
+    * UNSEEN shingles — the "most informative k docs" curation pick
+    * (facility-location-style data selection). Same driver-greedy shape
+    * as `Similarity.mmrSelect`: k collect-1-ROW steps, each one
+    * distinct-shingle anti-join + one count agg + one TakeOrdered; the
+    * covered-set side is shingles of ≤k picked docs (broadcast-sized by
+    * construction). Gains are exact integers, ties to min doc_id — the
+    * oracle replays the rounds as chained CTEs.
+    */
+  def coverageSelect(docs: DataFrame, k: Int, n: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.shingles(docs, n).localCheckpoint()
+    var pickedIds = List.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var covered = 0L
+    for (step <- 1 to k) {
+      val base =
+        if (pickedIds.isEmpty) sh
+        else {
+          val covSh = sh.where(col("doc_id").isin(pickedIds: _*))
+            .select("shingle").distinct()
+          sh.where(!col("doc_id").isin(pickedIds: _*))
+            .join(covSh, Seq("shingle"), "left_anti")
+        }
+      val top = base.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val r = top(0)
+        covered += r.getLong(1)
+        out += ((step, r.getLong(0), r.getLong(1), covered))
+        pickedIds ::= r.getLong(0)
+      }
+    }
+    out.toSeq.toDF("step", "doc_id", "gain", "covered_total")
+  }
+
   /** [[bigramScore]] with a HELD-OUT model — the honest form of the
     * perplexity filter: transition counts come from `trainDocs` only,
     * scoring runs over `docs` (a disjoint split), so no document is ever

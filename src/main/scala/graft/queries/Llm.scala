@@ -359,6 +359,17 @@ object Llm {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
+    // greedy maximal-coverage selection: the 4 docs that together cover
+    // the most distinct trigram shingles (submodular curation pick,
+    // (1−1/e)-approximate; TextAnalysis.coverageSelect — the mmrSelect
+    // driver-greedy shape with integer gains)
+    "llm_coverage_select" -> ((s, d) =>
+      TextAnalysis.coverageSelect(docs(s, d), k = 4)
+        .selectExpr("CAST(step AS INT) AS step", "doc_id",
+          "CAST(gain AS BIGINT) AS gain",
+          "CAST(covered_total AS BIGINT) AS covered_total")
+        .orderBy("step")),
+
     // cluster-size census over the connected components — the dedup
     // dashboard's headline table ("how much of the corpus is 2-copies
     // vs template farms"): one extra two-level rollup over dupClusters'
@@ -2359,6 +2370,42 @@ object Llm {
          |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
          |SELECT doc_id, min(lab) AS cluster_rep FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the 4 greedy rounds replayed as chained CTEs (the kcore fixed-
+    // round pattern): each round anti-joins the covered shingles and
+    // the picked docs, re-counts, takes the same (gain DESC, doc_id)
+    // argmax
+    "llm_coverage_select" -> {
+      val k = 4
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      parts += shingleCtes("documents")
+      for (r <- 1 to k) {
+        val src = if (r == 1) "sh" else s"r$r"
+        if (r > 1) {
+          val picks = (1 until r).map(i => s"SELECT doc_id FROM p$i")
+            .mkString(" UNION ALL ")
+          parts += s"""r$r AS (SELECT s.doc_id, s.shingle FROM sh s
+             |        ANTI JOIN c${r - 1} cc ON s.shingle = cc.shingle
+             |        WHERE s.doc_id NOT IN ($picks))""".stripMargin
+        }
+        parts += s"g$r AS (SELECT doc_id, COUNT(*) AS gain FROM $src GROUP BY doc_id)"
+        parts += s"p$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1)"
+        val newc =
+          s"SELECT DISTINCT s.shingle FROM sh s JOIN p$r pp ON pp.doc_id = s.doc_id"
+        parts += (if (r == 1) s"c1 AS ($newc)"
+                  else s"c$r AS (SELECT shingle FROM c${r - 1} UNION $newc)")
+      }
+      val steps = (1 to k)
+        .map(r => s"SELECT $r AS step, doc_id, gain FROM p$r")
+        .mkString(" UNION ALL ")
+      s"""WITH ${parts.mkString(",\n")}
+         |SELECT CAST(step AS INT) AS step, doc_id,
+         |       CAST(gain AS BIGINT) AS gain,
+         |       CAST(SUM(gain) OVER (ORDER BY step
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_total
+         |FROM ($steps) u
+         |ORDER BY step""".stripMargin
+    },
 
     // the recursive reach components rolled into the same two-level
     // size census

@@ -801,6 +801,34 @@ object Ops {
         .orderBy("event_type", "lag")
     }),
 
+    // ingest-outage report — the data-ops "which hours are MISSING"
+    // audit: per stream, the hour spine from its own min..max anti-
+    // joined against observed hours; the spine is generated from two
+    // integers per stream (never materialized from data), so the report
+    // costs one agg + |streams|×|hours| tiny rows
+    "ts_missing_hours" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH h AS (SELECT event_type,
+                          CAST(unix_micros(date_trunc('HOUR', ts)) DIV 3600000000 AS BIGINT) AS hr
+                   FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi,
+                     COUNT(*) AS observed
+              FROM h GROUP BY event_type),
+        spine AS (SELECT event_type, explode(sequence(lo, hi)) AS hr FROM b),
+        miss AS (SELECT s.event_type, MIN(s.hr) AS first_missing,
+                        COUNT(*) AS n_missing
+                 FROM spine s LEFT ANTI JOIN h ON h.event_type = s.event_type
+                   AND h.hr = s.hr
+                 GROUP BY s.event_type)
+        SELECT b.event_type, CAST(b.hi - b.lo + 1 AS BIGINT) AS n_hours_span,
+               CAST(b.observed AS BIGINT) AS n_hours_observed,
+               CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_hours_missing,
+               CAST(m.first_missing AS BIGINT) AS first_missing
+        FROM b LEFT JOIN miss m ON m.event_type = b.event_type
+        ORDER BY b.event_type""")
+    }),
+
     // week-over-week growth — the reporting staple: weekly counts per
     // stream, LAG delta and one ROUND ratio (prev comes from an existing
     // group, so it is never 0 — no NULLIF needed; the first week's NULLs
@@ -1887,6 +1915,29 @@ object Ops {
                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
                6) AS DOUBLE) AS r
       FROM s ORDER BY event_type, lag""",
+
+    // the spine rebuilt from the same two integers per stream; DuckDB's
+    // generate_series + anti join
+    "ts_missing_hours" -> """
+      WITH h AS (SELECT event_type,
+                        CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                             // 3600000000 AS BIGINT) AS hr
+                 FROM events WHERE user_id < 5 GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi,
+                   COUNT(*) AS observed
+            FROM h GROUP BY event_type),
+      spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+      miss AS (SELECT s.event_type, MIN(s.hr) AS first_missing,
+                      COUNT(*) AS n_missing
+               FROM spine s ANTI JOIN h ON h.event_type = s.event_type
+                 AND h.hr = s.hr
+               GROUP BY s.event_type)
+      SELECT b.event_type, CAST(b.hi - b.lo + 1 AS BIGINT) AS n_hours_span,
+             CAST(b.observed AS BIGINT) AS n_hours_observed,
+             CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_hours_missing,
+             CAST(m.first_missing AS BIGINT) AS first_missing
+      FROM b LEFT JOIN miss m ON m.event_type = b.event_type
+      ORDER BY b.event_type""",
 
     // the same weekly LAG arithmetic
     "ts_wow_growth" -> """
