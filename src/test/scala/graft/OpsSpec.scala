@@ -175,6 +175,23 @@ class OpsSpec extends SparkSpec {
     assert(plain.nonEmpty, "fixture must produce matches")
   }
 
+  test("goldenRecords: chains fold to one entity, ordered election, singletons survive") {
+    import graft.operators.Entity
+    // {1,2,10} is a chain through the shared right 10; {3,11} a pair;
+    // 4 is unmatched and must survive as its own entity
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("lid", "rid")
+    val records = Seq(
+      (1L, "a", 50L), (2L, "b", 90L), (3L, "c", 70L), (4L, "d", 10L),
+      (10L, "x", 60L), (11L, "y", 999L)).toDF("id", "name", "bal")
+    val got = Entity.goldenRecords(pairs, records,
+        Seq(col("bal").desc, col("id").asc))
+      .select("entity_id", "n_members", "id", "name", "bal")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 3L, 2L, "b", 90L), (3L, 2L, 11L, "y", 999L),
+      (4L, 1L, 4L, "d", 10L)), s"got $got")
+  }
+
   test("incrementalJoin converges under chained random delta batches") {
     val rnd = new scala.util.Random(13)
     // 40 facts over 12 dims; three successive upsert rounds touching

@@ -23,6 +23,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("llm_bitext_mine: the probe slice broadcasts into an NLJ (the hint), never a cartesian") {
+    val plan = staticPlan(SparkEntry.queries("llm_bitext_mine")(spark, sfSmoke))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe-broadcast NLJ expected (two join OUTPUTS theta-joined have no stats — without the hint this degenerates to a CartesianProduct):\n$plan")
+  }
+
+  test("llm_ivf_balance: the k-row centroid table broadcasts, corpus never shuffles for assignment") {
+    val plan = staticPlan(SparkEntry.queries("llm_ivf_balance")(spark, sfSmoke))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"centroid side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a k-row centroid table shuffled the corpus:\n$plan")
+  }
+
+  test("llm_lm_heldout: the trained model joins broadcast onto the eval bigrams") {
+    val plan = staticPlan(SparkEntry.queries("llm_lm_heldout")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded model tables must broadcast:\n$plan")
+  }
+
   test("cdc_apply: latest-change selection is agg+join, never a window sort") {
     val plan = staticPlan(SparkEntry.queries("cdc_apply")(spark, sfSmoke))
     assert(!plan.contains("Window"),
