@@ -555,6 +555,24 @@ object Llm {
           shardDocs = 1024L)
         .orderBy("doc_id")),
 
+    // multi-epoch training orders: the SAME permutation machinery with
+    // per-epoch seeds gives independent orders per epoch (each a true
+    // permutation of the corpus — no doc repeats or drops within an
+    // epoch, the property a naive per-epoch random() cannot give across
+    // restarts); displacement shows the orders really decorrelate
+    "llm_epoch_orders" -> ((s, d) => {
+      val dd = docs(s, d)
+      val e1 = TrainOrder.shuffleOrder(dd, "epoch-1")
+        .select(col("doc_id"), col("pos").as("pos_e1"))
+      val e2 = TrainOrder.shuffleOrder(dd, "epoch-2")
+        .select(col("doc_id"), col("pos").as("pos_e2"))
+      e1.join(e2, Seq("doc_id"))
+        .selectExpr("doc_id", "CAST(pos_e1 AS BIGINT) AS pos_e1",
+          "CAST(pos_e2 AS BIGINT) AS pos_e2",
+          "CAST(ABS(pos_e1 - pos_e2) AS BIGINT) AS displacement")
+        .orderBy("doc_id")
+    }),
+
     // stride-scheduled mixture interleave: source weights 1/2/3 (by
     // source index mod 3), every training-order prefix holds each source
     // in weight proportion. Spark computes pos in closed form (per-row
@@ -2342,6 +2360,25 @@ object Llm {
         |       CAST((row_number() OVER (ORDER BY key, doc_id) - 1) // 1024
         |            AS BIGINT) AS shard
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // both epochs' permutations as flat row_numbers over their seeds
+    "llm_epoch_orders" ->
+      """WITH k1 AS (SELECT doc_id,
+        |                   md5('epoch-1:' || CAST(doc_id AS VARCHAR)) AS key
+        |            FROM documents),
+        |k2 AS (SELECT doc_id,
+        |              md5('epoch-2:' || CAST(doc_id AS VARCHAR)) AS key
+        |       FROM documents),
+        |p1 AS (SELECT doc_id,
+        |              CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos_e1
+        |       FROM k1),
+        |p2 AS (SELECT doc_id,
+        |              CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos_e2
+        |       FROM k2)
+        |SELECT p1.doc_id, p1.pos_e1, p2.pos_e2,
+        |       CAST(ABS(p1.pos_e1 - p2.pos_e2) AS BIGINT) AS displacement
+        |FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+        |ORDER BY p1.doc_id""".stripMargin,
 
     "llm_mixture_interleave" ->
       """WITH w AS (SELECT doc_id, source,

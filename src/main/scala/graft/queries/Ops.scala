@@ -655,6 +655,57 @@ object Ops {
           "orders_fk_rich_customer")))
     }),
 
+    // KMV sketch SET OPERATIONS — the capability that separates bottom-k
+    // from HLL: Jaccard of two streams' user sets estimated from their
+    // bottom-64 sketches alone (est = |MinK(A∪B) ∩ A ∩ B| / k; h ∈
+    // MinK(A∪B) ∧ h ∈ A ⇒ h ∈ MinK(A), so sketch membership IS set
+    // membership here — the theta-sketch identity). Exact Jaccard
+    // reported beside it so the error is visible. Membership = "user
+    // had a value>0.9 event of that type" (full sets are degenerate-
+    // identical in the fixture). Everything integer until two ROUNDs
+    "agg_kmv_jaccard" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH r AS (SELECT DISTINCT event_type AS g,
+                          CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h,
+                          user_id AS u
+                   FROM events WHERE value > 0.9),
+        k AS (SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                FROM (SELECT DISTINCT g, h FROM r) t) x
+              WHERE rk <= 64),
+        gs AS (SELECT DISTINCT g FROM k),
+        pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        uh AS (SELECT pr.ga, pr.gb, k.h FROM pr JOIN k ON k.g = pr.ga
+               UNION
+               SELECT pr.ga, pr.gb, k.h FROM pr JOIN k ON k.g = pr.gb),
+        uk AS (SELECT ga, gb, h FROM (
+                 SELECT ga, gb, h,
+                        row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+                 FROM uh) x WHERE rk <= 64),
+        inter AS (SELECT uk.ga, uk.gb, COUNT(*) AS nboth FROM uk
+                  JOIN k ka ON ka.g = uk.ga AND ka.h = uk.h
+                  JOIN k kb ON kb.g = uk.gb AND kb.h = uk.h
+                  GROUP BY uk.ga, uk.gb),
+        du AS (SELECT DISTINCT g, u FROM r),
+        cnt AS (SELECT g, COUNT(*) AS n FROM du GROUP BY g),
+        xi AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS ninter
+               FROM du a JOIN du b ON b.u = a.u AND a.g < b.g
+               GROUP BY a.g, b.g)
+        SELECT p.ga, p.gb,
+               CAST(COALESCE(i.nboth, 0) AS BIGINT) AS sketch_both,
+               CAST(ROUND(CAST(COALESCE(i.nboth, 0) AS DOUBLE) / 64.0, 6)
+                    AS DOUBLE) AS est_jaccard,
+               CAST(ROUND(CAST(COALESCE(x.ninter, 0) AS DOUBLE)
+                    / CAST(ca.n + cb.n - COALESCE(x.ninter, 0) AS DOUBLE), 6)
+                    AS DOUBLE) AS exact_jaccard
+        FROM pr p
+        LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+        LEFT JOIN xi x ON x.ga = p.ga AND x.gb = p.gb
+        JOIN cnt ca ON ca.g = p.ga JOIN cnt cb ON cb.g = p.gb
+        ORDER BY p.ga, p.gb""")
+    }),
+
     // KMV (bottom-k) distinct sketch — the third mergeable cardinality
     // sketch next to HLL (llm_distinct_sketch) and the exact count:
     // keep the k=64 SMALLEST 48-bit hashes; estimate = (k-1)·2^48 DIV
@@ -1869,6 +1920,47 @@ object Ops {
         UNION ALL SELECT 'max_chars', p0.max_chars, p1.max_chars FROM p0 CROSS JOIN p1
         UNION ALL SELECT 'sum_chars', p0.sum_chars, p1.sum_chars FROM p0 CROSS JOIN p1
       ) u ORDER BY metric""",
+
+    // the same sketch set algebra with DuckDB's hash idiom
+    "agg_kmv_jaccard" -> """
+      WITH r AS (SELECT DISTINCT event_type AS g,
+                        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+                        user_id AS u
+                 FROM events WHERE value > 0.9),
+      k AS (SELECT g, h FROM (
+              SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+              FROM (SELECT DISTINCT g, h FROM r) t) x
+            WHERE rk <= 64),
+      gs AS (SELECT DISTINCT g FROM k),
+      pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+      uh AS (SELECT pr.ga, pr.gb, k.h FROM pr JOIN k ON k.g = pr.ga
+             UNION
+             SELECT pr.ga, pr.gb, k.h FROM pr JOIN k ON k.g = pr.gb),
+      uk AS (SELECT ga, gb, h FROM (
+               SELECT ga, gb, h,
+                      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+               FROM uh) x WHERE rk <= 64),
+      inter AS (SELECT uk.ga, uk.gb, COUNT(*) AS nboth FROM uk
+                JOIN k ka ON ka.g = uk.ga AND ka.h = uk.h
+                JOIN k kb ON kb.g = uk.gb AND kb.h = uk.h
+                GROUP BY uk.ga, uk.gb),
+      du AS (SELECT DISTINCT g, u FROM r),
+      cnt AS (SELECT g, COUNT(*) AS n FROM du GROUP BY g),
+      xi AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS ninter
+             FROM du a JOIN du b ON b.u = a.u AND a.g < b.g
+             GROUP BY a.g, b.g)
+      SELECT p.ga, p.gb,
+             CAST(COALESCE(i.nboth, 0) AS BIGINT) AS sketch_both,
+             CAST(ROUND(CAST(COALESCE(i.nboth, 0) AS DOUBLE) / 64.0, 6)
+                  AS DOUBLE) AS est_jaccard,
+             CAST(ROUND(CAST(COALESCE(x.ninter, 0) AS DOUBLE)
+                  / CAST(ca.n + cb.n - COALESCE(x.ninter, 0) AS DOUBLE), 6)
+                  AS DOUBLE) AS exact_jaccard
+      FROM pr p
+      LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+      LEFT JOIN xi x ON x.ga = p.ga AND x.gb = p.gb
+      JOIN cnt ca ON ca.g = p.ga JOIN cnt cb ON cb.g = p.gb
+      ORDER BY p.ga, p.gb""",
 
     // the same two-phase bottom-64 stitch (the merge identity makes it
     // equal one global bottom-64); DuckDB hash idiom + // division
