@@ -64,4 +64,51 @@ object Forecast {
     s"""CAST(ROUND(CAST(${terms.mkString(" + ")} AS DOUBLE)
        | / ${den * microScale}.0, 6) AS DOUBLE)""".stripMargin
   }
+
+  /** Holt–Winters ADDITIVE seasonal coefficients, same mechanism as
+    * [[holtCoefficients]]: with dyadic α = β = γ = 1/2 and a
+    * power-of-two period m, the recurrence
+    *
+    *   ℓ_t = ((x_t − s_{t−m}) + ℓ_{t−1} + b_{t−1}) / 2
+    *   b_t = ((ℓ_t − ℓ_{t−1}) + b_{t−1}) / 2
+    *   s_t = ((x_t − ℓ_t) + s_{t−m}) / 2
+    *
+    * over the last n observations (init: ℓ_m = mean of the first
+    * period — exact because m | 2^k; s_i = x_i − ℓ_m; b_m = 0) is
+    * linear in x, so level / trend / next-season / 1-step forecast
+    * (ℓ + b + s_{n+1−m}) are fixed rational dot products — the
+    * SEASONAL model also costs one integer dot per key in-plan.
+    * Every halving is checked exact (a parity failure would silently
+    * break linearity); the power-of-two period is what guarantees it.
+    *
+    * Returns (level, trend, season_next, forecast₁, denominator).
+    */
+  def holtWintersCoefficients(n: Int, m: Int)
+      : (Seq[BigInt], Seq[BigInt], Seq[BigInt], Seq[BigInt], BigInt) = {
+    require(m >= 2 && (m & (m - 1)) == 0, "period must be a power of two")
+    require(n > m, "need more than one period of observations")
+    val scale = BigInt(2).pow(2 * n) * m
+    def half(v: BigInt): BigInt = {
+      require(v.testBit(0) == false, s"non-dyadic halving of $v")
+      v / 2
+    }
+    var l = Vector.tabulate(n)(j => if (j < m) scale / m else BigInt(0))
+    var b = Vector.fill(n)(BigInt(0))
+    val s = Array.tabulate(m)(i =>
+      Vector.tabulate(n)(j => (if (j == i) scale else BigInt(0)) - l(j)))
+    for (t <- m until n) {
+      val sPrev = s(t % m)
+      val xt = Vector.tabulate(n)(j => if (j == t) scale else BigInt(0))
+      val lNew = Vector.tabulate(n)(j => half((xt(j) - sPrev(j)) + l(j) + b(j)))
+      val bNew = Vector.tabulate(n)(j => half((lNew(j) - l(j)) + b(j)))
+      val sNew = Vector.tabulate(n)(j => half((xt(j) - lNew(j)) + sPrev(j)))
+      l = lNew; b = bNew; s(t % m) = sNew
+    }
+    val sNext = s(n % m)
+    val f = Vector.tabulate(n)(i => l(i) + b(i) + sNext(i))
+    val all = (l ++ b ++ sNext ++ f).filter(_ != 0)
+    var g = scale
+    all.foreach { c => g = g.gcd(c) }
+    (l.map(_ / g), b.map(_ / g), sNext.map(_ / g), f.map(_ / g), scale / g)
+  }
 }

@@ -236,6 +236,38 @@ object Relational {
       FROM p ORDER BY user_id"""
     },
 
+    // Holt–Winters ADDITIVE seasonal forecast, driver-unrolled like
+    // ts_holt_forecast: dyadic α=β=γ=1/2 with a power-of-two period
+    // (m=4) keeps every recurrence halving exact, so level / trend /
+    // next-season / 1-step forecast over each key's last 12 points are
+    // four integer dot products with one closing IEEE division each —
+    // the SEASONAL model still costs one aggregation for a billion keys
+    "ts_hw_forecast" -> {
+      val (cl, cb, cs, cf, den) =
+        graft.operators.Forecast.holtWintersCoefficients(12, 4)
+      def xc(k: Int) = s"x$k"
+      val pivots = (1 to 12).map(k =>
+        s"CAST(SUM(CASE WHEN rn = ${13 - k} THEN v ELSE 0 END) AS BIGINT) AS x$k")
+        .mkString(",\n               ")
+      s"""
+      WITH v AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 40),
+      p AS (SELECT user_id,
+               $pivots,
+               count(*) AS n
+            FROM v WHERE rn <= 12 GROUP BY user_id HAVING count(*) = 12)
+      SELECT user_id,
+             ${graft.operators.Forecast.dotSql(cl, den, 1000000L, xc)} AS level,
+             ${graft.operators.Forecast.dotSql(cb, den, 1000000L, xc)} AS trend,
+             ${graft.operators.Forecast.dotSql(cs, den, 1000000L, xc)} AS season_next,
+             ${graft.operators.Forecast.dotSql(cf, den, 1000000L, xc)} AS forecast1
+      FROM p ORDER BY user_id"""
+    },
+
     // rolling-origin BACKTEST of the Holt filter — the eval that decides
     // whether the forecast is trustworthy before anyone schedules it:
     // hold out each key's LAST observation, fit the same driver-unrolled

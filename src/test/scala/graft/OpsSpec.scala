@@ -249,6 +249,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(dot(cf) - (l + b)) < 1e-12, "forecast")
   }
 
+  test("holtWintersCoefficients: unrolled dots reproduce the seasonal recurrence") {
+    val (n, m) = (12, 4)
+    val (cl, cb, cs, cf, den) = Forecast.holtWintersCoefficients(n, m)
+    assert(cf == cl.lazyZip(cb).lazyZip(cs).map(_ + _ + _),
+      "forecast must be level + trend + next season")
+    // dyadic recurrence on small integers stays exact in Double
+    val xs = Seq(3L, -1L, 4L, 1L, -5L, 9L, 2L, 6L, -3L, 5L, 7L, -2L)
+      .map(_.toDouble)
+    var l = xs.take(m).sum / m
+    var b = 0.0
+    val s = Array.tabulate(m)(i => xs(i) - l)
+    for (t <- m until n) {
+      val sp = s(t % m)
+      val ln = ((xs(t) - sp) + l + b) / 2
+      b = ((ln - l) + b) / 2
+      s(t % m) = ((xs(t) - ln) + sp) / 2
+      l = ln
+    }
+    def dot(cc: Seq[BigInt]) =
+      cc.zip(xs).map { case (c, x) => c.toDouble * x }.sum / den.toDouble
+    assert(math.abs(dot(cl) - l) < 1e-9, s"level ${dot(cl)} vs $l")
+    assert(math.abs(dot(cb) - b) < 1e-9, s"trend ${dot(cb)} vs $b")
+    assert(math.abs(dot(cs) - s(n % m)) < 1e-9, s"season ${dot(cs)} vs ${s(n % m)}")
+    assert(math.abs(dot(cf) - (l + b + s(n % m))) < 1e-9, "forecast")
+  }
+
   test("benford: digit extraction, fractions, and chi-square terms") {
     // 20 values: leading digits 1x8, 2x6, 3x6 (cents > 0 filter drops 0)
     val vals = Seq.fill(8)(123L) ++ Seq.fill(6)(234L) ++ Seq.fill(6)(345L) ++ Seq(0L)
