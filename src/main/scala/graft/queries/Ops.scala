@@ -1075,6 +1075,36 @@ object Ops {
         ORDER BY t.event_type, pct""")
     }),
 
+    // rolling 7-day OLS slope — the trend line a monitoring dashboard
+    // draws per stream: the regression closed form (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) evaluated from FIVE windowed integer sums over a
+    // RANGE frame on the day index (calendar gaps shrink n honestly);
+    // every operand exact until the one closing division. The windowed
+    // sibling of agg_regression_exact
+    "ts_rolling_slope" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH dd AS (SELECT event_type,
+                           CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT) AS day,
+                           COUNT(*) AS c
+                    FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, day, c,
+                     COUNT(*) OVER fr AS n,
+                     SUM(day) OVER fr AS sx,
+                     SUM(c) OVER fr AS sy,
+                     SUM(day * c) OVER fr AS sxy,
+                     SUM(day * day) OVER fr AS sxx
+              FROM dd
+              WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT event_type, day, CAST(c AS BIGINT) AS cnt,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6)
+                 AS DOUBLE) AS slope7
+        FROM w ORDER BY event_type, day""")
+    }),
+
     // burst detection — the ops-alerting sibling of ts_cusum_drift:
     // an hour is a burst when its count exceeds 3× the trailing-24h
     // average with at least 6 trailing hours of context. Pure integer
@@ -2183,6 +2213,29 @@ object Ops {
       FROM tgt t JOIN hit h ON t.event_type = h.event_type
              AND t.pct = h.pct AND t.bin = h.hbin
       ORDER BY t.event_type, pct""",
+
+    // the same five windowed sums and closed form
+    "ts_rolling_slope" -> """
+      WITH dd AS (SELECT event_type,
+                         CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                              // 86400000000 AS BIGINT) AS day,
+                         COUNT(*) AS c
+                  FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day, c,
+                   COUNT(*) OVER fr AS n,
+                   SUM(day) OVER fr AS sx,
+                   SUM(c) OVER fr AS sy,
+                   SUM(day * c) OVER fr AS sxy,
+                   SUM(day * day) OVER fr AS sxx
+            FROM dd
+            WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, day, CAST(c AS BIGINT) AS cnt,
+             CAST(n AS BIGINT) AS n_days,
+             CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6)
+               AS DOUBLE) AS slope7
+      FROM w ORDER BY event_type, day""",
 
     // the same trailing RANGE frame on the hour index and the same
     // integer burst comparison
