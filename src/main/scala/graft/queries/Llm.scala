@@ -668,6 +668,41 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // composite Gopher-style admission gate — the four rule families as
+    // ONE scan with a verdict BITMASK (which rule failed is as
+    // important as the verdict — curation debugging reads the mask
+    // histogram): length band, alnum ratio, word-count band, and
+    // max-token-share repetition, all integer cross-multiplications.
+    // The repetition signal needs one explode+agg per doc, joined back
+    "llm_gopher_gate" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__gg_docs")
+      s.sql(s"""
+        WITH base AS (SELECT doc_id, text, n_chars,
+                             length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS alnum
+                      FROM __gg_docs),
+        toks AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+                   SELECT doc_id, explode(split(${graft.llm.Dedup.normalizeExpr}, ' ')) AS tok
+                   FROM __gg_docs) t
+                 WHERE length(tok) > 0 GROUP BY doc_id, tok),
+        rep AS (SELECT doc_id, SUM(tf) AS n_words, MAX(tf) AS max_tf
+                FROM toks GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(CASE WHEN b.n_chars BETWEEN 30 AND 10000 THEN 1 ELSE 0 END
+                 + CASE WHEN 1000 * b.alnum >= 600 * b.n_chars THEN 2 ELSE 0 END
+                 + CASE WHEN COALESCE(r.n_words, 0) BETWEEN 10 AND 5000 THEN 4 ELSE 0 END
+                 + CASE WHEN COALESCE(5 * r.max_tf <= r.n_words, FALSE) THEN 8 ELSE 0 END
+                 AS INT) AS rule_mask,
+               CAST(COALESCE(r.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(r.max_tf, 0) AS BIGINT) AS max_tf,
+               CAST(CASE WHEN b.n_chars BETWEEN 30 AND 10000
+                          AND 1000 * b.alnum >= 600 * b.n_chars
+                          AND COALESCE(r.n_words, 0) BETWEEN 10 AND 5000
+                          AND COALESCE(5 * r.max_tf <= r.n_words, FALSE)
+                     THEN TRUE ELSE FALSE END AS BOOLEAN) AS kept
+        FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id
+        ORDER BY b.doc_id""")
+    }),
+
     // temperature-balanced mixture quotas (the multilingual-sampling
     // trick: share ∝ tokens^(1/T), here T=2 → SQRT, the one sanctioned
     // transcendental — correctly-rounded IEEE): high-resource sources
@@ -2780,6 +2815,33 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same four integer rules (DuckDB 'g' flag on the strip regex)
+    "llm_gopher_gate" ->
+      s"""WITH base AS (SELECT doc_id, text, n_chars,
+         |                     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum
+         |              FROM documents),
+         |toks AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |           SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |           FROM documents) t
+         |         WHERE length(tok) > 0 GROUP BY doc_id, tok),
+         |rep AS (SELECT doc_id, SUM(tf) AS n_words, MAX(tf) AS max_tf
+         |        FROM toks GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |       CAST(CASE WHEN b.n_chars BETWEEN 30 AND 10000 THEN 1 ELSE 0 END
+         |         + CASE WHEN 1000 * b.alnum >= 600 * b.n_chars THEN 2 ELSE 0 END
+         |         + CASE WHEN COALESCE(r.n_words, 0) BETWEEN 10 AND 5000 THEN 4 ELSE 0 END
+         |         + CASE WHEN COALESCE(5 * r.max_tf <= r.n_words, FALSE) THEN 8 ELSE 0 END
+         |         AS INT) AS rule_mask,
+         |       CAST(COALESCE(r.n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(r.max_tf, 0) AS BIGINT) AS max_tf,
+         |       CAST(CASE WHEN b.n_chars BETWEEN 30 AND 10000
+         |                  AND 1000 * b.alnum >= 600 * b.n_chars
+         |                  AND COALESCE(r.n_words, 0) BETWEEN 10 AND 5000
+         |                  AND COALESCE(5 * r.max_tf <= r.n_words, FALSE)
+         |             THEN TRUE ELSE FALSE END AS BOOLEAN) AS kept
+         |FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     // the same √tokens shares with the source-ordered list fold
     "llm_mixture_temperature" ->

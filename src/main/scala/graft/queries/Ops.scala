@@ -24,7 +24,71 @@ object Ops {
       CAST(o_totalprice AS DECIMAL(12,2)) AS total
     FROM orders"""
 
+  /** HLL register-count sweep SQL, generated once per dialect: the m ∈
+    * {16, 32, 64} sketches share ONE hash pass (bucket fields are
+    * prefixes of the same 3 hex chars; rho reads a disjoint field), and
+    * each m gets its own driver-computed α·m²·2^53 literal (the small-m
+    * bias constants from the HLL paper: 0.673 / 0.697; m=64 keeps the
+    * llm_distinct_sketch convention). The measurement a deployment runs
+    * before choosing a register budget — the HLL sibling of
+    * llm_lsh_tuning.
+    */
+  private def hllSweepSql(spark: Boolean): String = {
+    val bucket =
+      if (spark) "CAST(conv(substr(hh, 14, 3), 16, 10) AS BIGINT)"
+      else "('0x' || substr(hh, 14, 3))::BIGINT"
+    val zeros =
+      if (spark) "length(regexp_extract(substr(hh, 1, 13), '^0*', 0))"
+      else "length(regexp_extract(substr(hh, 1, 13), '^0*'))"
+    val fd =
+      if (spark) "substr(hh, length(regexp_extract(substr(hh, 1, 13), '^0*', 0)) + 1, 1)"
+      else "substr(hh, length(regexp_extract(substr(hh, 1, 13), '^0*')) + 1, 1)"
+    val shift =
+      if (spark) "shiftleft(CAST(1 AS BIGINT), 53 - mj)"
+      else "1::BIGINT << (53 - mj)"
+    val p53 = "9007199254740992" // 2^53
+    val alphas = Seq(16 -> 0.673, 32 -> 0.697, 64 -> (0.7213 / (1 + 1.079 / 64)))
+    val blocks = alphas.map { case (m, a) =>
+      val alphaNum = a * m * m * math.pow(2, 53)
+      s"""r$m AS (SELECT g, $bucket % $m AS bucket, rho FROM f),
+         |regs$m AS (SELECT g, bucket, MAX(rho) AS mj FROM r$m GROUP BY g, bucket),
+         |sk$m AS (SELECT g, COUNT(*) AS hits, SUM($shift) AS s_hit
+         |         FROM regs$m GROUP BY g),
+         |est$m AS (SELECT g, $m AS m,
+         |                 CAST(ROUND(CAST($alphaNum AS DOUBLE)
+         |                   / CAST(s_hit + ($m - hits) * $p53 AS DOUBLE), 6)
+         |                   AS DOUBLE) AS hll_est
+         |          FROM sk$m)""".stripMargin
+    }.mkString(",\n")
+    val unions = alphas.map { case (m, _) =>
+      s"SELECT g, m, hll_est FROM est$m"
+    }.mkString(" UNION ALL ")
+    val strCast = if (spark) "STRING" else "VARCHAR"
+    s"""WITH du AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+       |b AS (SELECT g, md5(CAST(u AS $strCast)) AS hh FROM du),
+       |f AS (SELECT g, hh,
+       |             CASE WHEN $zeros = 13 THEN 53
+       |             ELSE $zeros * 4 + 1 + (CASE $fd
+       |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |               WHEN '7' THEN 1 ELSE 0 END) END AS rho
+       |      FROM b),
+       |$blocks,
+       |ex AS (SELECT g, COUNT(*) AS n_exact FROM du GROUP BY g),
+       |u AS ($unions)
+       |SELECT u.g AS event_type, CAST(u.m AS INT) AS m, u.hll_est,
+       |       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |       CAST(ROUND((u.hll_est - ex.n_exact) / ex.n_exact, 6)
+       |            AS DOUBLE) AS rel_err
+       |FROM u JOIN ex ON ex.g = u.g
+       |ORDER BY event_type, m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_error_sweep" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(hllSweepSql(spark = true))
+    }),
     "cdc_apply" -> ((s, d) => {
       Tables.register(s, d)
       val changes = s.sql(ChangelogSql)
@@ -1256,6 +1320,10 @@ object Ops {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical sweep through DuckDB's hash/shift idioms — the
+    // generator emits both dialects from one block structure
+    "agg_hll_error_sweep" -> hllSweepSql(spark = false),
+
     // independent recomputation: window row_number picks the latest
     // change where the operator uses max-agg + join-back
     "cdc_apply" -> s"""
