@@ -1139,6 +1139,55 @@ object Ops {
         ORDER BY t.event_type, pct""")
     }),
 
+    // empirical-Bayes rate shrinkage — the "smoothed CTR" every ranking
+    // system uses: each user's purchase rate pulls toward the global
+    // rate with prior weight 5, computed ENTIRELY in cross-multiplied
+    // integers (shrunk_ppm = (k·D + 5·K)·10⁶ DIV ((n+5)·D) where K/D is
+    // the global rate as an integer fraction) — no float ever decides a
+    // rank. One scan + a 1-row global broadcast
+    "agg_shrunk_rates" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH u AS (SELECT user_id, COUNT(*) AS n,
+                          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+                   FROM events GROUP BY user_id),
+        g AS (SELECT SUM(k) AS gk, SUM(n) AS gn FROM u)
+        SELECT u.user_id, CAST(u.n AS BIGINT) AS n_events,
+               CAST(u.k AS BIGINT) AS n_purchases,
+               CAST((u.k * 1000000) DIV u.n AS BIGINT) AS raw_ppm,
+               CAST(((u.k * g.gn + 5 * g.gk) * 1000000) DIV ((u.n + 5) * g.gn)
+                    AS BIGINT) AS shrunk_ppm
+        FROM u CROSS JOIN g
+        ORDER BY u.user_id""")
+    }),
+
+    // recency-weighted engagement with EXACT dyadic decay: weight
+    // 2^(−age_days) means Σ cents·2^(30−age) is an exact int64 (ages
+    // clamp at 30 — the window beyond which the weight is below cent
+    // resolution anyway), and the one closing division by 2^30 is a
+    // power-of-two scale — bit-exact in IEEE. The decayed-score shape
+    // every feed/recommendation freshness term uses, with none of the
+    // usual exp() nondeterminism
+    "agg_decayed_engagement" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH e AS (SELECT user_id,
+                          CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS day,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        mx AS (SELECT MAX(day) AS mxd FROM e),
+        w AS (SELECT user_id,
+                     cents * shiftleft(CAST(1 AS BIGINT),
+                       CAST(30 - LEAST(mxd - day, 30) AS INT)) AS wc
+              FROM e CROSS JOIN mx)
+        SELECT user_id,
+               CAST(SUM(wc) AS BIGINT) AS score_scaled,
+               CAST(ROUND(CAST(SUM(wc) AS DOUBLE) / 1073741824.0, 6)
+                    AS DOUBLE) AS score
+        FROM w GROUP BY user_id
+        ORDER BY user_id""")
+    }),
+
     // rolling 7-day OLS slope — the trend line a monitoring dashboard
     // draws per stream: the regression closed form (n·Σxy − Σx·Σy) /
     // (n·Σx² − (Σx)²) evaluated from FIVE windowed integer sums over a
@@ -2281,6 +2330,37 @@ object Ops {
       FROM tgt t JOIN hit h ON t.event_type = h.event_type
              AND t.pct = h.pct AND t.bin = h.hbin
       ORDER BY t.event_type, pct""",
+
+    // the same integer fraction arithmetic
+    "agg_shrunk_rates" -> """
+      WITH u AS (SELECT user_id, COUNT(*) AS n,
+                        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+                 FROM events GROUP BY user_id),
+      g AS (SELECT SUM(k) AS gk, SUM(n) AS gn FROM u)
+      SELECT u.user_id, CAST(u.n AS BIGINT) AS n_events,
+             CAST(u.k AS BIGINT) AS n_purchases,
+             CAST((u.k * 1000000) // u.n AS BIGINT) AS raw_ppm,
+             CAST(((u.k * g.gn + 5 * g.gk) * 1000000) // ((u.n + 5) * g.gn)
+                  AS BIGINT) AS shrunk_ppm
+      FROM u CROSS JOIN g
+      ORDER BY u.user_id""",
+
+    // the same clamped dyadic weights and power-of-two closing scale
+    "agg_decayed_engagement" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      mx AS (SELECT MAX(day) AS mxd FROM e),
+      w AS (SELECT user_id,
+                   cents * (1::BIGINT << CAST(30 - LEAST(mxd - day, 30) AS INT)) AS wc
+            FROM e CROSS JOIN mx)
+      SELECT user_id,
+             CAST(SUM(wc) AS BIGINT) AS score_scaled,
+             CAST(ROUND(CAST(SUM(wc) AS DOUBLE) / 1073741824.0, 6)
+                  AS DOUBLE) AS score
+      FROM w GROUP BY user_id
+      ORDER BY user_id""",
 
     // the same five windowed sums and closed form
     "ts_rolling_slope" -> """
