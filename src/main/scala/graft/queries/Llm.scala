@@ -668,6 +668,36 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // power-of-two sequence-length bucketing — the batching layout a
+    // trainer/server pads into (a doc of n tokens rides the smallest
+    // 2^k ≥ n bucket, floor 16): bucket from pure integer bit
+    // arithmetic (shift the length down until zero — expressed as the
+    // CASE ladder both engines constant-fold), padding waste = bucket −
+    // n summed exactly. The report that prices a bucket set before
+    // anyone trains with it
+    "llm_length_buckets" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__lb_docs")
+      s.sql(raw"""
+        WITH t AS (SELECT doc_id,
+                          CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
+                   FROM __lb_docs),
+        b AS (SELECT doc_id, n_tok,
+                     CASE WHEN n_tok <= 16 THEN 16
+                          WHEN n_tok <= 32 THEN 32
+                          WHEN n_tok <= 64 THEN 64
+                          WHEN n_tok <= 128 THEN 128
+                          WHEN n_tok <= 256 THEN 256
+                          WHEN n_tok <= 512 THEN 512
+                          ELSE 1024 END AS bucket
+              FROM t)
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_waste,
+               CAST((SUM(n_tok) * 1000000) DIV SUM(bucket) AS BIGINT) AS fill_ppm
+        FROM b GROUP BY bucket ORDER BY bucket""")
+    }),
+
     // composite Gopher-style admission gate — the four rule families as
     // ONE scan with a verdict BITMASK (which rule failed is as
     // important as the verdict — curation debugging reads the mask
@@ -2815,6 +2845,27 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same CASE ladder and integer fill arithmetic
+    "llm_length_buckets" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tok,
+         |             CASE WHEN n_tok <= 16 THEN 16
+         |                  WHEN n_tok <= 32 THEN 32
+         |                  WHEN n_tok <= 64 THEN 64
+         |                  WHEN n_tok <= 128 THEN 128
+         |                  WHEN n_tok <= 256 THEN 256
+         |                  WHEN n_tok <= 512 THEN 512
+         |                  ELSE 1024 END AS bucket
+         |      FROM t)
+         |SELECT CAST(bucket AS INT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_waste,
+         |       CAST((SUM(n_tok) * 1000000) // SUM(bucket) AS BIGINT) AS fill_ppm
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // the same four integer rules (DuckDB 'g' flag on the strip regex)
     "llm_gopher_gate" ->

@@ -1139,6 +1139,45 @@ object Ops {
         ORDER BY t.event_type, pct""")
     }),
 
+    // one-way ANOVA F — does order status explain price variance?
+    // Between/within sums of squares from the Σx/Σx²/n sufficient
+    // statistics per group (integer cents, exact), assembled by the
+    // textbook decomposition SSB = Σ nᵢ(x̄ᵢ−x̄)² = Σ(Sᵢ²/nᵢ) − S²/N in
+    // cross-multiplied integer form before ONE double conversion per
+    // term at the edge. The k-sample extension of agg_ab_welch —
+    // map-side-combinable stats, |groups|-row driver arithmetic
+    "agg_anova_f" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH v AS (SELECT o_orderstatus AS g,
+                          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+                   FROM orders),
+        st AS (SELECT g, COUNT(*) AS n, SUM(x) AS s,
+                      SUM(CAST(x AS DECIMAL(38,0)) * x) AS s2
+               FROM v GROUP BY g),
+        tb AS (SELECT g, n, s, s2,
+                      CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS t
+               FROM st),
+        tot AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss,
+                       SUM(s2) AS ss2,
+                       aggregate(transform(array_sort(collect_list(struct(g, t))),
+                         e -> e.t), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS sbd
+                FROM tb)
+        SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+               CAST(ROUND((sbd - CAST(CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE)
+                             / CAST(nn AS DOUBLE)) / 10000.0, 2)
+                    AS DOUBLE) AS ss_between,
+               CAST(ROUND((CAST(ss2 AS DOUBLE) - sbd) / 10000.0, 2)
+                    AS DOUBLE) AS ss_within,
+               CAST(ROUND(((sbd - CAST(CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE)
+                              / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                          / NULLIF((CAST(ss2 AS DOUBLE) - sbd)
+                                   / CAST(nn - k AS DOUBLE), 0.0), 6)
+                    AS DOUBLE) AS f_stat
+        FROM tot""")
+    }),
+
     // empirical-Bayes rate shrinkage — the "smoothed CTR" every ranking
     // system uses: each user's purchase rate pulls toward the global
     // rate with prior weight 5, computed ENTIRELY in cross-multiplied
@@ -2330,6 +2369,37 @@ object Ops {
       FROM tgt t JOIN hit h ON t.event_type = h.event_type
              AND t.pct = h.pct AND t.bin = h.hbin
       ORDER BY t.event_type, pct""",
+
+    // the same sufficient statistics; the per-group S²/n doubles fold in
+    // group order (list_reduce), the Σx² stays exact DECIMAL/HUGEINT
+    "agg_anova_f" -> """
+      WITH v AS (SELECT o_orderstatus AS g,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+                 FROM orders),
+      st AS (SELECT g, COUNT(*) AS n, SUM(x) AS s,
+                    SUM(CAST(x AS DECIMAL(38,0)) * x) AS s2
+             FROM v GROUP BY g),
+      tb AS (SELECT g, n, s, s2,
+                    CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                      / CAST(n AS DOUBLE) AS t
+             FROM st),
+      tot AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss,
+                     SUM(s2) AS ss2,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(t ORDER BY g)), (acc, x) -> acc + x) AS sbd
+              FROM tb)
+      SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+             CAST(ROUND((sbd - CAST(CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE)
+                           / CAST(nn AS DOUBLE)) / 10000.0, 2)
+                  AS DOUBLE) AS ss_between,
+             CAST(ROUND((CAST(ss2 AS DOUBLE) - sbd) / 10000.0, 2)
+                  AS DOUBLE) AS ss_within,
+             CAST(ROUND(((sbd - CAST(CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE)
+                            / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                        / NULLIF((CAST(ss2 AS DOUBLE) - sbd)
+                                 / CAST(nn - k AS DOUBLE), 0.0), 6)
+                  AS DOUBLE) AS f_stat
+      FROM tot""",
 
     // the same integer fraction arithmetic
     "agg_shrunk_rates" -> """
