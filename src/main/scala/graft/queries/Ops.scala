@@ -994,6 +994,41 @@ object Ops {
         FROM a CROSS JOIN m""")
     }),
 
+    // growth accounting — the canonical WAU decomposition (new /
+    // retained / resurrected this week; churned = active last week,
+    // silent this week): per-user weekly activity flags from one LAG/
+    // LEAD window over the DISTINCT (user, week) grid, rolled up per
+    // week; churn attributes to the week the user went silent, clamped
+    // at the corpus horizon. Integer week = day DIV 7 as everywhere
+    "ts_growth_accounting" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH a AS (SELECT DISTINCT user_id,
+                          CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) DIV 7 AS wk
+                   FROM events),
+        f AS (SELECT user_id, MIN(wk) AS fw FROM a GROUP BY user_id),
+        l AS (SELECT a.user_id, a.wk, f.fw,
+                     LAG(a.wk) OVER (PARTITION BY a.user_id ORDER BY a.wk) AS pw,
+                     LEAD(a.wk) OVER (PARTITION BY a.user_id ORDER BY a.wk) AS nw
+              FROM a JOIN f ON f.user_id = a.user_id),
+        mx AS (SELECT MAX(wk) AS mw FROM a),
+        st AS (SELECT wk,
+                      SUM(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS n_new,
+                      SUM(CASE WHEN wk > fw AND pw = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+                      SUM(CASE WHEN wk > fw AND (pw IS NULL OR pw < wk - 1) THEN 1 ELSE 0 END) AS n_resurrected
+               FROM l GROUP BY wk),
+        ch AS (SELECT l.wk + 1 AS wk, COUNT(*) AS n_churned
+               FROM l CROSS JOIN mx
+               WHERE (l.nw IS NULL OR l.nw > l.wk + 1) AND l.wk + 1 <= mx.mw
+               GROUP BY l.wk + 1)
+        SELECT st.wk, CAST(st.n_new AS BIGINT) AS n_new,
+               CAST(st.n_retained AS BIGINT) AS n_retained,
+               CAST(st.n_resurrected AS BIGINT) AS n_resurrected,
+               CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+        FROM st LEFT JOIN ch ON ch.wk = st.wk
+        ORDER BY st.wk""")
+    }),
+
     // cohort LTV curve — the revenue sibling of ts_retention_cohorts:
     // users grouped by first-seen week, purchase cents accumulated over
     // cohort age. Week = day-index DIV 7 on purpose (date_trunc('week')
@@ -2253,6 +2288,33 @@ object Ops {
              CAST(a.max_sec AS BIGINT) AS max_sec,
              CAST(m.median_x2 AS BIGINT) AS median_x2_sec
       FROM a CROSS JOIN m""",
+
+    // the same activity grid, flags and churn attribution
+    "ts_growth_accounting" -> """
+      WITH a AS (SELECT DISTINCT user_id,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) // 7 AS wk
+                 FROM events),
+      f AS (SELECT user_id, MIN(wk) AS fw FROM a GROUP BY user_id),
+      l AS (SELECT a.user_id, a.wk, f.fw,
+                   LAG(a.wk) OVER (PARTITION BY a.user_id ORDER BY a.wk) AS pw,
+                   LEAD(a.wk) OVER (PARTITION BY a.user_id ORDER BY a.wk) AS nw
+            FROM a JOIN f ON f.user_id = a.user_id),
+      mx AS (SELECT MAX(wk) AS mw FROM a),
+      st AS (SELECT wk,
+                    SUM(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS n_new,
+                    SUM(CASE WHEN wk > fw AND pw = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+                    SUM(CASE WHEN wk > fw AND (pw IS NULL OR pw < wk - 1) THEN 1 ELSE 0 END) AS n_resurrected
+             FROM l GROUP BY wk),
+      ch AS (SELECT l.wk + 1 AS wk, COUNT(*) AS n_churned
+             FROM l CROSS JOIN mx
+             WHERE (l.nw IS NULL OR l.nw > l.wk + 1) AND l.wk + 1 <= mx.mw
+             GROUP BY l.wk + 1)
+      SELECT st.wk, CAST(st.n_new AS BIGINT) AS n_new,
+             CAST(st.n_retained AS BIGINT) AS n_retained,
+             CAST(st.n_resurrected AS BIGINT) AS n_resurrected,
+             CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+      FROM st LEFT JOIN ch ON ch.wk = st.wk
+      ORDER BY st.wk""",
 
     // the same integer week index and cumulative window
     "ts_cohort_ltv" -> """
