@@ -1349,6 +1349,56 @@ object Ops {
         GROUP BY seg ORDER BY seg""")
     }),
 
+    // the bitmap monoid composed with GROUPING SETS — the hierarchy
+    // rollup (per-stream AND corpus-total distinct users) pays ONE scan
+    // because bit_or re-aggregates: the per-(type, chunk) bitmaps and
+    // the per-chunk union bitmaps come out of the same Expand, and both
+    // popcount to EXACT distinct counts. The reason sketch state beats
+    // materialized counts in a cube: counts don't merge, bitmaps do
+    "agg_bitmap_rollup" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH b AS (SELECT event_type, user_id DIV 62 AS chunk,
+                          bit_or(shiftleft(CAST(1 AS BIGINT),
+                                 CAST(user_id % 62 AS INT))) AS bm
+                   FROM events
+                   GROUP BY GROUPING SETS ((event_type, user_id DIV 62),
+                                           (user_id DIV 62)))
+        SELECT COALESCE(event_type, '__ALL__') AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
+        FROM b GROUP BY event_type
+        ORDER BY event_type""")
+    }),
+
+    // maximum drawdown — the peak-to-trough risk metric over each
+    // stream's cumulative daily revenue: running cumsum (integer cents),
+    // running peak (windowed MAX), drawdown = peak − cum, answer = MAX —
+    // four exact windowed integers, the classic sequential metric with
+    // zero sequential execution
+    "ts_max_drawdown" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH dd AS (SELECT event_type,
+                           CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT) AS day,
+                           SUM(CAST(ROUND(value * 100) AS BIGINT)
+                               * CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS cents
+                    FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, day, cents,
+                     SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM dd),
+        p AS (SELECT event_type, day, cum,
+                     MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS peak
+              FROM c)
+        SELECT event_type,
+               CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+               CAST(MAX(peak) AS BIGINT) AS peak_cents
+        FROM p GROUP BY event_type
+        ORDER BY event_type""")
+    }),
+
     // EXACT distinct counting via bitmap chunks — the roaring-bitmap
     // pattern: pack each 62-id block into ONE bit_or-aggregated int64
     // (62 not 64 — DuckDB's `<<` refuses the sign bit), then popcount.
@@ -2557,6 +2607,41 @@ object Ops {
                   AS DOUBLE) AS frac_top80
       FROM r WHERE cum * 5 >= total * 4
       GROUP BY seg ORDER BY seg""",
+
+    // the same grouping sets through DuckDB's GROUPING SETS + bit_or
+    "agg_bitmap_rollup" -> """
+      WITH b AS (SELECT event_type, user_id // 62 AS chunk,
+                        bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm
+                 FROM events
+                 GROUP BY GROUPING SETS ((event_type, user_id // 62),
+                                         (user_id // 62)))
+      SELECT COALESCE(event_type, '__ALL__') AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
+      FROM b GROUP BY COALESCE(event_type, '__ALL__')
+      ORDER BY event_type""",
+
+    // the same cumulative / peak windows
+    "ts_max_drawdown" -> """
+      WITH dd AS (SELECT event_type,
+                         CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                              // 86400000000 AS BIGINT) AS day,
+                         SUM(CAST(ROUND(value * 100) AS BIGINT)
+                             * CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS cents
+                  FROM events GROUP BY 1, 2),
+      c AS (SELECT event_type, day, cents,
+                   SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM dd),
+      p AS (SELECT event_type, day, cum,
+                   MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c)
+      SELECT event_type,
+             CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+             CAST(MAX(peak) AS BIGINT) AS peak_cents
+      FROM p GROUP BY event_type
+      ORDER BY event_type""",
 
     // the same 62-bit packing; DuckDB's `<<` + // division
     "agg_bitmap_distinct" -> """
