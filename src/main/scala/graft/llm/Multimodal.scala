@@ -343,6 +343,50 @@ object Multimodal {
     }
   }
 
+  /** One 16-bin red-channel histogram row per (doc, bin) from
+    * [[histogramImages]].
+    */
+  case class ImageHistBin(doc_id: Long, bin: Int, n_pixels: Long)
+
+  /** Per-image channel histogram over the REAL decoded raster — the
+    * exposure/colorimetry profile an image-curation pass computes (all-
+    * dark/all-blown images are the filter targets): red channel binned
+    * DIV 16 into 16 integer counts. Map-only decode like every other
+    * decode path; the oracle replays the generator's pixel formula
+    * through identical binning, so a wrong decode or bin boundary
+    * cannot hash-match.
+    */
+  def histogramImages(images: Dataset[ImageBlob],
+                      batchSize: Int = 64): Dataset[ImageHistBin] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { b =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.png))
+          if (img == null)
+            throw new IllegalArgumentException(
+              s"undecodable image payload for doc_id=${b.doc_id}")
+          val bins = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              bins(((img.getRGB(x, y) >> 16) & 0xff) / 16) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          bins.iterator.zipWithIndex.collect {
+            case (n, i) if n > 0 => ImageHistBin(b.doc_id, i, n)
+          }
+        }
+      }
+    }
+  }
+
   /** Per-doc voice-activity stats from [[vadSegments]]: frame counts,
     * active-frame count, contiguous active segments and the longest one.
     */

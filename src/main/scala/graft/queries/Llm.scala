@@ -1110,6 +1110,36 @@ object Llm {
           "CAST(conv(hex(substring(png, 26, 1)), 16, 10) AS INT) AS color_type")
         .orderBy("doc_id")),
 
+    // red-channel exposure histogram over the REAL decoded raster
+    // (16 bins, DIV 16) — the colorimetry profile an image-curation
+    // filter reads; oracle = the generator's pixel formula binned
+    // identically
+    "llm_image_histogram" -> ((s, d) =>
+      Multimodal.histogramImages(Multimodal.synthesizeImages(
+          docs(s, d).where("doc_id < 200")))
+        .toDF()
+        .selectExpr("doc_id", "CAST(bin AS INT) AS bin",
+          "CAST(n_pixels AS BIGINT) AS n_pixels")
+        .orderBy("doc_id", "bin")),
+
+    // cross-source duplication matrix — "who copies whom": verified
+    // near-dup pairs rolled up by (source_a, source_b); the asymmetric
+    // counts (min-id side vs the other) make direction visible. One
+    // rollup over the existing banding + jaccard verification
+    "llm_dup_source_matrix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      val src = dd.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("doc_id", "source_a"), expr("doc_id = doc_a")).drop("doc_id")
+        .join(src.toDF("doc_id", "source_b"), expr("doc_id = doc_b")).drop("doc_id")
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .selectExpr("source_a", "source_b", "CAST(n_pairs AS BIGINT) AS n_pairs")
+        .orderBy("source_a", "source_b")
+    }),
+
     // VLM-curation aspect bucketing (the SDXL trick: train at a fixed
     // set of aspect ratios, route each image to its closest bucket) on
     // REAL decoded raster geometry, plus the min-area admission gate.
@@ -3328,6 +3358,32 @@ object Llm {
          |            / NULLIF(t.n_exact, 0), 6) AS DOUBLE) AS recall
          |FROM tot t LEFT JOIN hits h ON h.probe_id = t.probe_id
          |ORDER BY t.probe_id""".stripMargin,
+
+    // the generator's pixel formula binned identically over the grid
+    "llm_image_histogram" ->
+      """WITH dims AS (SELECT doc_id, 1 + doc_id % 47 AS w,
+        |                     1 + (doc_id * 3) % 37 AS h
+        |              FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, ((x * 7 + y * 11 + doc_id) % 256) // 16 AS bin
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y))
+        |SELECT doc_id, CAST(bin AS INT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels
+        |FROM px GROUP BY doc_id, bin
+        |ORDER BY doc_id, bin""".stripMargin,
+
+    // the same verified pairs rolled up by source pair
+    "llm_dup_source_matrix" ->
+      s"""WITH ${minhashCtes()},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6)
+         |SELECT da.source AS source_a, db.source AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY da.source, db.source
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // the generator's dimension formulas routed through the identical
     // bucket scoring (one IEEE division, ties to lowest bucket id)
