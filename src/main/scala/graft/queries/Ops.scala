@@ -994,6 +994,30 @@ object Ops {
         FROM a CROSS JOIN m""")
     }),
 
+    // day-of-week traffic profile + uniformity χ² — the seasonal-shape
+    // audit behind every "is weekend traffic real" question: dow from
+    // pure integer day-index % 7 (no calendar function conventions),
+    // per-(stream, dow) counts, and the χ² term against the uniform
+    // expectation in cross-multiplied integer form ((o·7 − t)² exact)
+    // with one closing division per cell
+    "ts_dow_profile" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH e AS (SELECT event_type,
+                          CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) % 7 AS dow
+                   FROM events),
+        c AS (SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2),
+        t AS (SELECT event_type, SUM(o) AS total FROM c GROUP BY event_type)
+        SELECT c.event_type, CAST(c.dow AS INT) AS dow,
+               CAST(c.o AS BIGINT) AS n_events,
+               CAST(ROUND(CAST((c.o * 7 - t.total) AS DOUBLE)
+                          * CAST((c.o * 7 - t.total) AS DOUBLE)
+                          / CAST(t.total * 7 AS DOUBLE), 6)
+                    AS DOUBLE) AS chi2_term
+        FROM c JOIN t ON t.event_type = c.event_type
+        ORDER BY c.event_type, dow""")
+    }),
+
     // growth accounting — the canonical WAU decomposition (new /
     // retained / resurrected this week; churned = active last week,
     // silent this week): per-user weekly activity flags from one LAG/
@@ -2338,6 +2362,22 @@ object Ops {
              CAST(a.max_sec AS BIGINT) AS max_sec,
              CAST(m.median_x2 AS BIGINT) AS median_x2_sec
       FROM a CROSS JOIN m""",
+
+    // the same integer dow and cross-multiplied χ² cells
+    "ts_dow_profile" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) % 7 AS dow
+                 FROM events),
+      c AS (SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2),
+      t AS (SELECT event_type, SUM(o) AS total FROM c GROUP BY event_type)
+      SELECT c.event_type, CAST(c.dow AS INT) AS dow,
+             CAST(c.o AS BIGINT) AS n_events,
+             CAST(ROUND(CAST((c.o * 7 - t.total) AS DOUBLE)
+                        * CAST((c.o * 7 - t.total) AS DOUBLE)
+                        / CAST(t.total * 7 AS DOUBLE), 6)
+                  AS DOUBLE) AS chi2_term
+      FROM c JOIN t ON t.event_type = c.event_type
+      ORDER BY c.event_type, dow""",
 
     // the same activity grid, flags and churn attribution
     "ts_growth_accounting" -> """
