@@ -19,6 +19,57 @@ class LlmOperatorSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("coverageSelect: greedy picks maximize NEW shingle coverage with min-id ties") {
+    // doc 1 covers {a b c, b c d} (2), doc 2 covers {a b c} (subset),
+    // doc 3 covers {x y z, y z w} (2 disjoint). Round 1 must take doc 1
+    // (ties at gain 2 break to min id), round 2 doc 3 (doc 2 adds 0 new)
+    val out = TextAnalysis.coverageSelect(
+        docs(1L -> "a b c d", 2L -> "a b c", 3L -> "x y z w"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList.sortBy(_._1)
+    assert(out == List((1, 1L, 2L, 2L), (2, 3L, 2L, 4L)), s"got $out")
+  }
+
+  test("vadSegments: frames, runs and peaks match a hand-built signal") {
+    import spark.implicits._
+    // 96 samples = 3 frames of 32: frame peaks |30000|, |100|, |30000|
+    // -> active, silent, active = 2 one-frame segments
+    val pcm: Array[Int] = Array.tabulate(96) { i =>
+      if (i == 5 || i == 70) 30000 else if (i < 64) 100 - (i % 3) else -100
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](192)
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      bytes(i * 2) = (s & 0xff).toByte
+      bytes(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, 96L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val ds = Seq(Multimodal.AudioBlob(7L, out.toByteArray)).toDS()
+    val got = Multimodal.vadSegments(ds, frameLen = 32, threshold = 24576)
+      .collect().head
+    assert((got.doc_id, got.n_frames, got.n_active, got.n_segments,
+      got.max_run) == ((7L, 3L, 2L, 2L, 1L)), s"got $got")
+  }
+
+  test("histogramImages: bins sum to the pixel count and match the formula") {
+    import spark.implicits._
+    val id = 11L
+    val ds = Seq(Multimodal.ImageBlob(id,
+      Multimodal.ImageSynth.encodePng(id))).toDS()
+    val got = Multimodal.histogramImages(ds).collect()
+      .map(b => b.bin -> b.n_pixels).toMap
+    val (w, h) = (Multimodal.ImageSynth.width(id), Multimodal.ImageSynth.height(id))
+    val want = (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.ImageSynth.r(id, x, y) / 16)
+      .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(got.values.sum == w.toLong * h)
+  }
+
   test("exact dedup merges case/whitespace variants, keeps min doc_id") {
     val out = Dedup.exact(docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
