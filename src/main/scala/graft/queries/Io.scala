@@ -614,6 +614,26 @@ object Io {
         .orderBy("l_returnflag")
     }),
 
+    // NESTED-type round-trip: struct + array columns written to parquet
+    // and read back with the projection reaching INSIDE the struct (the
+    // ReadSchema prunes to the accessed fields — nested column pruning,
+    // not a full-struct materialize); the oracle recomputes every field
+    // from the flat source columns, so a shredding/reassembly bug in
+    // either direction cannot hash-match
+    "src_nested_struct" -> ((s, d) => {
+      val p = s"${base(d)}/docs_nested"
+      t(s, d, "documents")
+        .selectExpr("doc_id",
+          "named_struct('lang', lang, 'n_chars', n_chars, 'src', source) AS meta",
+          "array(source, lang) AS tags")
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+        .selectExpr("doc_id", "meta.lang AS lang",
+          "meta.n_chars AS n_chars",
+          "tags[0] AS tag0", "CAST(size(tags) AS INT) AS n_tags")
+        .orderBy("doc_id")
+    }),
+
     "sink_parquet_partitioned" -> ((s, d) => {
       val orders = t(s, d, "orders")
       val p = s"${base(d)}/orders_by_status"
@@ -2556,6 +2576,12 @@ object Io {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // every nested field recomputed from the FLAT source columns
+    "src_nested_struct" ->
+      """SELECT doc_id, lang, n_chars,
+        |       source AS tag0, CAST(2 AS INT) AS n_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sink_parquet_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

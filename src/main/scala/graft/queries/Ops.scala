@@ -994,6 +994,29 @@ object Ops {
         FROM a CROSS JOIN m""")
     }),
 
+    // activity burstiness — effective active hours per user (inverse
+    // Simpson n²/Σc² over the hourly activity distribution, the
+    // tokenDiversity discipline applied to TIME: log-free on purpose,
+    // Σc² stays an exact integer): a user with 100 events in one hour
+    // scores 1.0, spread evenly over 50 hours scores 50. One agg per
+    // (user, hour) + one per user
+    "ts_activity_diversity" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH h AS (SELECT user_id,
+                          CAST(unix_micros(date_trunc('HOUR', ts)) DIV 3600000000 AS BIGINT) AS hr,
+                          COUNT(*) AS c
+                   FROM events GROUP BY 1, 2),
+        a AS (SELECT user_id, SUM(c) AS n, COUNT(*) AS n_hours,
+                     SUM(c * c) AS s2
+              FROM h GROUP BY user_id)
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               CAST(n_hours AS BIGINT) AS n_active_hours,
+               CAST(ROUND(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          / CAST(s2 AS DOUBLE), 6) AS DOUBLE) AS effective_hours
+        FROM a ORDER BY user_id""")
+    }),
+
     // day-of-week traffic profile + uniformity χ² — the seasonal-shape
     // audit behind every "is weekend traffic real" question: dow from
     // pure integer day-index % 7 (no calendar function conventions),
@@ -2362,6 +2385,22 @@ object Ops {
              CAST(a.max_sec AS BIGINT) AS max_sec,
              CAST(m.median_x2 AS BIGINT) AS median_x2_sec
       FROM a CROSS JOIN m""",
+
+    // the same hourly distribution and inverse-Simpson tree
+    "ts_activity_diversity" -> """
+      WITH h AS (SELECT user_id,
+                        CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                             // 3600000000 AS BIGINT) AS hr,
+                        COUNT(*) AS c
+                 FROM events GROUP BY 1, 2),
+      a AS (SELECT user_id, SUM(c) AS n, COUNT(*) AS n_hours,
+                   SUM(c * c) AS s2
+            FROM h GROUP BY user_id)
+      SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             CAST(n_hours AS BIGINT) AS n_active_hours,
+             CAST(ROUND(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        / CAST(s2 AS DOUBLE), 6) AS DOUBLE) AS effective_hours
+      FROM a ORDER BY user_id""",
 
     // the same integer dow and cross-multiplied χ² cells
     "ts_dow_profile" -> """
