@@ -23,6 +23,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("src_nested_struct: the scan prunes to the ACCESSED nested fields") {
+    val plan = staticPlan(SparkEntry.queries("src_nested_struct")(spark, sfSmoke))
+    assert(plan.contains("meta") && plan.contains("lang"),
+      s"nested read-back missing from plan:\n$plan")
+    assert(!plan.contains("src:string"),
+      s"unaccessed struct field 'src' must be pruned from the ReadSchema:\n$plan")
+  }
+
   test("llm_bitext_mine: the probe slice broadcasts into an NLJ (the hint), never a cartesian") {
     val plan = staticPlan(SparkEntry.queries("llm_bitext_mine")(spark, sfSmoke))
     assert(plan.contains("BroadcastNestedLoopJoin"),
