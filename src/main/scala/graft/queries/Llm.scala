@@ -783,6 +783,43 @@ object Llm {
       Multimodal.vadSegments(Multimodal.synthesizeAudio(docs(s, d)))
         .toDF().orderBy("doc_id")),
 
+    // ColBERT-style late interaction (MaxSim): each vector splits into
+    // 4 sub-vectors ("token embeddings" — deterministic 16-dim slices of
+    // the stored 64-dim vector, the wiring a real multi-vector table
+    // feeds directly); score(q, d) = Σ_i max_j cos(q_i, d_j), the
+    // retrieval scorer that beats single-vector cosine on long docs.
+    // Per-(pair, i) max runs on ROUNDED cosines (deterministic both
+    // engines), the 4-term sum folds in i order, ranking ties on cand.
+    // Probes are the bounded slice; at corpus scale the candidate set
+    // comes from a first-stage ANN exactly like llm_knn_approx
+    "llm_maxsim" -> ((s, d) => {
+      emb(s, d).createOrReplaceTempView("__ms_emb")
+      s.sql("""
+        WITH sub AS (SELECT vec_id, i,
+                            slice(embedding, i * 16 + 1, 16) AS sv
+                     FROM __ms_emb
+                     LATERAL VIEW explode(sequence(0, 3)) t AS i),
+        q AS (SELECT vec_id AS qid, i AS qi, sv AS qv FROM sub WHERE vec_id < 3),
+        c AS (SELECT vec_id AS did, i AS dj, sv AS dv FROM sub WHERE vec_id >= 3),
+        p AS (SELECT /*+ BROADCAST(q) */ q.qid, c.did, q.qi,
+                     MAX(CAST(ROUND(graft_cosine(q.qv, c.dv), 6) AS DOUBLE)) AS mcos
+              FROM q JOIN c ON c.did <> q.qid
+              GROUP BY q.qid, c.did, q.qi),
+        sc AS (SELECT qid, did,
+                      CAST(ROUND(aggregate(transform(
+                        array_sort(collect_list(struct(qi, mcos))), e -> e.mcos),
+                        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS DOUBLE) AS maxsim
+               FROM p GROUP BY qid, did),
+        r AS (SELECT qid, did, maxsim,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY maxsim DESC, did) AS rank
+              FROM sc)
+        SELECT qid AS probe_id, did AS cand_id, maxsim,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        ORDER BY probe_id, rank""")
+    }),
+
     // embedding-table outlier audit: each label's 3 members least
     // similar to the label's DECIMAL-exact centroid — the mislabel QC
     // of a vector store (Similarity.embedOutliers; the embeddingDrift
@@ -3002,6 +3039,32 @@ object Llm {
         |       CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run
         |FROM agg a LEFT JOIN mr ON mr.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the same sub-vector slices, rounded per-token maxima and
+    // qi-ordered fold
+    "llm_maxsim" ->
+      s"""WITH sub AS (SELECT vec_id, i,
+         |                    list_slice(embedding, i * 16 + 1, i * 16 + 16) AS sv
+         |             FROM embeddings, unnest(generate_series(0, 3)) t(i)),
+         |q AS (SELECT vec_id AS qid, i AS qi, sv AS qv FROM sub WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS did, i AS dj, sv AS dv FROM sub WHERE vec_id >= 3),
+         |p AS (SELECT q.qid, c.did, q.qi,
+         |             MAX(${duckCosine("q.qv", "c.dv")}) AS mcos
+         |      FROM q JOIN c ON c.did <> q.qid
+         |      GROUP BY q.qid, c.did, q.qi),
+         |sc AS (SELECT qid, did,
+         |              CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list(mcos ORDER BY qi)), (acc, x) -> acc + x), 6)
+         |                AS DOUBLE) AS maxsim
+         |       FROM p GROUP BY qid, did),
+         |r AS (SELECT qid, did, maxsim,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY maxsim DESC, did) AS rank
+         |      FROM sc)
+         |SELECT qid AS probe_id, did AS cand_id, maxsim,
+         |       CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin,
 
     // the same decimal-rounded centroid sums, the same ascending-dim
     // folds (list_reduce with the 0.0 prepend), the same ranking
