@@ -1523,6 +1523,46 @@ object Llm {
         ORDER BY doc_id, rank""")
     }),
 
+    // pseudo-relevance feedback (RM/Rocchio-lite query expansion): the
+    // top-3 docs by integer query-term tf elect 5 expansion terms by
+    // the rarity score tf·(N div df) (the llm_keywords scorer) with
+    // query terms excluded — the first-stage retrieval loop a search
+    // system runs before the expensive reranker. Every score integer,
+    // both rankings tie-broken (doc_id / term), top-k via rank windows
+    "llm_query_expansion" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("__qe_docs")
+      s.sql(s"""
+        WITH toks AS (SELECT doc_id, tok
+                      FROM __qe_docs
+                      LATERAL VIEW explode(split(${graft.llm.Dedup.normalizeExpr}, ' ')) t AS tok
+                      WHERE length(tok) > 2),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        rel AS (SELECT doc_id, SUM(tf) AS qscore
+                FROM tf WHERE tok IN ('hash', 'join')
+                GROUP BY doc_id),
+        top3 AS (SELECT doc_id FROM (
+                   SELECT doc_id, row_number() OVER (
+                     ORDER BY qscore DESC, doc_id) AS rn FROM rel) r
+                 WHERE rn <= 3),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        cand AS (SELECT tf.tok, SUM(tf.tf) AS tf_top
+                 FROM tf JOIN top3 ON top3.doc_id = tf.doc_id
+                 WHERE tf.tok NOT IN ('hash', 'join')
+                 GROUP BY tf.tok),
+        sc AS (SELECT c.tok, c.tf_top, df.df,
+                      c.tf_top * (nd.n DIV df.df) AS score
+               FROM cand c JOIN df ON df.tok = c.tok CROSS JOIN nd),
+        r AS (SELECT tok, tf_top, df, score,
+                     row_number() OVER (ORDER BY score DESC, tok) AS rank
+              FROM sc)
+        SELECT tok AS term, CAST(tf_top AS BIGINT) AS tf_top,
+               CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        ORDER BY rank""")
+    }),
+
     // PMI collocation mining — which word pairs co-occur far above
     // chance (phrase/boilerplate discovery, tokenizer-merge candidates).
     // Log-free by the house rule: the PMI EXPONENT ordering is the
@@ -4152,6 +4192,37 @@ object Llm {
          |       CAST(score AS BIGINT) AS score
          |FROM rk WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // the same two-stage election with DuckDB's unnest + // idf
+    "llm_query_expansion" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |        SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok
+         |        FROM documents) t WHERE length(tok) > 2),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |rel AS (SELECT doc_id, SUM(tf) AS qscore
+         |        FROM tf WHERE tok IN ('hash', 'join')
+         |        GROUP BY doc_id),
+         |top3 AS (SELECT doc_id FROM (
+         |           SELECT doc_id, row_number() OVER (
+         |             ORDER BY qscore DESC, doc_id) AS rn FROM rel) r
+         |         WHERE rn <= 3),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+         |cand AS (SELECT tf.tok, SUM(tf.tf) AS tf_top
+         |         FROM tf JOIN top3 ON top3.doc_id = tf.doc_id
+         |         WHERE tf.tok NOT IN ('hash', 'join')
+         |         GROUP BY tf.tok),
+         |sc AS (SELECT c.tok, c.tf_top, df.df,
+         |              c.tf_top * (nd.n // df.df) AS score
+         |       FROM cand c JOIN df ON df.tok = c.tok CROSS JOIN nd),
+         |r AS (SELECT tok, tf_top, df, score,
+         |             row_number() OVER (ORDER BY score DESC, tok) AS rank
+         |      FROM sc)
+         |SELECT tok AS term, CAST(tf_top AS BIGINT) AS tf_top,
+         |       CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score,
+         |       CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5
+         |ORDER BY rank""".stripMargin,
 
     // same token/bigram algebra on DuckDB's 1-based lists; the lift
     // expression is the character-identical IEEE tree, the row set is

@@ -1221,6 +1221,52 @@ object Ops {
         ORDER BY t.event_type, pct""")
     }),
 
+    // CUPED variance reduction — the experimentation-platform workhorse
+    // (Deng et al. 2013): adjust each user's post-period metric by
+    // θ·(pre-period − pre-mean) with θ = cov(pre, post)/var(pre). All
+    // sufficient statistics are exact integers (DECIMAL(38,0) products
+    // — a factor-100 corpus overflows int64 cross-terms), θ and the
+    // adjusted means are fixed IEEE trees on those exact sums. Pre =
+    // first 15 days; users missing a pre-period impute x = 0 in both
+    // engines; variant = user_id parity
+    "agg_cuped" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH e AS (SELECT user_id,
+                          CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS day,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        mn AS (SELECT MIN(day) AS d0 FROM e),
+        u AS (SELECT user_id,
+                     SUM(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END) AS x,
+                     SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END) AS y
+              FROM e CROSS JOIN mn GROUP BY user_id),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                     SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+              FROM u),
+        th AS (SELECT n, sx,
+                      CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                           - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                        / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                           - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS theta
+               FROM g),
+        v AS (SELECT user_id % 2 AS variant, COUNT(*) AS nv,
+                     SUM(x) AS sxv, SUM(y) AS syv
+              FROM u GROUP BY user_id % 2)
+        SELECT CAST(v.variant AS INT) AS variant,
+               CAST(v.nv AS BIGINT) AS n_users,
+               CAST(ROUND(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE) / 100.0, 6)
+                    AS DOUBLE) AS mean_post,
+               CAST(ROUND((CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+                 - th.theta * (CAST(v.sxv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+                               - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+                 / 100.0, 6) AS DOUBLE) AS mean_adjusted,
+               CAST(ROUND(th.theta, 6) AS DOUBLE) AS theta
+        FROM v CROSS JOIN th
+        ORDER BY variant""")
+    }),
+
     // one-way ANOVA F — does order status explain price variance?
     // Between/within sums of squares from the Σx/Σx²/n sufficient
     // statistics per group (integer cents, exact), assembled by the
@@ -2560,6 +2606,43 @@ object Ops {
       FROM tgt t JOIN hit h ON t.event_type = h.event_type
              AND t.pct = h.pct AND t.bin = h.hbin
       ORDER BY t.event_type, pct""",
+
+    // the same exact sufficient statistics (HUGEINT carries the cross
+    // products) and fixed adjustment trees
+    "agg_cuped" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      mn AS (SELECT MIN(day) AS d0 FROM e),
+      u AS (SELECT user_id,
+                   SUM(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END) AS x,
+                   SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END) AS y
+            FROM e CROSS JOIN mn GROUP BY user_id),
+      g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM u),
+      th AS (SELECT n, sx,
+                    CAST(CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta
+             FROM g),
+      v AS (SELECT user_id % 2 AS variant, COUNT(*) AS nv,
+                   SUM(x) AS sxv, SUM(y) AS syv
+            FROM u GROUP BY user_id % 2)
+      SELECT CAST(v.variant AS INT) AS variant,
+             CAST(v.nv AS BIGINT) AS n_users,
+             CAST(ROUND(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE) / 100.0, 6)
+                  AS DOUBLE) AS mean_post,
+             CAST(ROUND((CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+               - th.theta * (CAST(v.sxv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+                             - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+               / 100.0, 6) AS DOUBLE) AS mean_adjusted,
+             CAST(ROUND(th.theta, 6) AS DOUBLE) AS theta
+      FROM v CROSS JOIN th
+      ORDER BY variant""",
 
     // the same sufficient statistics; the per-group S²/n doubles fold in
     // group order (list_reduce), the Σx² stays exact DECIMAL/HUGEINT
