@@ -1221,6 +1221,30 @@ object Ops {
         ORDER BY t.event_type, pct""")
     }),
 
+    // Herfindahl–Hirschman concentration — "is this segment's revenue a
+    // monopoly": HHI = Σ shareᵢ² per segment over customer lifetime
+    // cents, computed as Σcᵢ²/(Σcᵢ)² — exact DECIMAL cross products
+    // (customer² terms overflow int64 at scale), ONE closing division.
+    // The agg_gini sibling on the squared-share axis; ×10000 matches the
+    // antitrust convention
+    "agg_hhi" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH c AS (SELECT c_mktsegment AS seg, o_custkey,
+                          SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+                   FROM orders JOIN customer ON c_custkey = o_custkey
+                   GROUP BY c_mktsegment, o_custkey),
+        a AS (SELECT seg, COUNT(*) AS n_customers, SUM(cents) AS total,
+                     SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+              FROM c GROUP BY seg)
+        SELECT seg, CAST(n_customers AS BIGINT) AS n_customers,
+               CAST(total AS BIGINT) AS total_cents,
+               CAST(ROUND(CAST(s2 AS DOUBLE) * 10000.0
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+                 AS DOUBLE) AS hhi_x10000
+        FROM a ORDER BY seg""")
+    }),
+
     // CUPED variance reduction — the experimentation-platform workhorse
     // (Deng et al. 2013): adjust each user's post-period metric by
     // θ·(pre-period − pre-mean) with θ = cov(pre, post)/var(pre). All
@@ -2606,6 +2630,22 @@ object Ops {
       FROM tgt t JOIN hit h ON t.event_type = h.event_type
              AND t.pct = h.pct AND t.bin = h.hbin
       ORDER BY t.event_type, pct""",
+
+    // the same squared-share arithmetic (HUGEINT cross products)
+    "agg_hhi" -> """
+      WITH c AS (SELECT c_mktsegment AS seg, o_custkey,
+                        SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+                 FROM orders JOIN customer ON c_custkey = o_custkey
+                 GROUP BY c_mktsegment, o_custkey),
+      a AS (SELECT seg, COUNT(*) AS n_customers, SUM(cents) AS total,
+                   SUM(CAST(cents AS HUGEINT) * cents) AS s2
+            FROM c GROUP BY seg)
+      SELECT seg, CAST(n_customers AS BIGINT) AS n_customers,
+             CAST(total AS BIGINT) AS total_cents,
+             CAST(ROUND(CAST(s2 AS DOUBLE) * 10000.0
+               / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+               AS DOUBLE) AS hhi_x10000
+      FROM a ORDER BY seg""",
 
     // the same exact sufficient statistics (HUGEINT carries the cross
     // products) and fixed adjustment trees
