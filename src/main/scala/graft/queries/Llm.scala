@@ -372,15 +372,29 @@ object Llm {
 
     // cluster-size census over the connected components — the dedup
     // dashboard's headline table ("how much of the corpus is 2-copies
-    // vs template farms"): one extra two-level rollup over dupClusters'
-    // output; n_docs = size × count makes the dup-mass per size class
-    // readable directly
+    // vs template farms"). Exact-collapse FRONTS the banding (the
+    // simhashPipeline discipline: raw LSH candidates go quadratic in
+    // exact-class size on dup-heavy corpora), then cluster sizes are
+    // re-expanded from the collapse copy counts, and multi-copy exact
+    // classes with no near-dup neighbor surface as their own clusters —
+    // so the histogram still counts every underlying document, at
+    // O(survivor-pair) cost. n_docs = size × count makes the dup-mass
+    // per size class readable directly
     "llm_cluster_size_hist" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+      val counts = Dedup.exact(dd)
+        .select(col("keep_id").as("doc_id"), col("n_docs").as("n_copies"))
+      val survivors = dd.join(counts.select("doc_id"), Seq("doc_id"))
+      val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
-      Dedup.dupClusters(pairs)
-        .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+      val clustered = Dedup.dupClusters(pairs)
+      val near = clustered.join(counts, Seq("doc_id"))
+        .groupBy("cluster_rep").agg(sum("n_copies").as("sz"))
+        .select("sz")
+      val alone = counts.where(col("n_copies") > 1)
+        .join(clustered.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("n_copies").as("sz"))
+      near.union(alone)
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .selectExpr("CAST(sz AS BIGINT) AS cluster_size",
           "CAST(n_clusters AS BIGINT) AS n_clusters",
@@ -388,12 +402,17 @@ object Llm {
         .orderBy("cluster_size")
     }),
 
-    // k-core peel over the verified-pair graph: 3 rounds of degree>=2
-    // filtering leave only the dense duplicate cores (template farms) —
-    // incidental one-off matches dissolve in round 1
+    // k-core peel over the verified-pair graph of DISTINCT content:
+    // exact-collapse fronts the banding (copy cliques trivially satisfy
+    // any k AND densify candidates quadratically — measured 536 s at
+    // factor-100 on the raw form), so the 3 rounds of degree>=2
+    // filtering leave the genuinely dense near-dup cores (template
+    // farms); incidental one-off matches dissolve in round 1
     "llm_kcore" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+      val survivors = dd.join(
+        Dedup.exact(dd).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       Dedup.kCore(pairs, k = 2, rounds = 3).orderBy("doc_id")
     }),
@@ -948,10 +967,14 @@ object Llm {
     // passage duplication that set-Jaccard (llm_jaccard_verify) and
     // tf-cosine (llm_lexical_cosine) each miss differently; both
     // directions reported because recall is asymmetric. Candidates from
-    // the same MinHash banding — never all-pairs; counts exact integers,
-    // two ROUND divisions at the edge
+    // the same MinHash banding over exact-collapse SURVIVORS — copy
+    // pairs are trivially recall 1.0 and would densify candidates
+    // quadratically per exact class; never all-pairs; counts exact
+    // integers, two ROUND divisions at the edge
     "llm_rouge_verify" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd0 = docs(s, d)
+      val dd = dd0.join(
+        Dedup.exact(dd0).select(col("keep_id").as("doc_id")), Seq("doc_id"))
       val cand = Dedup.lshCandidates(dd).select("doc_a", "doc_b")
       val bg = dd.select(col("doc_id"),
           expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
@@ -1159,20 +1182,43 @@ object Llm {
           "CAST(n_pixels AS BIGINT) AS n_pixels")
         .orderBy("doc_id", "bin")),
 
-    // cross-source duplication matrix — "who copies whom": verified
-    // near-dup pairs rolled up by (source_a, source_b); the asymmetric
-    // counts (min-id side vs the other) make direction visible. One
-    // rollup over the existing banding + jaccard verification
+    // cross-source duplication matrix — "who copies whom": UNDERLYING
+    // doc-pair counts rolled up by source pair, computed at
+    // O(survivor-pair) cost via the simhashPipeline discipline.
+    // Exact-collapse fronts the banding; near-dup survivor pairs
+    // re-expand through each class's per-source copy counts (na × nb
+    // underlying pairs, direction = min-survivor-id side), and each
+    // exact class contributes its own verbatim-copy mass in closed form
+    // (n_s1·n_s2 cross-source, C(n,2) same-source, source-ordered) —
+    // so verbatim copying across sources stays visible without ever
+    // materializing the per-copy candidate clique
     "llm_dup_source_matrix" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.jaccard(dd, Dedup.lshCandidates(dd))
+      val fps = dd.select(col("doc_id"), col("source"),
+        expr(s"md5(${graft.llm.Dedup.normalizeExpr})").as("fp"))
+      val cls = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val clsrc = fps.groupBy("fp", "source").agg(count(lit(1)).as("n"))
+      val survivors = dd.join(
+        cls.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
-      val src = dd.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.toDF("doc_id", "source_a"), expr("doc_id = doc_a")).drop("doc_id")
-        .join(src.toDF("doc_id", "source_b"), expr("doc_id = doc_b")).drop("doc_id")
+      val crossM = pairs
+        .join(cls.select(col("keep_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+        .join(cls.select(col("keep_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+        .join(clsrc.select(col("fp").as("fp_a"), col("source").as("source_a"),
+          col("n").as("na")), Seq("fp_a"))
+        .join(clsrc.select(col("fp").as("fp_b"), col("source").as("source_b"),
+          col("n").as("nb")), Seq("fp_b"))
+        .select(col("source_a"), col("source_b"), expr("na * nb").as("m"))
+      val intraM = clsrc.as("a")
+        .join(clsrc.as("b"), expr("a.fp = b.fp AND a.source <= b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          expr("CASE WHEN a.source = b.source THEN a.n * (a.n - 1) DIV 2 " +
+            "ELSE a.n * b.n END").as("m"))
+        .where(col("m") > 0)
+      crossM.union(intraM)
         .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum("m").as("n_pairs"))
         .selectExpr("source_a", "source_b", "CAST(n_pairs AS BIGINT) AS n_pairs")
         .orderBy("source_a", "source_b")
     }),
@@ -2616,10 +2662,16 @@ object Llm {
          |ORDER BY step""".stripMargin
     },
 
-    // the recursive reach components rolled into the same two-level
-    // size census
+    // the recursive reach components over the exact-collapse survivors,
+    // sizes re-expanded from the copy counts, standalone multi-copy
+    // exact classes re-added, rolled into the same two-level size census
     "llm_cluster_size_hist" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
+      s"""WITH RECURSIVE fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |cls AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |        FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN cls ON cls.keep_id = d.doc_id),
+         |${minhashCtes("docs2")},
          |$jaccardCtes,
          |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2628,7 +2680,13 @@ object Llm {
          |          UNION
          |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
          |cl AS (SELECT doc_id, min(lab) AS cluster_rep FROM reach GROUP BY doc_id),
-         |szs AS (SELECT cluster_rep, COUNT(*) AS sz FROM cl GROUP BY cluster_rep)
+         |near AS (SELECT cl.cluster_rep, SUM(c.n_copies) AS sz
+         |         FROM cl JOIN cls c ON c.keep_id = cl.doc_id
+         |         GROUP BY cl.cluster_rep),
+         |alone AS (SELECT n_copies AS sz FROM cls
+         |          WHERE n_copies > 1
+         |            AND keep_id NOT IN (SELECT doc_id FROM cl)),
+         |szs AS (SELECT sz FROM near UNION ALL SELECT sz FROM alone)
          |SELECT CAST(sz AS BIGINT) AS cluster_size,
          |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
          |       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
@@ -2653,11 +2711,15 @@ object Llm {
         |FROM wg ANTI JOIN und ON wg.u = und.a AND wg.w = und.b
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // the three peel rounds replayed as chained CTEs — a wrong degree
-    // count, a one-sided endpoint filter, or an extra/missing round all
-    // change the surviving multiset
+    // the three peel rounds replayed as chained CTEs over the exact-
+    // collapse survivors — a wrong degree count, a one-sided endpoint
+    // filter, or an extra/missing round all change the surviving
+    // multiset
     "llm_kcore" ->
-      s"""WITH ${minhashCtes()},
+      s"""WITH fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
          |$jaccardCtes,
          |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
          |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -3252,10 +3314,14 @@ object Llm {
          |FROM occ o CROSS JOIN tot
          |ORDER BY o.centroid_id""".stripMargin,
 
-    // the same banding candidates, clipped-multiset bigram overlap
+    // the same banding candidates over the exact-collapse survivors,
+    // clipped-multiset bigram overlap
     "llm_rouge_verify" ->
-      s"""WITH ${minhashCtes()},
-         |nrm2 AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      s"""WITH fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
+         |nrm2 AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM docs2),
          |bgc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, count(*) AS c
          |        FROM nrm2, unnest(generate_series(1, length(w) - 1)) AS t(i)
          |        WHERE length(w) >= 2 GROUP BY doc_id, bg),
@@ -3475,17 +3541,34 @@ object Llm {
         |FROM px GROUP BY doc_id, bin
         |ORDER BY doc_id, bin""".stripMargin,
 
-    // the same verified pairs rolled up by source pair
+    // survivor pairs re-expanded through per-class per-source copy
+    // counts + the closed-form intra-class verbatim-copy mass
     "llm_dup_source_matrix" ->
-      s"""WITH ${minhashCtes()},
+      s"""WITH fps AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),
+         |cls AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+         |clsrc AS (SELECT fp, source, count(*) AS n FROM fps GROUP BY fp, source),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN cls ON cls.keep_id = d.doc_id),
+         |${minhashCtes("docs2")},
          |$jaccardCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6)
-         |SELECT da.source AS source_a, db.source AS source_b,
-         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
-         |FROM pairs p
-         |JOIN documents da ON da.doc_id = p.doc_a
-         |JOIN documents db ON db.doc_id = p.doc_b
-         |GROUP BY da.source, db.source
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |crossm AS (SELECT ca.source AS source_a, cb.source AS source_b,
+         |                  ca.n * cb.n AS m
+         |           FROM pairs p
+         |           JOIN cls ka ON ka.keep_id = p.doc_a
+         |           JOIN cls kb ON kb.keep_id = p.doc_b
+         |           JOIN clsrc ca ON ca.fp = ka.fp
+         |           JOIN clsrc cb ON cb.fp = kb.fp),
+         |intram AS (SELECT a.source AS source_a, b.source AS source_b,
+         |                  CASE WHEN a.source = b.source
+         |                       THEN a.n * (a.n - 1) // 2
+         |                       ELSE a.n * b.n END AS m
+         |           FROM clsrc a JOIN clsrc b
+         |             ON a.fp = b.fp AND a.source <= b.source),
+         |u AS (SELECT * FROM crossm
+         |      UNION ALL SELECT * FROM intram WHERE m > 0)
+         |SELECT source_a, source_b, CAST(SUM(m) AS BIGINT) AS n_pairs
+         |FROM u GROUP BY source_a, source_b
          |ORDER BY source_a, source_b""".stripMargin,
 
     // the generator's dimension formulas routed through the identical
