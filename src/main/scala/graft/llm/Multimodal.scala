@@ -317,13 +317,15 @@ object Multimodal {
         batch.map { b =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(b.wav))
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-            fmt.isBigEndian ||
-            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            throw new IllegalArgumentException(
-              s"unsupported audio format for doc_id=${b.doc_id}: $fmt")
-          val bytes = ais.readAllBytes()
+          val (fmt, bytes) = try {
+            val f = ais.getFormat
+            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian ||
+              f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              throw new IllegalArgumentException(
+                s"unsupported audio format for doc_id=${b.doc_id}: $f")
+            (f, ais.readAllBytes())
+          } finally ais.close()
           val n = bytes.length / 2
           var sum = 0L; var sabs = 0L; var energy = 0L; var peak = 0
           var i = 0
@@ -415,7 +417,7 @@ object Multimodal {
         batch.map { b =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(b.wav))
-          val bytes = ais.readAllBytes()
+          val bytes = try ais.readAllBytes() finally ais.close()
           val n = bytes.length / 2
           val nFrames = (n + frameLen - 1) / frameLen
           var nActive = 0L; var nSeg = 0L; var maxRun = 0L; var run = 0L

@@ -97,17 +97,33 @@ object Entity {
     val sym = und.union(und.selectExpr("b AS a", "a AS b"))
       .localCheckpoint()
     var labels = records.select(col("id"), col("id").as("label"))
+    var prev = labels
     for (_ <- 1 to rounds) {
       val nbr = sym.select(col("a").as("id"), col("b").as("nb"))
         .join(labels.select(col("id").as("nb"), col("label").as("nl")),
           Seq("nb"))
         .groupBy("id").agg(min("nl").as("minnl"))
+      prev = labels
       labels = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minnl"), col("label")))
             .as("label"))
         .localCheckpoint()
     }
+    // Convergence probe (the dupClusters pattern): min-label propagation
+    // is monotone, so a final round that changed nothing is a fixed
+    // point. A component with diameter > rounds would otherwise SILENTLY
+    // split into several entities — and the differential oracle replays
+    // the identical round count, so it structurally cannot catch the
+    // under-merge. One |V|-row join; the per-round localCheckpoint makes
+    // the operator eager already.
+    val changed = labels.select(col("id"), col("label").as("nl"))
+      .join(prev.select(col("id"), col("label").as("pl")), Seq("id"))
+      .where(col("nl") =!= col("pl")).limit(1).count()
+    require(changed == 0L,
+      s"goldenRecords: min-label propagation still moving after $rounds " +
+        "rounds — a component's diameter exceeds the round budget; raise " +
+        "`rounds` (cost is one |edges| join per extra round)")
     val members = records.join(labels, Seq("id"))
     val golden = members
       .withColumn("__rn",

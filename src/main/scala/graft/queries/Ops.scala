@@ -1165,7 +1165,10 @@ object Ops {
             | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
         .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
           "name", "seg", "bal")
-      val nTrue = rightDf.count()
+      // recall denominator computed IN-PLAN (1-row agg, broadcast cross
+      // join — the oracle's nt CTE shape) so declaring/explaining the
+      // entry stays lazy instead of firing a count() job at construction
+      val nTrue = rightDf.agg(count(lit(1)).as("n_true"))
       Entity.blockedLink(leftDf, rightDf, Seq("c_nationkey", "blk"),
           Seq(("levenshtein(l_name, r_name) <= 1", 2),
             ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
@@ -1178,10 +1181,11 @@ object Ops {
         .groupBy("threshold")
         .agg(sum("is_true").as("tp"),
           sum(expr("1 - is_true")).as("fp"))
+        .crossJoin(broadcast(nTrue))
         .selectExpr("CAST(threshold AS INT) AS threshold",
           "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
           "CAST(ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE) AS prec",
-          s"CAST(ROUND(CAST(tp AS DOUBLE) / CAST($nTrue AS DOUBLE), 6) AS DOUBLE) AS rec")
+          "CAST(ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS DOUBLE) AS rec")
         .orderBy("threshold")
     }),
 
