@@ -456,6 +456,20 @@ class PlanShapeSpec extends SparkSpec {
       s"CMS prefilter missing from the plan:\n$plan")
   }
 
+  test("llm_semantic_dedup: within-cluster prune is an equi-join on centroid_id, never all-pairs") {
+    val plan = staticPlan(SparkEntry.queries("llm_semantic_dedup")(spark, sfSmoke))
+    // the quadratic term must be bounded by cluster population: the
+    // self-pairing joins ON the assigned centroid_id (hash-partitioned
+    // equi join) with the vec_id ordering as a residual — an all-pairs
+    // corpus join (cartesian / NLJ between two corpus copies) would be
+    // the SemDeDup scale-killer
+    assert(!plan.contains("CartesianProduct"))
+    assert(
+      raw"(SortMergeJoin|ShuffledHashJoin) \[centroid_id".r
+        .findFirstIn(plan).isDefined,
+      s"within-cluster pairing is not an equi-join keyed on centroid_id:\n$plan")
+  }
+
   test("llm_repetition: top-gram rank filter prunes via WindowGroupLimit") {
     val plan = staticPlan(SparkEntry.queries("llm_repetition")(spark, sfSmoke))
     assert(plan.contains("WindowGroupLimit"),
