@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench churn guard (r13 verdict #2) — injected-churn unit test, no
+  * Spark session needed: a >3×-band first reading must trigger exactly
+  * one re-measure, keep the best value, and surface the original
+  * reading; in-band, band-less and failed readings pass through with no
+  * re-measure at all.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("injected churn: a 10x-band reading re-measures once and keeps the best") {
+    var calls = 0
+    val (sec, fired) = Bench.churnGuard(9.7, Some(0.97)) { calls += 1; 1.02 }
+    assert(calls == 1, "guard must re-measure exactly once")
+    assert(sec == 1.02, "the re-measured in-band value is the reported one")
+    assert(fired.contains(9.7), "the churned first reading stays visible")
+  }
+
+  test("a real regression re-measures to the same slow number and still shows") {
+    val (sec, fired) = Bench.churnGuard(9.7, Some(0.97)) { 9.5 }
+    assert(sec == 9.5 && fired.contains(9.7))
+  }
+
+  test("in-band readings never re-measure") {
+    val (sec, fired) = Bench.churnGuard(2.5, Some(0.97)) {
+      fail("guard fired inside band"): Double
+    }
+    assert(sec == 2.5 && fired.isEmpty)
+  }
+
+  test("no band, failed reading, or failed re-measure degrade gracefully") {
+    val (s1, f1) = Bench.churnGuard(9.7, None) { fail("no band"): Double }
+    assert(s1 == 9.7 && f1.isEmpty)
+    val (s2, f2) = Bench.churnGuard(-1.0, Some(0.97)) { fail("errored"): Double }
+    assert(s2 == -1.0 && f2.isEmpty)
+    // a re-measure that itself errors (-1) must not replace a real reading
+    val (s3, f3) = Bench.churnGuard(9.7, Some(0.97)) { -1.0 }
+    assert(s3 == 9.7 && f3.contains(9.7))
+  }
+
+  test("band file round-trip: tab-separated lines, comments skipped, junk tolerated") {
+    val p = java.nio.file.Files.createTempFile("bands", ".tsv")
+    java.nio.file.Files.writeString(p,
+      "# sf0.1 clean run\nagg_rollup\t0.97\nagg_trimmed_mean\t1.38\nbroken line\n")
+    try {
+      val bands = Bench.loadBands(p.toString)
+      assert(bands == Map("agg_rollup" -> 0.97, "agg_trimmed_mean" -> 1.38))
+      assert(Bench.loadBands("/nonexistent/bands.tsv").isEmpty)
+    } finally java.nio.file.Files.delete(p): Unit
+  }
+}
