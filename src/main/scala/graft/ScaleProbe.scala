@@ -64,9 +64,13 @@ object ScaleProbe {
     */
   private class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
     @volatile var maxMs: Long = 0L
+    @volatile var tasks: Long = 0L
+    @volatile var sumMs: Long = 0L
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val d = te.taskInfo.duration
+      tasks += 1
+      sumMs += d
       if (d > maxMs) maxMs = d
     }
   }
@@ -109,6 +113,43 @@ object ScaleProbe {
       Thread.sleep(500) // async listener bus
       spark.sparkContext.removeSparkListener(lis)
       s""""cc_probe_every_$pe":{"sec":${Fmt.sec(t)},"jobs":${lis.jobs}}"""
+    }
+  }
+
+  /** Compute-amplified map-stage probe (r13 verdict #4, generalizing the
+    * hot-ER single-task lesson): the decode/rolling-hash entries do work
+    * ≫ row width in a map-only stage, so on the one-row-group fixture
+    * the whole stage used to serialize into ONE task (max_task ≈ wall,
+    * invisible to wall-clock-only scaling runs that stage 8-way).
+    * Reports wall, max-task, mean-task and task count for each entry
+    * shape on the RAW fixture; healthy after the conditional spread =
+    * max_task ≪ wall. Mean includes the tiny scan/shuffle tasks, so read
+    * max/mean against the task count, not as a bare threshold.
+    */
+  private def mapStageProbe(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val forms: Seq[(String, () => DataFrame)] = Seq(
+      ("map_audio_vad",
+        () => llm.Multimodal.vadSegments(llm.Multimodal.synthesizeAudio(docs)).toDF()),
+      ("map_scene_cuts",
+        () => llm.Multimodal.sceneCuts(llm.Multimodal.synthesizeVideo(docs)).toDF()),
+      ("map_image_histogram",
+        () => llm.Multimodal.histogramImages(
+          llm.Multimodal.synthesizeImages(docs.where(col("doc_id") < 200))).toDF()),
+      ("map_cdc_chunks", () => llm.Dedup.cdcChunks(docs)))
+    forms.foreach { case (_, f) => // warm codegen/JIT off the clock
+      f().write.mode("overwrite").format("noop").save()
+    }
+    forms.map { case (name, f) =>
+      val lis = new MaxTaskListener
+      spark.sparkContext.addSparkListener(lis)
+      val t = time(f().write.mode("overwrite").format("noop").save())
+      Thread.sleep(500) // async listener bus
+      spark.sparkContext.removeSparkListener(lis)
+      val mean = if (lis.tasks > 0) lis.sumMs / lis.tasks / 1000.0 else 0.0
+      s""""$name":{"sec":${Fmt.sec(t)},"max_task_sec":${Fmt.sec(lis.maxMs / 1000.0)},""" +
+        s""""mean_task_sec":${Fmt.sec(mean)},"tasks":${lis.tasks}}"""
     }
   }
 
@@ -257,7 +298,8 @@ object ScaleProbe {
       val asof = asofSkewProbe(spark)
       val er = erSkewProbe(spark)
       val cc = ccProbe(big)
-      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof ++ er ++ cc).mkString(",")}}""")
+      val ms = mapStageProbe(spark, dir)
+      println(s"""{"factor":$factor,"rows_x1":$n,${(items ++ shItems ++ asof ++ er ++ cc ++ ms).mkString(",")}}""")
     } finally {
       spark.stop()
       // Same hygiene as ScaleBench: drop the /tmp replicas so a later

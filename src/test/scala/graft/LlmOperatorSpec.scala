@@ -55,6 +55,44 @@ class LlmOperatorSpec extends SparkSpec {
       got.max_run) == ((7L, 3L, 2L, 2L, 1L)), s"got $got")
   }
 
+  test("AudioSynth.encodeWav is byte-identical to AudioSystem.write; WavCodec matches the JDK decoder") {
+    for (id <- Seq(0L, 1L, 13L, 509L)) {
+      val ours = Multimodal.AudioSynth.encodeWav(id)
+      // reference encoding through the JDK codec
+      val n = Multimodal.AudioSynth.nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s = Multimodal.AudioSynth.sample(id, i)
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ref = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, ref)
+      assert(java.util.Arrays.equals(ours, ref.toByteArray),
+        s"hand-rolled WAV header diverges from AudioSystem.write for id=$id")
+      // and the spec walker decodes the JDK bytes to the JDK's own answer
+      val (rate, bytes) = Multimodal.WavCodec.decode(ref.toByteArray, id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(ref.toByteArray))
+      val jdkBytes = try ais.readAllBytes() finally ais.close()
+      assert(rate == 8000 && java.util.Arrays.equals(bytes, jdkBytes),
+        s"WavCodec decode diverges from the JDK decoder for id=$id")
+    }
+    // fail-loudly contract: stereo input is rejected, not filtered
+    val stereoFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val stereo = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](32)), stereoFmt, 8L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, stereo)
+    assertThrows[IllegalArgumentException](
+      Multimodal.WavCodec.decode(stereo.toByteArray, 99L))
+  }
+
   test("histogramImages: bins sum to the pixel count and match the formula") {
     import spark.implicits._
     val id = 11L
