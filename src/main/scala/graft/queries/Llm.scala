@@ -467,6 +467,137 @@ object Llm {
     "llm_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
 
+    // Kneser–Ney count statistics — the per-word tables a KN-smoothed
+    // bigram LM is built from (SRILM/KenLM's count pass): corpus unigram
+    // tokens, continuation count N1+(·w) (distinct LEFT contexts — the
+    // KN lower-order numerator), and fan-out N1+(w·) (distinct followers
+    // — the back-off normalizer). Pure integer aggregates over the
+    // bigram stream, vocabulary-bounded shuffles, >=50-count floor keeps
+    // the output head-of-vocab sized
+    "llm_kn_counts" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+          expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(size(col("w")) >= 2)
+      val bg = toks.select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS c, w[i] AS t))"))
+          .as("b"))
+        .select(col("b.c").as("c"), col("b.t").as("t"))
+      val uni = toks.select(explode(col("w")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_unigram"))
+      val cont = bg.groupBy(col("t").as("word"))
+        .agg(countDistinct("c").as("n_ctx_left"))
+      val fol = bg.groupBy(col("c").as("word"))
+        .agg(countDistinct("t").as("n_follow"))
+      uni.join(cont, Seq("word"), "left").join(fol, Seq("word"), "left")
+        .where(col("n_unigram") >= 50)
+        .selectExpr("word", "CAST(n_unigram AS BIGINT) AS n_unigram",
+          "CAST(COALESCE(n_ctx_left, 0) AS BIGINT) AS n_ctx_left",
+          "CAST(COALESCE(n_follow, 0) AS BIGINT) AS n_follow")
+        .orderBy("word")
+    }),
+
+    // the count-of-counts side of KN smoothing: how many bigram TYPES
+    // occur exactly 1..4 times (Good–Turing's n_k) and the standard
+    // absolute discount D = n1/(n1 + 2·n2) — integer bins, ONE final
+    // IEEE division at the edge
+    "llm_kn_discounts" -> ((s, d) => {
+      val toks = docs(s, d).select(
+          expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(size(col("w")) >= 2)
+      toks.select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS c, w[i] AS t))"))
+          .as("b"))
+        .groupBy(col("b.c"), col("b.t")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("cnt") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("cnt") === 4, 1L).otherwise(0L)).as("n4"),
+          count(lit(1)).as("n_types"))
+        .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+          "CAST(n3 AS BIGINT) AS n3", "CAST(n4 AS BIGINT) AS n4",
+          "CAST(n_types AS BIGINT) AS n_types",
+          "CAST(ROUND(CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE), 6) AS DOUBLE) AS d_kn")
+    }),
+
+    // chance-corrected rater agreement (Cohen's kappa) between the
+    // n-gram language-ID heuristic and the fixture's gold labels — the
+    // one-number upgrade over llm_langid_eval's raw confusion matrix:
+    // kappa = (N·agree − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l),
+    // every term an exact integer, ONE IEEE division at the edge. The
+    // margins are label-cardinality rows; the 1-row sides broadcast
+    "llm_langid_kappa" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cells = TextAnalysis.langId(dd)
+        .join(dd.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = cells.agg(sum("cnt").as("n"),
+        sum(when(col("lang") === col("pred_lang"), col("cnt"))
+          .otherwise(0L)).as("agree"))
+      val pe = cells.groupBy(col("lang").as("l")).agg(sum("cnt").as("rn"))
+        .join(cells.groupBy(col("pred_lang").as("l")).agg(sum("cnt").as("cn")),
+          Seq("l"))
+        .agg(sum(expr("rn * cn")).as("pe_num"))
+      stats.crossJoin(broadcast(pe))
+        .selectExpr("CAST(n AS BIGINT) AS n",
+          "CAST(agree AS BIGINT) AS n_agree",
+          "CAST(pe_num AS BIGINT) AS pe_num",
+          "CAST(ROUND(CAST(n * agree - pe_num AS DOUBLE) / " +
+            "CAST(n * n - pe_num AS DOUBLE), 6) AS DOUBLE) AS kappa")
+    }),
+
+    // pass@k (the Codex-paper estimator) from per-task trial tallies:
+    // tasks = customers, trials = their orders, "pass" = status F.
+    // pass@k depends only on (n, c), so the output groups by that pair —
+    // compact at any scale — and the unbiased 1 − C(n−c,k)/C(n,k) is
+    // evaluated as literal-unrolled integer products (k! cancels; 10
+    // factors of n ≤ a few hundred stay far inside int64), ONE IEEE
+    // division per k at the edge. Shared verbatim with the oracle
+    "llm_pass_at_k" -> ((s, d) => {
+      val tasks = Tables.load(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
+        .where(col("n") >= 10)
+      def prod(base: String, k: Int): String =
+        (0 until k).map(j => s"($base - $j)").mkString(" * ")
+      def passAt(k: Int): String =
+        s"""CAST(ROUND(CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE)
+           |  ELSE 1.0 - CAST(${prod("(n - c)", k)} AS DOUBLE)
+           |             / CAST(${prod("n", k)} AS DOUBLE)
+           |  END, 6) AS DOUBLE) AS pass_at_$k""".stripMargin
+      tasks.groupBy("n", "c").agg(count(lit(1)).as("n_tasks"))
+        .selectExpr("CAST(n AS BIGINT) AS n", "CAST(c AS BIGINT) AS c",
+          "CAST(n_tasks AS BIGINT) AS n_tasks",
+          passAt(1), passAt(5), passAt(10))
+        .orderBy("n", "c")
+    }),
+
+    // RAG-style passage chunking: fixed 32-token windows at stride 24
+    // (8-token overlap), per-chunk md5 over the joined tokens — the
+    // ingestion step between documents and an embedding index. Pure
+    // per-row positional expression work (one Generate per doc), no
+    // corpus state; the trailing partial window is kept, the chunk
+    // count is the closed form 1 + ceil((n−32)/24)
+    "llm_passage_chunks" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(expr("size(w) >= 1 AND w[0] <> ''"))
+        .select(col("doc_id"), expr("size(w)").as("n_toks"),
+          posexplode(expr(
+            """transform(
+              |  sequence(0, CASE WHEN size(w) > 32 THEN (size(w) - 9) DIV 24
+              |                   ELSE 0 END),
+              |  j -> struct(j * 24 AS st,
+              |              size(slice(w, j * 24 + 1, 32)) AS len,
+              |              md5(array_join(slice(w, j * 24 + 1, 32), ' ')) AS h))"""
+              .stripMargin)).as(Seq("chunk_idx", "ch")))
+        .selectExpr("doc_id", "CAST(chunk_idx AS INT) AS chunk_idx",
+          "CAST(ch.st AS BIGINT) AS start_tok",
+          "CAST(ch.len AS BIGINT) AS chunk_len", "ch.h AS chunk_md5")
+        .orderBy("doc_id", "chunk_idx")),
+
     // decontamination: the first 50 documents play the benchmark set; any
     // corpus doc sharing >= 30% of a probe's 3-word shingles is flagged
     // (this probe range includes genuine plants: probes 31/44 sit verbatim
@@ -2822,6 +2953,101 @@ object Llm {
          |           ON b.doc_id = d.doc_id)
          |SELECT true_lang, pred_lang, count(*) AS n
          |FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
+
+    // the same bigram stream rebuilt positionally, margins re-aggregated
+    "llm_kn_counts" ->
+      s"""WITH n AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents
+         |           WHERE length(string_split($NORM, ' ')) >= 2),
+         |bg AS (SELECT w[i] AS c, w[i+1] AS t
+         |       FROM n, unnest(generate_series(1, length(w) - 1)) AS u(i)),
+         |uni AS (SELECT t AS word, count(*) AS n_unigram
+         |        FROM (SELECT unnest(w) AS t FROM n) GROUP BY 1),
+         |cont AS (SELECT t AS word, count(DISTINCT c) AS n_ctx_left FROM bg GROUP BY 1),
+         |fol AS (SELECT c AS word, count(DISTINCT t) AS n_follow FROM bg GROUP BY 1)
+         |SELECT u.word, CAST(u.n_unigram AS BIGINT) AS n_unigram,
+         |       CAST(COALESCE(c.n_ctx_left, 0) AS BIGINT) AS n_ctx_left,
+         |       CAST(COALESCE(f.n_follow, 0) AS BIGINT) AS n_follow
+         |FROM uni u LEFT JOIN cont c USING (word) LEFT JOIN fol f USING (word)
+         |WHERE u.n_unigram >= 50
+         |ORDER BY word""".stripMargin,
+
+    // bigram-type count-of-counts + the absolute-discount formula
+    "llm_kn_discounts" ->
+      s"""WITH n AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents
+         |           WHERE length(string_split($NORM, ' ')) >= 2),
+         |bt AS (SELECT w[i] AS c, w[i+1] AS t, count(*) AS cnt
+         |       FROM n, unnest(generate_series(1, length(w) - 1)) AS u(i)
+         |       GROUP BY 1, 2)
+         |SELECT CAST(count_if(cnt = 1) AS BIGINT) AS n1,
+         |       CAST(count_if(cnt = 2) AS BIGINT) AS n2,
+         |       CAST(count_if(cnt = 3) AS BIGINT) AS n3,
+         |       CAST(count_if(cnt = 4) AS BIGINT) AS n4,
+         |       CAST(count(*) AS BIGINT) AS n_types,
+         |       CAST(ROUND(CAST(count_if(cnt = 1) AS DOUBLE)
+         |            / CAST(count_if(cnt = 1) + 2 * count_if(cnt = 2) AS DOUBLE), 6)
+         |            AS DOUBLE) AS d_kn
+         |FROM bt""".stripMargin,
+
+    // the langid_eval prediction chain, folded to kappa's integer terms
+    "llm_langid_kappa" ->
+      s"""WITH markers(lang_cand, marker) AS (VALUES $markerValues),
+         |toks AS (SELECT DISTINCT doc_id, tok
+         |         FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM documents)),
+         |scores AS (SELECT doc_id, lang_cand, count(*) AS hits
+         |           FROM toks JOIN markers ON tok = marker GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang_cand AS pred_lang,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn
+         |         FROM scores),
+         |pred AS (SELECT d.doc_id, d.lang AS true_lang,
+         |                COALESCE(b.pred_lang, 'und') AS pred_lang
+         |         FROM documents d
+         |         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |           ON b.doc_id = d.doc_id),
+         |cells AS (SELECT true_lang, pred_lang, count(*) AS cnt
+         |          FROM pred GROUP BY 1, 2),
+         |st AS (SELECT SUM(cnt) AS n,
+         |              SUM(CASE WHEN true_lang = pred_lang THEN cnt ELSE 0 END) AS agree
+         |       FROM cells),
+         |rm AS (SELECT true_lang AS l, SUM(cnt) AS rn FROM cells GROUP BY 1),
+         |cm AS (SELECT pred_lang AS l, SUM(cnt) AS cn FROM cells GROUP BY 1),
+         |pe AS (SELECT SUM(rm.rn * cm.cn) AS pe_num FROM rm JOIN cm USING (l))
+         |SELECT CAST(st.n AS BIGINT) AS n, CAST(st.agree AS BIGINT) AS n_agree,
+         |       CAST(pe.pe_num AS BIGINT) AS pe_num,
+         |       CAST(ROUND(CAST(st.n * st.agree - pe.pe_num AS DOUBLE)
+         |            / CAST(st.n * st.n - pe.pe_num AS DOUBLE), 6) AS DOUBLE) AS kappa
+         |FROM st CROSS JOIN pe""".stripMargin,
+
+    // the identical literal-unrolled products — k! cancels in the ratio
+    "llm_pass_at_k" -> {
+      def prod(base: String, k: Int): String =
+        (0 until k).map(j => s"($base - $j)").mkString(" * ")
+      def passAt(k: Int): String =
+        s"""CAST(ROUND(CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE)
+           |  ELSE 1.0 - CAST(${prod("(n - c)", k)} AS DOUBLE)
+           |             / CAST(${prod("n", k)} AS DOUBLE)
+           |  END, 6) AS DOUBLE) AS pass_at_$k""".stripMargin
+      s"""WITH tasks AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         |                      CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS c
+         |               FROM orders GROUP BY 1 HAVING count(*) >= 10)
+         |SELECT n, c, CAST(count(*) AS BIGINT) AS n_tasks,
+         |       ${passAt(1)}, ${passAt(5)}, ${passAt(10)}
+         |FROM tasks GROUP BY n, c ORDER BY n, c""".stripMargin
+    },
+
+    // chunk windows replayed with 1-based inclusive list slices
+    "llm_passage_chunks" ->
+      s"""WITH n AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, w, length(w) AS nt FROM n
+         |      WHERE length(w) >= 1 AND w[1] <> ''),
+         |ch AS (SELECT doc_id, j AS chunk_idx, j * 24 AS start_tok,
+         |              w[j * 24 + 1 : j * 24 + 32] AS cw
+         |       FROM t, unnest(generate_series(0,
+         |              CASE WHEN nt > 32 THEN (nt - 9) // 24 ELSE 0 END)) AS u(j))
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(start_tok AS BIGINT) AS start_tok,
+         |       CAST(length(cw) AS BIGINT) AS chunk_len,
+         |       md5(array_to_string(cw, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "llm_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents),
