@@ -89,14 +89,27 @@ object Entity {
     *
     * Output: (entity_id = min member id, n_members, golden payload…).
     */
-  def goldenRecords(pairs: DataFrame, records: DataFrame,
-                    pick: Seq[Column], rounds: Int = 6): DataFrame = {
+  /** The (id → entity label) assignment behind [[goldenRecords]] and the
+    * merge audits: `rounds` min-label rounds over the symmetrized match
+    * graph, per-round localCheckpoint (lineage ends, cost per round =
+    * |edges|), singleton ids keep their own label.
+    *
+    * Convergence probe (the dupClusters pattern): min-label propagation
+    * is monotone, so a final round that changed nothing is a fixed
+    * point. A component with diameter > rounds would otherwise SILENTLY
+    * split into several entities — and the differential oracle replays
+    * the identical round count, so it structurally cannot catch the
+    * under-merge. One |V|-row join; the per-round localCheckpoint makes
+    * the operator eager already.
+    */
+  def entityLabels(pairs: DataFrame, ids: DataFrame,
+                   rounds: Int = 6): DataFrame = {
     require(rounds >= 1, "need at least one propagation round")
     val und = pairs.selectExpr("CAST(lid AS BIGINT) AS a",
       "CAST(rid AS BIGINT) AS b").distinct()
     val sym = und.union(und.selectExpr("b AS a", "a AS b"))
       .localCheckpoint()
-    var labels = records.select(col("id"), col("id").as("label"))
+    var labels = ids.select(col("id"), col("id").as("label"))
     var prev = labels
     for (_ <- 1 to rounds) {
       val nbr = sym.select(col("a").as("id"), col("b").as("nb"))
@@ -110,21 +123,20 @@ object Entity {
             .as("label"))
         .localCheckpoint()
     }
-    // Convergence probe (the dupClusters pattern): min-label propagation
-    // is monotone, so a final round that changed nothing is a fixed
-    // point. A component with diameter > rounds would otherwise SILENTLY
-    // split into several entities — and the differential oracle replays
-    // the identical round count, so it structurally cannot catch the
-    // under-merge. One |V|-row join; the per-round localCheckpoint makes
-    // the operator eager already.
     val changed = labels.select(col("id"), col("label").as("nl"))
       .join(prev.select(col("id"), col("label").as("pl")), Seq("id"))
       .where(col("nl") =!= col("pl")).limit(1).count()
     require(changed == 0L,
-      s"goldenRecords: min-label propagation still moving after $rounds " +
+      s"entityLabels: min-label propagation still moving after $rounds " +
         "rounds — a component's diameter exceeds the round budget; raise " +
         "`rounds` (cost is one |edges| join per extra round)")
-    val members = records.join(labels, Seq("id"))
+    labels
+  }
+
+  def goldenRecords(pairs: DataFrame, records: DataFrame,
+                    pick: Seq[Column], rounds: Int = 6): DataFrame = {
+    val members = records.join(
+      entityLabels(pairs, records.select("id"), rounds), Seq("id"))
     val golden = members
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("label")).orderBy(pick: _*)))

@@ -65,6 +65,35 @@ object Forecast {
        | / ${den * microScale}.0, 6) AS DOUBLE)""".stripMargin
   }
 
+  /** Simple-exponential-smoothing coefficients (α = 1/2, init ℓ₁ = x₁)
+    * over the last n observations — the smoother Croston's
+    * intermittent-demand method runs twice (demand sizes, inter-demand
+    * intervals). Same mechanism as [[holtCoefficients]], one state
+    * variable. Returns (coefs oldest→newest, denominator).
+    */
+  def sesCoefficients(n: Int): (Seq[BigInt], BigInt) = {
+    require(n >= 2, "need at least 2 observations")
+    val scale = BigInt(2).pow(n)
+    var l = Vector.tabulate(n)(i => if (i == 0) scale else BigInt(0))
+    for (t <- 1 until n) {
+      val xt = Vector.tabulate(n)(i => if (i == t) scale else BigInt(0))
+      l = Vector.tabulate(n)(i => (xt(i) + l(i)) / 2)
+    }
+    var g = scale
+    l.filter(_ != 0).foreach(c => g = g.gcd(c))
+    (l.map(_ / g), scale / g)
+  }
+
+  /** The RAW integer dot product (no closing division) — for ratios of
+    * two smoothed series sharing one denominator (Croston's demand ÷
+    * interval), where the single IEEE division happens on the RATIO and
+    * the common `den` cancels exactly.
+    */
+  def dotIntSql(coefs: Seq[BigInt], xCol: Int => String): String =
+    coefs.zipWithIndex.collect {
+      case (c, i) if c != 0 => s"$c * ${xCol(i + 1)}"
+    }.mkString(" + ")
+
   /** Holt–Winters ADDITIVE seasonal coefficients, same mechanism as
     * [[holtCoefficients]]: with dyadic α = β = γ = 1/2 and a
     * power-of-two period m, the recurrence

@@ -574,6 +574,31 @@ object Llm {
         .orderBy("n", "c")
     }),
 
+    // b-bit MinHash (Li & König 2010) at b=1: keep only the LOW BIT of
+    // each of the 8 minhash values — 1/64th the signature storage — and
+    // estimate Jaccard from the bit-collision count as ĵ = 2c − 1 (the
+    // r→0 form; a non-matching pair still collides half the time by
+    // chance). Published beside the exact shingle Jaccard on the SAME
+    // banding candidates, so the entry IS the estimator-vs-truth audit;
+    // integer bit matches, one ROUND division
+    "llm_bbit_minhash" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = Dedup.lshCandidates(dd).select("doc_a", "doc_b")
+      val bits = Dedup.minhash(dd).select(
+        col("doc_id") +: (0 until 8).map(i => expr(s"h$i % 2").as(s"b$i")): _*)
+      val bitsA = bits.toDF("doc_a" +: (0 until 8).map(i => s"ab$i"): _*)
+      val bitsB = bits.toDF("doc_b" +: (0 until 8).map(i => s"bb$i"): _*)
+      val matchExpr = (0 until 8)
+        .map(i => s"CAST(ab$i = bb$i AS INT)").mkString(" + ")
+      val est = cand.join(bitsA, Seq("doc_a")).join(bitsB, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), expr(matchExpr).as("nm"))
+      Dedup.jaccard(dd, cand).join(est, Seq("doc_a", "doc_b"))
+        .selectExpr("doc_a", "doc_b", "CAST(nm AS INT) AS n_match",
+          "CAST(ROUND(CAST(2 * nm - 8 AS DOUBLE) / 8.0, 6) AS DOUBLE) AS j_est",
+          "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // RAG-style passage chunking: fixed 32-token windows at stride 24
     // (8-token overlap), per-chunk md5 over the joined tokens — the
     // ingestion step between documents and an embedding index. Pure
@@ -3032,6 +3057,25 @@ object Llm {
          |SELECT n, c, CAST(count(*) AS BIGINT) AS n_tasks,
          |       ${passAt(1)}, ${passAt(5)}, ${passAt(10)}
          |FROM tasks GROUP BY n, c ORDER BY n, c""".stripMargin
+    },
+
+    // low bits straight off the oracle's own minhash CTE, exact jaccard
+    // from the shared verification CTEs
+    "llm_bbit_minhash" -> {
+      val bitCols = (0 until 8).map(i => s"h$i % 2 AS b$i").mkString(", ")
+      val matchSum = (0 until 8)
+        .map(i => s"CAST(a.b$i = b.b$i AS INT)").mkString(" + ")
+      s"""WITH ${minhashCtes()},
+         |$jaccardCtes,
+         |bits AS (SELECT doc_id, $bitCols FROM mh),
+         |nm AS (SELECT c.doc_a, c.doc_b, $matchSum AS nm
+         |       FROM cands c JOIN bits a ON a.doc_id = c.doc_a
+         |            JOIN bits b ON b.doc_id = c.doc_b)
+         |SELECT j.doc_a, j.doc_b, CAST(nm.nm AS INT) AS n_match,
+         |       CAST(ROUND(CAST(2 * nm.nm - 8 AS DOUBLE) / 8.0, 6) AS DOUBLE) AS j_est,
+         |       j.jaccard
+         |FROM jac j JOIN nm ON nm.doc_a = j.doc_a AND nm.doc_b = j.doc_b
+         |ORDER BY j.doc_a, j.doc_b""".stripMargin
     },
 
     // chunk windows replayed with 1-based inclusive list slices

@@ -84,6 +84,45 @@ object Ops {
        |ORDER BY event_type, m""".stripMargin
   }
 
+  /** Croston intermittent-demand SQL, shared between engines up to the
+    * day-index expression (the one dialect difference): daily micro-unit
+    * demand per user, demand-day gaps via LAG, then TWO α=1/2 SES
+    * filters — demand size and inter-demand interval — as driver-unrolled
+    * dyadic integer dots over the last 8 demand days (the
+    * holtCoefficients mechanism, one state variable), and the Croston
+    * rate = size-level ÷ interval-level as ONE IEEE division of the two
+    * RAW integer dots (the common dyadic denominator cancels exactly).
+    * Keys need 9 demand days (8 sizes + 8 defined gaps).
+    */
+  private def crostonSql(dayExpr: String): String = {
+    val (c, den) = graft.operators.Forecast.sesCoefficients(8)
+    def zc(k: Int) = s"z$k"
+    def ac(k: Int) = s"a$k"
+    val pivots = (1 to 8).map { k =>
+      s"CAST(SUM(CASE WHEN rn = ${9 - k} THEN z ELSE 0 END) AS BIGINT) AS z$k,\n" +
+        s"               CAST(SUM(CASE WHEN rn = ${9 - k} THEN gap ELSE 0 END) AS BIGINT) AS a$k"
+    }.mkString(",\n               ")
+    s"""
+      WITH dm AS (SELECT user_id, $dayExpr AS dy,
+                         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS z
+                  FROM events WHERE user_id < 40 GROUP BY user_id, $dayExpr),
+      g AS (SELECT user_id, dy, z,
+                   dy - LAG(dy) OVER (PARTITION BY user_id ORDER BY dy) AS gap,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dy DESC) AS rn
+            FROM dm),
+      p AS (SELECT user_id,
+               $pivots
+            FROM g WHERE rn <= 8 GROUP BY user_id
+            HAVING COUNT(*) = 8 AND COUNT(gap) = 8)
+      SELECT user_id,
+             ${graft.operators.Forecast.dotSql(c, den, 1000000L, zc)} AS demand_level,
+             ${graft.operators.Forecast.dotSql(c, den, 1L, ac)} AS interval_days,
+             CAST(ROUND(CAST(${graft.operators.Forecast.dotIntSql(c, zc)} AS DOUBLE)
+               / (1000000.0 * CAST(${graft.operators.Forecast.dotIntSql(c, ac)} AS DOUBLE)), 6)
+               AS DOUBLE) AS forecast_per_day
+      FROM p ORDER BY user_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_error_sweep" -> ((s, d) => {
       Tables.register(s, d)
@@ -844,6 +883,54 @@ object Ops {
         .orderBy("entity_id")
     }),
 
+    // the survivorship AUDIT next to er_golden_record: which merged
+    // entities carry members that DISAGREE on a hard attribute (segment,
+    // nation, balance)? A conflict means the election silently discarded
+    // information — the row a data steward reviews before trusting the
+    // golden table. Same linkage + min-label rounds (entityLabels is the
+    // shared engine), one rollup with integer spreads; singletons can't
+    // conflict and are excluded
+    "er_merge_conflicts" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val leftDf = cust.selectExpr("c_custkey AS lid", "c_nationkey",
+        "substr(c_name, 1, 17) AS blk", "c_name AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
+          "c_custkey + 1000000 AS rid", "c_nationkey",
+          "CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X') ELSE c_name END AS name",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
+          "name", "seg", "bal")
+      val matches = Entity.blockedLink(leftDf, rightDf,
+          Seq("c_nationkey", "blk"),
+          Seq(("levenshtein(l_name, r_name) <= 1", 2),
+            ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
+          threshold = 3)
+        .selectExpr("l_lid AS lid", "r_rid AS rid")
+      val records = leftDf
+        .selectExpr("lid AS id", "seg", "bal", "c_nationkey AS nat")
+        .unionByName(rightDf
+          .selectExpr("rid AS id", "seg", "bal", "c_nationkey AS nat"))
+      records
+        .join(Entity.entityLabels(matches, records.select("id")), Seq("id"))
+        .groupBy("label")
+        .agg(min("id").as("entity_id"), count(lit(1)).as("n_members"),
+          countDistinct("seg").as("n_segments"),
+          countDistinct("nat").as("n_nations"),
+          (max("bal") - min("bal")).as("bal_spread"))
+        .where(col("n_members") > 1)
+        .selectExpr("entity_id", "CAST(n_members AS BIGINT) AS n_members",
+          "CAST(n_segments AS BIGINT) AS n_segments",
+          "CAST(n_nations AS BIGINT) AS n_nations",
+          "CAST(bal_spread AS BIGINT) AS bal_spread",
+          "CAST(n_segments > 1 OR bal_spread > 0 AS BOOLEAN) AS has_conflict")
+        .orderBy("entity_id")
+    }),
+
     // per-column profile drift between two corpus versions — the
     // "what changed in this refresh" audit a recurring ingest runs before
     // promoting a snapshot: row count, null rate, distinct sources,
@@ -1439,6 +1526,18 @@ object Ops {
                CAST(n_prev AS BIGINT) AS n_prev,
                CAST(n_prev >= 6 AND cnt * n_prev > 3 * sum_prev AS BOOLEAN) AS is_burst
         FROM w ORDER BY event_type, hr""")
+    }),
+
+    // Croston intermittent demand (the forecast family's sparse-series
+    // member): ts_holt assumes a dense series; purchase-like demand is
+    // mostly zeros, where SES over raw days collapses toward 0 and the
+    // Croston split — smooth nonzero demand SIZES and INTERVALS
+    // separately, forecast = size/interval — is the standard answer.
+    // Same driver-unrolled dyadic machinery as ts_holt_forecast
+    "ts_croston" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(crostonSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)"))
     }),
 
     // Pareto concentration — "how few customers carry 80% of revenue",
@@ -2280,6 +2379,62 @@ object Ops {
          |       CAST(g.bal AS BIGINT) AS golden_bal
          |FROM st JOIN g ON g.label = st.label AND g.rn = 1
          |ORDER BY entity_id""".stripMargin
+    },
+
+    // identical filter text; only the day-index dialect differs
+    "ts_croston" -> crostonSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)"),
+
+    // the same linkage + label rounds, conflict spreads re-aggregated
+    "er_merge_conflicts" -> {
+      val rounds = (1 to 6).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (SELECT p.id,
+           |          LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+           |        FROM $prev p LEFT JOIN e ON e.a = p.id
+           |        LEFT JOIN $prev n ON n.id = e.b
+           |        GROUP BY p.id, p.label)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (SELECT c_custkey AS lid, c_nationkey,
+         |             substr(c_name, 1, 17) AS blk, c_name AS lname,
+         |             c_mktsegment AS lseg,
+         |             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+         |           FROM customer),
+         |r0 AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+         |              CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+         |                   ELSE c_name END AS rname,
+         |              CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+         |                   ELSE c_mktsegment END AS rseg,
+         |              CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |                + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+         |       FROM customer WHERE c_custkey % 3 = 0),
+         |r AS (SELECT rid, c_nationkey, substr(rname, 1, 17) AS blk,
+         |             rname, rseg, rbal
+         |      FROM r0),
+         |sc AS (SELECT lid, rid,
+         |              CASE WHEN levenshtein(lname, rname) <= 1 THEN 2 ELSE 0 END
+         |              + CASE WHEN lseg = rseg THEN 1 ELSE 0 END
+         |              + CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS score
+         |       FROM l JOIN r USING (c_nationkey, blk)),
+         |pr AS (SELECT DISTINCT lid AS a, rid AS b FROM sc WHERE score >= 3),
+         |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+         |rec AS (SELECT lid AS id, lseg AS seg, lbal AS bal, c_nationkey AS nat FROM l
+         |        UNION ALL SELECT rid, rseg, rbal, c_nationkey FROM r),
+         |l0 AS (SELECT id, id AS label FROM rec),
+         |$rounds,
+         |m AS (SELECT rec.id, rec.seg, rec.bal, rec.nat, l6.label
+         |      FROM rec JOIN l6 ON l6.id = rec.id),
+         |st AS (SELECT label, MIN(id) AS entity_id, COUNT(*) AS n_members,
+         |              COUNT(DISTINCT seg) AS n_segments,
+         |              COUNT(DISTINCT nat) AS n_nations,
+         |              MAX(bal) - MIN(bal) AS bal_spread
+         |       FROM m GROUP BY label)
+         |SELECT entity_id, CAST(n_members AS BIGINT) AS n_members,
+         |       CAST(n_segments AS BIGINT) AS n_segments,
+         |       CAST(n_nations AS BIGINT) AS n_nations,
+         |       CAST(bal_spread AS BIGINT) AS bal_spread,
+         |       CAST(n_segments > 1 OR bal_spread > 0 AS BOOLEAN) AS has_conflict
+         |FROM st WHERE n_members > 1 ORDER BY entity_id""".stripMargin
     },
 
     // the same two single-scan profiles and metric pivot

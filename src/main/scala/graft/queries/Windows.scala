@@ -292,6 +292,50 @@ object Windows {
       FROM documents d JOIN st ON d.source = st.source
       GROUP BY d.source ORDER BY d.source""",
 
+    // sample-ratio-mismatch guardrail — the FIRST check any A/B readout
+    // runs: users deterministically split 50/50 by an md5 bit, per-arm
+    // DISTINCT-user counts compared with the 1-df chi-square in
+    // cross-multiplied integers (one ROUND division at the edge) plus an
+    // integer |z|>2 flag ((na−nb)² > 4(na+nb)) that never touches IEEE.
+    // One scan, per-event-type rollup; md5 is the shared hash
+    "agg_srm_check" -> """
+      WITH arms AS (SELECT event_type, user_id,
+                           substr(md5('srm' || user_id), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7') AS in_a
+                    FROM events),
+      c AS (SELECT event_type,
+                   CAST(count(DISTINCT CASE WHEN in_a THEN user_id END) AS BIGINT) AS na,
+                   CAST(count(DISTINCT CASE WHEN NOT in_a THEN user_id END) AS BIGINT) AS nb
+            FROM arms GROUP BY event_type)
+      SELECT event_type, na, nb,
+             CAST(ROUND(CAST((na - nb) * (na - nb) AS DOUBLE)
+                  / CAST(na + nb AS DOUBLE), 6) AS DOUBLE) AS chi2,
+             CAST((na - nb) * (na - nb) > 4 * (na + nb) AS BOOLEAN) AS srm_flag
+      FROM c ORDER BY event_type""",
+
+    // Lincoln–Petersen capture–recapture with the Chapman correction —
+    // "how big is the corpus we HAVEN'T crawled": two independent md5-bit
+    // samples play the two capture occasions, the overlap estimates the
+    // population that produced both. n_true is published beside the
+    // estimate (the fixture knows the answer — the point is checking the
+    // estimator wiring, not pretending ignorance). Integer marks, one
+    // ROUND division
+    "agg_capture_recapture" -> """
+      WITH s AS (SELECT doc_id,
+                        substr(md5('capA' || doc_id), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7') AS in_a,
+                        substr(md5('capB' || doc_id), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7') AS in_b
+                 FROM documents)
+      SELECT CAST(count_if(in_a) AS BIGINT) AS n1,
+             CAST(count_if(in_b) AS BIGINT) AS n2,
+             CAST(count_if(in_a AND in_b) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(ROUND(CAST((count_if(in_a) + 1) * (count_if(in_b) + 1) AS DOUBLE)
+                  / CAST(count_if(in_a AND in_b) + 1 AS DOUBLE) - 1, 6)
+                  AS DOUBLE) AS n_hat_chapman
+      FROM s""",
+
     // Welch two-sample t-statistic (the unequal-variance A/B test) per
     // status: urgent vs low priority order values. The five sufficient
     // statistics per arm are EXACT (counts + DECIMAL(38,0) sums of cents
@@ -328,6 +372,38 @@ object Windows {
                / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)),
                6) AS DOUBLE) AS t_welch
       FROM d ORDER BY o_orderstatus""",
+
+    // delta-method standard error of a RATIO metric (revenue per event)
+    // with user-level clustering — the correction every A/B readout of a
+    // ratio needs (naive per-row SEs ignore that events cluster within
+    // users): R = ΣX/ΣY over per-user totals, Var(R) from the linearized
+    // residuals x_i − R·y_i, whose mean is 0 BY CONSTRUCTION of R, so
+    // S² = (Sxx − 2R·Sxy + R²·Syy)/(n−1) straight from the exact
+    // DECIMAL sufficient statistics. Same one-scan shape as agg_ab_welch;
+    // a fixed tree of correctly-rounded IEEE ops at the edge
+    "agg_delta_method_ratio" -> """
+      WITH u AS (SELECT event_type, user_id,
+                        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x,
+                        CAST(COUNT(*) AS BIGINT) AS y
+                 FROM events GROUP BY event_type, user_id),
+      s AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+            FROM u GROUP BY event_type),
+      d AS (SELECT event_type, n,
+                   CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+            FROM s WHERE n >= 2)
+      SELECT event_type, CAST(n AS BIGINT) AS n_users,
+             CAST(ROUND(r / 100.0, 6) AS DOUBLE) AS ratio,
+             CAST(ROUND(sqrt((sxxd - 2 * r * sxyd + r * r * syyd)
+                    / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (syd / CAST(n AS DOUBLE)) / 100.0, 6) AS DOUBLE) AS se_ratio
+      FROM d ORDER BY event_type""",
 
     // sliding mean-shift CHANGEPOINT score per user timeline: |mean of
     // the 8 preceding - mean of the 8 following| events, flagged above
