@@ -39,6 +39,9 @@ object TwsProbe {
       ("changelog_ckpt", Map(P + "changelogCheckpointing.enabled" -> "true")),
       ("block_cache_256", Map(P + "blockCacheSizeMB" -> "256")),
       ("write_buffer_256", Map(P + "writeBufferSizeMB" -> "256",
+        P + "maxWriteBufferNumber" -> "4")),
+      ("combined", Map(P + "blockCacheSizeMB" -> "256",
+        P + "writeBufferSizeMB" -> "256",
         P + "maxWriteBufferNumber" -> "4")))
     try {
       val tStage = {

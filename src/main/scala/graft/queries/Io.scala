@@ -61,13 +61,25 @@ object Io {
     */
   private[graft] def withRocksDbProvider[T](s: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Memory headroom adopted from the r14 TwsProbe factor-100 sweep
+    // (graft.TwsProbe): 256 MB block cache + 256 MB × 4 write buffers
+    // read best-or-equal for all three MapState sketch entries in both
+    // probe runs (topk −34% in the clean run); defaults are 8 MB / 64 MB
+    // — far below what a 128 GiB box should give an update-heavy store.
+    // No conf moves the floor more than ~30%: per-row work is the
+    // streaming sketch ceiling (hll ≈ 7 µs/row), as pinned in SURVEY.
+    val tuned = Map(
+      provKey ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "256",
+      "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "256",
+      "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber" -> "4")
+    val prev = tuned.keys.map(k => k -> s.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
