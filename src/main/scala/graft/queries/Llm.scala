@@ -574,6 +574,94 @@ object Llm {
         .orderBy("n", "c")
     }),
 
+    // training-order shuffle QUALITY audit: adjacent-position same-source
+    // rate of the seeded permutation vs the closed-form expectation for a
+    // uniform shuffle (Σ n_s(n_s−1) / N(N−1)) — the diagnostic that
+    // catches a broken shuffle (curriculum leakage: long same-source
+    // runs inflate gradient correlation). Observed count from ONE
+    // pos→pos+1 equi self-join of the two-phase permutation; both rates
+    // published as exact integer ppm
+    "llm_shuffle_quality" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ord = TrainOrder.shuffleOrder(dd.select("doc_id"), "sq1")
+        .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val adj = ord.select(col("pos"), col("source").as("src_a"))
+        .join(ord.select((col("pos") - 1).as("pos"), col("source").as("src_b")),
+          Seq("pos"))
+      val obs = adj.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L)).as("n_same"))
+      val exp = dd.groupBy("source").agg(count(lit(1)).as("ns"))
+        .agg(sum(expr("ns * (ns - 1)")).as("same_num"), sum("ns").as("n"))
+      obs.crossJoin(broadcast(exp))
+        .selectExpr("CAST(n_pairs AS BIGINT) AS n_pairs",
+          "CAST(n_same AS BIGINT) AS n_same",
+          "CAST(n_same * 1000000 DIV n_pairs AS BIGINT) AS same_ppm_obs",
+          "CAST(same_num * 1000000 DIV (n * (n - 1)) AS BIGINT) AS same_ppm_exp")
+    }),
+
+    // Venn census of the three dedup fronts — what each method catches
+    // that the others miss: exact collapse first (its drop count is the
+    // survivor complement), then BOTH near-dup methods run over the SAME
+    // exact survivors: MinHash+Jaccard transitive clusters drop non-rep
+    // members, simhash banding drops any doc with a smaller-id partner
+    // within Hamming<=3 (each method's own standard survivor rule).
+    // One integer row — the dashboard number that justifies running
+    // both lexical fronts
+    "llm_dedup_venn" -> ((s, d) => {
+      val dd = docs(s, d)
+      val survivors = dd.join(
+        Dedup.exact(dd).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val mhPairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      val mhDropped = Dedup.dupClusters(mhPairs)
+        .where(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+      val shDropped = Dedup.simhashCandidates(survivors)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val flags = survivors.select("doc_id")
+        .join(mhDropped.withColumn("mh", lit(1)), Seq("doc_id"), "left")
+        .join(shDropped.withColumn("sh", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(when(col("mh").isNotNull && col("sh").isNull, 1L)
+            .otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("sh").isNotNull && col("mh").isNull, 1L)
+            .otherwise(0L)).as("n_simhash_only"),
+          sum(when(col("sh").isNotNull && col("mh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both_near"))
+      flags.crossJoin(broadcast(dd.agg(count(lit(1)).as("n_docs"))))
+        .selectExpr("CAST(n_docs AS BIGINT) AS n_docs",
+          "CAST(n_docs - n_survivors AS BIGINT) AS n_exact_dropped",
+          "CAST(n_minhash_only AS BIGINT) AS n_minhash_only",
+          "CAST(n_simhash_only AS BIGINT) AS n_simhash_only",
+          "CAST(n_both_near AS BIGINT) AS n_both_near",
+          "CAST(n_survivors - n_minhash_only - n_simhash_only - n_both_near AS BIGINT) AS n_clean")
+    }),
+
+    // simhash banding precision sweep — which Hamming radius is worth
+    // it: candidates at radius<=r (exact-collapse survivors, the banded
+    // join) verified by exact shingle Jaccard>=0.6; pairs that share no
+    // shingle verify at 0 (LEFT join, COALESCE — the inner jaccard join
+    // would silently overstate precision). Radii expand via a broadcast
+    // 4-row theta join — never a per-radius rescan
+    "llm_simhash_pr_curve" -> ((s, d) => {
+      val dd0 = docs(s, d)
+      val dd = dd0.join(
+        Dedup.exact(dd0).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val sp = Dedup.simhashCandidates(dd)
+      val jac = Dedup.jaccard(dd, sp.select("doc_a", "doc_b"))
+      val pairs = sp.join(jac, Seq("doc_a", "doc_b"), "left")
+        .select(col("hamming"), coalesce(col("jaccard"), lit(0.0)).as("jac"))
+      val radii = s.range(0, 4).select(col("id").as("radius"))
+      pairs.join(broadcast(radii), expr("hamming <= radius"))
+        .groupBy("radius")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jac") >= 0.6, 1L).otherwise(0L)).as("n_verified"))
+        .selectExpr("CAST(radius AS INT) AS radius",
+          "CAST(n_pairs AS BIGINT) AS n_pairs",
+          "CAST(n_verified AS BIGINT) AS n_verified",
+          "CAST(n_verified * 1000000 DIV n_pairs AS BIGINT) AS precision_ppm")
+        .orderBy("radius")
+    }),
+
     // b-bit MinHash (Li & König 2010) at b=1: keep only the LOW BIT of
     // each of the 8 minhash values — 1/64th the signature storage — and
     // estimate Jaccard from the bit-collision count as ĵ = 2c − 1 (the
@@ -3058,6 +3146,121 @@ object Llm {
          |       ${passAt(1)}, ${passAt(5)}, ${passAt(10)}
          |FROM tasks GROUP BY n, c ORDER BY n, c""".stripMargin
     },
+
+    // flat-window permutation replay (the two-phase prefix sum is
+    // pinned equivalent elsewhere), adjacency + expectation re-derived
+    "llm_shuffle_quality" ->
+      s"""WITH ord AS (SELECT doc_id,
+         |              row_number() OVER (
+         |                ORDER BY md5('sq1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         |            FROM documents),
+         |os AS (SELECT o.pos, d.source FROM ord o JOIN documents d USING (doc_id)),
+         |adj AS (SELECT a.source AS sa, b.source AS sb
+         |        FROM os a JOIN os b ON b.pos = a.pos + 1),
+         |obs AS (SELECT count(*) AS n_pairs, count_if(sa = sb) AS n_same FROM adj),
+         |ex AS (SELECT SUM(ns * (ns - 1)) AS same_num, SUM(ns) AS n
+         |       FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+         |SELECT CAST(obs.n_pairs AS BIGINT) AS n_pairs,
+         |       CAST(obs.n_same AS BIGINT) AS n_same,
+         |       CAST(obs.n_same * 1000000 // obs.n_pairs AS BIGINT) AS same_ppm_obs,
+         |       CAST(ex.same_num * 1000000 // (ex.n * (ex.n - 1)) AS BIGINT) AS same_ppm_exp
+         |FROM obs CROSS JOIN ex""".stripMargin,
+
+    // exact collapse + BOTH near-dup chains over the survivors: the
+    // recursive reach gives the MinHash transitive drops, the simhash
+    // banding chain the smaller-partner drops, one flag rollup
+    "llm_dedup_venn" ->
+      s"""WITH RECURSIVE fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT src AS doc_id, src AS lab FROM edges
+         |          UNION
+         |          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |nonrep AS (SELECT doc_id FROM reach GROUP BY doc_id
+         |           HAVING doc_id <> min(lab)),
+         |toksv AS (SELECT DISTINCT doc_id, tok
+         |          FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM docs2)),
+         |thv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toksv),
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM thv, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |bandedv AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+         |            FROM sim, unnest(generate_series(0, 3)) AS g(band)),
+         |shd AS (SELECT DISTINCT b.doc_id
+         |        FROM bandedv a JOIN bandedv b
+         |          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |fl AS (SELECT k.doc_id,
+         |              CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS mh,
+         |              CASE WHEN sd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS sh2
+         |       FROM keep k LEFT JOIN nonrep nr ON nr.doc_id = k.doc_id
+         |            LEFT JOIN shd sd ON sd.doc_id = k.doc_id),
+         |ag AS (SELECT count(*) AS n_surv,
+         |              count_if(mh = 1 AND sh2 = 0) AS mo,
+         |              count_if(sh2 = 1 AND mh = 0) AS so,
+         |              count_if(mh = 1 AND sh2 = 1) AS bo
+         |       FROM fl),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |       CAST(nd.n_docs - ag.n_surv AS BIGINT) AS n_exact_dropped,
+         |       CAST(ag.mo AS BIGINT) AS n_minhash_only,
+         |       CAST(ag.so AS BIGINT) AS n_simhash_only,
+         |       CAST(ag.bo AS BIGINT) AS n_both_near,
+         |       CAST(ag.n_surv - ag.mo - ag.so - ag.bo AS BIGINT) AS n_clean
+         |FROM ag CROSS JOIN nd""".stripMargin,
+
+    // the survivor simhash chain joined LEFT to exact-jaccard
+    // verification, radii via a 4-row theta join
+    "llm_simhash_pr_curve" ->
+      s"""WITH fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${shingleCtes("docs2")},
+         |toksv AS (SELECT DISTINCT doc_id, tok
+         |          FROM (SELECT doc_id, unnest(string_split($NORM, ' ')) AS tok FROM docs2)),
+         |thv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toksv),
+         |votes AS (SELECT doc_id, b,
+         |                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM thv, unnest(generate_series(0, 59)) AS g(b)
+         |          GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |bandedv AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+         |            FROM sim, unnest(generate_series(0, 3)) AS g(band)),
+         |sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |       FROM bandedv a JOIN bandedv b
+         |         ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_both
+         |          FROM sp p JOIN sh x ON x.doc_id = p.doc_a
+         |               JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT p.doc_a, p.doc_b, p.hamming,
+         |              COALESCE(CAST(ROUND(CAST(i.n_both AS DOUBLE)
+         |                / (sa.n_sh + sb.n_sh - i.n_both), 6) AS DOUBLE),
+         |                CAST(0.0 AS DOUBLE)) AS jac
+         |       FROM sp p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |            LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+         |            LEFT JOIN sizes sb ON sb.doc_id = p.doc_b)
+         |SELECT CAST(r.radius AS INT) AS radius,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count_if(jp.jac >= 0.6) AS BIGINT) AS n_verified,
+         |       CAST(count_if(jp.jac >= 0.6) * 1000000 // count(*) AS BIGINT) AS precision_ppm
+         |FROM (SELECT unnest(generate_series(0, 3)) AS radius) r
+         |JOIN jp ON jp.hamming <= r.radius
+         |GROUP BY r.radius ORDER BY radius""".stripMargin,
 
     // low bits straight off the oracle's own minhash CTE, exact jaccard
     // from the shared verification CTEs

@@ -123,6 +123,62 @@ object Ops {
       FROM p ORDER BY user_id"""
   }
 
+  /** Group-sequential A/B monitoring SQL (four interim looks, the
+    * PUBLISHED Pocock K=4/α=0.05 boundary 2.361 entering as a literal —
+    * no in-plan distribution functions): the event calendar splits into
+    * 4 sequential looks, arms are a deterministic md5 user bit, and each
+    * look's z-statistic comes from CUMULATIVE exact sufficient
+    * statistics (DECIMAL window sums ordered by look) through the
+    * agg_ab_welch tree. The crossing flag compares the raw IEEE z to the
+    * literal — identical trees compare identically in both engines.
+    * `div` is the integer-division token (Spark DIV, DuckDB //).
+    */
+  private def groupSeqSql(dayExpr: String, div: String): String =
+    s"""
+      WITH d0 AS (SELECT user_id, $dayExpr AS dy,
+                         CAST(ROUND(value * 100) AS BIGINT) AS v,
+                         substr(md5('gs' || user_id), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7') AS in_a
+                  FROM events),
+      b AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM d0),
+      q AS (SELECT d0.user_id, d0.v, d0.in_a,
+                   LEAST(3, (d0.dy - b.lo) * 4 $div (b.hi - b.lo + 1)) AS look
+            FROM d0 CROSS JOIN b),
+      g AS (SELECT look,
+                   CAST(count_if(in_a) AS BIGINT) AS n1k,
+                   CAST(SUM(CASE WHEN in_a THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1k,
+                   CAST(SUM(CASE WHEN in_a THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q1k,
+                   CAST(count_if(NOT in_a) AS BIGINT) AS n2k,
+                   CAST(SUM(CASE WHEN NOT in_a THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2k,
+                   CAST(SUM(CASE WHEN NOT in_a THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q2k
+            FROM q GROUP BY look),
+      c AS (SELECT look,
+                   CAST(SUM(n1k) OVER w AS BIGINT) AS n1,
+                   CAST(SUM(s1k) OVER w AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(q1k) OVER w AS DECIMAL(38,0)) AS q1,
+                   CAST(SUM(n2k) OVER w AS BIGINT) AS n2,
+                   CAST(SUM(s2k) OVER w AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(q2k) OVER w AS DECIMAL(38,0)) AS q2
+            FROM g
+            WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      z AS (SELECT look, n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                   CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) AS v2
+            FROM c WHERE n1 >= 2 AND n2 >= 2)
+      SELECT CAST(look AS INT) AS look,
+             CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(ROUND((m1 - m2)
+               / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 6)
+               AS DOUBLE) AS z,
+             CAST(ABS((m1 - m2)
+               / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))) > 2.361
+               AS BOOLEAN) AS crossed
+      FROM z ORDER BY look"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_error_sweep" -> ((s, d) => {
       Tables.register(s, d)
@@ -1540,6 +1596,17 @@ object Ops {
         "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)"))
     }),
 
+    // group-sequential A/B monitoring — the interim-look discipline that
+    // lets an experiment STOP EARLY without inflating false positives:
+    // four calendar looks, cumulative Welch z per look, Pocock boundary
+    // literal. Driver-literal boundaries, DECIMAL-exact cumulative stats
+    "agg_group_sequential" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(groupSeqSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)",
+        "DIV"))
+    }),
+
     // Pareto concentration — "how few customers carry 80% of revenue",
     // per market segment: rank customers by lifetime cents, find the
     // smallest prefix whose cumulative share reaches 4/5 (the crossing
@@ -2380,6 +2447,11 @@ object Ops {
          |FROM st JOIN g ON g.label = st.label AND g.rn = 1
          |ORDER BY entity_id""".stripMargin
     },
+
+    // identical statistic text; only day-index + integer-division differ
+    "agg_group_sequential" -> groupSeqSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)",
+      "//"),
 
     // identical filter text; only the day-index dialect differs
     "ts_croston" -> crostonSql(
