@@ -517,7 +517,9 @@ object Llm {
         .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
           "CAST(n3 AS BIGINT) AS n3", "CAST(n4 AS BIGINT) AS n4",
           "CAST(n_types AS BIGINT) AS n_types",
-          "CAST(ROUND(CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE), 6) AS DOUBLE) AS d_kn")
+          // NULLIF: a dup-heavy corpus can have NO 1/2-count bigram types
+          // at all (sf0.1 does) — ANSI division must yield NULL, not kill
+          "CAST(ROUND(CAST(n1 AS DOUBLE) / NULLIF(CAST(n1 + 2 * n2 AS DOUBLE), 0.0D), 6) AS DOUBLE) AS d_kn")
     }),
 
     // chance-corrected rater agreement (Cohen's kappa) between the
@@ -3097,7 +3099,7 @@ object Llm {
          |       CAST(count_if(cnt = 4) AS BIGINT) AS n4,
          |       CAST(count(*) AS BIGINT) AS n_types,
          |       CAST(ROUND(CAST(count_if(cnt = 1) AS DOUBLE)
-         |            / CAST(count_if(cnt = 1) + 2 * count_if(cnt = 2) AS DOUBLE), 6)
+         |            / NULLIF(CAST(count_if(cnt = 1) + 2 * count_if(cnt = 2) AS DOUBLE), 0.0), 6)
          |            AS DOUBLE) AS d_kn
          |FROM bt""".stripMargin,
 
