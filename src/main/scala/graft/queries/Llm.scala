@@ -553,22 +553,24 @@ object Llm {
     // tasks = customers, trials = their orders, "pass" = status F.
     // pass@k depends only on (n, c), so the output groups by that pair —
     // compact at any scale — and the unbiased 1 − C(n−c,k)/C(n,k) is
-    // evaluated as literal-unrolled integer products (k! cancels; 10
-    // factors of n ≤ a few hundred stay far inside int64), ONE IEEE
-    // division per k at the edge. Shared verbatim with the oracle
+    // evaluated as the literal-unrolled RATIO CHAIN Π(n−c−j)/(n−j)
+    // (k! cancels): a fixed left-to-right IEEE tree shared verbatim
+    // with the oracle, overflow-free at ANY n (the raw integer products
+    // overflowed int64 at the 10× staging's ~400 trials/task)
     "llm_pass_at_k" -> ((s, d) => {
       val tasks = Tables.load(s, d, "orders")
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n"),
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
         .where(col("n") >= 10)
-      def prod(base: String, k: Int): String =
-        (0 until k).map(j => s"($base - $j)").mkString(" * ")
-      def passAt(k: Int): String =
+      def passAt(k: Int): String = {
+        val ratio = (0 until k).map(j =>
+          s"(CAST(n - c - $j AS DOUBLE) / CAST(n - $j AS DOUBLE))")
+          .mkString(" * ")
         s"""CAST(ROUND(CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE)
-           |  ELSE 1.0 - CAST(${prod("(n - c)", k)} AS DOUBLE)
-           |             / CAST(${prod("n", k)} AS DOUBLE)
+           |  ELSE 1.0 - $ratio
            |  END, 6) AS DOUBLE) AS pass_at_$k""".stripMargin
+      }
       tasks.groupBy("n", "c").agg(count(lit(1)).as("n_tasks"))
         .selectExpr("CAST(n AS BIGINT) AS n", "CAST(c AS BIGINT) AS c",
           "CAST(n_tasks AS BIGINT) AS n_tasks",
@@ -669,10 +671,14 @@ object Llm {
     // estimate Jaccard from the bit-collision count as ĵ = 2c − 1 (the
     // r→0 form; a non-matching pair still collides half the time by
     // chance). Published beside the exact shingle Jaccard on the SAME
-    // banding candidates, so the entry IS the estimator-vs-truth audit;
-    // integer bit matches, one ROUND division
+    // banding candidates over exact-collapse SURVIVORS (copies share
+    // every minhash — raw candidates go quadratic per exact class,
+    // measured 6× super-linear at the 10× staging), so the entry IS the
+    // estimator-vs-truth audit; integer bit matches, one ROUND division
     "llm_bbit_minhash" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd0 = docs(s, d)
+      val dd = dd0.join(
+        Dedup.exact(dd0).select(col("keep_id").as("doc_id")), Seq("doc_id"))
       val cand = Dedup.lshCandidates(dd).select("doc_a", "doc_b")
       val bits = Dedup.minhash(dd).select(
         col("doc_id") +: (0 until 8).map(i => expr(s"h$i % 2").as(s"b$i")): _*)
@@ -3132,15 +3138,17 @@ object Llm {
          |            / CAST(st.n * st.n - pe.pe_num AS DOUBLE), 6) AS DOUBLE) AS kappa
          |FROM st CROSS JOIN pe""".stripMargin,
 
-    // the identical literal-unrolled products — k! cancels in the ratio
+    // the identical literal-unrolled ratio chain — k! cancels, no
+    // integer product can overflow
     "llm_pass_at_k" -> {
-      def prod(base: String, k: Int): String =
-        (0 until k).map(j => s"($base - $j)").mkString(" * ")
-      def passAt(k: Int): String =
+      def passAt(k: Int): String = {
+        val ratio = (0 until k).map(j =>
+          s"(CAST(n - c - $j AS DOUBLE) / CAST(n - $j AS DOUBLE))")
+          .mkString(" * ")
         s"""CAST(ROUND(CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE)
-           |  ELSE 1.0 - CAST(${prod("(n - c)", k)} AS DOUBLE)
-           |             / CAST(${prod("n", k)} AS DOUBLE)
+           |  ELSE 1.0 - $ratio
            |  END, 6) AS DOUBLE) AS pass_at_$k""".stripMargin
+      }
       s"""WITH tasks AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
          |                      CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS c
          |               FROM orders GROUP BY 1 HAVING count(*) >= 10)
@@ -3264,13 +3272,17 @@ object Llm {
          |JOIN jp ON jp.hamming <= r.radius
          |GROUP BY r.radius ORDER BY radius""".stripMargin,
 
-    // low bits straight off the oracle's own minhash CTE, exact jaccard
-    // from the shared verification CTEs
+    // low bits straight off the oracle's own minhash CTE over the
+    // exact-collapse survivors, exact jaccard from the shared
+    // verification CTEs
     "llm_bbit_minhash" -> {
       val bitCols = (0 until 8).map(i => s"h$i % 2 AS b$i").mkString(", ")
       val matchSum = (0 until 8)
         .map(i => s"CAST(a.b$i = b.b$i AS INT)").mkString(" + ")
-      s"""WITH ${minhashCtes()},
+      s"""WITH fps AS (SELECT doc_id, md5($NORM) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |${minhashCtes("docs2")},
          |$jaccardCtes,
          |bits AS (SELECT doc_id, $bitCols FROM mh),
          |nm AS (SELECT c.doc_a, c.doc_b, $matchSum AS nm
