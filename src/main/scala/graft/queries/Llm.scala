@@ -578,6 +578,32 @@ object Llm {
         .orderBy("n", "c")
     }),
 
+    // per-source DISTINCTIVE-term signatures ("what makes src3 src3"):
+    // contrastive integer lift tf_s·(T−T_s) DIV ((tf−tf_s+1)·T_s) — the
+    // llm_pmi_collocations discipline applied source-vs-rest — top-5 per
+    // source via a rank window (WindowGroupLimit prunes below the sort).
+    // The corpus-profiling step before choosing mixture weights
+    "llm_source_signature" -> ((s, d) => {
+      val toks = docs(s, d).select(col("source"),
+          explode(expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')")).as("term"))
+        .where(col("term") =!= "")
+      val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("tf_s"))
+      val tot = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      val sTot = toks.groupBy("source").agg(count(lit(1)).as("ts_tot"))
+      val gTot = toks.agg(count(lit(1)).as("t_tot"))
+      bySrc.join(tot, Seq("term")).join(sTot, Seq("source"))
+        .crossJoin(broadcast(gTot))
+        .where(col("tf_s") >= 10)
+        .withColumn("lift",
+          expr("tf_s * (t_tot - ts_tot) DIV ((tf - tf_s + 1) * ts_tot)"))
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY source ORDER BY lift DESC, tf_s DESC, term)"))
+        .where(col("rank") <= 5)
+        .selectExpr("source", "CAST(rank AS INT) AS rank", "term",
+          "CAST(tf_s AS BIGINT) AS tf_s", "CAST(lift AS BIGINT) AS lift")
+        .orderBy("source", "rank")
+    }),
+
     // training-order shuffle QUALITY audit: adjacent-position same-source
     // rate of the seeded permutation vs the closed-form expectation for a
     // uniform shuffle (Σ n_s(n_s−1) / N(N−1)) — the diagnostic that
@@ -3156,6 +3182,29 @@ object Llm {
          |       ${passAt(1)}, ${passAt(5)}, ${passAt(10)}
          |FROM tasks GROUP BY n, c ORDER BY n, c""".stripMargin
     },
+
+    // the same contrastive lift and rank window over unnested tokens
+    "llm_source_signature" ->
+      s"""WITH tk AS (SELECT source, term
+         |            FROM (SELECT d.source,
+         |                         unnest(string_split($NORM, ' ')) AS term
+         |                  FROM documents d)
+         |            WHERE term <> ''),
+         |bs AS (SELECT source, term, count(*) AS tf_s FROM tk GROUP BY 1, 2),
+         |tt AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
+         |st AS (SELECT source, count(*) AS ts_tot FROM tk GROUP BY 1),
+         |gt AS (SELECT count(*) AS t_tot FROM tk),
+         |sc AS (SELECT b.source, b.term, b.tf_s,
+         |              b.tf_s * (gt.t_tot - st.ts_tot)
+         |                // ((tt.tf - b.tf_s + 1) * st.ts_tot) AS lift
+         |       FROM bs b JOIN tt USING (term) JOIN st USING (source)
+         |            CROSS JOIN gt
+         |       WHERE b.tf_s >= 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY lift DESC, tf_s DESC, term) AS rank FROM sc)
+         |SELECT source, CAST(rank AS INT) AS rank, term,
+         |       CAST(tf_s AS BIGINT) AS tf_s, CAST(lift AS BIGINT) AS lift
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     // flat-window permutation replay (the two-phase prefix sum is
     // pinned equivalent elsewhere), adjacency + expectation re-derived

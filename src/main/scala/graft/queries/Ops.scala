@@ -179,6 +179,43 @@ object Ops {
                AS BOOLEAN) AS crossed
       FROM z ORDER BY look"""
 
+  /** Week-over-week traffic-mix shift SQL: per-week event_type
+    * distribution compared to the previous PRESENT week by exact total
+    * variation distance — TVD numerator Σ|c·n_prev − c_prev·n| folds in
+    * DECIMAL (cross-multiplied integers, no per-cell rates), one IEEE
+    * division at the edge. The type×week matrix is completed with
+    * COALESCE-0 cells so a type that vanishes for a week still counts
+    * its full mass (`hint` carries Spark's broadcast hint for the
+    * type-dimension cross join; DuckDB reads it as a comment and the
+    * matrix is |types|×|weeks| — never data-sized).
+    */
+  private def mixShiftSql(dayExpr: String, div: String, hint: String): String =
+    s"""
+      WITH e AS (SELECT event_type, ($dayExpr) $div 7 AS wk FROM events),
+      c0 AS (SELECT wk, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+      ty AS (SELECT DISTINCT event_type FROM c0),
+      wks AS (SELECT DISTINCT wk FROM c0),
+      m AS (SELECT $hint w.wk, ty.event_type, CAST(COALESCE(c0.c, 0) AS BIGINT) AS c
+            FROM wks w CROSS JOIN ty
+            LEFT JOIN c0 ON c0.wk = w.wk AND c0.event_type = ty.event_type),
+      n AS (SELECT wk, CAST(SUM(c) AS BIGINT) AS n FROM m GROUP BY wk),
+      p AS (SELECT m.wk, m.event_type, m.c,
+                   LAG(m.c) OVER (PARTITION BY m.event_type ORDER BY m.wk) AS pc,
+                   LAG(m.wk) OVER (PARTITION BY m.event_type ORDER BY m.wk) AS pwk
+            FROM m),
+      j AS (SELECT p.wk, p.c, p.pc, n1.n AS n, n0.n AS pn
+            FROM p JOIN n n1 ON n1.wk = p.wk
+                 JOIN n n0 ON n0.wk = p.pwk
+            WHERE p.pc IS NOT NULL)
+      SELECT CAST(wk AS BIGINT) AS wk,
+             CAST(MAX(n) AS BIGINT) AS n_cur,
+             CAST(MAX(pn) AS BIGINT) AS n_prev,
+             CAST(ROUND(CAST(SUM(ABS(CAST(c AS DECIMAL(38,0)) * pn
+                      - CAST(pc AS DECIMAL(38,0)) * n)) AS DOUBLE)
+                  / (2.0 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(pn) AS DOUBLE)), 6)
+                  AS DOUBLE) AS tvd
+      FROM j GROUP BY wk ORDER BY wk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_error_sweep" -> ((s, d) => {
       Tables.register(s, d)
@@ -1584,6 +1621,17 @@ object Ops {
         FROM w ORDER BY event_type, hr""")
     }),
 
+    // week-over-week traffic-mix drift — the "did the composition of the
+    // feed change" alarm a pipeline runs before retraining on a new
+    // slice: exact integer TVD between consecutive weekly event_type
+    // distributions (the qc_t_closeness arithmetic on the time axis)
+    "ts_mix_shift" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(mixShiftSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)",
+        "DIV", "/*+ BROADCAST(ty) */"))
+    }),
+
     // Croston intermittent demand (the forecast family's sparse-series
     // member): ts_holt assumes a dense series; purchase-like demand is
     // mostly zeros, where SES over raw days collapses toward 0 and the
@@ -2447,6 +2495,11 @@ object Ops {
          |FROM st JOIN g ON g.label = st.label AND g.rn = 1
          |ORDER BY entity_id""".stripMargin
     },
+
+    // identical TVD text; day-index + division dialects, hint elided
+    "ts_mix_shift" -> mixShiftSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)",
+      "//", ""),
 
     // identical statistic text; only day-index + integer-division differ
     "agg_group_sequential" -> groupSeqSql(

@@ -373,6 +373,54 @@ object Windows {
                6) AS DOUBLE) AS t_welch
       FROM d ORDER BY o_orderstatus""",
 
+    // minimum detectable effect — the power-analysis number every
+    // experiment design starts from: pooled SD from DECIMAL-exact
+    // sufficient statistics, MDE = (z_{0.975} + z_{0.8})·sqrt(s²(1/n1 +
+    // 1/n2)) with the PUBLISHED normal quantiles entering as one literal
+    // (1.959964 + 0.841621 = 2.801585); arms are the md5 user bit
+    "agg_mde" -> """
+      WITH g AS (SELECT event_type,
+                        substr(md5('mde' || user_id), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7') AS in_a,
+                        CAST(ROUND(value * 100) AS BIGINT) AS v
+                 FROM events),
+      s AS (SELECT event_type,
+                   CAST(count_if(in_a) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN in_a THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(CASE WHEN in_a THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q1,
+                   CAST(count_if(NOT in_a) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN NOT in_a THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(CASE WHEN NOT in_a THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q2
+            FROM g GROUP BY event_type),
+      d AS (SELECT event_type, n1, n2,
+                   CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                   CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) AS v2
+            FROM s WHERE n1 >= 2 AND n2 >= 2)
+      SELECT event_type, n1, n2,
+             CAST(ROUND(sqrt((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2)
+                  / CAST(n1 + n2 - 2 AS DOUBLE)) / 100.0, 6) AS DOUBLE) AS sd_pooled,
+             CAST(ROUND(2.801585 * sqrt(((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2)
+                  / CAST(n1 + n2 - 2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) / 100.0, 6)
+                  AS DOUBLE) AS mde
+      FROM d ORDER BY event_type""",
+
+    // temporal referential integrity — the VALID-TIME side of an FK the
+    // row-level constraints can't see: every lineitem must ship inside
+    // its order's window (never before the order, flagged past +60d);
+    // integer timestamp compares, rates as one ROUND division
+    "qc_temporal_fk" -> """
+      SELECT o.o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count_if(l.l_shipdate < o.o_orderdate) AS BIGINT) AS n_ship_before_order,
+             CAST(count_if(l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS BIGINT) AS n_ship_beyond_60d,
+             CAST(ROUND(CAST(count_if(l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS DOUBLE)
+                  * 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS late_ppm
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderstatus ORDER BY o_orderstatus""",
+
     // delta-method standard error of a RATIO metric (revenue per event)
     // with user-level clustering — the correction every A/B readout of a
     // ratio needs (naive per-row SEs ignore that events cluster within
