@@ -100,7 +100,10 @@ object Entity {
     * split into several entities — and the differential oracle replays
     * the identical round count, so it structurally cannot catch the
     * under-merge. One |V|-row join; the per-round localCheckpoint makes
-    * the operator eager already.
+    * the operator eager already. Note the witness round: a component of
+    * diameter D needs `rounds` >= D + 1 — the labels stop CHANGING only
+    * the round after the last hop lands, so the budget must include one
+    * idle round for the probe to certify (OpsSpec pins this).
     */
   def entityLabels(pairs: DataFrame, ids: DataFrame,
                    rounds: Int = 6): DataFrame = {

@@ -192,6 +192,40 @@ class OpsSpec extends SparkSpec {
       (4L, 1L, 4L, "d", 10L)), s"got $got")
   }
 
+  test("entityLabels fails loudly when a component's diameter exceeds the round budget") {
+    import graft.operators.Entity
+    // a 12-link chain (diameter 12) cannot converge in 2 min-label rounds
+    val pairs = Seq.tabulate(12)(i => (i.toLong, i + 1L)).toDF("lid", "rid")
+    val ids = (0L to 12L).toDF("id")
+    assertThrows[IllegalArgumentException](
+      Entity.entityLabels(pairs, ids, rounds = 2))
+    // diameter rounds + ONE idle witness round = the probe can prove the
+    // fixed point (labels stop changing only the round AFTER the last
+    // hop lands)
+    assertThrows[IllegalArgumentException](
+      Entity.entityLabels(pairs, ids, rounds = 12))
+    val labels = Entity.entityLabels(pairs, ids, rounds = 13)
+      .collect().map(_.getLong(1)).toSet
+    assert(labels == Set(0L), s"chain should fold to label 0, got $labels")
+  }
+
+  test("sesCoefficients dot product equals the direct SES recurrence") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(2, 5, 8)) {
+      val (c, den) = Forecast.sesCoefficients(n)
+      val xs = Vector.fill(n)(BigInt(rnd.nextInt(2000001) - 1000000))
+      // direct recurrence in exact rationals scaled by 2^(n-1):
+      // l_1 = x_1; l_t = (x_t + l_{t-1}) / 2 — every halving dyadic
+      var num = xs.head * BigInt(2).pow(n - 1)
+      for (t <- 1 until n)
+        num = (xs(t) * BigInt(2).pow(n - 1) + num) / 2
+      // dot-product form: (Σ c_i x_i) / den == num / 2^(n-1)
+      val dot = c.zip(xs).map { case (ci, xi) => ci * xi }.sum
+      assert(dot * BigInt(2).pow(n - 1) == num * den,
+        s"n=$n: dot/den != direct recurrence")
+    }
+  }
+
   test("incrementalJoin converges under chained random delta batches") {
     val rnd = new scala.util.Random(13)
     // 40 facts over 12 dims; three successive upsert rounds touching
