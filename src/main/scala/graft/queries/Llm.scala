@@ -578,6 +578,65 @@ object Llm {
         .orderBy("n", "c")
     }),
 
+    // passage-level dedup rate (the RefinedWeb-style granularity between
+    // whole-document dedup and line dedup): per-source chunk counts vs
+    // distinct chunk md5s over the same 32/24 windows llm_passage_chunks
+    // emits — the number that says HOW MUCH of a source is recycled
+    // passages even when no two whole documents match
+    "llm_chunk_dedup" -> ((s, d) =>
+      docs(s, d).select(col("source"),
+          expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(expr("size(w) >= 1 AND w[0] <> ''"))
+        .select(col("source"), explode(expr(
+          """transform(
+            |  sequence(0, CASE WHEN size(w) > 32 THEN (size(w) - 9) DIV 24
+            |                   ELSE 0 END),
+            |  j -> md5(array_join(slice(w, j * 24 + 1, 32), ' ')))"""
+            .stripMargin)).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"), countDistinct("h").as("n_distinct"))
+        .selectExpr("source", "CAST(n_chunks AS BIGINT) AS n_chunks",
+          "CAST(n_distinct AS BIGINT) AS n_distinct_chunks",
+          "CAST((n_chunks - n_distinct) * 1000000 DIV n_chunks AS BIGINT) AS dup_ppm")
+        .orderBy("source")),
+
+    // TextTiling-style topic segmentation signal: token-set Jaccard
+    // between CONSECUTIVE passage chunks of each document; a low-overlap
+    // boundary (<0.1) marks a topic shift — the split points a
+    // context-window packer should prefer. Exact integer overlaps via
+    // the exploded (chunk, token) join, one ROUND division per boundary
+    "llm_topic_shifts" -> ((s, d) => {
+      val ch = docs(s, d).select(col("doc_id"),
+          expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(expr("size(w) > 32 AND w[0] <> ''"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(w) - 9) DIV 24),
+            |  j -> slice(w, j * 24 + 1, 32))""".stripMargin))
+          .as(Seq("j", "cw")))
+      val tk = ch.select(col("doc_id"), col("j"), explode(col("cw")).as("tok"))
+        .distinct()
+      val sz = tk.groupBy("doc_id", "j").agg(count(lit(1)).as("n_tok"))
+      val ov = tk
+        .join(tk.select(col("doc_id"), (col("j") - 1).as("j"), col("tok")),
+          Seq("doc_id", "j", "tok"))
+        .groupBy("doc_id", "j").agg(count(lit(1)).as("n_both"))
+      val pairs = sz
+        .join(sz.select(col("doc_id"), (col("j") - 1).as("j"),
+          col("n_tok").as("n_next")), Seq("doc_id", "j"))
+        .join(ov, Seq("doc_id", "j"), "left")
+        .select(col("doc_id"), expr(
+          "CAST(ROUND(CAST(COALESCE(n_both, 0) AS DOUBLE) " +
+            "/ (n_tok + n_next - COALESCE(n_both, 0)), 6) AS DOUBLE)").as("jac"))
+      pairs.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jac") < 0.1, 1L).otherwise(0L)).as("n_shifts"),
+          min("jac").as("min_jac"))
+        .selectExpr("doc_id", "CAST(n_pairs AS BIGINT) AS n_pairs",
+          "CAST(n_shifts AS BIGINT) AS n_shifts",
+          "CAST(min_jac AS DOUBLE) AS min_jaccard")
+        .orderBy("doc_id")
+    }),
+
     // per-source DISTINCTIVE-term signatures ("what makes src3 src3"):
     // contrastive integer lift tf_s·(T−T_s) DIV ((tf−tf_s+1)·T_s) — the
     // llm_pmi_collocations discipline applied source-vs-rest — top-5 per
@@ -3182,6 +3241,45 @@ object Llm {
          |       ${passAt(1)}, ${passAt(5)}, ${passAt(10)}
          |FROM tasks GROUP BY n, c ORDER BY n, c""".stripMargin
     },
+
+    // the same windows, chunk md5s re-derived with 1-based list slices
+    "llm_chunk_dedup" ->
+      s"""WITH n AS (SELECT doc_id, source, string_split($NORM, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, source, w, length(w) AS nt FROM n
+         |      WHERE length(w) >= 1 AND w[1] <> ''),
+         |ch AS (SELECT source, md5(array_to_string(w[j*24+1 : j*24+32], ' ')) AS h
+         |       FROM t, unnest(generate_series(0,
+         |              CASE WHEN nt > 32 THEN (nt - 9) // 24 ELSE 0 END)) AS u(j))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+         |       CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    // consecutive-chunk token-set Jaccard replayed over the exploded
+    // (chunk, token) join
+    "llm_topic_shifts" ->
+      s"""WITH n AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, w, length(w) AS nt FROM n
+         |      WHERE length(w) > 32 AND w[1] <> ''),
+         |ch AS (SELECT doc_id, j, w[j*24+1 : j*24+32] AS cw
+         |       FROM t, unnest(generate_series(0, (nt - 9) // 24)) AS u(j)),
+         |tk AS (SELECT DISTINCT doc_id, j, tok
+         |       FROM (SELECT doc_id, j, unnest(cw) AS tok FROM ch)),
+         |sz AS (SELECT doc_id, j, count(*) AS n_tok FROM tk GROUP BY 1, 2),
+         |ov AS (SELECT a.doc_id, a.j, count(*) AS n_both
+         |       FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+         |            AND b.tok = a.tok
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT a.doc_id,
+         |              CAST(ROUND(CAST(COALESCE(o.n_both, 0) AS DOUBLE)
+         |                / (a.n_tok + b.n_tok - COALESCE(o.n_both, 0)), 6)
+         |                AS DOUBLE) AS jac
+         |       FROM sz a JOIN sz b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+         |            LEFT JOIN ov o ON o.doc_id = a.doc_id AND o.j = a.j)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count_if(jac < 0.1) AS BIGINT) AS n_shifts,
+         |       CAST(MIN(jac) AS DOUBLE) AS min_jaccard
+         |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the same contrastive lift and rank window over unnested tokens
     "llm_source_signature" ->
