@@ -37,6 +37,28 @@ object Bench {
       case _ => (first, None)
     }
 
+  /** Per-entry guard factor (r14 verdict #1, optional part): box churn
+    * dominates sub-second entries — a 1.5 s band entry reading 2.5× is
+    * almost certainly churn worth one cheap re-measure, while a 10 s
+    * heavy at 2.5× is plausibly a real plan change that min-of-2 already
+    * sampled twice. Tight bands get the tighter guard.
+    */
+  def guardFactor(band: Option[Double]): Double =
+    if (band.exists(b => b > 0 && b < 1.5)) 2.0 else 3.0
+
+  /** Geometric-mean ratio num(k)/den(k) over shared keys with positive
+    * values; -1 when no comparable pair exists. Pure — unit-tested by
+    * BenchGuardSpec (the canary arithmetic must not need a Spark session
+    * to verify).
+    */
+  def geoRatio(num: Map[String, Double], den: Map[String, Double]): Double = {
+    val rs = num.keySet.intersect(den.keySet).toSeq.flatMap { k =>
+      val (n, d) = (num(k), den(k))
+      if (n > 0 && d > 0) Some(n / d) else None
+    }
+    if (rs.isEmpty) -1.0 else math.exp(rs.map(math.log).sum / rs.size)
+  }
+
   /** Per-entry clean-run bands: `name<TAB>seconds` lines (comments with
     * `#`). Missing/unreadable file → empty map (guard disabled).
     */
@@ -60,12 +82,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local("graft-bench")
     Tables.register(spark, sfDir)
-    // one tiny off-the-clock action: JIT/codegen/scan infrastructure
-    // warm-up otherwise lands entirely on the alphabetically-first entry
-    // (measured: agg_cube reads 2.6-2.8 s first vs ~1 s when not first).
-    // Individual query plans are NOT pre-run — per-query compile cost
-    // stays on the clock.
-    spark.sql("SELECT count(*) FROM lineitem").collect()
+    // off-the-clock warm-up, one count(*) per registered table (r14
+    // verdict #3): JIT/codegen/scan infrastructure AND the OS page cache
+    // for every fixture file. A single-table warm-up charged each other
+    // table's cold read to the first entry touching it — judge measured
+    // llm_knn_classify 1.216 s as a subset run's first embeddings reader
+    // vs 0.632 s warm. Individual query plans are NOT pre-run — per-query
+    // compile cost stays on the clock.
+    Tables.all.foreach { t => spark.sql(s"SELECT count(*) FROM $t").collect() }
     // same treatment for the STREAMING engine: the first streaming query
     // in a session pays ~9 s of one-time init (incremental planner,
     // state-store provider, merging-session iterator classes — measured:
@@ -119,45 +143,69 @@ object Bench {
         loadBands(sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS", "bench_bands.tsv"))
       else Map.empty[String, Double]
     var outliers = List.empty[(String, Double, Double)]
+    // one timed noop-sink pass for (name, fn); shared by the scored loop
+    // and the canary probes. Off-the-clock hygiene first: localCheckpoint()
+    // blocks from PRIOR entries persist until the driver GC's their RDD
+    // references (ContextCleaner is reference-triggered); across 300+
+    // entries they accumulate into storage pressure that taxed the late-
+    // alphabet heavies (r12: llm_pipeline_e2e 10.99 s in the full suite vs
+    // 8.37 s solo, zero code change). One entry's leakage must not be
+    // charged to the next, so drop all persisted blocks before each timed
+    // run — entries (re)build their own. clearCache first: dropping an
+    // InMemoryRelation's blocks behind the CacheManager's back would leave
+    // later plans substituting a cache they must recompute anyway.
+    def onePass(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Whole-run churn canary (r14 verdict #1): three fixed cheap entries
+    // timed off-the-clock at session START and END. Broad 1.5-2.5× box
+    // churn sails under the per-entry guard; the canary makes the scored
+    // artifact self-adjudicating — start/band says whether the SESSION
+    // began inflated, end/start says whether the box degraded DURING the
+    // run. Both ratios print in both output lines; a judge reads them
+    // instead of re-running.
+    val canaryNames = Seq("tpch_q6", "tpch_q1", "llm_dedup_exact")
+    def canaryPass(): Map[String, Double] =
+      canaryNames.flatMap { n =>
+        SparkEntry.queries.get(n).flatMap { fn =>
+          try Some(n -> onePass(fn))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }.toMap
+    val canaryStart = canaryPass()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timedPasses(n: Int): Double =
-        try {
-          (1 to n).map { _ =>
-            // off-the-clock hygiene: localCheckpoint() blocks from PRIOR
-            // entries persist until the driver GC's their RDD references
-            // (ContextCleaner is reference-triggered); across 300+ entries
-            // they accumulate into storage pressure that taxed the late-
-            // alphabet heavies (r12: llm_pipeline_e2e 10.99 s in the full
-            // suite vs 8.37 s solo, zero code change). One entry's leakage
-            // must not be charged to the next, so drop all persisted
-            // blocks before each timed run — entries (re)build their own.
-            // clearCache first: dropping an InMemoryRelation's blocks
-            // behind the CacheManager's back would leave later plans
-            // substituting a cache they must recompute anyway
-            spark.catalog.clearCache()
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        } catch {
+      // recordError=false on guard-triggered re-measures (ADVICE r14): a
+      // flaky retry must not convert a clean first reading into a reported
+      // bench failure — churnGuard's -1 handling already keeps the first
+      // reading when the retry dies.
+      def timedPasses(n: Int, recordError: Boolean = true): Double =
+        try (1 to n).map(_ => onePass(fn)).min
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
             e.printStackTrace()
-            errors ::= name
+            if (recordError) errors ::= name
             -1.0
         }
+      val band = bands.get(name)
       val first = timedPasses(repeat)
-      val (sec, firedAt) = churnGuard(first, bands.get(name)) {
+      val (sec, firedAt) = churnGuard(first, band, guardFactor(band)) {
         System.err.println(
           s"[bench] $name read ${Fmt.sec(first, 3)}s vs band " +
             s"${Fmt.sec(bands(name), 3)}s — re-measuring (min-of-3)")
-        timedPasses(3)
+        timedPasses(3, recordError = false)
       }
       firedAt.foreach(f => outliers ::= ((name, f, sec)))
       name -> sec
     }
+    val canaryEnd = canaryPass()
+    val canaryBands = canaryNames.flatMap(n => bands.get(n).map(n -> _)).toMap
     // per-query values rounded to ms: the driver's capture has truncated
     // this line from the FRONT in past rounds (only the alphabetical tail
     // of `queries` survived), so (a) keep the line short, and (b) carry
@@ -176,10 +224,22 @@ object Bench {
       xs.sortBy(_._1)
         .map { case (n, f, v) => s""""$n":[${ms(f)},${ms(v)}]""" }
         .mkString("{", ",", "}")
+    // canary report: per-entry start/end seconds plus the two adjudication
+    // ratios — end_over_start (did the box degrade during the run) and
+    // start_over_band (did the whole session begin inflated). Geometric
+    // mean over the three probes; -1 when a side is unavailable.
+    def cmap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${ms(v)}""" }
+        .mkString("{", ",", "}")
+    val canaryRatios =
+      s""""end_over_start":${ms(geoRatio(canaryEnd, canaryStart))},""" +
+        s""""start_over_band":${ms(geoRatio(canaryStart, canaryBands))}"""
+    val canaryFull =
+      s""""canary":{"start":${cmap(canaryStart)},"end":${cmap(canaryEnd)},$canaryRatios}"""
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","tpch_subtotal":${ms(tpch)},""" +
         s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
-        s""""band_outliers":${outlierJson(outliers)},""" +
+        s""""band_outliers":${outlierJson(outliers)},$canaryFull,""" +
         s""""total_sec":${ms(total)},"tpch_subtotal_sec":${ms(tpch)}}"""
     // The driver's capture keeps only a ~2 KB TAIL of stdout; the full
     // per-query line is 5+ KB at 200+ entries, so even printed twice it
@@ -198,12 +258,22 @@ object Bench {
     // is bounded (first 5 names + a count); the full-detail line above
     // carries the complete list.
     val errCompact = errors.sorted.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // compact outliers: the 6 LARGEST first/band inflations survive (the
+    // most informative ones), selected BEFORE outlierJson's name sort —
+    // r14's artifact took insertion order, so which 6 survived was
+    // processing-order noise. band_outliers_n says how many the full
+    // line carries, so the truncation is self-describing.
+    val outCompact = outliers
+      .sortBy { case (n, f, _) => -(f / bands.getOrElse(n, f).max(1e-9)) }
+      .take(6)
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""n":${results.size},"tpch_subtotal_sec":${ms(tpch)},""" +
         s""""total_sec":${ms(total)},"error_count":${errors.size},""" +
         s""""errors":$errCompact,""" +
-        s""""band_outliers":${outlierJson(outliers.take(6))},""" +
+        s""""band_outliers_n":${outliers.size},""" +
+        s""""band_outliers":${outlierJson(outCompact)},""" +
+        s""""canary":{$canaryRatios},""" +
         s""""queries":$headline}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -106,15 +106,16 @@ object Entity {
     * idle round for the probe to certify (OpsSpec pins this).
     */
   def entityLabels(pairs: DataFrame, ids: DataFrame,
-                   rounds: Int = 6): DataFrame = {
+                   rounds: Int = 6, maxExtraRounds: Int = 0): DataFrame = {
     require(rounds >= 1, "need at least one propagation round")
+    require(maxExtraRounds >= 0, "extension budget cannot be negative")
     val und = pairs.selectExpr("CAST(lid AS BIGINT) AS a",
       "CAST(rid AS BIGINT) AS b").distinct()
     val sym = und.union(und.selectExpr("b AS a", "a AS b"))
       .localCheckpoint()
     var labels = ids.select(col("id"), col("id").as("label"))
     var prev = labels
-    for (_ <- 1 to rounds) {
+    def oneRound(): Unit = {
       val nbr = sym.select(col("a").as("id"), col("b").as("nb"))
         .join(labels.select(col("id").as("nb"), col("label").as("nl")),
           Seq("nb"))
@@ -126,20 +127,40 @@ object Entity {
             .as("label"))
         .localCheckpoint()
     }
-    val changed = labels.select(col("id"), col("label").as("nl"))
-      .join(prev.select(col("id"), col("label").as("pl")), Seq("id"))
-      .where(col("nl") =!= col("pl")).limit(1).count()
-    require(changed == 0L,
-      s"entityLabels: min-label propagation still moving after $rounds " +
-        "rounds — a component's diameter exceeds the round budget; raise " +
-        "`rounds` (cost is one |edges| join per extra round)")
+    def stillMoving(): Boolean =
+      labels.select(col("id"), col("label").as("nl"))
+        .join(prev.select(col("id"), col("label").as("pl")), Seq("id"))
+        .where(col("nl") =!= col("pl")).limit(1).count() != 0L
+    (1 to rounds).foreach(_ => oneRound())
+    // Graceful degradation under scale growth (r14 ADVICE): when the last
+    // round still changed, a diameter has outgrown the budget — with
+    // `maxExtraRounds` headroom the operator keeps propagating one round
+    // at a time until an idle round certifies the fixed point (cost: one
+    // |edges| join + one |V| change-probe per extra round) instead of
+    // hard-failing the entry. The converged min-labels are the same
+    // deterministic connected-component assignment regardless of how
+    // many rounds it took. Budget exhausted → the original loud failure.
+    var extra = 0
+    var moving = stillMoving()
+    while (moving && extra < maxExtraRounds) {
+      oneRound()
+      extra += 1
+      moving = stillMoving()
+    }
+    require(!moving,
+      s"entityLabels: min-label propagation still moving after " +
+        s"${rounds + extra} rounds — a component's diameter exceeds the " +
+        "round budget; raise `rounds`/`maxExtraRounds` (cost is one " +
+        "|edges| join per extra round)")
     labels
   }
 
   def goldenRecords(pairs: DataFrame, records: DataFrame,
-                    pick: Seq[Column], rounds: Int = 6): DataFrame = {
+                    pick: Seq[Column], rounds: Int = 6,
+                    maxExtraRounds: Int = 6): DataFrame = {
     val members = records.join(
-      entityLabels(pairs, records.select("id"), rounds), Seq("id"))
+      entityLabels(pairs, records.select("id"), rounds, maxExtraRounds),
+      Seq("id"))
     val golden = members
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("label")).orderBy(pick: _*)))

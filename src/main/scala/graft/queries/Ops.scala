@@ -1009,7 +1009,8 @@ object Ops {
         .unionByName(rightDf
           .selectExpr("rid AS id", "seg", "bal", "c_nationkey AS nat"))
       records
-        .join(Entity.entityLabels(matches, records.select("id")), Seq("id"))
+        .join(Entity.entityLabels(matches, records.select("id"),
+          maxExtraRounds = 6), Seq("id"))
         .groupBy("label")
         .agg(min("id").as("entity_id"), count(lit(1)).as("n_members"),
           countDistinct("seg").as("n_segments"),

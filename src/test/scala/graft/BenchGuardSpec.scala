@@ -40,6 +40,35 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(s3 == 9.7 && f3.contains(9.7))
   }
 
+  test("guard factor tightens to 2x for sub-1.5s bands (churn-dominated entries)") {
+    assert(Bench.guardFactor(Some(0.9)) == 2.0)
+    assert(Bench.guardFactor(Some(1.49)) == 2.0)
+    assert(Bench.guardFactor(Some(1.5)) == 3.0)
+    assert(Bench.guardFactor(Some(10.0)) == 3.0)
+    assert(Bench.guardFactor(None) == 3.0)
+    assert(Bench.guardFactor(Some(0.0)) == 3.0, "degenerate band never tightens")
+    // the tightened factor actually fires: 2.2x a 1.0s band re-measures
+    var calls = 0
+    val (sec, fired) = Bench.churnGuard(2.2, Some(1.0), Bench.guardFactor(Some(1.0))) {
+      calls += 1; 0.95
+    }
+    assert(calls == 1 && sec == 0.95 && fired.contains(2.2))
+  }
+
+  test("canary geo-ratio: matching keys only, positive values only, -1 when empty") {
+    val start = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    val end = Map("a" -> 2.0, "b" -> 4.0, "c" -> 8.0)
+    assert(math.abs(Bench.geoRatio(end, start) - 2.0) < 1e-12,
+      "uniform 2x inflation reads exactly 2.0")
+    assert(math.abs(Bench.geoRatio(start, start) - 1.0) < 1e-12)
+    // non-overlapping / non-positive pairs are skipped, not poisoning the mean
+    assert(math.abs(Bench.geoRatio(
+      Map("a" -> 2.0, "x" -> 9.0, "b" -> -1.0),
+      Map("a" -> 1.0, "y" -> 9.0, "b" -> 2.0)) - 2.0) < 1e-12)
+    assert(Bench.geoRatio(Map.empty, start) == -1.0)
+    assert(Bench.geoRatio(Map("a" -> -1.0), Map("a" -> 1.0)) == -1.0)
+  }
+
   test("band file round-trip: tab-separated lines, comments skipped, junk tolerated") {
     val p = java.nio.file.Files.createTempFile("bands", ".tsv")
     java.nio.file.Files.writeString(p,

@@ -207,6 +207,16 @@ class OpsSpec extends SparkSpec {
     val labels = Entity.entityLabels(pairs, ids, rounds = 13)
       .collect().map(_.getLong(1)).toSet
     assert(labels == Set(0L), s"chain should fold to label 0, got $labels")
+    // graceful degradation (r14 ADVICE): an extension budget turns the
+    // over-diameter failure into extra |edges| joins — rounds=2 on the
+    // diameter-12 chain converges with headroom, same labels
+    val extended = Entity.entityLabels(pairs, ids, rounds = 2,
+        maxExtraRounds = 20)
+      .collect().map(_.getLong(1)).toSet
+    assert(extended == Set(0L), s"extension should fold to 0, got $extended")
+    // budget too small still fails loudly
+    assertThrows[IllegalArgumentException](
+      Entity.entityLabels(pairs, ids, rounds = 2, maxExtraRounds = 3))
   }
 
   test("sesCoefficients dot product equals the direct SES recurrence") {
