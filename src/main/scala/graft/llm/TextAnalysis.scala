@@ -1198,6 +1198,85 @@ object TextAnalysis {
     out.toSeq.toDF("step", "doc_id", "gain", "covered_total")
   }
 
+  /** Interpolated Kneser–Ney held-out scorer — the composition of the
+    * `llm_kn_counts`/`llm_kn_discounts` statistics into the actual
+    * smoothed bigram LM (the production quality-filter form; SRILM/KenLM
+    * -interpolate): with absolute discount D and train-side tables
+    * c12(c,t), c1(c)=Σ_t c12, fan(c)=N1+(c·), cont(t)=N1+(·t), n_bt =
+    * total bigram types,
+    *
+    *   P_KN(t|c) = (max(c12 − D, 0) + D·fan(c)·cont(t)/n_bt) / c1(c)
+    *
+    * and an unseen CONTEXT backs off to the continuation distribution
+    * alone, P = cont(t)/n_bt. D is pinned to the dyadic 3/4 (the
+    * textbook constant) so with the whole formula multiplied through by
+    * 4·n_bt every per-bigram probability is ONE IEEE division of two
+    * EXACT int64 products — ((4·c12−3)·n_bt + 3·fan·cont) / (4·c1·n_bt)
+    * — identical in any engine (the estimated D = n1/(n1+2n2) is itself
+    * a data-dependent double whose downstream products would be
+    * libm-free but order-sensitive; the dup-heavy fixture corpus has
+    * n1 = n2 = 0 where it is not even defined — `llm_kn_discounts`
+    * publishes it for consumers who want it).
+    *
+    * Per-doc outputs are log-free by the house determinism rule (log is
+    * not correctly-rounded IEEE; perplexity exp(−E[ln p]) is a
+    * monotone driver-side transform the consumer applies): avg_p_kn
+    * (position-ordered fold), n_oov / n_ctx_oov censuses, and
+    * hard_frac_ppm — the fraction of bigrams with p below the exact
+    * dyadic 2⁻¹⁰ (comparisons on bit-identical doubles, so the integer
+    * is deterministic).
+    *
+    * Scale shape: every model table derives from ONE bigram-type
+    * aggregate (vocabulary²-bounded, map-side combined) which is
+    * localCheckpointed and re-read by the three derivations instead of
+    * recomputing the corpus bigram scan three times; the 1-row type
+    * count broadcasts, the model joins are vocab-bounded.
+    */
+  def knScoreHeldOut(docs: DataFrame, trainDocs: DataFrame): DataFrame = {
+    def toks(d: DataFrame) = d.select(col("doc_id"),
+      expr(s"filter(split(${Dedup.normalizeExpr}, ' '), w -> length(w) > 0)")
+        .as("t"))
+    def bigrams(t: DataFrame) = t.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(i AS pos, t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+    val cbi = bigrams(toks(trainDocs)).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = cbi.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("fan"))
+    val cont = cbi.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val nbt = cbi.agg(count(lit(1)).as("n_bt"))
+    bigrams(toks(docs))
+      .join(cbi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nbt))
+      .withColumn("p", expr(
+        """CASE WHEN c1 IS NULL THEN
+          |       CAST(COALESCE(cont, 0) AS DOUBLE) / CAST(n_bt AS DOUBLE)
+          |     ELSE CAST((CASE WHEN c12 IS NULL THEN 0 ELSE 4 * c12 - 3 END)
+          |                 * n_bt + 3 * fan * COALESCE(cont, 0) AS DOUBLE)
+          |          / CAST(4 * c1 * n_bt AS DOUBLE)
+          |END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_ctx_oov"),
+        sum(when(col("p") < lit(0.0009765625d), 1L).otherwise(0L))
+          .as("__hard"),
+        expr(
+          """aggregate(transform(array_sort(collect_list(struct(pos, p))),
+            |  s -> s.p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+            .stripMargin).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("n_ctx_oov"),
+        expr("CAST(ROUND(__s / n_bigrams, 6) AS DOUBLE)").as("avg_p_kn"),
+        expr("CAST(FLOOR(__hard * 1000000 / n_bigrams) AS BIGINT)")
+          .as("hard_frac_ppm"))
+  }
+
   /** [[bigramScore]] with a HELD-OUT model — the honest form of the
     * perplexity filter: transition counts come from `trainDocs` only,
     * scoring runs over `docs` (a disjoint split), so no document is ever

@@ -522,6 +522,25 @@ object Llm {
           "CAST(ROUND(CAST(n1 AS DOUBLE) / NULLIF(CAST(n1 + 2 * n2 AS DOUBLE), 0.0D), 6) AS DOUBLE) AS d_kn")
     }),
 
+    // the KN statistics composed into the actual smoothed LM (r14
+    // verdict #4): interpolated Kneser–Ney bigram model with the dyadic
+    // D=3/4 discount, trained on the hash-split train side, scoring the
+    // held-out side — P_KN as ONE IEEE division of exact int64 products
+    // per bigram, log-free per-doc outputs (see knScoreHeldOut scaladoc)
+    "llm_kn_perplexity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = TextAnalysis.hashSplit(dd)
+      def part(cond: String) = dd.join(
+        split.where(cond).select("doc_id"), Seq("doc_id"))
+      TextAnalysis.knScoreHeldOut(
+          part("split <> 'train'"), part("split = 'train'"))
+        .selectExpr("doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+          "CAST(n_oov AS BIGINT) AS n_oov",
+          "CAST(n_ctx_oov AS BIGINT) AS n_ctx_oov",
+          "avg_p_kn", "hard_frac_ppm")
+        .orderBy("doc_id")
+    }),
+
     // chance-corrected rater agreement (Cohen's kappa) between the
     // n-gram language-ID heuristic and the fixture's gold labels — the
     // one-number upgrade over llm_langid_eval's raw confusion matrix:
@@ -2238,6 +2257,32 @@ object Llm {
       exStats.crossJoin(pairStats).crossJoin(cStats)
     }),
 
+    // diversity-balanced sampling (r14 verdict #6): per-IVF-cluster token
+    // quotas — the standard answer to topic over-concentration that
+    // importance weighting (llm_importance_score) misses: assign every
+    // embedded doc to its nearest centroid (fixed 8 like llm_ivf_topk —
+    // broadcast k-row table, map-side argmax), then fill each CLUSTER's
+    // equal share of the token budget in seeded-md5 order through the
+    // tokenBudgetMix two-phase prefix sum (running sums per
+    // (cluster, bucket), bucket offsets over a metadata-scale window —
+    // no cluster ever serializes into one task, no global sort). The
+    // oracle replays assignment + ONE flat per-cluster window, proving
+    // the stitch
+    "llm_cluster_quota" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where("vec_id < 8")
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val clusters = Ivf.assign(e, centroids)
+        .select(col("vec_id").as("doc_id"),
+          concat(lit("c"), col("centroid_id")).as("cluster"))
+      TextAnalysis.tokenBudgetMix(
+          docs(s, d).join(clusters, Seq("doc_id")),
+          (0 to 7).map(i => s"c$i" -> 1L).toMap,
+          budgetTokens = 16000L, seed = "quota1", sourceCol = "cluster")
+        .orderBy("doc_id")
+    }),
+
     // training-mix construction under a 20k-token budget with 1:2:3:4
     // source weights — quota fill in seeded order via the two-phase
     // prefix sum (no flat per-source window task)
@@ -3743,6 +3788,48 @@ object Llm {
          |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |         list(p ORDER BY pos)), (acc, v) -> acc + v) / count(*), 6)
          |         AS DOUBLE) AS avg_p
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // interpolated KN with D=3/4 multiplied through to exact integer
+    // numerators/denominators — every CTE mirrors knScoreHeldOut's
+    // derivation from the ONE bigram-type table
+    "llm_kn_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              list_filter(string_split($NORM, ' '),
+         |                          w -> length(w) > 0) AS t,
+         |              CAST(('0x' || substr(md5($NORM), 1, 15))::BIGINT % 100 AS INT) AS bucket
+         |            FROM documents),
+         |tbg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+         |        FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |        WHERE len(t) >= 2 AND bucket < 90),
+         |cbi AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, SUM(c12) AS c1, count(*) AS fan
+         |        FROM cbi GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS cont FROM cbi GROUP BY w2),
+         |nbt AS (SELECT count(*) AS n_bt FROM cbi),
+         |ebg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS w1,
+         |               t[i + 1] AS w2
+         |        FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |        WHERE len(t) >= 2 AND bucket >= 90),
+         |j AS (SELECT ebg.doc_id, ebg.pos, cbi.c12, ctx.c1,
+         |             CASE WHEN ctx.c1 IS NULL THEN
+         |                    CAST(COALESCE(cont.cont, 0) AS DOUBLE) / CAST(nbt.n_bt AS DOUBLE)
+         |                  ELSE CAST((CASE WHEN cbi.c12 IS NULL THEN 0 ELSE 4 * cbi.c12 - 3 END)
+         |                              * nbt.n_bt + 3 * ctx.fan * COALESCE(cont.cont, 0) AS DOUBLE)
+         |                       / CAST(4 * ctx.c1 * nbt.n_bt AS DOUBLE)
+         |             END AS p
+         |      FROM ebg LEFT JOIN cbi ON ebg.w1 = cbi.w1 AND ebg.w2 = cbi.w2
+         |           LEFT JOIN ctx ON ebg.w1 = ctx.w1
+         |           LEFT JOIN cont ON ebg.w2 = cont.w2
+         |           CROSS JOIN nbt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_oov,
+         |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(p ORDER BY pos)), (acc, v) -> acc + v) / count(*), 6)
+         |         AS DOUBLE) AS avg_p_kn,
+         |       CAST(FLOOR(SUM(CASE WHEN p < 0.0009765625 THEN 1 ELSE 0 END)
+         |         * 1000000 / count(*)) AS BIGINT) AS hard_frac_ppm
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the generator's sample formula through the identical 32-sample
@@ -5292,6 +5379,38 @@ object Llm {
     // ONE flat per-source running-sum window — the shape the operator's
     // two-phase decomposition avoids; identical quota literals via the
     // shared quotaTable builder
+    // the same argmax assignment as llm_ivf_balance feeding the
+    // llm_token_budget_mix selection replayed with ONE flat per-cluster
+    // window — green proves the two-phase stitch AND the cluster fronting
+    "llm_cluster_quota" -> {
+      val quotas = graft.llm.TextAnalysis
+        .quotaTable((0 to 7).map(i => s"c$i" -> 1L).toMap, 16000L)
+        .map { case (s, q) => s"('$s', $q)" }.mkString(", ")
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+         |                     embedding AS centroid
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${duckCosineRaw("embedding", "centroid")} DESC, centroid_id) AS rn
+         |        FROM embeddings, cent),
+         |cl AS (SELECT vec_id AS doc_id, 'c' || centroid_id AS cluster
+         |       FROM asg WHERE rn = 1),
+         |q(cluster, quota) AS (VALUES $quotas),
+         |k AS (SELECT cl.cluster, d.doc_id,
+         |             CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens,
+         |             q.quota, md5('quota1:' || d.doc_id) AS key
+         |      FROM documents d JOIN cl USING (doc_id) JOIN q USING (cluster)),
+         |r AS (SELECT cluster, doc_id, n_tokens, quota,
+         |             SUM(n_tokens) OVER (PARTITION BY cluster
+         |               ORDER BY key, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS cum_tokens
+         |      FROM k)
+         |SELECT doc_id, cluster, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum_tokens - n_tokens < quota
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "llm_token_budget_mix" -> {
       val quotas = graft.llm.TextAnalysis
         .quotaTable(Map("src0" -> 1L, "src1" -> 2L, "src2" -> 3L,

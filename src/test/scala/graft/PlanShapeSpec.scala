@@ -217,6 +217,20 @@ class PlanShapeSpec extends SparkSpec {
         s"would serialize into one window task:\n$plan")
   }
 
+  test("llm_cluster_quota: centroid table broadcasts; quota windows stay bucketed") {
+    val plan = staticPlan(
+      SparkEntry.queries("llm_cluster_quota")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 8-row centroid table must broadcast into the assignment:\n$plan")
+    assert("hashpartitioning\\(__src#\\d+, __bkt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"per-cluster quota fill lost its two-phase bucket decomposition — " +
+        s"a hot topic cluster would serialize into one window task:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      !plan.contains("Sort [__key"),
+      s"quota selection must never globally sort the corpus:\n$plan")
+  }
+
   test("llm_source_similarity: corpus collapses via partial min-aggregation") {
     val plan = staticPlan(
       SparkEntry.queries("llm_source_similarity")(spark, sfSmoke))
