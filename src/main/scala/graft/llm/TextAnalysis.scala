@@ -1198,6 +1198,42 @@ object TextAnalysis {
     out.toSeq.toDF("step", "doc_id", "gain", "covered_total")
   }
 
+  /** Green-list watermark detector (the Kirchenbauer et al. 2023 scheme's
+    * detection side): a watermarking LLM biases each token toward a
+    * pseudorandom "green list" seeded by the previous token; the detector
+    * recomputes membership for every adjacent pair and tests whether the
+    * green fraction beats the 1/2 a clean text would show. Here the green
+    * test is the md5 parity of (seed, prev, cur) — the same keyed-hash
+    * shape as the real scheme, and exactly reproducible in any engine.
+    *
+    * z = (2g − n)/√n (the one-proportion z against p=1/2 — integer
+    * numerator, correctly-rounded sqrt and division, so bit-identical
+    * cross-engine); the flag decision 2g−n > 4√n is taken in PURE
+    * integers as (2g−n) > 0 AND (2g−n)² > 16n — no float ever decides
+    * membership. One token-pair scan, one partial-aggregated per-doc
+    * count — embarrassingly parallel at any corpus size.
+    */
+  def watermarkDetect(docs: DataFrame, seed: String): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr(s"filter(split(${Dedup.normalizeExpr}, ' '), w -> length(w) > 0)")
+        .as("t"))
+    toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i - 1] AS prev, t[i] AS cur))")).as("b"))
+      .withColumn("green", expr(
+        s"CAST(conv(substr(md5(concat('$seed', ':', b.prev, '|', b.cur)), " +
+          "1, 15), 16, 10) AS BIGINT) % 2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("green").as("n_green"))
+      .select(col("doc_id"), col("n_scored"), col("n_green"),
+        expr("CAST(ROUND(CAST(2 * n_green - n_scored AS DOUBLE) " +
+          "/ SQRT(CAST(n_scored AS DOUBLE)), 6) AS DOUBLE)").as("z_green"),
+        expr("CAST(2 * n_green > n_scored AND " +
+          "(2 * n_green - n_scored) * (2 * n_green - n_scored) " +
+          "> 16 * n_scored AS BOOLEAN)").as("flagged"))
+  }
+
   /** Interpolated Kneser–Ney held-out scorer — the composition of the
     * `llm_kn_counts`/`llm_kn_discounts` statistics into the actual
     * smoothed bigram LM (the production quality-filter form; SRILM/KenLM

@@ -522,6 +522,15 @@ object Llm {
           "CAST(ROUND(CAST(n1 AS DOUBLE) / NULLIF(CAST(n1 + 2 * n2 AS DOUBLE), 0.0D), 6) AS DOUBLE) AS d_kn")
     }),
 
+    // green-list watermark detection (Kirchenbauer-style): keyed-hash
+    // parity per adjacent token pair, one-proportion z against 1/2, the
+    // flag decided in pure integers ((2g-n)² > 16n) — no float decides
+    "llm_watermark_detect" -> ((s, d) =>
+      TextAnalysis.watermarkDetect(docs(s, d), "wm1")
+        .selectExpr("doc_id", "CAST(n_scored AS BIGINT) AS n_scored",
+          "CAST(n_green AS BIGINT) AS n_green", "z_green", "flagged")
+        .orderBy("doc_id")),
+
     // the KN statistics composed into the actual smoothed LM (r14
     // verdict #4): interpolated Kneser–Ney bigram model with the dyadic
     // D=3/4 discount, trained on the hash-split train side, scoring the
@@ -3789,6 +3798,29 @@ object Llm {
          |         list(p ORDER BY pos)), (acc, v) -> acc + v) / count(*), 6)
          |         AS DOUBLE) AS avg_p
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical keyed-hash parity and integer flag arithmetic
+    "llm_watermark_detect" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              list_filter(string_split($NORM, ' '),
+         |                          w -> length(w) > 0) AS t
+         |            FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+         |       FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |       WHERE len(t) >= 2),
+         |g AS (SELECT doc_id,
+         |             ('0x' || substr(md5('wm1:' || prev || '|' || cur), 1, 15))::BIGINT % 2 AS green
+         |      FROM bg),
+         |a AS (SELECT doc_id, count(*) AS n_scored, SUM(green) AS n_green
+         |      FROM g GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
+         |       CAST(n_green AS BIGINT) AS n_green,
+         |       CAST(ROUND(CAST(2 * n_green - n_scored AS DOUBLE)
+         |         / SQRT(CAST(n_scored AS DOUBLE)), 6) AS DOUBLE) AS z_green,
+         |       (2 * n_green > n_scored AND
+         |        (2 * n_green - n_scored) * (2 * n_green - n_scored)
+         |          > 16 * n_scored) AS flagged
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // interpolated KN with D=3/4 multiplied through to exact integer
     // numerators/denominators — every CTE mirrors knScoreHeldOut's

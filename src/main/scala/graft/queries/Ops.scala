@@ -1637,6 +1637,60 @@ object Ops {
     // member): ts_holt assumes a dense series; purchase-like demand is
     // mostly zeros, where SES over raw days collapses toward 0 and the
     // Croston split — smooth nonzero demand SIZES and INTERVALS
+    // Kaplan–Meier time-to-repeat-purchase: spell = days from a
+    // customer's first order to the second (event) or to the corpus
+    // cutoff (censored). Corpus-scale work is the per-duration agg;
+    // risk sets and the survival prefix product run on the bounded
+    // day-granular table (operators/Survival.scala)
+    "ts_kaplan_meier" -> ((s, d) => {
+      Tables.register(s, d)
+      val spells = s.sql("""
+        WITH ranked AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                               row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS rn
+                        FROM orders),
+        firsts AS (SELECT o_custkey,
+                          MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+                          MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+                   FROM ranked WHERE rn <= 2 GROUP BY o_custkey),
+        cutoff AS (SELECT MAX(o_orderdate) AS mx FROM orders)
+        SELECT CASE WHEN d2 IS NOT NULL THEN datediff(d2, d1)
+                    ELSE datediff(mx, d1) END AS dur,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM firsts CROSS JOIN cutoff""")
+      graft.operators.Survival.kaplanMeier(spells)
+        .selectExpr("CAST(t_days AS BIGINT) AS t_days",
+          "CAST(n_risk AS BIGINT) AS n_risk",
+          "CAST(n_events AS BIGINT) AS n_events", "surv")
+        .orderBy("t_days")
+    }),
+
+    // 2×2 difference-in-differences (operators/Causal.scala): BUILDING
+    // segment vs rest, pre/post 1996 — one scan, four DECIMAL-exact cell
+    // means, the DiD contrast a fixed IEEE tree
+    "agg_diff_in_diff" -> ((s, d) => {
+      Tables.register(s, d)
+      graft.operators.Causal.diffInDiff(
+        s.sql("""
+          SELECT c_mktsegment = 'BUILDING' AS treat,
+                 o_orderdate >= DATE '1996-01-01' AS post,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON c_custkey = o_custkey"""),
+        col("treat"), col("post"), col("cents"))
+    }),
+
+    // post-stratification ATE + Neyman SE (operators/Causal.scala):
+    // strata = order priority, "treatment" = fulfilled status, outcome =
+    // order cents; per-stratum DECIMAL-exact sufficient stats, the
+    // stratum-ordered fold is metadata-scale
+    "agg_stratified_ate" -> ((s, d) => {
+      Tables.register(s, d)
+      graft.operators.Causal.stratifiedAte(s.sql("""
+        SELECT o_orderpriority AS strat, o_orderstatus = 'F' AS treated,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM orders"""))
+    }),
+
     // separately, forecast = size/interval — is the standard answer.
     // Same driver-unrolled dyadic machinery as ts_holt_forecast
     "ts_croston" -> ((s, d) => {
@@ -1832,6 +1886,113 @@ object Ops {
     // the identical sweep through DuckDB's hash/shift idioms — the
     // generator emits both dialects from one block structure
     "agg_hll_error_sweep" -> hllSweepSql(spark = false),
+
+    // identical spell construction; risk sets from the same reverse
+    // cumulative window; the survival prefix product replayed as
+    // slice-folds over the one ordered event-time list
+    "ts_kaplan_meier" -> """
+      WITH ranked AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                             row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS rn
+                      FROM orders),
+      firsts AS (SELECT o_custkey,
+                        MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+                        MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+                 FROM ranked WHERE rn <= 2 GROUP BY o_custkey),
+      cutoff AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      spells AS (SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                             ELSE date_diff('day', d1, mx) END AS dur,
+                        CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+                 FROM firsts CROSS JOIN cutoff),
+      byt AS (SELECT dur, SUM(ev) AS d, COUNT(*) AS c FROM spells GROUP BY dur),
+      risk AS (SELECT dur, d,
+                      SUM(c) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+               FROM byt),
+      evt AS (SELECT dur, d, n_risk,
+                     CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS term
+              FROM risk WHERE d > 0),
+      one AS (SELECT list(struct_pack(dur := dur, d := d, n_risk := n_risk,
+                                      term := term) ORDER BY dur) AS xs
+              FROM evt)
+      SELECT CAST(xs[j].dur AS BIGINT) AS t_days,
+             CAST(xs[j].n_risk AS BIGINT) AS n_risk,
+             CAST(xs[j].d AS BIGINT) AS n_events,
+             CAST(ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(xs[1:j], v -> v.term)), (a, v) -> a * v), 6)
+               AS DOUBLE) AS surv
+      FROM one, unnest(generate_series(1, len(xs))) u(j)
+      ORDER BY t_days""",
+
+    // the four cell sufficient statistics in one scan, identical CASE
+    // partitioning and division order
+    "agg_diff_in_diff" -> """
+      WITH b AS (SELECT c_mktsegment = 'BUILDING' AS treat,
+                        o_orderdate >= DATE '1996-01-01' AS post,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                 FROM orders JOIN customer ON c_custkey = o_custkey),
+      a AS (SELECT
+              SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS n_t0,
+              SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS n_t1,
+              SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS n_c0,
+              SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS n_c1,
+              CAST(SUM(CASE WHEN treat AND NOT post THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_t0,
+              CAST(SUM(CASE WHEN treat AND post THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_t1,
+              CAST(SUM(CASE WHEN NOT treat AND NOT post THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_c0,
+              CAST(SUM(CASE WHEN NOT treat AND post THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_c1
+            FROM b)
+      SELECT CAST(n_t0 AS BIGINT) AS n_t0, CAST(n_t1 AS BIGINT) AS n_t1,
+             CAST(n_c0 AS BIGINT) AS n_c0, CAST(n_c1 AS BIGINT) AS n_c1,
+             CAST(ROUND(CAST(s_t0 AS DOUBLE) / NULLIF(n_t0, 0), 6) AS DOUBLE) AS mean_t0,
+             CAST(ROUND(CAST(s_t1 AS DOUBLE) / NULLIF(n_t1, 0), 6) AS DOUBLE) AS mean_t1,
+             CAST(ROUND(CAST(s_c0 AS DOUBLE) / NULLIF(n_c0, 0), 6) AS DOUBLE) AS mean_c0,
+             CAST(ROUND(CAST(s_c1 AS DOUBLE) / NULLIF(n_c1, 0), 6) AS DOUBLE) AS mean_c1,
+             CAST(ROUND(
+               (CAST(s_t1 AS DOUBLE) / NULLIF(n_t1, 0)
+                  - CAST(s_t0 AS DOUBLE) / NULLIF(n_t0, 0))
+               - (CAST(s_c1 AS DOUBLE) / NULLIF(n_c1, 0)
+                  - CAST(s_c0 AS DOUBLE) / NULLIF(n_c0, 0)),
+               6) AS DOUBLE) AS did
+      FROM a""",
+
+    // identical per-stratum sufficient statistics; the ATE/SE folds
+    // replayed over the same stratum-ordered list with the same term
+    // expressions and division order
+    "agg_stratified_ate" -> """
+      WITH b AS (SELECT o_orderpriority AS strat, o_orderstatus = 'F' AS treated,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+                 FROM orders),
+      per AS (SELECT strat,
+                     SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS n1,
+                     SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS n0,
+                     CAST(SUM(CASE WHEN treated THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+                     CAST(SUM(CASE WHEN NOT treated THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s0,
+                     CAST(SUM(CASE WHEN treated THEN CAST(y * y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q1,
+                     CAST(SUM(CASE WHEN NOT treated THEN CAST(y * y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q0
+              FROM b GROUP BY strat),
+      one AS (SELECT list(struct_pack(strat := strat, n1 := n1, n0 := n0,
+                                      s1 := s1, s0 := s0, q1 := q1, q0 := q0)
+                          ORDER BY strat) AS xs,
+                     SUM(n1 + n0) AS n_total, COUNT(*) AS n_strata,
+                     SUM(CASE WHEN n1 < 2 OR n0 < 2 THEN 1 ELSE 0 END) AS n_strata_skipped
+              FROM per)
+      SELECT CAST(n_total AS BIGINT) AS n_total,
+             CAST(n_strata AS BIGINT) AS n_strata,
+             CAST(n_strata_skipped AS BIGINT) AS n_strata_skipped,
+             CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_filter(xs, x -> x.n1 >= 2 AND x.n0 >= 2),
+                 x -> (CAST(x.n1 + x.n0 AS DOUBLE) / n_total)
+                   * (CAST(x.s1 AS DOUBLE) / x.n1 - CAST(x.s0 AS DOUBLE) / x.n0))),
+               (acc, v) -> acc + v), 6) AS DOUBLE) AS ate,
+             CAST(ROUND(SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_filter(xs, x -> x.n1 >= 2 AND x.n0 >= 2),
+                 x -> (CAST(x.n1 + x.n0 AS DOUBLE) / n_total)
+                   * (CAST(x.n1 + x.n0 AS DOUBLE) / n_total)
+                   * (CAST(CAST(x.n1 AS DECIMAL(38,0)) * x.q1 - x.s1 * x.s1 AS DOUBLE)
+                        / CAST(x.n1 AS DOUBLE) / CAST(x.n1 - 1 AS DOUBLE) / CAST(x.n1 AS DOUBLE)
+                      + CAST(CAST(x.n0 AS DECIMAL(38,0)) * x.q0 - x.s0 * x.s0 AS DOUBLE)
+                        / CAST(x.n0 AS DOUBLE) / CAST(x.n0 - 1 AS DOUBLE) / CAST(x.n0 AS DOUBLE)))),
+               (acc, v) -> acc + v)), 6) AS DOUBLE) AS se_ate
+      FROM one""",
 
     // independent recomputation: window row_number picks the latest
     // change where the operator uses max-agg + join-back
