@@ -196,6 +196,36 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** [[jaccard]] with ZERO-overlap candidate pairs retained (LEFT join
+    * onto the intersection counts; jaccard = 0 when no shingle is
+    * shared) and every extra candidate column carried through — the form
+    * downstream rankers need when the ABSENCE of lexical overlap is the
+    * signal (paraphrase mining pairs semantic similarity with lexical
+    * distance; the llm_simhash_pr_curve LEFT-join precedent). Pairs
+    * whose docs have no shingles at all (under n tokens) drop at the
+    * size join — no 0/0 reaches the division.
+    */
+  def jaccardWithZeros(docs: DataFrame, candidates: DataFrame,
+                       n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val inter = candidates.select("doc_a", "doc_b").as("c")
+      .join(sh.as("x"), expr("x.doc_id = c.doc_a"))
+      .join(sh.as("y"), expr("y.doc_id = c.doc_b AND y.shingle = x.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count("*").as("n_both"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("__na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("__nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", expr(
+        "CAST(ROUND(CAST(COALESCE(n_both, 0) AS DOUBLE) " +
+          "/ (__na + __nb - COALESCE(n_both, 0)), 6) AS DOUBLE)"))
+      .drop("n_both", "__na", "__nb")
+  }
+
   /** Shingle containment (Broder): |shingles(doc) ∩ shingles(probe)| /
     * |shingles(probe)| — the asymmetric near-dup metric and the standard
     * DECONTAMINATION check: a probe (benchmark/eval document) with high

@@ -67,6 +67,25 @@ object Llm {
   private[queries] def duckCosineRaw(a: String, b: String): String =
     s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
+  /** NDCG@10 rank-discount literals 1/log2(i+1) and their ideal prefix
+    * sums — computed ONCE driver-side and embedded as literals in BOTH
+    * engines' plans (libm log is not correctly-rounded IEEE, so it never
+    * runs in plan; a decimal literal parses to the same double anywhere —
+    * the qc_benford discipline). The prefix sums fold left-to-right, the
+    * same order the ideal ranking accumulates.
+    */
+  private val ndcgDisc: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val ndcgIdcgPrefix: Seq[Double] = ndcgDisc.scanLeft(0.0)(_ + _).tail
+  private val ndcgDiscArr: String =
+    ndcgDisc.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+  private val ndcgIdcgArr: String =
+    ndcgIdcgPrefix.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+  private val duckNdcgDiscArr: String =
+    ndcgDisc.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+  private val duckNdcgIdcgArr: String =
+    ndcgIdcgPrefix.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+
   /** Shared PCA oracle CTEs: int8 quantize (the llm_quantize arithmetic)
     * → exact-integer covariance → v0=1 integer matvec → normalized v1 →
     * ordered-fold double matvec (w2) and its max (m2).
@@ -2141,6 +2160,74 @@ object Llm {
     // the token stream; ids_fp digests the exact id sequence per doc
     "llm_vocab_map" -> ((s, d) =>
       TextAnalysis.vocabEncode(docs(s, d)).orderBy("doc_id")),
+
+    // graded retrieval evaluation: NDCG@10 next to llm_retrieval_mrr's
+    // MRR — rank discounts 1/log2(i+1) and the ideal prefix sums enter
+    // as DRIVER literals (libm log never runs in plan — the qc_benford
+    // discipline); the DCG fold adds hit discounts in rank order
+    "llm_ndcg_eval" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e.where("vec_id < 32"), e, 10)
+        .join(e.select(col("vec_id").as("probe_id"),
+          col("label").as("probe_label")), "probe_id")
+        .join(e.select(col("vec_id").as("cand_id"),
+          col("label").as("cand_label")), "cand_id")
+        .where("cand_label = probe_label")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_rel"),
+          expr(s"""aggregate(array_sort(collect_list(rank)),
+                  |  CAST(0.0 AS DOUBLE),
+                  |  (acc, r) -> acc + element_at($ndcgDiscArr, r))"""
+            .stripMargin).as("__dcg"))
+        .selectExpr("probe_id", "CAST(n_rel AS BIGINT) AS n_rel",
+          "CAST(ROUND(__dcg, 6) AS DOUBLE) AS dcg",
+          s"CAST(ROUND(__dcg / element_at($ndcgIdcgArr, CAST(n_rel AS INT)), 6) AS DOUBLE) AS ndcg")
+        .orderBy("probe_id")
+    }),
+
+    // paraphrase candidate mining: semantically CLOSE (bucketed exact
+    // cosine >= 0.4) but lexically FAR (shingle jaccard < 0.5, with
+    // zero-overlap pairs counted at 0 via the LEFT join) — the pair
+    // source for contrastive/paraphrase training that pure dedup
+    // discards; composition of cosineNearDups + jaccardWithZeros
+    "llm_paraphrase_mine" -> ((s, d) => {
+      val cands = Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          col("cos"))
+      Dedup.jaccardWithZeros(docs(s, d), cands)
+        .where(col("jaccard") < 0.5)
+        .select("doc_a", "doc_b", "cos", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // CCNet-style quality bucketing: per SOURCE, head/middle/tail
+    // terciles by the bigram LM score — the closed-form tercile rank
+    // (3·(r−1)) DIV n (the agg_rfm_segments discipline — never ntile),
+    // per-bucket census with a doc-id-ordered mean fold. The per-source
+    // rank window is the real CCNet shape (it sorts each language shard
+    // by perplexity); buckets then gate which shard enters training
+    "llm_ccnet_buckets" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.bigramScore(dd, minCount = 2)
+        .join(dd.select("doc_id", "source"), "doc_id")
+        .selectExpr("source", "doc_id", "avg_p",
+          "row_number() OVER (PARTITION BY source ORDER BY avg_p DESC, doc_id) AS r",
+          "count(1) OVER (PARTITION BY source) AS n")
+        .selectExpr("source", "doc_id", "avg_p",
+          """CASE (3 * (r - 1)) DIV n WHEN 0 THEN 'head'
+            |     WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket""".stripMargin)
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr(
+            """CAST(ROUND(aggregate(
+              |  transform(array_sort(collect_list(struct(doc_id, avg_p))),
+              |            x -> x.avg_p),
+              |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / count(1), 6)
+              |AS DOUBLE)""".stripMargin).as("mean_p"))
+        .selectExpr("source", "bucket", "CAST(n_docs AS BIGINT) AS n_docs",
+          "mean_p")
+        .orderBy("source", "bucket")
+    }),
 
     // retrieval evaluation: first same-label hit rank in the exact top-10
     // per probe, with its reciprocal — the MRR ingredient; probes whose
@@ -4735,6 +4822,102 @@ object Llm {
 
     // top-10 ranking recomputed from scratch, label relevance applied
     // AFTER the rank cut (a hit outside the top-10 must not count)
+    // the llm_bigram_lm scoring CTEs feeding the identical closed-form
+    // tercile rank and a doc-id-ordered mean fold per bucket
+    "llm_ccnet_buckets" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              list_filter(string_split($NORM, ' '),
+         |                          w -> length(w) > 0) AS t
+         |            FROM documents),
+         |uni AS (SELECT w, count(*) AS c1
+         |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |bg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS w1,
+         |              t[i + 1] AS w2
+         |       FROM tk, unnest(generate_series(1, len(t) - 1)) u(i)
+         |       WHERE len(t) >= 2),
+         |cbi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |j AS (SELECT bg.doc_id, bg.pos,
+         |             CAST(cbi.c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE) AS p
+         |      FROM bg JOIN cbi ON bg.w1 = cbi.w1 AND bg.w2 = cbi.w2
+         |           JOIN uni ON bg.w1 = uni.w),
+         |sc AS (SELECT doc_id,
+         |              CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list(p ORDER BY pos)), (acc, v) -> acc + v)
+         |                / count(*), 6) AS DOUBLE) AS avg_p
+         |       FROM j GROUP BY doc_id),
+         |ss AS (SELECT s.doc_id, d.source, s.avg_p
+         |       FROM sc s JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, doc_id, avg_p,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY avg_p DESC, doc_id) AS r,
+         |             count(*) OVER (PARTITION BY source) AS n
+         |      FROM ss),
+         |b AS (SELECT source, doc_id, avg_p,
+         |             CASE (3 * (r - 1)) // n WHEN 0 THEN 'head'
+         |                  WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |      FROM r)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(avg_p ORDER BY doc_id)), (acc, v) -> acc + v)
+         |         / count(*), 6) AS DOUBLE) AS mean_p
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
+    // the same exact top-10, hit discounts from the IDENTICAL driver
+    // literal arrays, the DCG fold in ascending rank order
+    "llm_ndcg_eval" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |         c.vec_id AS cand_id, c.label AS cand_label,
+         |         ${duckCosine("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 32),
+         |ranked AS (SELECT probe_id, probe_label, cand_label,
+         |                  CAST(row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |           FROM pairs),
+         |hits AS (SELECT probe_id, rank FROM ranked
+         |         WHERE rank <= 10 AND cand_label = probe_label),
+         |a AS (SELECT probe_id, count(*) AS n_rel,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list_transform(list_sort(list(rank)),
+         |                 r -> ($duckNdcgDiscArr)[r])),
+         |               (acc, v) -> acc + v) AS dcg0
+         |      FROM hits GROUP BY probe_id)
+         |SELECT probe_id, CAST(n_rel AS BIGINT) AS n_rel,
+         |       CAST(ROUND(dcg0, 6) AS DOUBLE) AS dcg,
+         |       CAST(ROUND(dcg0 / ($duckNdcgIdcgArr)[CAST(n_rel AS INT)], 6)
+         |         AS DOUBLE) AS ndcg
+         |FROM a ORDER BY probe_id""".stripMargin,
+
+    // bucketed cosine candidates LEFT-joined onto the shingle
+    // intersection — zero-overlap pairs verify at jaccard 0 and survive
+    // the lexical-distance filter
+    "llm_paraphrase_mine" ->
+      s"""WITH bkt AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
+         |            FROM embeddings),
+         |cand AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+         |                ${duckCosine("x.embedding", "y.embedding")} AS cos
+         |         FROM bkt x JOIN bkt y
+         |           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |         WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.4),
+         |${shingleCtes("documents")},
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_both
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.doc_a
+         |          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |          GROUP BY 1, 2),
+         |j AS (SELECT c.doc_a, c.doc_b, c.cos,
+         |             CAST(ROUND(CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+         |               / (sa.n_sh + sb.n_sh - COALESCE(i.n_both, 0)), 6)
+         |               AS DOUBLE) AS jaccard
+         |      FROM cand c
+         |      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |      JOIN sizes sa ON sa.doc_id = c.doc_a
+         |      JOIN sizes sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, cos, jaccard FROM j
+         |WHERE jaccard < 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
     "llm_retrieval_mrr" ->
       s"""WITH pairs AS (
          |  SELECT p.vec_id AS probe_id, p.label AS probe_label,

@@ -929,6 +929,21 @@ object Relational {
       FROM orders WHERE o_orderkey < 200
       ORDER BY o_orderkey""",
 
+    // ANSI interval-type surface: YEAR TO MONTH / DAY TO SECOND interval
+    // literals in date/timestamp arithmetic — month addition clamps to
+    // month end in both engines; outputs leave as DATE / exact micros /
+    // day counts (never a raw interval, whose rendering differs)
+    "fn_interval_surface" -> """
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL '1-2' YEAR TO MONTH AS DATE) AS plus_ym,
+             CAST(CAST(o_orderdate AS DATE) - INTERVAL '3' MONTH AS DATE) AS minus_q,
+             unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                         + INTERVAL '2 03:04:05' DAY TO SECOND) AS plus_dt_us,
+             datediff(CAST(CAST(o_orderdate AS DATE) + INTERVAL '1-2' YEAR TO MONTH AS DATE),
+                      CAST(o_orderdate AS DATE)) AS ym_days
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY o_orderkey""",
+
     // Spark 4 SQL pipe syntax: the same relational content as a classic
     // GROUP BY (the oracle), staged as |> operators; grouping keys lead
     // the AGGREGATE output schema
@@ -1308,6 +1323,17 @@ object Relational {
              CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_left,
              CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
              CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY o_orderkey""",
+
+    "fn_interval_surface" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL '1 year 2 months' AS DATE) AS plus_ym,
+             CAST(o_orderdate - INTERVAL '3 months' AS DATE) AS minus_q,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)
+                           + INTERVAL '2 days 3 hours 4 minutes 5 seconds') AS BIGINT) AS plus_dt_us,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(o_orderdate + INTERVAL '1 year 2 months' AS DATE)) AS INT) AS ym_days
       FROM orders WHERE o_orderkey < 200
       ORDER BY o_orderkey""",
 
