@@ -44,6 +44,10 @@ object Survival {
           .as("term"))
       .agg(expr("array_sort(collect_list(struct(dur, d, n_risk, term)))")
         .as("xs"))
+      // Spark's sequence(1, 0) DESCENDS rather than returning empty —
+      // an all-censored input (empty xs) must emit zero rows, not index
+      // into the empty array
+      .where(expr("size(xs) > 0"))
       .select(expr(
         """explode(transform(sequence(1, size(xs)), j -> struct(
           |  xs[j - 1].dur AS t_days,

@@ -219,6 +219,55 @@ class OpsSpec extends SparkSpec {
       Entity.entityLabels(pairs, ids, rounds = 2, maxExtraRounds = 3))
   }
 
+  test("kaplanMeier: hand-computed curve; censoring shrinks risk sets only") {
+    import graft.operators.Survival
+    // durs: events at 1 (x2) and 3, one censor at 2:
+    //   t=1: n=4, d=2 -> S=0.5;  t=3: n=1, d=1 -> S=0
+    val spells = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1)).toDF("dur", "ev")
+    val got = Survival.kaplanMeier(spells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set((1L, 4L, 2L, 0.5), (3L, 1L, 1L, 0.0)), s"got $got")
+    // all-censored input: no event rows at all
+    val none = Survival.kaplanMeier(
+      Seq((5L, 0), (7L, 0)).toDF("dur", "ev"))
+    assert(none.count() == 0L)
+  }
+
+  test("diffInDiff: hand-computed 2x2 contrast") {
+    import graft.operators.Causal
+    val rows = Seq(
+      (true, false, 10L), (true, false, 20L), (true, true, 40L),
+      (false, false, 0L), (false, false, 10L), (false, true, 20L))
+      .toDF("treat", "post", "cents")
+    val r = Causal.diffInDiff(rows, col("treat"), col("post"), col("cents"))
+      .collect()(0)
+    assert(r.getAs[Double]("mean_t0") == 15.0)
+    assert(r.getAs[Double]("mean_t1") == 40.0)
+    assert(r.getAs[Double]("mean_c0") == 5.0)
+    assert(r.getAs[Double]("mean_c1") == 20.0)
+    assert(r.getAs[Double]("did") == 10.0, "did = (40-15) - (20-5)")
+  }
+
+  test("stratifiedAte: hand-computed single stratum + skipped thin stratum") {
+    import graft.operators.Causal
+    val rows = Seq(
+      ("a", true, 10L), ("a", true, 20L),
+      ("a", false, 0L), ("a", false, 10L), ("a", false, 20L),
+      // stratum b has a 1-row treated arm -> excluded, counted skipped
+      ("b", true, 99L), ("b", false, 1L), ("b", false, 2L))
+      .toDF("strat", "treated", "y")
+    val r = Causal.stratifiedAte(rows).collect()(0)
+    assert(r.getAs[Long]("n_total") == 8L)
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_strata_skipped") == 1L)
+    // only stratum a contributes: weight 5/8, diff 15 - 10 = 5
+    assert(math.abs(r.getAs[Double]("ate") - 5.0 / 8.0 * 5.0) < 1e-9)
+    // v1 = (2*500 - 30^2)/(2*1) = 50; v0 = (3*500 - 30^2)/(3*2) = 100
+    val se = math.sqrt(math.pow(5.0 / 8.0, 2) * (50.0 / 2 + 100.0 / 3))
+    assert(math.abs(r.getAs[Double]("se_ate") - se) < 1e-6)
+  }
+
   test("sesCoefficients dot product equals the direct SES recurrence") {
     val rnd = new scala.util.Random(7)
     for (n <- Seq(2, 5, 8)) {
