@@ -248,6 +248,115 @@ object Multimodal {
     }
   }
 
+  /** The pHash DCT-II basis c(x,u) = cos((2x+1)·u·π/64) for the 32-pixel
+    * axis and the 8 lowest frequencies — computed ONCE driver-side
+    * (libm cos is not correctly-rounded IEEE, so it must never run
+    * in-plan or re-derive per engine); the oracle SQL embeds these exact
+    * doubles as literals (the qc_benford / planeVector discipline).
+    */
+  object PhashBasis {
+    val N = 32
+    val K = 8
+    val c: Array[Array[Double]] = Array.tabulate(N, K)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+  }
+
+  /** A perceptual frequency-domain fingerprint: 63-bit pHash + the
+    * integer DC mass (an exact cross-check column).
+    */
+  case class ImagePhash(doc_id: Long, phash: Long, dc_sum: Long)
+
+  /** DCT perceptual hash (pHash) over the REAL decoded raster — the
+    * frequency-domain sibling of [[dhashImages]] (robust to the
+    * high-frequency noise that flips dHash gradient bits): nearest-
+    * neighbor 32×32 luma thumbnail (same integer source-pixel map),
+    * separable DCT-II row pass then column pass keeping the 8×8
+    * low-frequency block, and bit i set iff AC coefficient i beats the
+    * median of the 63 ACs. 63 bits keeps [[graft.llm.Dedup
+    * .fingerprintNearGroups]] directly applicable (≤64-bit contract),
+    * so perceptual near-dup joins stay banded equi-joins.
+    *
+    * Determinism: luma is exact integer; every DCT sum is a FIXED
+    * left-to-right fold (x ascending, then y ascending) of
+    * correctly-rounded IEEE products against the driver-literal
+    * [[PhashBasis]], so coefficients are bit-identical in any engine;
+    * the median is an order statistic (sort + pick, no arithmetic) and
+    * the bit test is a strict comparison of identical doubles. dc_sum
+    * is the raw integer luma mass. Map-only over the decoded batch —
+    * embarrassingly parallel at any corpus size.
+    */
+  def phashImages(images: Dataset[ImageBlob], batchSize: Int = 64): Dataset[ImagePhash] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val n = PhashBasis.N
+    val k = PhashBasis.K
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val c = PhashBasis.c
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.png))
+          if (img == null)
+            throw new IllegalArgumentException(s"undecodable image payload for doc_id=${b.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = Array.ofDim[Int](n, n)
+          var dc = 0L
+          var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) {
+              val v = img.getRGB(x * w / n, y * h / n)
+              val l = 299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)
+              lum(y)(x) = l
+              dc += l
+              x += 1
+            }
+            y += 1
+          }
+          // separable DCT-II: row pass x -> u, then column pass y -> v;
+          // each sum folds in ascending pixel order (the oracle's
+          // list_reduce replays the identical sequence)
+          val rp = Array.ofDim[Double](k, n)
+          var u = 0
+          while (u < k) {
+            var yy = 0
+            while (yy < n) {
+              var a = 0.0
+              var x = 0
+              while (x < n) { a += lum(yy)(x) * c(x)(u); x += 1 }
+              rp(u)(yy) = a
+              yy += 1
+            }
+            u += 1
+          }
+          val acs = new Array[Double](k * k - 1)
+          u = 0
+          while (u < k) {
+            var v = 0
+            while (v < k) {
+              if (u != 0 || v != 0) {
+                var a = 0.0
+                var yy = 0
+                while (yy < n) { a += rp(u)(yy) * c(yy)(v); yy += 1 }
+                acs(u * k + v - 1) = a
+              }
+              v += 1
+            }
+            u += 1
+          }
+          val med = acs.sorted.apply((k * k - 1) / 2)
+          var hash = 0L
+          var i = 0
+          while (i < acs.length) {
+            if (acs(i) > med) hash |= 1L << i
+            i += 1
+          }
+          ImagePhash(b.doc_id, hash, dc)
+        }
+      }
+    }
+  }
+
   /** An encoded audio payload: opaque WAV bytes + id. */
   case class AudioBlob(doc_id: Long, wav: Array[Byte])
 

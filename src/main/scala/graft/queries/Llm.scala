@@ -81,10 +81,13 @@ object Llm {
     ndcgDisc.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
   private val ndcgIdcgArr: String =
     ndcgIdcgPrefix.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+  // string-cast on the DuckDB side: a bare 17-digit numeric literal
+  // parses through DECIMAL and can mis-round the double by 1 ULP
+  // (probed in the phash basis); CAST('<repr>' AS DOUBLE) is exact
   private val duckNdcgDiscArr: String =
-    ndcgDisc.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    ndcgDisc.map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
   private val duckNdcgIdcgArr: String =
-    ndcgIdcgPrefix.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    ndcgIdcgPrefix.map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
 
   /** Shared PCA oracle CTEs: int8 quantize (the llm_quantize arithmetic)
     * → exact-integer covariance → v0=1 integer matvec → normalized v1 →
@@ -185,6 +188,55 @@ object Llm {
       |              COALESCE(sum(CAST(1 AS BIGINT) << (b.y * 10 + b.x)), 0) AS dhash
       |       FROM dims d LEFT JOIN db b ON b.doc_id = d.doc_id
       |       GROUP BY d.doc_id)""".stripMargin
+
+  /** pHash oracle CTEs: the ImageSynth pixel formulas on the 32×32
+    * thumbnail grid, the SAME driver-literal DCT basis the Spark side
+    * uses ([[graft.llm.Multimodal.PhashBasis]] — one source of truth for
+    * the cosines), every DCT sum folding in ascending pixel order.
+    */
+  private val phashCtes: String = {
+    val basis = (for {
+      x <- 0 until Multimodal.PhashBasis.N
+      u <- 0 until Multimodal.PhashBasis.K
+      // STRING-cast literals: DuckDB parses a bare 17-digit numeric
+      // literal through DECIMAL and mis-rounds the double by 1 ULP
+      // (probed: -0.19509032201612866 -> ...864 bare, ...866 quoted);
+      // CAST('<repr>' AS DOUBLE) is the correctly-rounded parse
+    } yield s"($x, $u, CAST('${Multimodal.PhashBasis.c(x)(u)}' AS DOUBLE))")
+      .mkString(", ")
+    s"""cb(x, u, c) AS (VALUES $basis),
+       |dims AS (SELECT doc_id, 1 + doc_id % 47 AS w, 1 + (doc_id * 3) % 37 AS h
+       |         FROM documents),
+       |lum AS (SELECT doc_id, x, y,
+       |               299 * (((x * w) // 32 * 7 + (y * h) // 32 * 11 + doc_id) % 256)
+       |             + 587 * (((x * w) // 32 * 13 + (y * h) // 32 * 5 + doc_id * 3) % 256)
+       |             + 114 * (((x * w) // 32 * 17 + (y * h) // 32 * 3 + doc_id * 7) % 256) AS li
+       |        FROM dims,
+       |             unnest(generate_series(0, 31)) AS ux(x),
+       |             unnest(generate_series(0, 31)) AS uy(y)),
+       |rp AS (SELECT l.doc_id, b.u, l.y,
+       |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                list(CAST(l.li AS DOUBLE) * b.c ORDER BY l.x)),
+       |                (a, v) -> a + v) AS r
+       |       FROM lum l JOIN cb b ON b.x = l.x
+       |       GROUP BY l.doc_id, b.u, l.y),
+       |fo AS (SELECT rp.doc_id, rp.u, b.u AS v,
+       |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                list(rp.r * b.c ORDER BY rp.y)),
+       |                (a, w2) -> a + w2) AS f
+       |       FROM rp JOIN cb b ON b.x = rp.y
+       |       GROUP BY rp.doc_id, rp.u, b.u),
+       |acs AS (SELECT doc_id, u * 8 + v - 1 AS idx, f FROM fo
+       |        WHERE NOT (u = 0 AND v = 0)),
+       |medi AS (SELECT doc_id, list_sort(list(f))[32] AS m
+       |         FROM acs GROUP BY doc_id),
+       |ph AS (SELECT a.doc_id,
+       |              SUM(CASE WHEN a.f > medi.m THEN CAST(1 AS BIGINT) << a.idx
+       |                       ELSE CAST(0 AS BIGINT) END) AS phash
+       |       FROM acs a JOIN medi USING (doc_id) GROUP BY a.doc_id),
+       |dcm AS (SELECT doc_id, SUM(CAST(li AS BIGINT)) AS dc_sum
+       |        FROM lum GROUP BY doc_id)""".stripMargin
+  }
 
   /** shingles → minhash → banded signatures (no candidate join — callers
     * add their own pairing rule over `bands`).
@@ -1690,6 +1742,15 @@ object Llm {
     // a wrong resample map cannot hash-match
     "llm_image_dhash" -> ((s, d) =>
       Multimodal.dhashImages(Multimodal.synthesizeImages(docs(s, d))).toDF()
+        .orderBy("doc_id")),
+
+    // DCT perceptual hash (pHash) over the REAL decoded raster: 32×32
+    // luma thumbnail, separable DCT-II against the driver-literal cosine
+    // basis (fixed fold order), 63 median-thresholded AC bits + the
+    // exact integer DC mass — the frequency-domain fingerprint that
+    // survives the noise dHash gradient bits flip on
+    "llm_image_phash" -> ((s, d) =>
+      Multimodal.phashImages(Multimodal.synthesizeImages(docs(s, d))).toDF()
         .orderBy("doc_id")),
 
     // perceptual near-dup IMAGE join: the dHash fingerprints ride the
@@ -4672,6 +4733,16 @@ object Llm {
       s"""WITH $dhashCtes
          |SELECT doc_id, CAST(dhash AS BIGINT) AS dhash
          |FROM dh ORDER BY doc_id""".stripMargin,
+
+    // the synthesis formulas on the 32×32 grid, the IDENTICAL
+    // driver-literal DCT basis, ascending-pixel folds, order-statistic
+    // median — the decoded-raster DCT must land on exactly this BIGINT
+    "llm_image_phash" ->
+      s"""WITH $phashCtes
+         |SELECT p.doc_id, CAST(p.phash AS BIGINT) AS phash,
+         |       CAST(d.dc_sum AS BIGINT) AS dc_sum
+         |FROM ph p JOIN dcm d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // the oracle is the ALL-PAIRS Hamming join over recomputed
     // fingerprints — green proves the Spark side's (15-bit band,
