@@ -216,10 +216,64 @@ object Ops {
                   AS DOUBLE) AS tvd
       FROM j GROUP BY wk ORDER BY wk"""
 
+  /** Raking (iterative proportional fitting) — survey-calibration
+    * weighting: scale cell weights so BOTH margins (priority rows,
+    * status columns) hit uniform targets, alternating row and column
+    * scalings for 3 fixed iterations (the kCore/lloydLoop chained-CTE
+    * discipline: the oracle replays the identical rounds). One corpus
+    * scan builds the cell table; every later step runs on the
+    * |priorities|×|statuses| cells — metadata scale. Margin sums fold
+    * in key order (never a bare double SUM), so each scaling is a fixed
+    * IEEE tree shared across engines.
+    */
+  private def rakingSql(spark: Boolean): String = {
+    def fold(k: String, w: String): String =
+      if (spark)
+        s"aggregate(transform(array_sort(collect_list(struct($k AS k, $w AS v))), x -> x.v), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+      else
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($w ORDER BY $k)), (a, v) -> a + v)"
+    val idiv = if (spark) "DIV" else "//"
+    def rowStep(in: String, out: String) =
+      s"""$out AS (SELECT c.pri, c.st, c.n, c.w * t.tp / m.ms AS w
+         |      FROM $in c
+         |      JOIN (SELECT pri, ${fold("st", "w")} AS ms
+         |            FROM $in GROUP BY pri) m ON m.pri = c.pri
+         |      CROSS JOIN tot t)""".stripMargin
+    def colStep(in: String, out: String) =
+      s"""$out AS (SELECT c.pri, c.st, c.n, c.w * t.ts / m.ms AS w
+         |      FROM $in c
+         |      JOIN (SELECT st, ${fold("pri", "w")} AS ms
+         |            FROM $in GROUP BY st) m ON m.st = c.st
+         |      CROSS JOIN tot t)""".stripMargin
+    s"""WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+       |                      COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS w
+       |               FROM orders GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n) $idiv 5 AS DOUBLE) AS tp,
+       |               CAST(SUM(n) $idiv 3 AS DOUBLE) AS ts
+       |        FROM cells),
+       |${rowStep("cells", "r1")},
+       |${colStep("r1", "c1")},
+       |${rowStep("c1", "r2")},
+       |${colStep("r2", "c2")},
+       |${rowStep("c2", "r3")},
+       |${colStep("r3", "c3")}
+       |SELECT pri, st, CAST(n AS BIGINT) AS n,
+       |       CAST(ROUND(w, 6) AS DOUBLE) AS weight
+       |FROM c3 ORDER BY pri, st""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_error_sweep" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(hllSweepSql(spark = true))
+    }),
+
+    // raking / iterative proportional fitting — 3 alternating
+    // row/column scalings toward uniform margin targets, chained CTEs,
+    // key-ordered margin folds (see rakingSql)
+    "agg_raking" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(rakingSql(spark = true))
     }),
     "cdc_apply" -> ((s, d) => {
       Tables.register(s, d)
@@ -1886,6 +1940,9 @@ object Ops {
     // the identical sweep through DuckDB's hash/shift idioms — the
     // generator emits both dialects from one block structure
     "agg_hll_error_sweep" -> hllSweepSql(spark = false),
+
+    // the identical chained scaling rounds, DuckDB fold idioms
+    "agg_raking" -> rakingSql(spark = false),
 
     // identical spell construction; risk sets from the same reverse
     // cumulative window; the survival prefix product replayed as
