@@ -49,6 +49,40 @@ object Causal {
           |  6) AS DOUBLE) AS did""".stripMargin)
   }
 
+  /** Raking (iterative proportional fitting) — survey-calibration
+    * weighting: alternately scale cell weights so the row margin (`pri`)
+    * and column margin (`st`) hit the caller's targets, for a FIXED
+    * `iters` rounds (the kCore/lloydLoop replay discipline — the oracle
+    * chains the identical rounds as CTEs). `cells` must carry
+    * (pri, st, n BIGINT, w DOUBLE) and be SMALL (it is a margin-cell
+    * table — metadata scale by construction; the corpus scan that
+    * builds it happens before this call). Each step localCheckpoints so
+    * the step graph stays linear — a naive chained-CTE formulation
+    * doubles the upstream plan per step (2^(2·iters) scan copies,
+    * measured 3.1 s for 15 cells at sf0.1). Margin sums fold in key
+    * order — never a bare double SUM — so each scaling is a fixed IEEE
+    * tree shared across engines.
+    */
+  def rake(cells: DataFrame, targetRow: Double, targetCol: Double,
+           iters: Int = 3): DataFrame = {
+    def fold(k: String, w: String): String =
+      s"aggregate(transform(array_sort(collect_list(struct($k AS k, $w AS v))), " +
+        s"x -> x.v), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    var cur = cells.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val rowM = cur.groupBy("pri").agg(expr(fold("st", "w")).as("ms"))
+      cur = cur.join(rowM, "pri")
+        .withColumn("w", expr(s"w * CAST($targetRow AS DOUBLE) / ms"))
+        .drop("ms").localCheckpoint()
+      val colM = cur.groupBy("st").agg(expr(fold("pri", "w")).as("ms"))
+      cur = cur.join(colM, "st")
+        .withColumn("w", expr(s"w * CAST($targetCol AS DOUBLE) / ms"))
+        .drop("ms").localCheckpoint()
+    }
+    cur.select(col("pri"), col("st"), col("n"),
+      expr("CAST(ROUND(w, 6) AS DOUBLE)").as("weight"))
+  }
+
   /** Post-stratification ATE with the Neyman variance: within each
     * stratum, treated/control means come from exact DECIMAL sums; the
     * stratum variance uses the overflow-safe exact form

@@ -216,23 +216,16 @@ object Ops {
                   AS DOUBLE) AS tvd
       FROM j GROUP BY wk ORDER BY wk"""
 
-  /** Raking (iterative proportional fitting) — survey-calibration
-    * weighting: scale cell weights so BOTH margins (priority rows,
-    * status columns) hit uniform targets, alternating row and column
-    * scalings for 3 fixed iterations (the kCore/lloydLoop chained-CTE
-    * discipline: the oracle replays the identical rounds). One corpus
-    * scan builds the cell table; every later step runs on the
-    * |priorities|×|statuses| cells — metadata scale. Margin sums fold
-    * in key order (never a bare double SUM), so each scaling is a fixed
-    * IEEE tree shared across engines.
+  /** The DuckDB replay of [[graft.operators.Causal.rake]]: identical
+    * alternating row/column scalings as chained CTEs (DuckDB
+    * materializes each tiny CTE once; Spark's inliner would double the
+    * upstream plan per step, which is why the operator side iterates
+    * with checkpoints instead), key-ordered margin folds, uniform
+    * integer-DIV targets.
     */
-  private def rakingSql(spark: Boolean): String = {
+  private def rakingOracleSql: String = {
     def fold(k: String, w: String): String =
-      if (spark)
-        s"aggregate(transform(array_sort(collect_list(struct($k AS k, $w AS v))), x -> x.v), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
-      else
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($w ORDER BY $k)), (a, v) -> a + v)"
-    val idiv = if (spark) "DIV" else "//"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($w ORDER BY $k)), (a, v) -> a + v)"
     def rowStep(in: String, out: String) =
       s"""$out AS (SELECT c.pri, c.st, c.n, c.w * t.tp / m.ms AS w
          |      FROM $in c
@@ -248,8 +241,8 @@ object Ops {
     s"""WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
        |                      COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS w
        |               FROM orders GROUP BY 1, 2),
-       |tot AS (SELECT CAST(SUM(n) $idiv 5 AS DOUBLE) AS tp,
-       |               CAST(SUM(n) $idiv 3 AS DOUBLE) AS ts
+       |tot AS (SELECT CAST(SUM(n) // 5 AS DOUBLE) AS tp,
+       |               CAST(SUM(n) // 3 AS DOUBLE) AS ts
        |        FROM cells),
        |${rowStep("cells", "r1")},
        |${colStep("r1", "c1")},
@@ -269,11 +262,21 @@ object Ops {
     }),
 
     // raking / iterative proportional fitting — 3 alternating
-    // row/column scalings toward uniform margin targets, chained CTEs,
-    // key-ordered margin folds (see rakingSql)
+    // row/column scalings toward uniform integer-DIV margin targets;
+    // one corpus scan builds the cell table, the iterations run
+    // checkpoint-linear on metadata-scale cells (operators/Causal.rake)
     "agg_raking" -> ((s, d) => {
       Tables.register(s, d)
-      s.sql(rakingSql(spark = true))
+      val cells = s.sql("""
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM orders GROUP BY 1, 2""")
+      // uniform targets from the exact integer total — a 1-row
+      // metadata collect (the mmr/BPE model-sized-collect class)
+      val total = cells.selectExpr("SUM(n)").collect()(0).getLong(0)
+      graft.operators.Causal.rake(cells,
+          targetRow = (total / 5).toDouble, targetCol = (total / 3).toDouble)
+        .orderBy("pri", "st")
     }),
     "cdc_apply" -> ((s, d) => {
       Tables.register(s, d)
@@ -1942,7 +1945,7 @@ object Ops {
     "agg_hll_error_sweep" -> hllSweepSql(spark = false),
 
     // the identical chained scaling rounds, DuckDB fold idioms
-    "agg_raking" -> rakingSql(spark = false),
+    "agg_raking" -> rakingOracleSql,
 
     // identical spell construction; risk sets from the same reverse
     // cumulative window; the survival prefix product replayed as
