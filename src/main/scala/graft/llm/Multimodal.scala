@@ -375,6 +375,99 @@ object Multimodal {
       peak_abs: Int,
       energy: Long)
 
+  /** DFT basis for 32-sample frames, bins 1..4: cos/sin at 2πk i/32 —
+    * driver-computed ONCE (libm trig is not correctly-rounded; it never
+    * runs in-plan) and embedded as string-cast literals in the oracle,
+    * the [[PhashBasis]] discipline.
+    */
+  object DftBasis {
+    val Frame = 32
+    val Bins = 4
+    val cos: Array[Array[Double]] = Array.tabulate(Bins, Frame)((k, i) =>
+      math.cos(2.0 * math.Pi * (k + 1) * i / Frame))
+    val sin: Array[Array[Double]] = Array.tabulate(Bins, Frame)((k, i) =>
+      math.sin(2.0 * math.Pi * (k + 1) * i / Frame))
+  }
+
+  /** Per-doc spectral census: frame count, dominant-bin histogram and
+    * peak spectral power.
+    */
+  case class SpectroStats(
+      doc_id: Long,
+      n_frames: Long,
+      dom1: Long,
+      dom2: Long,
+      dom3: Long,
+      dom4: Long,
+      max_power: Double)
+
+  /** Short-time DFT spectrogram over REAL decoded PCM — the spectral
+    * feature extractor next to [[vadSegments]]'s energy gate (frequency
+    * content, not just amplitude): per 32-sample frame, power
+    * re²+im² in the 4 lowest non-DC bins against the driver-literal
+    * [[DftBasis]], the frame's dominant bin by strict argmax (ties to
+    * the lower bin), rolled up per doc to a dominant-bin histogram and
+    * the peak power.
+    *
+    * Determinism: samples are exact integers from the WAV decode; every
+    * DFT sum folds in ascending sample order (the oracle's list_reduce
+    * replays the identical sequence over the generator's sample
+    * formula); power is two correctly-rounded multiplies + one add;
+    * argmax/max compare identical doubles. Map-only over the decoded
+    * batch — embarrassingly parallel.
+    */
+  def spectrogram(audio: Dataset[AudioBlob], batchSize: Int = 64): Dataset[SpectroStats] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    val frame = DftBasis.Frame
+    val bins = DftBasis.Bins
+    audio.mapPartitions { it =>
+      val cb = DftBasis.cos
+      val sb = DftBasis.sin
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val bytes = WavCodec.decode(b.wav, b.doc_id)._2
+          val n = bytes.length / 2
+          val nFrames = (n + frame - 1) / frame
+          val dom = new Array[Long](bins)
+          var maxP = 0.0
+          var f = 0
+          while (f < nFrames) {
+            val re = new Array[Double](bins)
+            val im = new Array[Double](bins)
+            val start = f * frame
+            val end = math.min(n, start + frame)
+            var i = start
+            while (i < end) {
+              val s = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
+              val idx = i - start
+              var k = 0
+              while (k < bins) {
+                re(k) += s * cb(k)(idx)
+                im(k) += s * sb(k)(idx)
+                k += 1
+              }
+              i += 1
+            }
+            var best = -1.0
+            var bestK = 0
+            var k = 0
+            while (k < bins) {
+              val p = re(k) * re(k) + im(k) * im(k)
+              if (p > best) { best = p; bestK = k }
+              if (p > maxP) maxP = p
+              k += 1
+            }
+            dom(bestK) += 1
+            f += 1
+          }
+          SpectroStats(b.doc_id, nFrames.toLong,
+            dom(0), dom(1), dom(2), dom(3), maxP)
+        }
+      }
+    }
+  }
+
   /** Deterministic test-audio generator: 16-bit signed mono PCM at 8 kHz,
     * length and every sample fixed integer formulas of (doc_id, i), so an
     * independent engine recomputes the decoded stats without seeing the

@@ -1230,6 +1230,52 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // speculative-decoding acceptance audit: the bigram draft table
+    // (trained on the hash-split train side) proposes each next token on
+    // held-out docs; accept iff the draft equals the actual next token —
+    // the acceptance-rate number that decides whether a draft model
+    // pays for itself. Pure integer censuses; one broadcast-sized
+    // draft-table join onto the eval bigram stream
+    "llm_draft_accept" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = TextAnalysis.hashSplit(dd)
+      def part(cond: String) = dd.join(
+        split.where(cond).select("doc_id"), Seq("doc_id"))
+      val draft = TextAnalysis.ngramDraft(part("split = 'train'"), minCount = 3)
+        .select(col("w1"), col("draft"))
+      val ebg = part("split <> 'train'")
+        .select(col("doc_id"),
+          expr(s"split(${Dedup.normalizeExpr}, ' ')").as("w"))
+        .where(expr("size(w) >= 2"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      ebg.join(draft, Seq("w1"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("draft").isNotNull, 1L).otherwise(0L)).as("n_drafted"),
+          sum(when(col("draft") === col("w2"), 1L).otherwise(0L)).as("n_accept"))
+        .selectExpr("doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+          "CAST(n_drafted AS BIGINT) AS n_drafted",
+          "CAST(n_accept AS BIGINT) AS n_accept",
+          "CAST(FLOOR(n_accept * 1000000 / NULLIF(n_drafted, 0)) AS BIGINT) AS accept_ppm")
+        .orderBy("doc_id")
+    }),
+
+    // short-time DFT spectrogram over REAL decoded PCM: per-frame power
+    // in the 4 lowest bins against the driver-literal DftBasis, dominant
+    // bin by strict argmax, per-doc histogram + peak power
+    // max_power leaves as FLOOR->BIGINT: powers sit at ~1e10 where
+    // DuckDB's multiply-round-divide ROUND(,6) perturbs the last ULP
+    // (the llm_weighted_sample 1e14 trap) — floor of identical doubles
+    // is exact in both engines
+    "llm_audio_spectrogram" -> ((s, d) =>
+      Multimodal.spectrogram(Multimodal.synthesizeAudio(docs(s, d))).toDF()
+        .selectExpr("doc_id", "n_frames", "dom1", "dom2", "dom3", "dom4",
+          "CAST(FLOOR(max_power) AS BIGINT) AS max_power")
+        .orderBy("doc_id")),
+
     // energy-threshold VAD over REAL decoded WAV PCM (frame peaks,
     // run-length segments) — the speech/silence segmentation step; the
     // oracle replays the generator's sample formula through identical
@@ -4019,6 +4065,73 @@ object Llm {
          |       CAST(FLOOR(SUM(CASE WHEN p < 0.0009765625 THEN 1 ELSE 0 END)
          |         * 1000000 / count(*)) AS BIGINT) AS hard_frac_ppm
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // train-side draft table (argmax with the same (cnt DESC, w2)
+    // tie-break) LEFT-joined onto the held-out bigram stream
+    "llm_draft_accept" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($NORM, ' ') AS w,
+         |              CAST(('0x' || substr(md5($NORM), 1, 15))::BIGINT % 100 AS INT) AS bucket
+         |            FROM documents),
+         |tbg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+         |        FROM tk, unnest(generate_series(1, len(w) - 1)) u(i)
+         |        WHERE len(w) >= 2 AND bucket < 90),
+         |cnt AS (SELECT w1, w2, count(*) AS cnt FROM tbg GROUP BY 1, 2),
+         |rk AS (SELECT w1, w2, cnt, row_number() OVER (PARTITION BY w1
+         |                ORDER BY cnt DESC, w2) AS rn
+         |       FROM cnt),
+         |draft AS (SELECT w1, w2 AS draft FROM rk WHERE rn = 1 AND cnt >= 3),
+         |ebg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |        FROM tk, unnest(generate_series(1, len(w) - 1)) u(i)
+         |        WHERE len(w) >= 2 AND bucket >= 90),
+         |j AS (SELECT e.doc_id, e.w2, d.draft
+         |      FROM ebg e LEFT JOIN draft d ON d.w1 = e.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN draft IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_drafted,
+         |       CAST(SUM(CASE WHEN draft = w2 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+         |       CAST(FLOOR(SUM(CASE WHEN draft = w2 THEN 1 ELSE 0 END) * 1000000
+         |         / NULLIF(SUM(CASE WHEN draft IS NOT NULL THEN 1 ELSE 0 END), 0)) AS BIGINT) AS accept_ppm
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the generator's sample formula through the identical per-frame
+    // DFT folds (ascending sample order) against the same string-cast
+    // basis literals; dominant bin via (p DESC, k) row_number
+    "llm_audio_spectrogram" -> {
+      val basis = (for {
+        k <- 0 until Multimodal.DftBasis.Bins
+        i <- 0 until Multimodal.DftBasis.Frame
+      } yield s"($k, $i, CAST('${Multimodal.DftBasis.cos(k)(i)}' AS DOUBLE), " +
+        s"CAST('${Multimodal.DftBasis.sin(k)(i)}' AS DOUBLE))").mkString(", ")
+      s"""WITH basis(k, i, c, sn) AS (VALUES $basis),
+         |nn AS (SELECT doc_id, CAST(64 + (doc_id * 13) % 512 AS INT) AS ns
+         |       FROM documents),
+         |smp AS (SELECT doc_id, i,
+         |               ((doc_id * 31 + i * 17) % 65536) - 32768 AS s
+         |        FROM nn, unnest(generate_series(0, ns - 1)) u(i)),
+         |fr AS (SELECT m.doc_id, m.i // 32 AS f, b.k,
+         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list(CAST(m.s AS DOUBLE) * b.c ORDER BY m.i)),
+         |                (a, v) -> a + v) AS re,
+         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list(CAST(m.s AS DOUBLE) * b.sn ORDER BY m.i)),
+         |                (a, v) -> a + v) AS im
+         |       FROM smp m JOIN basis b ON b.i = m.i % 32
+         |       GROUP BY m.doc_id, m.i // 32, b.k),
+         |pw AS (SELECT doc_id, f, k, re * re + im * im AS p FROM fr),
+         |dom AS (SELECT doc_id, f, k,
+         |               row_number() OVER (PARTITION BY doc_id, f
+         |                 ORDER BY p DESC, k) AS rn
+         |        FROM pw)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |       CAST(SUM(CASE WHEN d.k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dom1,
+         |       CAST(SUM(CASE WHEN d.k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dom2,
+         |       CAST(SUM(CASE WHEN d.k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dom3,
+         |       CAST(SUM(CASE WHEN d.k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dom4,
+         |       CAST(FLOOR(mx.m) AS BIGINT) AS max_power
+         |FROM (SELECT * FROM dom WHERE rn = 1) d
+         |JOIN (SELECT doc_id, MAX(p) AS m FROM pw GROUP BY doc_id) mx
+         |  USING (doc_id)
+         |GROUP BY d.doc_id, mx.m ORDER BY d.doc_id""".stripMargin
+    },
 
     // the generator's sample formula through the identical 32-sample
     // frame peaks and gaps-and-islands run arithmetic

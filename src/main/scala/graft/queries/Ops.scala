@@ -261,6 +261,31 @@ object Ops {
       s.sql(hllSweepSql(spark = true))
     }),
 
+    // Bradley–Terry preference ranking (operators/Ranking.scala): the
+    // reward-modeling fit over pairwise "A beat B" counts — matches are
+    // consecutive same-user events (one window pass), winner = larger
+    // value; 3 MM rounds on the metadata-scale type×type count matrix
+    "agg_bradley_terry" -> ((s, d) => {
+      Tables.register(s, d)
+      val m = s.sql("""
+        WITH e AS (SELECT event_type, value,
+                          lag(event_type) OVER w AS pt,
+                          lag(value) OVER w AS pv
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS winner,
+               CASE WHEN value > pv THEN pt ELSE event_type END AS loser,
+               COUNT(*) AS n
+        FROM e
+        WHERE pt IS NOT NULL AND pt <> event_type
+          AND value IS NOT NULL AND pv IS NOT NULL AND value <> pv
+        GROUP BY 1, 2""")
+      graft.operators.Ranking.bradleyTerry(m)
+        .selectExpr("player", "CAST(wins AS BIGINT) AS wins",
+          "CAST(n_matches AS BIGINT) AS n_matches", "rating")
+        .orderBy("player")
+    }),
+
     // raking / iterative proportional fitting — 3 alternating
     // row/column scalings toward uniform integer-DIV margin targets;
     // one corpus scan builds the cell table, the iterations run
@@ -1946,6 +1971,59 @@ object Ops {
 
     // the identical chained scaling rounds, DuckDB fold idioms
     "agg_raking" -> rakingOracleSql,
+
+    // the same match construction, then the 3 MM rounds chained as CTEs
+    // with opponent-ordered denominator folds
+    "agg_bradley_terry" -> """
+      WITH e AS (SELECT event_type, value,
+                        lag(event_type) OVER w AS pt,
+                        lag(value) OVER w AS pv
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      m AS (SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS winner,
+                   CASE WHEN value > pv THEN pt ELSE event_type END AS loser,
+                   COUNT(*) AS n
+            FROM e
+            WHERE pt IS NOT NULL AND pt <> event_type
+              AND value IS NOT NULL AND pv IS NOT NULL AND value <> pv
+            GROUP BY 1, 2),
+      sym AS (SELECT i, j, SUM(n) AS nij
+              FROM (SELECT winner AS i, loser AS j, n FROM m
+                    UNION ALL SELECT loser, winner, n FROM m)
+              GROUP BY i, j),
+      wins AS (SELECT winner AS i, SUM(n) AS w FROM m GROUP BY 1),
+      p0 AS (SELECT s.i, COALESCE(w.w, 0) AS w, CAST(1.0 AS DOUBLE) AS p
+             FROM (SELECT DISTINCT i FROM sym) s LEFT JOIN wins w USING (i)),
+      d1 AS (SELECT s.i,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(CAST(s.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY s.j)),
+                      (a, v) -> a + v) AS den
+             FROM sym s JOIN p0 pi ON pi.i = s.i JOIN p0 pj ON pj.i = s.j
+             GROUP BY s.i),
+      p1 AS (SELECT p0.i, p0.w, CAST(p0.w AS DOUBLE) / d1.den AS p
+             FROM p0 JOIN d1 ON d1.i = p0.i),
+      d2 AS (SELECT s.i,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(CAST(s.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY s.j)),
+                      (a, v) -> a + v) AS den
+             FROM sym s JOIN p1 pi ON pi.i = s.i JOIN p1 pj ON pj.i = s.j
+             GROUP BY s.i),
+      p2 AS (SELECT p1.i, p1.w, CAST(p1.w AS DOUBLE) / d2.den AS p
+             FROM p1 JOIN d2 ON d2.i = p1.i),
+      d3 AS (SELECT s.i,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(CAST(s.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY s.j)),
+                      (a, v) -> a + v) AS den
+             FROM sym s JOIN p2 pi ON pi.i = s.i JOIN p2 pj ON pj.i = s.j
+             GROUP BY s.i),
+      p3 AS (SELECT p2.i, p2.w, CAST(p2.w AS DOUBLE) / d3.den AS p
+             FROM p2 JOIN d3 ON d3.i = p2.i),
+      tot AS (SELECT i, SUM(nij) AS n_matches FROM sym GROUP BY i)
+      SELECT p3.i AS player, CAST(p3.w AS BIGINT) AS wins,
+             CAST(t.n_matches AS BIGINT) AS n_matches,
+             CAST(ROUND(p3.p, 6) AS DOUBLE) AS rating
+      FROM p3 JOIN tot t ON t.i = p3.i
+      ORDER BY player""",
 
     // identical spell construction; risk sets from the same reverse
     // cumulative window; the survival prefix product replayed as
