@@ -234,6 +234,20 @@ object Io {
         .orderBy("o_orderstatus")
     }),
 
+    // hidden file-metadata columns: Spark's _metadata struct exposes the
+    // scan's own file name and PHYSICAL row index — the lineage /
+    // row-provenance surface (debugging which file produced a row). The
+    // oracle predicts the physical index independently: the fixture
+    // writer emits documents in doc_id order (invariant checked across
+    // all three SFs with DuckDB file_row_number), so row_index == doc_id
+    "src_metadata_cols" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+        .where("doc_id < 100")
+        .orderBy("doc_id")),
+
     "src_ndjson_roundtrip" -> ((s, d) => {
       val customer = t(s, d, "customer")
       val p = s"${base(d)}/customer_json"
@@ -2379,6 +2393,13 @@ object Io {
   )
 
   val oracles: Map[String, String] = Map(
+    // the physical index predicted from the fixture writer's doc_id
+    // order (invariant verified with DuckDB file_row_number at every SF)
+    "src_metadata_cols" -> """
+      SELECT doc_id, 'documents.parquet' AS file_name,
+             CAST(doc_id AS BIGINT) AS row_index
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
     "src_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_tp,

@@ -255,10 +255,61 @@ object Ops {
        |FROM c3 ORDER BY pri, st""".stripMargin
   }
 
+  /** Split-conformal prediction interval — the distribution-free
+    * uncertainty wrapper modern ML serving puts around ANY point
+    * predictor: train a per-segment mean on the train split, take the
+    * ⌈0.9·(n+1)⌉-th smallest absolute calibration residual as the
+    * interval half-width q (a pure ORDER STATISTIC — the agg_order_stat
+    * discipline, rank computed in exact integers (9(n+1)+9) div 10),
+    * then report empirical coverage |y−m| ≤ q on the held-out test
+    * split. Means are DECIMAL-sum/count divisions; residuals compare as
+    * bit-identical doubles; q leaves as FLOOR cents (ROUND at 5e7·1e6
+    * magnitudes hits DuckDB's multiply-round-divide ULP trap). One scan
+    * builds the split; everything after runs per segment.
+    */
+  private def conformalSql(bktExpr: String, idiv: String): String =
+    s"""WITH b AS (SELECT c_mktsegment AS seg,
+       |                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |                  $bktExpr AS bkt, o_orderkey
+       |           FROM orders JOIN customer ON c_custkey = o_custkey),
+       |tr AS (SELECT seg, COUNT(*) AS n_train,
+       |              CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS m
+       |       FROM b WHERE bkt < 60 GROUP BY seg),
+       |cal AS (SELECT b.seg, ABS(CAST(b.cents AS DOUBLE) - tr.m) AS r, b.o_orderkey
+       |        FROM b JOIN tr ON tr.seg = b.seg WHERE b.bkt >= 60 AND b.bkt < 80),
+       |rk AS (SELECT seg, r,
+       |              row_number() OVER (PARTITION BY seg ORDER BY r, o_orderkey) AS rn,
+       |              COUNT(*) OVER (PARTITION BY seg) AS n_cal
+       |       FROM cal),
+       |q AS (SELECT seg, MIN(n_cal) AS n_cal,
+       |             MIN(CASE WHEN rn = LEAST(n_cal, (9 * (n_cal + 1) + 9) $idiv 10)
+       |                      THEN r END) AS q
+       |      FROM rk GROUP BY seg),
+       |te AS (SELECT b.seg, COUNT(*) AS n_test,
+       |              SUM(CASE WHEN ABS(CAST(b.cents AS DOUBLE) - tr.m) <= q.q
+       |                       THEN 1 ELSE 0 END) AS n_cov
+       |       FROM b JOIN tr ON tr.seg = b.seg JOIN q ON q.seg = b.seg
+       |       WHERE b.bkt >= 80 GROUP BY b.seg)
+       |SELECT t.seg AS seg, CAST(tr.n_train AS BIGINT) AS n_train,
+       |       CAST(q.n_cal AS BIGINT) AS n_cal,
+       |       CAST(t.n_test AS BIGINT) AS n_test,
+       |       CAST(FLOOR(q.q) AS BIGINT) AS q_cents_floor,
+       |       CAST(FLOOR(t.n_cov * 1000000 / t.n_test) AS BIGINT) AS coverage_ppm
+       |FROM te t JOIN tr ON tr.seg = t.seg JOIN q ON q.seg = t.seg
+       |ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_error_sweep" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(hllSweepSql(spark = true))
+    }),
+
+    // split-conformal interval + held-out coverage (see conformalSql)
+    "agg_conformal" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(conformalSql(
+        "CAST(conv(substr(md5(concat('conf:', CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100",
+        "DIV"))
     }),
 
     // Bradley–Terry preference ranking (operators/Ranking.scala): the
@@ -1971,6 +2022,11 @@ object Ops {
 
     // the identical chained scaling rounds, DuckDB fold idioms
     "agg_raking" -> rakingOracleSql,
+
+    // same closed-form rank, DuckDB md5/int and // idioms
+    "agg_conformal" -> conformalSql(
+      "CAST(('0x' || substr(md5('conf:' || o_orderkey), 1, 15))::BIGINT % 100 AS BIGINT)",
+      "//"),
 
     // the same match construction, then the 3 MM rounds chained as CTEs
     // with opponent-ordered denominator folds
