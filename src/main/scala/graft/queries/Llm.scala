@@ -2315,6 +2315,35 @@ object Llm {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // vocabulary coverage curve — the tokenizer-design audit: what
+    // fraction of corpus token MASS does a top-k vocabulary cover?
+    // Scale shape: the only global order is a TakeOrdered head cut
+    // (limit 30 here; 10k in production — never a full vocab sort); the
+    // cumulative mass is an exact integer running sum over that bounded
+    // head, totals come from
+    // one separate agg
+    "llm_vocab_coverage" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(expr(
+          s"filter(split(${Dedup.normalizeExpr}, ' '), w -> length(w) > 0)"))
+          .as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val head = vocab.orderBy(col("cnt").desc, col("tok")).limit(30)
+        .selectExpr("tok", "cnt",
+          "row_number() OVER (ORDER BY cnt DESC, tok) AS rk",
+          "SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum")
+      val totals = vocab.agg(count(lit(1)).as("vocab_size"),
+        sum("cnt").as("total_tokens"))
+      head.where(col("rk").isin(5, 10, 30))
+        .crossJoin(broadcast(totals))
+        .selectExpr("CAST(rk AS BIGINT) AS k",
+          "CAST(cum AS BIGINT) AS covered_tokens",
+          "CAST(vocab_size AS BIGINT) AS vocab_size",
+          "CAST(total_tokens AS BIGINT) AS total_tokens",
+          "CAST(cum * 1000000 DIV total_tokens AS BIGINT) AS covered_ppm")
+        .orderBy("k")
+    }),
+
     // CCNet-style quality bucketing: per SOURCE, head/middle/tail
     // terciles by the bigram LM score — the closed-form tercile rank
     // (3·(r−1)) DIV n (the agg_rfm_segments discipline — never ntile),
@@ -5014,6 +5043,27 @@ object Llm {
 
     // top-10 ranking recomputed from scratch, label relevance applied
     // AFTER the rank cut (a hit outside the top-10 must not count)
+    // the same head cut and exact integer running sum
+    "llm_vocab_coverage" ->
+      s"""WITH toks2 AS (SELECT unnest(list_filter(string_split($NORM, ' '),
+         |                       w -> length(w) > 0)) AS tok
+         |              FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM toks2 GROUP BY tok),
+         |head AS (SELECT tok, cnt,
+         |                row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+         |                SUM(cnt) OVER (ORDER BY cnt DESC, tok
+         |                  ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM vocab QUALIFY rk <= 30),
+         |tot AS (SELECT count(*) AS vocab_size, SUM(cnt) AS total_tokens
+         |        FROM vocab)
+         |SELECT CAST(rk AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered_tokens,
+         |       CAST(vocab_size AS BIGINT) AS vocab_size,
+         |       CAST(total_tokens AS BIGINT) AS total_tokens,
+         |       CAST(cum * 1000000 // total_tokens AS BIGINT) AS covered_ppm
+         |FROM head CROSS JOIN tot
+         |WHERE rk IN (5, 10, 30)
+         |ORDER BY k""".stripMargin,
+
     // the llm_bigram_lm scoring CTEs feeding the identical closed-form
     // tercile rank and a doc-id-ordered mean fold per bucket
     "llm_ccnet_buckets" ->
