@@ -298,10 +298,59 @@ object Ops {
        |FROM te t JOIN tr ON tr.seg = t.seg JOIN q ON q.seg = t.seg
        |ORDER BY seg""".stripMargin
 
+  /** Mann–Kendall trend test over the daily event-count series per
+    * event type — the nonparametric "is this metric trending"
+    * monitor (no distributional assumption, robust to outliers):
+    * S = Σ_{i<j} sign(v_j − v_i) with the standard tie-corrected
+    * variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — every term an
+    * exact integer; the only IEEE ops are the final sqrt (correctly
+    * rounded) and division. The pairwise join is EQUI on event_type
+    * with the day<day residual, over the DAY-GRANULAR aggregate —
+    * bounded by calendar span per type, never the raw event stream.
+    */
+  private def mannKendallSql(dayExpr: String): String =
+    s"""WITH d AS (SELECT event_type, $dayExpr AS day, COUNT(*) AS v
+       |           FROM events GROUP BY 1, 2),
+       |s AS (SELECT a.event_type,
+       |             SUM(CASE WHEN b.v > a.v THEN 1
+       |                      WHEN b.v < a.v THEN -1 ELSE 0 END) AS s_stat
+       |      FROM d a JOIN d b
+       |        ON a.event_type = b.event_type AND a.day < b.day
+       |      GROUP BY a.event_type),
+       |n AS (SELECT event_type, COUNT(*) AS n_days FROM d
+       |      GROUP BY event_type),
+       |t AS (SELECT event_type,
+       |             SUM(t_cnt * (t_cnt - 1) * (2 * t_cnt + 5)) AS tie_corr
+       |      FROM (SELECT event_type, v, COUNT(*) AS t_cnt FROM d
+       |            GROUP BY event_type, v)
+       |      GROUP BY event_type),
+       |v AS (SELECT n.event_type, n.n_days, s.s_stat,
+       |             n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+       |               - t.tie_corr AS var18
+       |      FROM n JOIN s ON s.event_type = n.event_type
+       |           JOIN t ON t.event_type = n.event_type)
+       |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       |       CAST(s_stat AS BIGINT) AS s_stat,
+       |       CAST(var18 AS BIGINT) AS var18,
+       |       CAST(ROUND(CASE
+       |         WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+       |           / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+       |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+       |           / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+       |         ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE) AS z_mk
+       |FROM v ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_error_sweep" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(hllSweepSql(spark = true))
+    }),
+
+    // Mann-Kendall trend monitor (see mannKendallSql)
+    "ts_mann_kendall" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(mannKendallSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)"))
     }),
 
     // split-conformal interval + held-out coverage (see conformalSql)
@@ -2022,6 +2071,10 @@ object Ops {
 
     // the identical chained scaling rounds, DuckDB fold idioms
     "agg_raking" -> rakingOracleSql,
+
+    // identical integer S / tie-corrected variance, DuckDB day idiom
+    "ts_mann_kendall" -> mannKendallSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)"),
 
     // same closed-form rank, DuckDB md5/int and // idioms
     "agg_conformal" -> conformalSql(
