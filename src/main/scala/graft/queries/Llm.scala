@@ -1423,6 +1423,30 @@ object Llm {
         .orderBy("probe_id", "rank")
     }),
 
+    // incremental ANN ingest: assign only the NEW batch (vec_id >= 1600,
+    // the arriving 20%) to the existing centroids and merge occupancy
+    // deltas into the standing per-shard counts — the vector-DB ingest
+    // step (cdc_incremental_agg's monoid-merge pattern on the IVF
+    // layout): the corpus is never re-assigned, only the batch moves
+    "llm_ivf_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where("vec_id < 8")
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      def occ(vecs: org.apache.spark.sql.DataFrame) =
+        Ivf.assign(vecs, centroids).groupBy("centroid_id")
+          .agg(count(lit(1)).as("n"))
+      occ(e.where("vec_id < 1600"))
+        .withColumnRenamed("n", "n_old")
+        .join(occ(e.where("vec_id >= 1600"))
+          .withColumnRenamed("n", "n_new"), Seq("centroid_id"), "full")
+        .selectExpr("centroid_id",
+          "CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old",
+          "CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new",
+          "CAST(COALESCE(n_old, 0) + COALESCE(n_new, 0) AS BIGINT) AS n_total")
+        .orderBy("centroid_id")
+    }),
+
     // IVF shard-balance report — the nlist-occupancy audit an ANN
     // deployment runs before trusting latency SLOs (a hot centroid owns
     // the probe tail): nearest-centroid assignment (one broadcast of the
@@ -4345,6 +4369,28 @@ object Llm {
          |           FROM pairs)
          |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // the same argmax assignment split at the batch boundary, occupancy
+    // merged with a FULL join so empty-on-one-side shards count at 0
+    "llm_ivf_incremental" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+         |                     embedding AS centroid
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${duckCosineRaw("embedding", "centroid")} DESC, centroid_id) AS rn
+         |        FROM embeddings, cent),
+         |a AS (SELECT vec_id, centroid_id FROM asg WHERE rn = 1),
+         |oldc AS (SELECT centroid_id, COUNT(*) AS n_old FROM a
+         |         WHERE vec_id < 1600 GROUP BY centroid_id),
+         |newc AS (SELECT centroid_id, COUNT(*) AS n_new FROM a
+         |         WHERE vec_id >= 1600 GROUP BY centroid_id)
+         |SELECT COALESCE(o.centroid_id, nw.centroid_id) AS centroid_id,
+         |       CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+         |       CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(COALESCE(o.n_old, 0) + COALESCE(nw.n_new, 0) AS BIGINT) AS n_total
+         |FROM oldc o FULL JOIN newc nw ON nw.centroid_id = o.centroid_id
+         |ORDER BY centroid_id""".stripMargin,
 
     // the same argmax assignment (unrounded cosine, min-cid ties via the
     // struct ordering), rolled up with the same integer share arithmetic

@@ -346,6 +346,22 @@ object Ops {
       s.sql(hllSweepSql(spark = true))
     }),
 
+    // data-freshness audit: per-stream lag behind the newest event in
+    // the table (never wall-clock "now" — nondeterministic); the ops
+    // check a late-landing upstream trips. One scan, two aggs
+    "qc_freshness" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql("""
+        WITH m AS (SELECT event_type, MAX(ts) AS mx, COUNT(*) AS n
+                   FROM events GROUP BY event_type),
+        g AS (SELECT MAX(mx) AS gmx FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CAST(unix_micros(mx) AS BIGINT) AS max_ts_us,
+               CAST((unix_micros(gmx) - unix_micros(mx)) DIV 3600000000 AS BIGINT) AS lag_hours,
+               (unix_micros(gmx) - unix_micros(mx)) > 86400000000 AS stale_24h
+        FROM m CROSS JOIN g ORDER BY event_type""")
+    }),
+
     // Mann-Kendall trend monitor (see mannKendallSql)
     "ts_mann_kendall" -> ((s, d) => {
       Tables.register(s, d)
@@ -2071,6 +2087,20 @@ object Ops {
 
     // the identical chained scaling rounds, DuckDB fold idioms
     "agg_raking" -> rakingOracleSql,
+
+    // micros arithmetic on ns-truncated timestamps (the Tables.load
+    // normalization: DuckDB reads raw TIMESTAMP_NS, truncate to micros)
+    "qc_freshness" -> """
+      WITH m AS (SELECT event_type,
+                        MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mxus,
+                        COUNT(*) AS n
+                 FROM events GROUP BY event_type),
+      g AS (SELECT MAX(mxus) AS gmx FROM m)
+      SELECT event_type, CAST(n AS BIGINT) AS n_events,
+             CAST(mxus AS BIGINT) AS max_ts_us,
+             CAST((gmx - mxus) // 3600000000 AS BIGINT) AS lag_hours,
+             (gmx - mxus) > 86400000000 AS stale_24h
+      FROM m CROSS JOIN g ORDER BY event_type""",
 
     // identical integer S / tie-corrected variance, DuckDB day idiom
     "ts_mann_kendall" -> mannKendallSql(
