@@ -2322,7 +2322,14 @@ object Llm {
     // source for contrastive/paraphrase training that pure dedup
     // discards; composition of cosineNearDups + jaccardWithZeros
     "llm_paraphrase_mine" -> ((s, d) => {
-      val cands = Similarity.cosineNearDups(emb(s, d), minCosine = 0.4)
+      // exact-collapse FRONT on identical vectors (the bbit_minhash
+      // lesson applied to the embedding side): verbatim copies explode
+      // the bucketed cosine self-join quadratically — factor-100 sweep
+      // 177.6 s raw vs 4.57 s with min-id survivors; dup-free corpora
+      // pass through unchanged
+      val surv = emb(s, d).groupBy("embedding")
+        .agg(min("vec_id").as("vec_id"))
+      val cands = Similarity.cosineNearDups(surv, minCosine = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
           col("cos"))
       // shingle ONLY candidate-touched docs: the embedded slice is a
@@ -5181,8 +5188,10 @@ object Llm {
     // intersection — zero-overlap pairs verify at jaccard 0 and survive
     // the lexical-distance filter
     "llm_paraphrase_mine" ->
-      s"""WITH bkt AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
-         |            FROM embeddings),
+      s"""WITH semb AS (SELECT MIN(vec_id) AS vec_id, embedding
+         |              FROM embeddings GROUP BY embedding),
+         |bkt AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8, 64)} AS bucket
+         |            FROM semb),
          |cand AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
          |                ${duckCosine("x.embedding", "y.embedding")} AS cos
          |         FROM bkt x JOIN bkt y
