@@ -37,6 +37,17 @@ object Bench {
       case _ => (first, None)
     }
 
+  /** Recovery gate for deferred re-measures (r15 verdict #1): a guard-fired
+    * entry is only worth re-measuring in a window the canary itself reads
+    * as clean — within `tol`× of the session-start reading. r15's scored
+    * run re-measured outliers IMMEDIATELY, inside the same churn window
+    * that produced them, so 3 of 19 kept 3-13× inflated min-of-3 values
+    * that a clean judge A/B showed were pure box churn. A probe ratio of
+    * -1 (no comparable canary pair) is NOT recovery.
+    */
+  def recoveryDecision(probeOverStart: Double, tol: Double = 1.2): Boolean =
+    probeOverStart > 0 && probeOverStart <= tol
+
   /** Per-entry guard factor (r14 verdict #1, optional part): box churn
     * dominates sub-second entries — a 1.5 s band entry reading 2.5× is
     * almost certainly churn worth one cheap re-measure, while a 10 s
@@ -171,10 +182,13 @@ object Bench {
     // run. Both ratios print in both output lines; a judge reads them
     // instead of re-running.
     val canaryNames = Seq("tpch_q6", "tpch_q1", "llm_dedup_exact")
+    // min-of-2 per probe (r15 ADVICE): the committed bands are min-of-2,
+    // so a single-pass canary reading carried a small systematic upward
+    // bias in start_over_band even on a clean box — match the regime.
     def canaryPass(): Map[String, Double] =
       canaryNames.flatMap { n =>
         SparkEntry.queries.get(n).flatMap { fn =>
-          try Some(n -> onePass(fn))
+          try Some(n -> math.min(onePass(fn), onePass(fn)))
           catch { case scala.util.control.NonFatal(_) => None }
         }
       }.toMap
@@ -184,32 +198,80 @@ object Bench {
     // passes must measure the steady state for the ratio to center on 1.0.
     canaryPass()
     val canaryStart = canaryPass()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // recordError=false on guard-triggered re-measures (ADVICE r14): a
-      // flaky retry must not convert a clean first reading into a reported
-      // bench failure — churnGuard's -1 handling already keeps the first
-      // reading when the retry dies.
-      def timedPasses(n: Int, recordError: Boolean = true): Double =
-        try (1 to n).map(_ => onePass(fn)).min
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            e.printStackTrace()
-            if (recordError) errors ::= name
-            -1.0
-        }
-      val band = bands.get(name)
-      val first = timedPasses(repeat)
-      val (sec, firedAt) = churnGuard(first, band, guardFactor(band)) {
-        System.err.println(
-          s"[bench] $name read ${Fmt.sec(first, 3)}s vs band " +
-            s"${Fmt.sec(bands(name), 3)}s — re-measuring (min-of-3)")
-        timedPasses(3, recordError = false)
+    type QueryFn = (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame
+    // recordError=false on guard-triggered re-measures (ADVICE r14): a
+    // flaky retry must not convert a clean first reading into a reported
+    // bench failure — churnGuard's -1 handling already keeps the first
+    // reading when the retry dies.
+    def timedPasses(name: String, fn: QueryFn, n: Int,
+                    recordError: Boolean = true): Double =
+      try (1 to n).map(_ => onePass(fn)).min
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          if (recordError) errors ::= name
+          -1.0
       }
-      firedAt.foreach(f => outliers ::= ((name, f, sec)))
-      name -> sec
+    // Deferred outlier queue (r15 verdict #1): a guard-fired entry is NOT
+    // re-measured inline — r15's immediate retries ran inside the very
+    // churn window that fired them and kept 3-13× inflated values. The
+    // queue drains at END of run, gated on a canary probe reading clean.
+    var deferred = List.empty[(String, QueryFn, Double)]
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val band = bands.get(name)
+      val first = timedPasses(name, fn, repeat)
+      band match {
+        case Some(b) if first >= 0 && b > 0 && first > guardFactor(band) * b =>
+          System.err.println(
+            s"[bench] $name read ${Fmt.sec(first, 3)}s vs band " +
+              s"${Fmt.sec(b, 3)}s — deferring re-measure to end of run")
+          deferred ::= ((name, fn, first))
+        case _ => ()
+      }
+      name -> first
     }
     val canaryEnd = canaryPass()
+    // Drain the deferral queue only in a canary-clean window: probe with
+    // the END canary first; if the box still reads inflated, give it one
+    // more probe (staging churn is bursty), then either re-measure
+    // min-of-3 or keep the first reading and tag the entry churn_suspect
+    // so the artifact self-declares which values ran dirty.
+    var churnSuspect = List.empty[String]
+    val remeasured: Map[String, Double] =
+      if (deferred.isEmpty) Map.empty
+      else {
+        val recovered = recoveryDecision(geoRatio(canaryEnd, canaryStart)) || {
+          System.err.println(
+            "[bench] canary still inflated at end of run — one more probe")
+          recoveryDecision(geoRatio(canaryPass(), canaryStart))
+        }
+        if (!recovered) {
+          churnSuspect = deferred.map(_._1)
+          System.err.println(
+            s"[bench] box never recovered — tagging churn_suspect: " +
+              churnSuspect.sorted.mkString(","))
+          Map.empty
+        } else deferred.map { case (name, fn, first) =>
+          val (sec, firedAt) =
+            churnGuard(first, bands.get(name), guardFactor(bands.get(name))) {
+              timedPasses(name, fn, 3, recordError = false)
+            }
+          firedAt.foreach(f => outliers ::= ((name, f, sec)))
+          name -> sec
+        }.toMap
+      }
+    // churn_suspect entries keep their first reading but still surface in
+    // band_outliers (first == reported) so the inflation is visible.
+    churnSuspect.foreach { n =>
+      deferred.find(_._1 == n).foreach { case (_, _, f) =>
+        outliers ::= ((n, f, f))
+      }
+    }
+    val results = firstPass.map { case (n, v) =>
+      n -> remeasured.getOrElse(n, v)
+    }
     val canaryBands = canaryNames.flatMap(n => bands.get(n).map(n -> _)).toMap
     // per-query values rounded to ms: the driver's capture has truncated
     // this line from the FRONT in past rounds (only the alphabetical tail
@@ -241,10 +303,13 @@ object Bench {
         s""""start_over_band":${ms(geoRatio(canaryStart, canaryBands))}"""
     val canaryFull =
       s""""canary":{"start":${cmap(canaryStart)},"end":${cmap(canaryEnd)},$canaryRatios}"""
+    val suspectJson =
+      churnSuspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","tpch_subtotal":${ms(tpch)},""" +
         s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
-        s""""band_outliers":${outlierJson(outliers)},$canaryFull,""" +
+        s""""band_outliers":${outlierJson(outliers)},"churn_suspect":$suspectJson,""" +
+        s"""$canaryFull,""" +
         s""""total_sec":${ms(total)},"tpch_subtotal_sec":${ms(tpch)}}"""
     // The driver's capture keeps only a ~2 KB TAIL of stdout; the full
     // per-query line is 5+ KB at 200+ entries, so even printed twice it
@@ -278,6 +343,7 @@ object Bench {
         s""""errors":$errCompact,""" +
         s""""band_outliers_n":${outliers.size},""" +
         s""""band_outliers":${outlierJson(outCompact)},""" +
+        s""""churn_suspect":$suspectJson,""" +
         s""""canary":{$canaryRatios},""" +
         s""""queries":$headline}""")
     spark.stop()

@@ -190,6 +190,63 @@ object Ivf {
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF maintenance ACTION (r15 verdict #6): split the heaviest
+    * cluster. [[inertia]]/`llm_ivf_balance` audit skew and
+    * `llm_ivf_incremental` ingests, but a hot shard eventually needs
+    * surgery — this is the nlist-rebalance step a vector DB runs when
+    * one inverted list owns the probe tail: one Lloyd step over the
+    * heavy cluster's members on 2 seeded sub-centroids, emitting the
+    * UPDATED CENTROID ROWS ONLY (long form, the [[lloydIterate]] shape:
+    * centroid_id, dim, component, n_members) — untouched clusters are
+    * not re-emitted and their members are never rescanned (the
+    * scd2Incremental touched-keys discipline).
+    *
+    * Deterministic seeding: sub-seed A = the member with the smallest
+    * vec_id (keeps the split cluster's id); sub-seed B = the member
+    * LEAST similar to A by raw cosine (ties toward the smaller vec_id
+    * — the [[assign]] precedent), taking id max(centroids)+1. One
+    * Lloyd step then reassigns members between the two seeds (raw-
+    * cosine argmax, ties toward the smaller centroid id) and emits the
+    * two sub-centroids as DECIMAL-exact member means.
+    *
+    * Scale shape: ONE corpus assign (broadcast k-row table, map-side
+    * max_by) is localCheckpointed; everything after runs on the heavy
+    * cluster's members only — the occupancy argmax and the two seed
+    * picks are model-sized collects (k rows / 1 row each), and the
+    * sub-assignment broadcasts a 2-row table. A 1-member cluster
+    * degenerates safely (both seeds coincide, everything stays on the
+    * original id; the new id emits no rows).
+    */
+  def splitHeaviest(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val a = assign(vecs, centroids)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .localCheckpoint()
+    val heavyId = a.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("centroid_id")).limit(1)
+      .collect()(0).getInt(0)
+    val newId = centroids
+      .agg(max(col("centroid_id").cast("int"))).collect()(0).getInt(0) + 1
+    // touched-cluster-only from here on (plan-gated): the split never
+    // rescans the rest of the corpus
+    val members = a.where(col("centroid_id") === heavyId)
+      .select(col("vec_id"), col("embedding"))
+    val seedA = members.orderBy("vec_id").limit(1)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray
+    val seedADf = Seq((0, seedA)).toDF("sid", "sa")
+    val seedB = members.crossJoin(broadcast(seedADf))
+      .withColumn("__c", expr("graft_cosine(embedding, sa)"))
+      .orderBy(col("__c").asc, col("vec_id").asc).limit(1)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray
+    val subCentroids = Seq((heavyId, seedA), (newId, seedB))
+      .toDF("centroid_id", "centroid")
+    lloydIterate(members, subCentroids)
+  }
+
   /** Per-cluster k-means inertia — the within-cluster sum of squared
     * euclidean distance to the cluster MEAN, i.e. the objective a
     * training loop monitors between Lloyd steps — without ever

@@ -1313,6 +1313,107 @@ object TextAnalysis {
           .as("hard_frac_ppm"))
   }
 
+  /** Trigram interpolated Kneser–Ney with bigram backoff (r15 verdict
+    * #5 — the KenLM-default order-3 form of [[knScoreHeldOut]]). All
+    * model tables derive from ONE trigram-type aggregate ctri(w1,w2,w3)
+    * (vocabulary³-bounded in theory, corpus-bounded in practice,
+    * map-side combined, localCheckpointed):
+    *
+    *   ctx3(w1,w2): c12tot = Σ c123, fan3 = N1+(w1 w2 ·)
+    *   cmid(w2,w3): cp = N1+(· w2 w3)      (continuation counts)
+    *   mid(w2):     midtot = Σ_w3 cp, fan2 = N1+(w2 ·) at cont level
+    *   cont(w3):    N1+(· w3) over cmid;  nbt = |cmid| types
+    *
+    * With both discounts pinned to the dyadic 3/4 and multiplied
+    * through, a seen context scores
+    *
+    *   P = (G3·4·midtot·nbt + 3·fan3·(G2·nbt + 3·fan2·cont))
+    *       / (16·c12tot·midtot·nbt),   G_k = (4·c − 3)⁺
+    *
+    * an unseen (w1,w2) backs off to the bigram-level continuation model
+    * (G2·nbt + 3·fan2·cont) / (4·midtot·nbt), and an unseen middle word
+    * to cont/nbt. The top-order products reach ~1.6e22 — past int64 —
+    * so numerator and denominator are computed EXACTLY in DECIMAL(38,0)
+    * (DuckDB: HUGEINT) and each P stays ONE correctly-rounded IEEE
+    * division of two exact integers; outputs are log-free as always
+    * (position-ordered fold for avg, exact dyadic 2⁻¹⁴ hard threshold —
+    * trigram probabilities sit an order below bigram ones).
+    *
+    * Scale shape: the eval stream equi-joins four vocab-bounded model
+    * tables (the 1-row type count broadcasts); nothing corpus-scale is
+    * ever shuffled twice — the trigram aggregate is the single heavy
+    * shuffle, shared via localCheckpoint by all four derivations.
+    */
+  def kn3ScoreHeldOut(docs: DataFrame, trainDocs: DataFrame): DataFrame = {
+    def toks(d: DataFrame) = d.select(col("doc_id"),
+      expr(s"filter(split(${Dedup.normalizeExpr}, ' '), w -> length(w) > 0)")
+        .as("t"))
+    def trigrams(t: DataFrame) = t.where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> struct(i AS pos, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.w1"), col("g.w2"),
+        col("g.w3"))
+    val ctri = trigrams(toks(trainDocs)).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val ctx3 = ctri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12tot"), count(lit(1)).as("fan3"))
+    // continuation level: each ctri row is one distinct-w1 type, so
+    // count(*) IS N1+(· w2 w3)
+    val cmid = ctri.groupBy("w2", "w3").agg(count(lit(1)).as("cp"))
+      .localCheckpoint()
+    val mid = cmid.groupBy("w2")
+      .agg(sum("cp").as("midtot"), count(lit(1)).as("fan2"))
+    val cont = cmid.groupBy("w3").agg(count(lit(1)).as("cont"))
+    val nbt = cmid.agg(count(lit(1)).as("n_bt"))
+    trigrams(toks(docs))
+      .join(ctri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(cmid, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .crossJoin(broadcast(nbt))
+      .withColumn("p", expr(
+        """CASE
+          |  WHEN midtot IS NULL THEN
+          |    CAST(COALESCE(cont, 0) AS DOUBLE) / CAST(n_bt AS DOUBLE)
+          |  WHEN c12tot IS NULL THEN
+          |    CAST(CAST((CASE WHEN cp IS NULL THEN 0 ELSE 4 * cp - 3 END)
+          |           AS DECIMAL(38,0)) * n_bt
+          |         + CAST(3 AS DECIMAL(38,0)) * fan2 * COALESCE(cont, 0)
+          |         AS DOUBLE)
+          |    / CAST(CAST(4 AS DECIMAL(38,0)) * midtot * n_bt AS DOUBLE)
+          |  ELSE
+          |    CAST(CAST((CASE WHEN c123 IS NULL THEN 0 ELSE 4 * c123 - 3 END)
+          |           AS DECIMAL(38,0)) * 4 * midtot * n_bt
+          |         + CAST(3 AS DECIMAL(38,0)) * fan3
+          |           * (CAST((CASE WHEN cp IS NULL THEN 0 ELSE 4 * cp - 3 END)
+          |                AS DECIMAL(38,0)) * n_bt
+          |              + CAST(3 AS DECIMAL(38,0)) * fan2 * COALESCE(cont, 0))
+          |         AS DOUBLE)
+          |    / CAST(CAST(16 AS DECIMAL(38,0)) * c12tot * midtot * n_bt
+          |           AS DOUBLE)
+          |END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c123").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("c12tot").isNull, 1L).otherwise(0L)).as("n_ctx_oov"),
+        sum(when(col("midtot").isNull, 1L).otherwise(0L)).as("n_mid_oov"),
+        sum(when(col("p") < lit(0.00006103515625d), 1L).otherwise(0L))
+          .as("__hard"),
+        expr(
+          """aggregate(transform(array_sort(collect_list(struct(pos, p))),
+            |  s -> s.p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+            .stripMargin).as("__s"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_oov"),
+        col("n_ctx_oov"), col("n_mid_oov"),
+        expr("CAST(ROUND(__s / n_trigrams, 6) AS DOUBLE)").as("avg_p_kn3"),
+        expr("CAST(FLOOR(__hard * 1000000 / n_trigrams) AS BIGINT)")
+          .as("hard_frac_ppm"))
+  }
+
   /** [[bigramScore]] with a HELD-OUT model — the honest form of the
     * perplexity filter: transition counts come from `trainDocs` only,
     * scoring runs over `docs` (a disjoint split), so no document is ever

@@ -31,12 +31,19 @@ object Ranking {
     */
   def bradleyTerry(matches: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one MM round")
+    // n>0 up front (r15 ADVICE): with zero-count rows dropped, every edge
+    // (i,j) in `sym` comes from a match one of them WON, so after round 1
+    // max(p_i, p_j) > 0 on every edge and the denominator p_i + p_j can
+    // never reach 0 — the update never divides by zero and nothing relies
+    // on IEEE Inf propagation matching between Spark and DuckDB (DuckDB
+    // only Inf-propagates while ieee_floating_point_ops stays on).
+    val nonEmpty = matches.filter(col("n") > 0)
     // symmetrized opponent table n_ij and per-player win totals
-    val sym = matches.selectExpr("winner AS i", "loser AS j", "n")
-      .unionByName(matches.selectExpr("loser AS i", "winner AS j", "n"))
+    val sym = nonEmpty.selectExpr("winner AS i", "loser AS j", "n")
+      .unionByName(nonEmpty.selectExpr("loser AS i", "winner AS j", "n"))
       .groupBy("i", "j").agg(sum("n").as("nij"))
       .localCheckpoint()
-    val wins = matches.groupBy(col("winner").as("i"))
+    val wins = nonEmpty.groupBy(col("winner").as("i"))
       .agg(sum("n").as("w"))
     val players = sym.select(col("i")).distinct()
     var p = players

@@ -240,13 +240,26 @@ object Io {
     // oracle predicts the physical index independently: the fixture
     // writer emits documents in doc_id order (invariant checked across
     // all three SFs with DuckDB file_row_number), so row_index == doc_id
-    "src_metadata_cols" -> ((s, d) =>
-      s.read.parquet(s"$d/documents.parquet")
+    "src_metadata_cols" -> ((s, d) => {
+      val md = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"),
           col("_metadata.file_name").as("file_name"),
           col("_metadata.row_index").as("row_index"))
-        .where("doc_id < 100")
-        .orderBy("doc_id")),
+      // loud invariant (r15 ADVICE): the oracle's row_index == doc_id
+      // prediction only holds while the fixture is ONE file written in
+      // doc_id order. A regenerated multi-file/reordered fixture used to
+      // surface as a confusing hash mismatch; assert_true over the FULL
+      // table's distinct-file count (1-row broadcast, not a cartesian)
+      // turns layout drift into a readable failure at the source.
+      val files = md.agg(countDistinct("file_name").as("n_files"))
+      md.where("doc_id < 100")
+        .crossJoin(broadcast(files))
+        .where(expr("assert_true(n_files = 1, " +
+          "'src_metadata_cols: documents.parquet is no longer a single " +
+          "file - row_index invariant broken') IS NULL"))
+        .drop("n_files")
+        .orderBy("doc_id")
+    }),
 
     "src_ndjson_roundtrip" -> ((s, d) => {
       val customer = t(s, d, "customer")

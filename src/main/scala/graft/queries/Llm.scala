@@ -621,6 +621,26 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // order-3 Kneser–Ney with bigram backoff (r15 verdict #5 — the
+    // KenLM-default order): one trigram-type aggregate feeds all four
+    // model tables; top-order products pass int64 so numerator and
+    // denominator are exact DECIMAL(38,0) (oracle: HUGEINT) and every
+    // P_KN3 is still ONE IEEE division (see kn3ScoreHeldOut scaladoc)
+    "llm_kn3_perplexity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = TextAnalysis.hashSplit(dd)
+      def part(cond: String) = dd.join(
+        split.where(cond).select("doc_id"), Seq("doc_id"))
+      TextAnalysis.kn3ScoreHeldOut(
+          part("split <> 'train'"), part("split = 'train'"))
+        .selectExpr("doc_id", "CAST(n_trigrams AS BIGINT) AS n_trigrams",
+          "CAST(n_oov AS BIGINT) AS n_oov",
+          "CAST(n_ctx_oov AS BIGINT) AS n_ctx_oov",
+          "CAST(n_mid_oov AS BIGINT) AS n_mid_oov",
+          "avg_p_kn3", "hard_frac_ppm")
+        .orderBy("doc_id")
+    }),
+
     // chance-corrected rater agreement (Cohen's kappa) between the
     // n-gram language-ID heuristic and the fixture's gold labels — the
     // one-number upgrade over llm_langid_eval's raw confusion matrix:
@@ -1445,6 +1465,22 @@ object Llm {
           "CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new",
           "CAST(COALESCE(n_old, 0) + COALESCE(n_new, 0) AS BIGINT) AS n_total")
         .orderBy("centroid_id")
+    }),
+
+    // IVF maintenance ACTION (r15 verdict #6): split the heaviest
+    // cluster by one Lloyd step on 2 seeded sub-centroids and emit the
+    // UPDATED centroid rows only — the hot-shard surgery the balance
+    // audit calls for; only the split cluster's members are rescanned
+    // after the one checkpointed assign (plan-gated in PlanShapeSpec)
+    "llm_ivf_split" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where("vec_id < 8")
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Ivf.splitHeaviest(e, centroids)
+        .selectExpr("CAST(centroid_id AS INT) AS centroid_id", "dim",
+          "component", "CAST(n_members AS BIGINT) AS n_members")
+        .orderBy("centroid_id", "dim")
     }),
 
     // IVF shard-balance report — the nlist-occupancy audit an ANN
@@ -2371,7 +2407,10 @@ object Llm {
           "CAST(cum AS BIGINT) AS covered_tokens",
           "CAST(vocab_size AS BIGINT) AS vocab_size",
           "CAST(total_tokens AS BIGINT) AS total_tokens",
-          "CAST(cum * 1000000 DIV total_tokens AS BIGINT) AS covered_ppm")
+          // DECIMAL(38,0) before the ppm scaling (r15 ADVICE): DuckDB
+          // promotes cum*1e6 to HUGEINT while int64 would overflow past
+          // ~9.2e12 corpus tokens under ANSI — widen to match the oracle
+          "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 DIV total_tokens AS BIGINT) AS covered_ppm")
         .orderBy("k")
     }),
 
@@ -4126,6 +4165,68 @@ object Llm {
          |         * 1000000 / count(*)) AS BIGINT) AS hard_frac_ppm
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // identical trigram-type derivations; the exact integer products go
+    // through HUGEINT (Spark: DECIMAL(38,0)) and each P is the same
+    // single double division; fold in position order
+    "llm_kn3_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              list_filter(string_split($NORM, ' '),
+         |                          w -> length(w) > 0) AS t,
+         |              CAST(('0x' || substr(md5($NORM), 1, 15))::BIGINT % 100 AS INT) AS bucket
+         |            FROM documents),
+         |ttg AS (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+         |        FROM tk, unnest(generate_series(1, len(t) - 2)) u(i)
+         |        WHERE len(t) >= 3 AND bucket < 90),
+         |ctri AS (SELECT w1, w2, w3, count(*) AS c123 FROM ttg GROUP BY 1, 2, 3),
+         |ctx3 AS (SELECT w1, w2, SUM(c123) AS c12tot, count(*) AS fan3
+         |         FROM ctri GROUP BY 1, 2),
+         |cmid AS (SELECT w2, w3, count(*) AS cp FROM ctri GROUP BY 1, 2),
+         |mid AS (SELECT w2, SUM(cp) AS midtot, count(*) AS fan2
+         |        FROM cmid GROUP BY 1),
+         |cont AS (SELECT w3, count(*) AS cont FROM cmid GROUP BY 1),
+         |nbt AS (SELECT count(*) AS n_bt FROM cmid),
+         |etg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS w1,
+         |               t[i + 1] AS w2, t[i + 2] AS w3
+         |        FROM tk, unnest(generate_series(1, len(t) - 2)) u(i)
+         |        WHERE len(t) >= 3 AND bucket >= 90),
+         |j AS (SELECT e.doc_id, e.pos, ctri.c123, ctx3.c12tot, mid.midtot,
+         |             CASE
+         |               WHEN mid.midtot IS NULL THEN
+         |                 CAST(COALESCE(cont.cont, 0) AS DOUBLE) / CAST(nbt.n_bt AS DOUBLE)
+         |               WHEN ctx3.c12tot IS NULL THEN
+         |                 CAST(CAST((CASE WHEN cmid.cp IS NULL THEN 0 ELSE 4 * cmid.cp - 3 END)
+         |                        AS HUGEINT) * nbt.n_bt
+         |                      + CAST(3 AS HUGEINT) * mid.fan2 * COALESCE(cont.cont, 0)
+         |                      AS DOUBLE)
+         |                 / CAST(CAST(4 AS HUGEINT) * mid.midtot * nbt.n_bt AS DOUBLE)
+         |               ELSE
+         |                 CAST(CAST((CASE WHEN ctri.c123 IS NULL THEN 0 ELSE 4 * ctri.c123 - 3 END)
+         |                        AS HUGEINT) * 4 * mid.midtot * nbt.n_bt
+         |                      + CAST(3 AS HUGEINT) * ctx3.fan3
+         |                        * (CAST((CASE WHEN cmid.cp IS NULL THEN 0 ELSE 4 * cmid.cp - 3 END)
+         |                             AS HUGEINT) * nbt.n_bt
+         |                           + CAST(3 AS HUGEINT) * mid.fan2 * COALESCE(cont.cont, 0))
+         |                      AS DOUBLE)
+         |                 / CAST(CAST(16 AS HUGEINT) * ctx3.c12tot * mid.midtot * nbt.n_bt
+         |                        AS DOUBLE)
+         |             END AS p
+         |      FROM etg e LEFT JOIN ctri ON e.w1 = ctri.w1 AND e.w2 = ctri.w2 AND e.w3 = ctri.w3
+         |           LEFT JOIN ctx3 ON e.w1 = ctx3.w1 AND e.w2 = ctx3.w2
+         |           LEFT JOIN cmid ON e.w2 = cmid.w2 AND e.w3 = cmid.w3
+         |           LEFT JOIN mid ON e.w2 = mid.w2
+         |           LEFT JOIN cont ON e.w3 = cont.w3
+         |           CROSS JOIN nbt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |       CAST(SUM(CASE WHEN c123 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN c12tot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_oov,
+         |       CAST(SUM(CASE WHEN midtot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_oov,
+         |       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(p ORDER BY pos)), (acc, v) -> acc + v) / count(*), 6)
+         |         AS DOUBLE) AS avg_p_kn3,
+         |       CAST(FLOOR(SUM(CASE WHEN p < 0.00006103515625 THEN 1 ELSE 0 END)
+         |         * 1000000 / count(*)) AS BIGINT) AS hard_frac_ppm
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // train-side draft table (argmax with the same (cnt DESC, w2)
     // tie-break) LEFT-joined onto the held-out bigram stream
     "llm_draft_accept" ->
@@ -4398,6 +4499,43 @@ object Llm {
          |       CAST(COALESCE(o.n_old, 0) + COALESCE(nw.n_new, 0) AS BIGINT) AS n_total
          |FROM oldc o FULL JOIN newc nw ON nw.centroid_id = o.centroid_id
          |ORDER BY centroid_id""".stripMargin,
+
+    // the same assignment replay, then: heaviest cluster by (n DESC,
+    // id), seed A = min-vec_id member, seed B = least-cosine-to-A member
+    // (ties min vec_id), sub-assignment argmax with min-id ties, and the
+    // kmeans_iter DECIMAL-exact mean arithmetic on the two sub-groups
+    "llm_ivf_split" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+         |                     embedding AS centroid
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${duckCosineRaw("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+         |        FROM embeddings e, cent c),
+         |a AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+         |heavy AS (SELECT centroid_id FROM a GROUP BY centroid_id
+         |          ORDER BY COUNT(*) DESC, centroid_id LIMIT 1),
+         |mem AS (SELECT a.vec_id, a.embedding FROM a JOIN heavy USING (centroid_id)),
+         |sa AS (SELECT embedding AS v FROM mem ORDER BY vec_id LIMIT 1),
+         |sb AS (SELECT m.embedding AS v FROM mem m, sa
+         |       ORDER BY ${duckCosineRaw("m.embedding", "sa.v")} ASC, m.vec_id LIMIT 1),
+         |subc AS (SELECT (SELECT centroid_id FROM heavy) AS cid, v FROM sa
+         |         UNION ALL
+         |         SELECT (SELECT MAX(centroid_id) + 1 FROM cent), v FROM sb),
+         |sasg AS (SELECT m.vec_id, m.embedding, s.cid,
+         |                row_number() OVER (PARTITION BY m.vec_id
+         |                  ORDER BY ${duckCosineRaw("m.embedding", "s.v")} DESC, s.cid) AS rn
+         |         FROM mem m, subc s),
+         |sm AS (SELECT vec_id, embedding, cid FROM sasg WHERE rn = 1),
+         |px AS (SELECT sm.cid, CAST(i - 1 AS INT) AS dim,
+         |              CAST(sm.embedding[i] AS DOUBLE) AS v
+         |       FROM sm, unnest(generate_series(1, len(sm.embedding))) AS u(i))
+         |SELECT CAST(cid AS INT) AS centroid_id, dim,
+         |       CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+         |                    / COUNT(*), 6) + 0.0 AS DOUBLE) AS component,
+         |       COUNT(*) AS n_members
+         |FROM px GROUP BY cid, dim
+         |ORDER BY centroid_id, dim""".stripMargin,
 
     // the same argmax assignment (unrounded cosine, min-cid ties via the
     // struct ordering), rolled up with the same integer share arithmetic

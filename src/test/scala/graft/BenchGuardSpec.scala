@@ -69,6 +69,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.geoRatio(Map("a" -> -1.0), Map("a" -> 1.0)) == -1.0)
   }
 
+  test("deferral gate (r15 verdict #1): re-measure only in a canary-clean window") {
+    // within 1.2x of the session-start canary = clean window, drain the queue
+    assert(Bench.recoveryDecision(1.0))
+    assert(Bench.recoveryDecision(1.2))
+    assert(Bench.recoveryDecision(0.8), "a box that got FASTER is clean")
+    // still inflated, or no comparable canary pair → keep first readings,
+    // tag churn_suspect — a re-measure here would run inside the churn
+    // window that fired the guard (the r15 scored-artifact defect)
+    assert(!Bench.recoveryDecision(1.21))
+    assert(!Bench.recoveryDecision(1.9))
+    assert(!Bench.recoveryDecision(-1.0))
+    assert(!Bench.recoveryDecision(0.0))
+  }
+
   test("band file round-trip: tab-separated lines, comments skipped, junk tolerated") {
     val p = java.nio.file.Files.createTempFile("bands", ".tsv")
     java.nio.file.Files.writeString(p,

@@ -805,6 +805,20 @@ class PlanShapeSpec extends SparkSpec {
       s"k-row centroid table shuffles the corpus instead of broadcasting:\n$plan")
   }
 
+  test("llm_ivf_split: only the split cluster's members are rescanned after the one assign") {
+    val plan = staticPlan(SparkEntry.queries("llm_ivf_split")(spark, sfSmoke))
+    // the final Lloyd step must read the checkpointed assignment (filtered
+    // to the heavy cluster), never the corpus parquet a second time — a
+    // FileScan here means the split re-assigned the whole corpus
+    assert(plan.contains("ExistingRDD"),
+      s"split lost its checkpointed assignment input:\n$plan")
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      s"the split stage rescans the full corpus:\n$plan")
+    assert("centroid_id#\\d+ = \\d+".r.findFirstIn(plan).isDefined,
+      s"touched-cluster filter missing — every cluster's members flow " +
+        s"into the split:\n$plan")
+  }
+
   test("llm_bpe_encode: merge passes touch only the vocab dict (corpus joins once, equi)") {
     val plan = staticPlan(SparkEntry.queries("llm_bpe_encode")(spark, sfSmoke))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
