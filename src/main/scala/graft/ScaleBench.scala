@@ -66,9 +66,15 @@ object ScaleBench {
       .agg(max(col("o_orderkey"))).head.get(0).toString.toLong + 1
     val docSpan = spark.read.parquet(s"$src/documents.parquet")
       .agg(max(col("doc_id"))).head.get(0).toString.toLong + 1
-    // embeddings replicate like documents (vec_id offset, vectors
-    // verbatim): every copy is an exact semantic dup of its original —
-    // the dup-heavy stress the ANN/semantic-dedup family exists for
+    // embeddings replicate like documents (vec_id offset) but BOTH ways
+    // (r15 verdict #2): EVEN shards keep vectors verbatim — exact
+    // semantic dups, the adversarial case the exact-vector collapse
+    // must absorb (paraphrase_mine's 177.6 s quadratic) — while ODD
+    // shards apply a tiny deterministic per-component jitter, producing
+    // true near-dups that cannot collapse and must flow through
+    // banding/assignment like organic data. A verbatim-only staging
+    // lets a collapse front hide missing scale behavior; jitter-only
+    // would never exercise the collapse.
     val embSpan = spark.read.parquet(s"$src/embeddings.parquet")
       .agg(max(col("vec_id"))).head.get(0).toString.toLong + 1
     val keyed = facts ++ Map("documents" -> "doc_id", "embeddings" -> "vec_id")
@@ -77,7 +83,17 @@ object ScaleBench {
     for ((t, keyCol) <- keyed) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val keyType = base.schema(keyCol).dataType
-      base.selectExpr(s"explode(sequence(0, ${factor - 1})) AS __shard", "*")
+      val sharded = base
+        .selectExpr(s"explode(sequence(0, ${factor - 1})) AS __shard", "*")
+      val jittered =
+        if (t != "embeddings") sharded
+        else sharded.withColumn("embedding", expr(
+          """CASE WHEN __shard % 2 = 0 THEN embedding
+            |ELSE transform(embedding, (v, i) -> CAST(v +
+            |  ((__shard * 131 + CAST(i AS BIGINT) * 31 + vec_id) % 19 - 9)
+            |    * CAST(0.0001 AS FLOAT) AS FLOAT))
+            |END""".stripMargin))
+      jittered
         .withColumn(keyCol,
           (col(keyCol) + col("__shard") * spans(t)).cast(keyType))
         .drop("__shard")
