@@ -1054,6 +1054,137 @@ object Multimodal {
     }
   }
 
+  /** Per-image 3×3 convolution census: Sobel gradient energy / edge
+    * count and Laplacian sufficient statistics over interior pixels.
+    */
+  case class ImageConv(doc_id: Long, width: Int, height: Int,
+                       n_interior: Long, n_edge: Long, sum_gabs: Long,
+                       sum_lap: Long, sum_lap2: Long)
+
+  /** Image sharpness/edge QC over the REAL decoded raster — the two
+    * classic curation signals an image-pipeline filter stage computes:
+    * Sobel edge density (blank/flat images have none) and the variance
+    * of the Laplacian (the standard blur detector — a blurred image has
+    * a collapsed Laplacian distribution). Both kernels run on the exact
+    * integer BT.601 luma 299r+587g+114b (no division anywhere), over
+    * interior pixels only (images narrower than 3px in either axis have
+    * no interior and are filtered upstream):
+    *
+    *   gx = (l(x+1,y-1)+2·l(x+1,y)+l(x+1,y+1)) − (l(x-1,y-1)+2·l(x-1,y)+l(x-1,y+1))
+    *   gy = the transpose;  edge iff |gx|+|gy| ≥ `threshold`
+    *   lap = 4·l(x,y) − l(x-1,y) − l(x+1,y) − l(x,y-1) − l(x,y+1)
+    *
+    * Everything emitted is an exact integer (counts and sums, Σlap and
+    * Σlap² as the variance sufficient statistics), so the oracle can
+    * replay the generator's pixel formula through the identical kernels
+    * — a wrong decode, kernel sign, or boundary rule cannot hash-match.
+    * Map-only over the decoded batch, embarrassingly parallel.
+    */
+  def convolveImages(images: Dataset[ImageBlob], threshold: Long,
+                     batchSize: Int = 64): Dataset[ImageConv] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.png))
+          if (img == null)
+            throw new IllegalArgumentException(
+              s"undecodable image payload for doc_id=${b.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              lum(y)(x) =
+                299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          var (nInt, nEdge, sGabs, sLap, sLap2) = (0L, 0L, 0L, 0L, 0L)
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (lum(y - 1)(x + 1) + 2 * lum(y)(x + 1) + lum(y + 1)(x + 1)) -
+                (lum(y - 1)(x - 1) + 2 * lum(y)(x - 1) + lum(y + 1)(x - 1))
+              val gy = (lum(y + 1)(x - 1) + 2 * lum(y + 1)(x) + lum(y + 1)(x + 1)) -
+                (lum(y - 1)(x - 1) + 2 * lum(y - 1)(x) + lum(y - 1)(x + 1))
+              val gabs = math.abs(gx).toLong + math.abs(gy).toLong
+              val lap = 4L * lum(y)(x) - lum(y)(x - 1) - lum(y)(x + 1) -
+                lum(y - 1)(x) - lum(y + 1)(x)
+              nInt += 1
+              if (gabs >= threshold) nEdge += 1
+              sGabs += gabs
+              sLap += lap
+              sLap2 += lap * lap
+              x += 1
+            }
+            y += 1
+          }
+          ImageConv(b.doc_id, w, h, nInt, nEdge, sGabs, sLap, sLap2)
+        }
+      }
+    }
+  }
+
+  /** Per-clip PCM quality census: clipping, clipped-run shape and
+    * zero-crossing count.
+    */
+  case class AudioQc(doc_id: Long, n_samples: Long, n_clipped: Long,
+                     n_clip_runs: Long, max_clip_run: Long,
+                     n_zero_cross: Long)
+
+  /** Audio QC census over the REAL decoded PCM — the signal-integrity
+    * checks an audio-curation stage runs before any model sees a clip:
+    * clipped-sample count (|s| ≥ `clipAt`, i.e. the recording hit the
+    * converter rails), the SHAPE of the clipping (contiguous clipped
+    * runs and the longest one — one long run is a flat-lined segment,
+    * many short runs are transient peaks), and the zero-crossing count
+    * (a degenerate constant/DC-stuck clip has none). All outputs are
+    * exact integers from a single in-order pass over each clip's
+    * samples; the oracle replays the synth formula through the same
+    * run/crossing rules (gaps-and-islands on the sample index).
+    */
+  def audioQc(audio: Dataset[AudioBlob], clipAt: Int = 32000,
+              batchSize: Int = 64): Dataset[AudioQc] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          val (_, bytes) = WavCodec.decode(b.wav, b.doc_id)
+          val n = bytes.length / 2
+          var (nClip, nRuns, maxRun, nCross) = (0L, 0L, 0L, 0L)
+          var run = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
+            if (math.abs(s) >= clipAt) {
+              if (run == 0) nRuns += 1
+              run += 1
+              if (run > maxRun) maxRun = run
+              nClip += 1
+            } else run = 0
+            // crossing = strict sign change between consecutive samples
+            // (zero itself is non-negative — one fixed, replayable rule)
+            if (i > 0 && ((prev >= 0 && s < 0) || (prev < 0 && s >= 0)))
+              nCross += 1
+            prev = s
+            i += 1
+          }
+          AudioQc(b.doc_id, n.toLong, nClip, nRuns, maxRun, nCross)
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a "video" payload. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_md5: String,
                    frame_bytes: Long)

@@ -1690,4 +1690,73 @@ object TextAnalysis {
       fp("in_items").as("input_md5"),
       fp("tg_items").as("target_md5"))
   }
+
+  /** EXACT word-level WER (word error rate) — the transcript-quality
+    * metric an ASR/caption-curation stage computes between a reference
+    * and hypothesis word sequence. Word-level edit distance is computed
+    * by ENCODING each document's words into single ASCII characters
+    * (one symbol per distinct word, per-doc dense index → `chr(32+idx)`)
+    * and running the engines' native character `levenshtein` on the
+    * encodings — exact dynamic programming at word granularity without
+    * a UDF. The alphabet must stay pure ASCII: DuckDB's levenshtein is
+    * BYTE-based while Spark's walks codepoints (probed '中'/'国' → 3 vs
+    * 1), so any multi-byte symbol would diverge; `maxWords` = 40 bounds
+    * the per-doc vocabulary (≤ 40 ref + ≤ 40 typo variants = 80 < the
+    * 94 printable ASCII symbols) and the O(n·m) DP cell count.
+    *
+    * The hypothesis derives deterministically from the reference (this
+    * fixture has no parallel transcript): md5-keyed per-(doc, pos,
+    * word) — drop when h%7=0 (deletion), append-'q' typo when h%11=3
+    * (substitution). The METRIC is the real one; `n_edits` is the true
+    * minimal edit distance of the derived pair (adjacent drops and
+    * typos interact — it is not simply #drops + #typos).
+    *
+    * Scale shape: one scan → per-(doc,word) rows; the vocabulary index
+    * is a per-doc window over ≤ 80 rows; encode is a group-by-doc fold;
+    * the DP runs per row on ≤ 40×40 cells — embarrassingly parallel,
+    * no corpus-scale shuffle beyond the doc_id hash partitioning.
+    */
+  def werEval(docs: DataFrame, maxWords: Int = 40): DataFrame = {
+    require(maxWords >= 1 && maxWords * 2 <= 94,
+      "per-doc vocabulary (2*maxWords) must fit the printable-ASCII alphabet")
+    val words = docs.select(col("doc_id"),
+      posexplode(expr(s"slice(filter(split(${Dedup.normalizeExpr}, ' '), " +
+        s"w -> length(w) > 0), 1, $maxWords)")).as(Seq("pos", "w")))
+    val flags = words
+      .withColumn("hsh", expr(
+        "conv(substr(md5(concat(cast(doc_id AS string), '|', " +
+          "cast(pos AS string), '|', w)), 1, 15), 16, 10)").cast("long"))
+      .withColumn("keep", expr("hsh % 7 != 0"))
+      .withColumn("hw", expr("CASE WHEN hsh % 11 = 3 THEN concat(w, 'q') ELSE w END"))
+    // index EVERY hyp variant, kept or not — restricting to kept rows
+    // would drop a (dropped, typo-flagged) word's hw from the vocab and
+    // the inner join below would silently eat the REF word with it
+    // (caught by the werEval bounds test: n_ref read 39 of 40)
+    val vocab = flags.select(col("doc_id"), col("w"))
+      .union(flags.select(col("doc_id"), col("hw").as("w")))
+      .distinct()
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("doc_id").orderBy("w")))
+      .withColumn("ch", expr("chr(32 + idx)"))
+    flags
+      .join(vocab.select(col("doc_id"), col("w"), col("ch").as("rch")),
+        Seq("doc_id", "w"))
+      .join(vocab.select(col("doc_id"), col("w").as("hw"), col("ch").as("hch")),
+        Seq("doc_id", "hw"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ref"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_hyp"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, rch)))," +
+          " s -> s.rch), '')").as("enc_ref"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(pos, hch) END)), s -> s.hch), '')")
+          .as("enc_hyp"))
+      .select(col("doc_id"),
+        col("n_ref").cast("long").as("n_ref"),
+        col("n_hyp").cast("long").as("n_hyp"),
+        expr("CAST(levenshtein(enc_ref, enc_hyp) AS BIGINT)").as("n_edits"),
+        expr("CAST(ROUND(CAST(levenshtein(enc_ref, enc_hyp) AS DOUBLE) " +
+          "/ CAST(n_ref AS DOUBLE), 6) AS DOUBLE)").as("wer"))
+  }
 }

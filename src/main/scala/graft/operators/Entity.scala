@@ -187,4 +187,104 @@ object Entity {
         expr(agreements.indices.map(i => s"a$i").mkString(" + ")))
       .where(col("score") >= threshold)
   }
+
+  /** Fellegi–Sunter EM parameter estimation — the scaladoc above says
+    * "the weights are the caller's trained constants"; THIS is the
+    * trainer (the Splink/fastLink core): unsupervised EM over the
+    * candidate pairs' binary agreement patterns, estimating λ (match
+    * prevalence among candidates) and per-field m/u probabilities
+    * (P(agree | match) / P(agree | non-match)), whose ratio is the
+    * field's match weight.
+    *
+    * Scale shape: the corpus-scale work is ONE group-by over the
+    * candidate pairs → the 2^k-row agreement-pattern histogram; EM runs
+    * driver-side on that histogram (model-sized state, the lloydLoop
+    * discipline — k fields is ≤ 2^k ≤ tens of rows no matter how many
+    * billions of pairs), so iteration cost is independent of corpus
+    * size.
+    *
+    * Determinism: every EM quantity is a FIXED IEEE tree — per-pattern
+    * match likelihood folds factors in field order j ascending starting
+    * from λ, the M-step sums fold patterns in ascending (a0,…,ak)
+    * order, and each update is one division — so an engine replaying
+    * the identical operation sequence (the oracle's chained per-
+    * iteration CTE folds) reproduces every parameter bit-identically.
+    * Initial values are exact dyadics (λ=0.25, m=0.75, u=0.25).
+    *
+    * `cand`: candidate pairs with binary 0/1 agreement columns `aCols`.
+    * Output: one row per observed pattern — (aCols…, n, p_match) plus
+    * the final (λ, m_j, u_j) repeated on every row, RAW doubles (the
+    * caller applies its engine's ROUND at the output edge).
+    */
+  def emWeights(cand: DataFrame, aCols: Seq[String], iters: Int = 5): DataFrame = {
+    require(aCols.nonEmpty && aCols.size <= 8, "1..8 agreement fields")
+    require(iters >= 1, "iters must be positive")
+    val spark = cand.sparkSession
+    val k = aCols.size
+    val hist0 = cand.groupBy(aCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (aCols.indices.map(r.getInt).toArray, r.getLong(k)))
+    val hist = hist0.sortBy(_._1.toSeq)(
+      math.Ordering.Implicits.seqOrdering[Seq, Int])
+    val nTot = hist.map(_._2).sum
+    var lam = 0.25
+    val m = Array.fill(k)(0.75)
+    val u = Array.fill(k)(0.25)
+    def weights(): Array[(Array[Int], Long, Double)] = hist.map { case (g, n) =>
+      var pm = lam
+      var pu = 1.0 - lam
+      var j = 0
+      while (j < k) {
+        pm = pm * (if (g(j) == 1) m(j) else 1.0 - m(j))
+        pu = pu * (if (g(j) == 1) u(j) else 1.0 - u(j))
+        j += 1
+      }
+      (g, n, pm / (pm + pu))
+    }
+    for (_ <- 1 to iters) {
+      val ws = weights()
+      val sNW = ws.foldLeft(0.0) { case (a, (_, n, w)) => a + n.toDouble * w }
+      val sNU = ws.foldLeft(0.0) { case (a, (_, n, w)) =>
+        a + n.toDouble * (1.0 - w)
+      }
+      lam = sNW / nTot.toDouble
+      var j = 0
+      while (j < k) {
+        m(j) = ws.foldLeft(0.0) { case (a, (g, n, w)) =>
+          a + (if (g(j) == 1) n.toDouble * w else 0.0)
+        } / sNW
+        u(j) = ws.foldLeft(0.0) { case (a, (g, n, w)) =>
+          a + (if (g(j) == 1) n.toDouble * (1.0 - w) else 0.0)
+        } / sNU
+        j += 1
+      }
+    }
+    // raw doubles out — the caller applies the engine's own ROUND(…,6)
+    // at the output edge (Spark-ROUND vs DuckDB-ROUND is the proven
+    // repo-wide pairing; a driver-side BigDecimal round would introduce
+    // a THIRD rounding convention)
+    val rows = weights().map { case (g, n, w) =>
+      // Seq[Any] — a plain Seq(n, w, lam) would WIDEN the Long count to
+      // Double via weak conformance and break the LongType schema slot
+      org.apache.spark.sql.Row.fromSeq(
+        g.toSeq ++ Seq[Any](n, w, lam) ++ m.toSeq ++ u.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      aCols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.IntegerType)) ++
+        Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("p_match",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("lambda",
+            org.apache.spark.sql.types.DoubleType)) ++
+        aCols.indices.map(j => org.apache.spark.sql.types.StructField(
+          s"m${j + 1}", org.apache.spark.sql.types.DoubleType)) ++
+        aCols.indices.map(j => org.apache.spark.sql.types.StructField(
+          s"u${j + 1}", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
 }

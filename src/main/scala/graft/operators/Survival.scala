@@ -61,4 +61,65 @@ object Survival {
         col("r.n_events").as("n_events"),
         expr("CAST(ROUND(r.surv, 6) AS DOUBLE)").as("surv"))
   }
+
+  /** Two-group log-rank test — "do these two cohorts repeat/churn/fail
+    * at the same rate?", the hypothesis test that ships next to every
+    * [[kaplanMeier]] curve. `spells` adds a boolean `grp` (group-1
+    * membership) to (dur, ev).
+    *
+    * At each event time t (duration with ≥1 event across both groups):
+    * observed group-1 events d1_t, expected e1_t = d_t·n1_t/n_t under
+    * H0, and hypergeometric variance
+    * v_t = n1_t·(n_t−n1_t)·d_t·(n_t−d_t) / (n_t²·(n_t−1)), summed over
+    * event times; χ² = (O1−E1)²/V. O1 is an exact integer; E1 and V are
+    * day-ordered left-to-right folds of per-day IEEE terms whose inputs
+    * (risk sets, event counts) are exact integers — the same
+    * fixed-tree discipline as the KM prefix product, so any engine
+    * reproduces them bit-identically.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — corpus-scale work is
+    * the one per-(duration)-aggregate (map-side combined); risk-set
+    * windows and the ordered folds run on the day-granular table,
+    * bounded by the calendar span regardless of subject count.
+    */
+  def logRank(spells: DataFrame): DataFrame = {
+    val byt = spells.groupBy(col("dur"))
+      .agg(sum("ev").as("d"),
+        sum(when(col("grp"), col("ev")).otherwise(lit(0))).as("d1"),
+        count(lit(1)).as("c"),
+        sum(when(col("grp"), 1L).otherwise(0L)).as("c1"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byt
+      .withColumn("n_risk", sum("c").over(wDesc))
+      .withColumn("n1_risk", sum("c1").over(wDesc))
+      .where(col("d") > 0)
+      .select(col("dur"), col("d"), col("d1"), col("n_risk"), col("n1_risk"),
+        expr("CAST(d AS DOUBLE) * CAST(n1_risk AS DOUBLE) " +
+          "/ CAST(n_risk AS DOUBLE)").as("e1"),
+        expr("""CASE WHEN n_risk > 1 THEN
+                |  CAST(n1_risk AS DOUBLE) * CAST(n_risk - n1_risk AS DOUBLE)
+                |    * CAST(d AS DOUBLE) * CAST(n_risk - d AS DOUBLE)
+                |    / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)
+                |       * CAST(n_risk - 1 AS DOUBLE))
+                |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin).as("v"))
+      .agg(expr("array_sort(collect_list(struct(dur, d, d1, e1, v)))").as("xs"))
+      .where(expr("size(xs) > 0"))
+      .select(
+        expr("CAST(size(xs) AS BIGINT)").as("n_event_times"),
+        expr("CAST(aggregate(xs, 0L, (a, x) -> a + x.d1) AS BIGINT)").as("o1"),
+        expr("CAST(ROUND(aggregate(xs, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + x.e1), 6) AS DOUBLE)").as("e1"),
+        expr("CAST(ROUND(aggregate(xs, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + x.v), 6) AS DOUBLE)").as("v"),
+        expr("""CAST(ROUND(
+                |  CASE WHEN aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v) > 0
+                |  THEN (CAST(aggregate(xs, 0L, (a, x) -> a + x.d1) AS DOUBLE)
+                |        - aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.e1))
+                |     * (CAST(aggregate(xs, 0L, (a, x) -> a + x.d1) AS DOUBLE)
+                |        - aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.e1))
+                |     / aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)
+                |  ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE)""".stripMargin)
+          .as("chi2"))
+  }
 }

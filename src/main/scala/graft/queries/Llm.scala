@@ -1887,6 +1887,105 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // audio signal-integrity QC over the REAL decoded PCM: clipped-sample
+    // census, clipped-RUN shape (flat-lined segment vs transient peaks)
+    // and zero-crossing count — all exact integers from one in-order
+    // pass; the oracle replays the synth formula through gaps-and-islands
+    "llm_audio_clipping" -> ((s, d) =>
+      Multimodal.audioQc(Multimodal.synthesizeAudio(docs(s, d)))
+        .toDF().orderBy("doc_id")),
+
+    // Sobel edge-density census over the REAL decoded rasters (integer
+    // BT.601 luma, integer kernels, interior pixels only) — the
+    // blank/flat-image curation signal; the oracle replays the pixel
+    // formula through the identical kernel
+    "llm_image_edges" -> ((s, d) =>
+      Multimodal.convolveImages(Multimodal.synthesizeImages(
+          docs(s, d).where("doc_id < 200")), threshold = 200000L)
+        .toDF()
+        .where("width >= 3 AND height >= 3")
+        .selectExpr("doc_id", "CAST(width AS INT) AS width",
+          "CAST(height AS INT) AS height",
+          "CAST(n_interior AS BIGINT) AS n_interior",
+          "CAST(n_edge AS BIGINT) AS n_edge",
+          "CAST(sum_gabs AS BIGINT) AS sum_gabs",
+          "CAST(ROUND(CAST(n_edge AS DOUBLE) / CAST(n_interior AS DOUBLE)," +
+            " 6) AS DOUBLE) AS edge_frac")
+        .orderBy("doc_id")),
+
+    // variance-of-Laplacian blur detector over the same decoded rasters
+    // — the standard sharpness filter; variance from exact integer
+    // sufficient statistics (n·Σl² − (Σl)²) / n², every operand cast to
+    // DOUBLE before multiplying so both engines round identically. The
+    // variance runs ~1e9–1e10, squarely in the pinned DuckDB
+    // multiply-ROUND-divide ULP regime (probed here: …798.222222 vs
+    // …798.222223), so it leaves FLOOR→BIGINT, not ROUND(,6)
+    "llm_image_blur" -> ((s, d) =>
+      Multimodal.convolveImages(Multimodal.synthesizeImages(
+          docs(s, d).where("doc_id < 200")), threshold = 200000L)
+        .toDF()
+        .where("width >= 3 AND height >= 3")
+        .selectExpr("doc_id",
+          "CAST(n_interior AS BIGINT) AS n_interior",
+          "CAST(sum_lap AS BIGINT) AS sum_lap",
+          "CAST(sum_lap2 AS BIGINT) AS sum_lap2",
+          "CAST(FLOOR((CAST(n_interior AS DOUBLE) * CAST(sum_lap2 AS DOUBLE)" +
+            " - CAST(sum_lap AS DOUBLE) * CAST(sum_lap AS DOUBLE))" +
+            " / (CAST(n_interior AS DOUBLE) * CAST(n_interior AS DOUBLE)))" +
+            " AS BIGINT) AS var_lap_floor")
+        .orderBy("doc_id")),
+
+    // EXACT word-level WER via the ASCII word-encoding trick (one
+    // symbol per distinct word per doc, native levenshtein on the
+    // encodings — DuckDB's levenshtein is byte-based, so the alphabet
+    // stays printable ASCII); hypothesis = deterministic md5-keyed
+    // drops + append-'q' typos over the 40-word reference prefix
+    "llm_wer_eval" -> ((s, d) =>
+      TextAnalysis.werEval(docs(s, d)).orderBy("doc_id")),
+
+    // Newman modularity of the SOURCE partition over the near-dup
+    // survivor graph — "does duplication cluster within sources?"
+    // (q_num = 4·m·e_c − d_c² keeps the per-community term an EXACT
+    // integer; Q = Σ q_num / 4m²). Same exact-collapse → LSH-banded
+    // survivor pairs as llm_dup_source_matrix — never all-pairs; the
+    // modularity terms are three bounded per-source rollups
+    "llm_dup_modularity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val fps = dd.select(col("doc_id"), col("source"),
+        expr(s"md5(${graft.llm.Dedup.normalizeExpr})").as("fp"))
+      val cls = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val survivors = dd.join(
+        cls.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
+        .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      val src = survivors.select(col("doc_id"), col("source"))
+      val edges = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+      val mDf = edges.agg(count(lit(1)).as("m_edges"))
+      val deg = edges.select(col("doc_a").as("doc_id"), col("sa").as("source"))
+        .union(edges.select(col("doc_b").as("doc_id"), col("sb").as("source")))
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("deg"))
+      val nodes = src.groupBy("source").agg(count(lit(1)).as("n_nodes"))
+      val dsum = deg.groupBy("source").agg(sum("deg").as("d_sum"))
+      val eintra = edges.where(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_intra"))
+      nodes
+        .join(dsum, Seq("source"), "left")
+        .join(eintra, Seq("source"), "left")
+        .crossJoin(mDf)
+        .where(col("m_edges") > 0)
+        .selectExpr("source", "CAST(n_nodes AS BIGINT) AS n_nodes",
+          "CAST(COALESCE(e_intra, 0) AS BIGINT) AS e_intra",
+          "CAST(COALESCE(d_sum, 0) AS BIGINT) AS d_sum",
+          "CAST(m_edges AS BIGINT) AS m_edges",
+          "CAST(4 * m_edges * COALESCE(e_intra, 0) " +
+            "- COALESCE(d_sum, 0) * COALESCE(d_sum, 0) AS BIGINT) AS q_num")
+        .orderBy("source")
+    }),
+
     // REAL video container round-trip: deterministic uncompressed AVIs
     // (RIFF + avih/strh/strf + bottom-up stride-padded 24-bit BGR movi
     // frames) synthesized from (doc_id, frame, x, y) formulas, then
@@ -2678,11 +2777,13 @@ object Llm {
     "llm_whiten" -> ((s, d) =>
       Similarity.dominantRemove(emb(s, d)).orderBy("vec_id")),
 
-    // 4-step BPE TRAINING loop: the learned merge table, each step's
+    // 8-step BPE TRAINING loop: the learned merge table, each step's
     // best pair depending on the previous merges — the chained oracle
-    // replays all four stages in CTEs
+    // replays all eight stages in CTEs (the dict is localCheckpointed
+    // between steps, so the Spark plan stays linear; DuckDB's CTE chain
+    // has no inliner doubling)
     "llm_bpe_train" -> ((s, d) =>
-      TextAnalysis.bpeTrain(docs(s, d), iters = 4).orderBy("iter")),
+      TextAnalysis.bpeTrain(docs(s, d), iters = 8).orderBy("iter")),
 
     // BPE ENCODE: the learned 4-merge table applied to every document —
     // the unique-word dictionary is tokenized once (vocab-sized merge
@@ -5125,6 +5226,168 @@ object Llm {
          |       CAST(sum(v * v) AS BIGINT) AS energy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the synth formula replayed through the identical clip / run /
+    // crossing rules — runs via gaps-and-islands on the sample index
+    "llm_audio_clipping" ->
+      """WITH p AS (
+        |  SELECT doc_id, 64 + (doc_id * 13) % 512 AS n FROM documents),
+        |idx AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+        |c AS (SELECT doc_id, n, i,
+        |             ((doc_id * 31 + i * 17) % 65536) - 32768 AS v,
+        |             lag(((doc_id * 31 + i * 17) % 65536) - 32768)
+        |               OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |      FROM idx),
+        |runs AS (SELECT doc_id,
+        |                i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grpk
+        |         FROM c WHERE abs(v) >= 32000),
+        |runsz AS (SELECT doc_id, COUNT(*) AS rl FROM runs GROUP BY doc_id, grpk),
+        |runagg AS (SELECT doc_id, COUNT(*) AS n_runs, MAX(rl) AS max_run
+        |           FROM runsz GROUP BY doc_id),
+        |base AS (SELECT doc_id, max(n) AS n,
+        |                SUM(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END) AS n_clip,
+        |                SUM(CASE WHEN pv IS NOT NULL AND
+        |                         ((pv >= 0 AND v < 0) OR (pv < 0 AND v >= 0))
+        |                    THEN 1 ELSE 0 END) AS n_cross
+        |         FROM c GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_samples,
+        |       CAST(b.n_clip AS BIGINT) AS n_clipped,
+        |       CAST(COALESCE(r.n_runs, 0) AS BIGINT) AS n_clip_runs,
+        |       CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_clip_run,
+        |       CAST(b.n_cross AS BIGINT) AS n_zero_cross
+        |FROM base b LEFT JOIN runagg r ON r.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // same survivor graph; the three rollups and the exact-integer
+    // modularity numerator replayed verbatim
+    "llm_dup_modularity" ->
+      s"""WITH fps AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),
+         |cls AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+         |docs2 AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN cls ON cls.keep_id = d.doc_id),
+         |${minhashCtes("docs2")},
+         |$jaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+         |srcs AS (SELECT d.doc_id, d.source FROM documents d
+         |         JOIN cls ON cls.keep_id = d.doc_id),
+         |edges AS (SELECT p.doc_a, p.doc_b, a.source AS sa, b.source AS sb
+         |          FROM pairs p JOIN srcs a ON a.doc_id = p.doc_a
+         |                       JOIN srcs b ON b.doc_id = p.doc_b),
+         |mm AS (SELECT COUNT(*) AS m FROM edges),
+         |deg AS (SELECT doc_id, source, COUNT(*) AS deg FROM (
+         |          SELECT doc_a AS doc_id, sa AS source FROM edges
+         |          UNION ALL SELECT doc_b, sb FROM edges) GROUP BY doc_id, source),
+         |nodes AS (SELECT source, COUNT(*) AS n_nodes FROM srcs GROUP BY source),
+         |ds AS (SELECT source, SUM(deg) AS d_sum FROM deg GROUP BY source),
+         |ei AS (SELECT sa AS source, COUNT(*) AS e_intra FROM edges
+         |       WHERE sa = sb GROUP BY sa)
+         |SELECT n.source, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(COALESCE(ei.e_intra, 0) AS BIGINT) AS e_intra,
+         |       CAST(COALESCE(ds.d_sum, 0) AS BIGINT) AS d_sum,
+         |       CAST(mm.m AS BIGINT) AS m_edges,
+         |       CAST(4 * mm.m * COALESCE(ei.e_intra, 0)
+         |            - COALESCE(ds.d_sum, 0) * COALESCE(ds.d_sum, 0) AS BIGINT) AS q_num
+         |FROM nodes n CROSS JOIN mm
+         |LEFT JOIN ds ON ds.source = n.source
+         |LEFT JOIN ei ON ei.source = n.source
+         |WHERE mm.m > 0
+         |ORDER BY n.source""".stripMargin,
+
+    // identical word stream, hash flags, per-doc vocabulary index and
+    // ASCII encoding; DuckDB's byte-based levenshtein coincides with
+    // Spark's codepoint walk on the pure-ASCII alphabet
+    "llm_wer_eval" ->
+      s"""WITH ws AS (SELECT doc_id,
+         |  list_filter(string_split($NORM, ' '), w -> length(w) > 0)[1:40] AS wl
+         |  FROM documents),
+         |words AS (SELECT doc_id, i - 1 AS pos, wl[i] AS w
+         |          FROM ws, unnest(generate_series(1, len(wl))) u(i)),
+         |flags AS (SELECT doc_id, pos, w,
+         |                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+         |                    CAST(pos AS VARCHAR) || '|' || w), 1, 15))::BIGINT AS hsh
+         |          FROM words),
+         |f2 AS (SELECT doc_id, pos, w, hsh % 7 != 0 AS keep,
+         |              CASE WHEN hsh % 11 = 3 THEN w || 'q' ELSE w END AS hw
+         |       FROM flags),
+         |vocab0 AS (SELECT DISTINCT doc_id, w FROM (
+         |             SELECT doc_id, w FROM f2
+         |             UNION ALL SELECT doc_id, hw FROM f2)),
+         |vocab AS (SELECT doc_id, w,
+         |                 chr(32 + CAST(row_number() OVER (PARTITION BY doc_id
+         |                   ORDER BY w) AS INT)) AS ch
+         |          FROM vocab0),
+         |enc AS (SELECT f.doc_id, COUNT(*) AS n_ref,
+         |               SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_hyp,
+         |               string_agg(vr.ch, '' ORDER BY pos) AS enc_ref,
+         |               COALESCE(string_agg(CASE WHEN keep THEN vh.ch END, ''
+         |                 ORDER BY pos), '') AS enc_hyp
+         |        FROM f2 f
+         |        JOIN vocab vr ON vr.doc_id = f.doc_id AND vr.w = f.w
+         |        JOIN vocab vh ON vh.doc_id = f.doc_id AND vh.w = f.hw
+         |        GROUP BY f.doc_id)
+         |SELECT doc_id, CAST(n_ref AS BIGINT) AS n_ref,
+         |       CAST(n_hyp AS BIGINT) AS n_hyp,
+         |       CAST(levenshtein(enc_ref, enc_hyp) AS BIGINT) AS n_edits,
+         |       CAST(ROUND(CAST(levenshtein(enc_ref, enc_hyp) AS DOUBLE)
+         |            / CAST(n_ref AS DOUBLE), 6) AS DOUBLE) AS wer
+         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // the generator's pixel formula replayed through the identical
+    // integer Sobel kernel over the interior grid
+    "llm_image_edges" -> {
+      def l(x: String, y: String): String =
+        s"(299 * ((($x) * 7 + ($y) * 11 + doc_id) % 256) + " +
+          s"587 * ((($x) * 13 + ($y) * 5 + doc_id * 3) % 256) + " +
+          s"114 * ((($x) * 17 + ($y) * 3 + doc_id * 7) % 256))"
+      val gx = s"((${l("x + 1", "y - 1")} + 2 * ${l("x + 1", "y")} + ${l("x + 1", "y + 1")})" +
+        s" - (${l("x - 1", "y - 1")} + 2 * ${l("x - 1", "y")} + ${l("x - 1", "y + 1")}))"
+      val gy = s"((${l("x - 1", "y + 1")} + 2 * ${l("x", "y + 1")} + ${l("x + 1", "y + 1")})" +
+        s" - (${l("x - 1", "y - 1")} + 2 * ${l("x", "y - 1")} + ${l("x + 1", "y - 1")}))"
+      s"""WITH dims AS (SELECT doc_id, 1 + doc_id % 47 AS w,
+         |                     1 + (doc_id * 3) % 37 AS h
+         |              FROM documents WHERE doc_id < 200),
+         |px AS (SELECT doc_id, w, h,
+         |              abs($gx) + abs($gy) AS gabs
+         |       FROM dims, unnest(generate_series(1, w - 2)) AS ux(x),
+         |                  unnest(generate_series(1, h - 2)) AS uy(y)
+         |       WHERE w >= 3 AND h >= 3)
+         |SELECT doc_id, CAST(max(w) AS INT) AS width,
+         |       CAST(max(h) AS INT) AS height,
+         |       CAST(COUNT(*) AS BIGINT) AS n_interior,
+         |       CAST(SUM(CASE WHEN gabs >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge,
+         |       CAST(SUM(gabs) AS BIGINT) AS sum_gabs,
+         |       CAST(ROUND(CAST(SUM(CASE WHEN gabs >= 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+         |            / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS edge_frac
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the same grid through the integer Laplacian; variance from the
+    // identical all-DOUBLE expression tree over BIGINT-cast sums
+    "llm_image_blur" -> {
+      def l(x: String, y: String): String =
+        s"(299 * ((($x) * 7 + ($y) * 11 + doc_id) % 256) + " +
+          s"587 * ((($x) * 13 + ($y) * 5 + doc_id * 3) % 256) + " +
+          s"114 * ((($x) * 17 + ($y) * 3 + doc_id * 7) % 256))"
+      val lap = s"(4 * ${l("x", "y")} - ${l("x - 1", "y")} - ${l("x + 1", "y")}" +
+        s" - ${l("x", "y - 1")} - ${l("x", "y + 1")})"
+      s"""WITH dims AS (SELECT doc_id, 1 + doc_id % 47 AS w,
+         |                     1 + (doc_id * 3) % 37 AS h
+         |              FROM documents WHERE doc_id < 200),
+         |px AS (SELECT doc_id, $lap AS lap
+         |       FROM dims, unnest(generate_series(1, w - 2)) AS ux(x),
+         |                  unnest(generate_series(1, h - 2)) AS uy(y)
+         |       WHERE w >= 3 AND h >= 3),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_interior,
+         |               CAST(SUM(lap) AS BIGINT) AS sum_lap,
+         |               CAST(SUM(lap * lap) AS BIGINT) AS sum_lap2
+         |        FROM px GROUP BY doc_id)
+         |SELECT doc_id, n_interior, sum_lap, sum_lap2,
+         |       CAST(FLOOR((CAST(n_interior AS DOUBLE) * CAST(sum_lap2 AS DOUBLE)
+         |            - CAST(sum_lap AS DOUBLE) * CAST(sum_lap AS DOUBLE))
+         |            / (CAST(n_interior AS DOUBLE) * CAST(n_interior AS DOUBLE)))
+         |            AS BIGINT) AS var_lap_floor
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     // the synthesis formulas replayed over a (frame, x, y) grid — the
     // decoder's container walk must land on exactly these values
     "llm_video_decode" ->
@@ -6252,7 +6515,7 @@ object Llm {
     // the same dictionary evolved through four replace steps, each
     // step's argmax pair feeding the next stage's CTE
     "llm_bpe_train" -> {
-      val steps = (1 to 4).map { i =>
+      val steps = (1 to 8).map { i =>
         s"""pc$i AS (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(wc) AS n
            |       FROM (SELECT wc, string_split(seq, ' ') AS s FROM w${i - 1}),
            |            unnest(generate_series(1, len(s) - 1)) u(i)
@@ -6264,7 +6527,7 @@ object Llm {
            |                          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq
            |      FROM w${i - 1})""".stripMargin
       }.mkString(",\n")
-      val out = (1 to 4).map(i =>
+      val out = (1 to 8).map(i =>
         s"SELECT $i AS iter, pair AS merge_pair, n FROM b$i")
         .mkString(" UNION ALL ")
       s"""WITH toksb AS (SELECT unnest(string_split($NORM, ' ')) AS w FROM documents),

@@ -686,6 +686,44 @@ object Ops {
         .orderBy("left_id", "right_id")
     }),
 
+    // Fellegi–Sunter EM TRAINING over the same blocked candidates
+    // (operators/Entity.emWeights — the Splink core): ONE corpus
+    // group-by → 2^3-row agreement-pattern histogram, EM driver-side on
+    // model-sized state (the lloydLoop discipline); every parameter is
+    // a fixed IEEE tree the oracle replays as chained per-iteration
+    // CTE folds
+    "er_em_weights" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val leftDf = cust.selectExpr("c_custkey AS lid", "c_nationkey",
+        "substr(c_name, 1, 17) AS blk", "c_name AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val rightDf = cust.where("c_custkey % 3 = 0").selectExpr(
+          "c_custkey + 1000000 AS rid", "c_nationkey",
+          "CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X') ELSE c_name END AS name",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
+          "name", "seg", "bal")
+      val cand = Entity.blockedLink(leftDf, rightDf, Seq("c_nationkey", "blk"),
+        Seq(("levenshtein(l_name, r_name) <= 1", 1),
+          ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)), threshold = 0)
+      Entity.emWeights(cand, Seq("a0", "a1", "a2"), iters = 5)
+        .selectExpr("CAST(a0 AS INT) AS a0", "CAST(a1 AS INT) AS a1",
+          "CAST(a2 AS INT) AS a2", "CAST(n AS BIGINT) AS n",
+          "CAST(ROUND(p_match, 6) AS DOUBLE) AS p_match",
+          "CAST(ROUND(lambda, 6) AS DOUBLE) AS lam",
+          "CAST(ROUND(m1, 6) AS DOUBLE) AS m1",
+          "CAST(ROUND(m2, 6) AS DOUBLE) AS m2",
+          "CAST(ROUND(m3, 6) AS DOUBLE) AS m3",
+          "CAST(ROUND(u1, 6) AS DOUBLE) AS u1",
+          "CAST(ROUND(u2, 6) AS DOUBLE) AS u2",
+          "CAST(ROUND(u3, 6) AS DOUBLE) AS u3")
+        .orderBy("a0", "a1", "a2")
+    }),
+
     // HOT-BLOCK linkage — the operational risk Entity.scala's scaladoc
     // names ("everyone named SMITH"): every 5th customer collapses onto
     // one shared 17-char name prefix, so a single block owns 20% of BOTH
@@ -1863,6 +1901,31 @@ object Ops {
         .orderBy("t_days")
     }),
 
+    // two-group LOG-RANK test on the same time-to-repeat spells
+    // (operators/Survival.scala): BUILDING-segment customers vs rest —
+    // O1 exact integer, E1/V day-ordered folds of per-day IEEE terms on
+    // exact risk sets, χ² from the unrounded sums at the edge
+    "ts_logrank" -> ((s, d) => {
+      Tables.register(s, d)
+      val spells = s.sql("""
+        WITH ranked AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                               row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS rn
+                        FROM orders),
+        firsts AS (SELECT o_custkey,
+                          MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS da,
+                          MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS db
+                   FROM ranked WHERE rn <= 2 GROUP BY o_custkey),
+        cutoff AS (SELECT MAX(o_orderdate) AS mx FROM orders)
+        SELECT CASE WHEN db IS NOT NULL THEN datediff(db, da)
+                    ELSE datediff(mx, da) END AS dur,
+               CASE WHEN db IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               c_mktsegment = 'BUILDING' AS grp
+        FROM firsts JOIN customer ON c_custkey = o_custkey
+        CROSS JOIN cutoff""")
+      graft.operators.Survival.logRank(spells)
+    }),
+
     // 2×2 difference-in-differences (operators/Causal.scala): BUILDING
     // segment vs rest, pre/post 1996 — one scan, four DECIMAL-exact cell
     // means, the DiD contrast a fixed IEEE tree
@@ -2200,6 +2263,62 @@ object Ops {
       FROM one, unnest(generate_series(1, len(xs))) u(j)
       ORDER BY t_days""",
 
+    // identical spells split by segment; O1 an exact-integer SUM, E1/V
+    // replayed as the same day-ordered list_reduce folds, χ² from the
+    // unrounded folds with ROUND only at the edge
+    "ts_logrank" -> """
+      WITH ranked AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                             row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS rn
+                      FROM orders),
+      firsts AS (SELECT o_custkey,
+                        MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS da,
+                        MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS db
+                 FROM ranked WHERE rn <= 2 GROUP BY o_custkey),
+      cutoff AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      spells AS (SELECT CASE WHEN db IS NOT NULL THEN date_diff('day', da, db)
+                             ELSE date_diff('day', da, mx) END AS dur,
+                        CASE WHEN db IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                        c_mktsegment = 'BUILDING' AS grp
+                 FROM firsts JOIN customer ON c_custkey = o_custkey
+                 CROSS JOIN cutoff),
+      byt AS (SELECT dur, SUM(ev) AS d,
+                     SUM(CASE WHEN grp THEN ev ELSE 0 END) AS d1,
+                     COUNT(*) AS c,
+                     SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS c1
+              FROM spells GROUP BY dur),
+      risk AS (SELECT dur, d, d1,
+                      SUM(c) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_risk,
+                      SUM(c1) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n1_risk
+               FROM byt),
+      evt AS (SELECT dur, d, d1,
+                     CAST(d AS DOUBLE) * CAST(n1_risk AS DOUBLE)
+                       / CAST(n_risk AS DOUBLE) AS e1,
+                     CASE WHEN n_risk > 1 THEN
+                       CAST(n1_risk AS DOUBLE) * CAST(n_risk - n1_risk AS DOUBLE)
+                         * CAST(d AS DOUBLE) * CAST(n_risk - d AS DOUBLE)
+                         / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)
+                            * CAST(n_risk - 1 AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END AS v
+              FROM risk WHERE d > 0),
+      one AS (SELECT list(struct_pack(dur := dur, d1 := d1, e1 := e1,
+                                      v := v) ORDER BY dur) AS xs
+              FROM evt),
+      folds AS (SELECT len(xs) AS k,
+                       (SELECT CAST(SUM(d1) AS BIGINT) FROM evt) AS o1,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(xs, x -> x.e1)), (a, x) -> a + x) AS e1s,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(xs, x -> x.v)), (a, x) -> a + x) AS vs
+                FROM one WHERE len(xs) > 0)
+      SELECT CAST(k AS BIGINT) AS n_event_times, o1,
+             CAST(ROUND(e1s, 6) AS DOUBLE) AS e1,
+             CAST(ROUND(vs, 6) AS DOUBLE) AS v,
+             CAST(ROUND(CASE WHEN vs > 0 THEN
+                 (CAST(o1 AS DOUBLE) - e1s) * (CAST(o1 AS DOUBLE) - e1s) / vs
+               ELSE CAST(0.0 AS DOUBLE) END, 6) AS DOUBLE) AS chi2
+      FROM folds""",
+
     // the four cell sufficient statistics in one scan, identical CASE
     // partitioning and division order
     "agg_diff_in_diff" -> """
@@ -2486,6 +2605,96 @@ object Ops {
              CAST(a2 AS INT) AS a2, CAST(a0 + a1 + a2 AS INT) AS score
       FROM sc WHERE a0 + a1 + a2 >= 3
       ORDER BY left_id, right_id""",
+
+    // same candidates at weight 1 / threshold 0; EM replayed as chained
+    // per-iteration CTEs whose folds walk patterns in the identical
+    // ascending order and whose products chain factors in field order —
+    // bit-identical to the driver loop
+    "er_em_weights" -> {
+      val iters = 5
+      def prod(start: String, ps: Seq[String]): String =
+        ps.zipWithIndex.foldLeft(s"($start)") { case (acc, (p, j)) =>
+          s"($acc * (CASE WHEN x.a$j = 1 THEN $p " +
+            s"ELSE CAST(1.0 AS DOUBLE) - $p END))"
+        }
+      def wExpr(lam: String, ms: Seq[String], us: Seq[String]): String = {
+        val pm = prod(lam, ms)
+        val pu = prod(s"CAST(1.0 AS DOUBLE) - $lam", us)
+        s"$pm / ($pm + $pu)"
+      }
+      def fold(term: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(ws, x -> $term)), (a, b) -> a + b)"
+      val iterCtes = (1 to iters).map { i =>
+        val p = s"it${i - 1}"
+        val w = wExpr(s"$p.lam",
+          (0 to 2).map(j => s"$p.mj$j"), (0 to 2).map(j => s"$p.uj$j"))
+        val gsums = (0 to 2).map { j =>
+          s"${fold(s"CASE WHEN x.a$j = 1 THEN CAST(x.n AS DOUBLE) * x.w " +
+            s"ELSE CAST(0.0 AS DOUBLE) END")} AS snwg$j,\n" +
+            s"${fold(s"CASE WHEN x.a$j = 1 THEN CAST(x.n AS DOUBLE) * " +
+              s"(CAST(1.0 AS DOUBLE) - x.w) ELSE CAST(0.0 AS DOUBLE) END")} AS snug$j"
+        }.mkString(",\n")
+        s"""w$i AS (SELECT list_transform(ps, x -> struct_pack(
+           |  a0 := x.a0, a1 := x.a1, a2 := x.a2, n := x.n,
+           |  w := $w)) AS ws FROM pl, $p),
+           |s$i AS (SELECT
+           |  ${fold("CAST(x.n AS DOUBLE) * x.w")} AS snw,
+           |  ${fold("CAST(x.n AS DOUBLE) * (CAST(1.0 AS DOUBLE) - x.w)")} AS snu,
+           |$gsums
+           |  FROM w$i),
+           |it$i AS (SELECT snw / CAST((SELECT nt FROM nn) AS DOUBLE) AS lam,
+           |  snwg0 / snw AS mj0, snwg1 / snw AS mj1, snwg2 / snw AS mj2,
+           |  snug0 / snu AS uj0, snug1 / snu AS uj1, snug2 / snu AS uj2
+           |  FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val finalW = wExpr("t.lam",
+        (0 to 2).map(j => s"t.mj$j"), (0 to 2).map(j => s"t.uj$j"))
+      s"""WITH l AS (SELECT c_custkey AS lid, c_nationkey,
+         |                  substr(c_name, 1, 17) AS blk, c_name AS lname,
+         |                  c_mktsegment AS lseg,
+         |                  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+         |           FROM customer),
+         |r0 AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+         |              CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+         |                   ELSE c_name END AS rname,
+         |              CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+         |                   ELSE c_mktsegment END AS rseg,
+         |              CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |                + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+         |       FROM customer WHERE c_custkey % 3 = 0),
+         |r AS (SELECT rid, c_nationkey, substr(rname, 1, 17) AS blk,
+         |             rname, rseg, rbal
+         |      FROM r0),
+         |sc AS (SELECT
+         |         CASE WHEN levenshtein(lname, rname) <= 1 THEN 1 ELSE 0 END AS a0,
+         |         CASE WHEN lseg = rseg THEN 1 ELSE 0 END AS a1,
+         |         CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS a2
+         |       FROM l JOIN r USING (c_nationkey, blk)),
+         |hist AS (SELECT a0, a1, a2, COUNT(*) AS n FROM sc GROUP BY a0, a1, a2),
+         |pl AS (SELECT list(struct_pack(a0 := a0, a1 := a1, a2 := a2, n := n)
+         |                ORDER BY a0, a1, a2) AS ps FROM hist),
+         |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM hist),
+         |it0 AS (SELECT CAST(0.25 AS DOUBLE) AS lam,
+         |  CAST(0.75 AS DOUBLE) AS mj0, CAST(0.75 AS DOUBLE) AS mj1,
+         |  CAST(0.75 AS DOUBLE) AS mj2,
+         |  CAST(0.25 AS DOUBLE) AS uj0, CAST(0.25 AS DOUBLE) AS uj1,
+         |  CAST(0.25 AS DOUBLE) AS uj2),
+         |$iterCtes
+         |SELECT CAST(x.a0 AS INT) AS a0, CAST(x.a1 AS INT) AS a1,
+         |       CAST(x.a2 AS INT) AS a2, CAST(x.n AS BIGINT) AS n,
+         |       CAST(ROUND($finalW, 6) AS DOUBLE) AS p_match,
+         |       CAST(ROUND(t.lam, 6) AS DOUBLE) AS lam,
+         |       CAST(ROUND(t.mj0, 6) AS DOUBLE) AS m1,
+         |       CAST(ROUND(t.mj1, 6) AS DOUBLE) AS m2,
+         |       CAST(ROUND(t.mj2, 6) AS DOUBLE) AS m3,
+         |       CAST(ROUND(t.uj0, 6) AS DOUBLE) AS u1,
+         |       CAST(ROUND(t.uj1, 6) AS DOUBLE) AS u2,
+         |       CAST(ROUND(t.uj2, 6) AS DOUBLE) AS u3
+         |FROM (SELECT unnest(ps) AS x, lam, mj0, mj1, mj2, uj0, uj1, uj2
+         |      FROM pl, it$iters) t
+         |ORDER BY a0, a1, a2""".stripMargin
+    },
 
     // the salted variant's oracle is the PLAIN blocked join — salting
     // must be output-invisible, so the oracle never mentions it

@@ -108,6 +108,92 @@ class LlmOperatorSpec extends SparkSpec {
     assert(got.values.sum == w.toLong * h)
   }
 
+  test("convolveImages: flat raster has zero edges/Laplacian; formula image matches a direct recompute") {
+    import spark.implicits._
+    // hand-built 5x4 constant-color PNG: every gradient and Laplacian
+    // must be exactly zero after the real decode
+    val flat = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) flat.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", bos)
+    val f = Multimodal.convolveImages(
+      Seq(Multimodal.ImageBlob(1L, bos.toByteArray)).toDS(), 200000L)
+      .collect()(0)
+    assert((f.n_interior, f.n_edge, f.sum_gabs, f.sum_lap, f.sum_lap2) ==
+      ((3L * 2L, 0L, 0L, 0L, 0L)))
+    // synth image vs an independent Scala recompute of the kernels
+    val id = 7L
+    val got = Multimodal.convolveImages(
+      Seq(Multimodal.ImageBlob(id, Multimodal.ImageSynth.encodePng(id)))
+        .toDS(), 200000L).collect()(0)
+    val (w, h) = (Multimodal.ImageSynth.width(id), Multimodal.ImageSynth.height(id))
+    def lum(x: Int, y: Int): Long =
+      299L * Multimodal.ImageSynth.r(id, x, y) +
+        587L * Multimodal.ImageSynth.g(id, x, y) +
+        114L * Multimodal.ImageSynth.b(id, x, y)
+    var (nE, sG, sL, sL2) = (0L, 0L, 0L, 0L)
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val gx = (lum(x + 1, y - 1) + 2 * lum(x + 1, y) + lum(x + 1, y + 1)) -
+        (lum(x - 1, y - 1) + 2 * lum(x - 1, y) + lum(x - 1, y + 1))
+      val gy = (lum(x - 1, y + 1) + 2 * lum(x, y + 1) + lum(x + 1, y + 1)) -
+        (lum(x - 1, y - 1) + 2 * lum(x, y - 1) + lum(x + 1, y - 1))
+      val lap = 4 * lum(x, y) - lum(x - 1, y) - lum(x + 1, y) -
+        lum(x, y - 1) - lum(x, y + 1)
+      if (math.abs(gx) + math.abs(gy) >= 200000L) nE += 1
+      sG += math.abs(gx) + math.abs(gy); sL += lap; sL2 += lap * lap
+    }
+    assert((got.n_interior, got.n_edge, got.sum_gabs, got.sum_lap, got.sum_lap2)
+      == (((w - 2).toLong * (h - 2), nE, sG, sL, sL2)))
+  }
+
+  test("audioQc: clip runs and zero crossings match a direct sample walk") {
+    import spark.implicits._
+    val id = 13L
+    val got = Multimodal.audioQc(
+      Seq(Multimodal.AudioBlob(id, Multimodal.AudioSynth.encodeWav(id)))
+        .toDS()).collect()(0)
+    val n = Multimodal.AudioSynth.nSamples(id)
+    val vs = (0 until n).map(Multimodal.AudioSynth.sample(id, _))
+    val clip = vs.map(v => math.abs(v) >= 32000)
+    val runs = clip.foldLeft(List.empty[Int]) {
+      case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+      case (acc, true) => 1 :: acc
+      case (acc, false) => 0 :: acc
+    }.filter(_ > 0)
+    val nCross = vs.sliding(2).count {
+      case Seq(a, b) => (a >= 0 && b < 0) || (a < 0 && b >= 0)
+      case _ => false
+    }
+    assert(got.n_samples == n.toLong)
+    assert(got.n_clipped == clip.count(identity).toLong)
+    assert(got.n_clip_runs == runs.size.toLong)
+    assert(got.max_clip_run == (if (runs.isEmpty) 0L else runs.max.toLong))
+    assert(got.n_zero_cross == nCross.toLong)
+  }
+
+  test("werEval: edit bounds hold and the metric is deterministic") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt")
+    val out = TextAnalysis.werEval(d).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (nRef, nHyp, edits, wer) = (r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_hyp"), r.getAs[Long]("n_edits"),
+        r.getAs[Double]("wer"))
+      assert(nRef >= nHyp, "hypothesis only drops words")
+      assert(edits >= nRef - nHyp, "each drop costs at least one edit")
+      assert(edits <= nRef, "drops+typos can never exceed n_ref edits")
+      assert(wer >= 0.0 && wer <= 1.0)
+    }
+    // the 40-word cap binds on the 46-word doc
+    assert(out.map(r => r.getAs[Long]("n_ref")).max == 40L)
+    val again = TextAnalysis.werEval(d).collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+  }
+
   test("exact dedup merges case/whitespace variants, keeps min doc_id") {
     val out = Dedup.exact(docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet

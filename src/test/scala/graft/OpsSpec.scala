@@ -234,6 +234,46 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("logRank: hand-computed two-group test") {
+    import graft.operators.Survival
+    // grp=true: events at 1 and 2; grp=false: event at 1, censor at 3.
+    // day 1: n=4, n1=2, d=2, d1=1 -> e1=1.0, v=16/48
+    // day 2: n=2, n1=1, d=1, d1=1 -> e1=0.5, v=1/4
+    // O1=2, E1=1.5, V=7/12, chi2=(0.5)^2/(7/12)=3/7
+    val spells = Seq((1L, 1, true), (2L, 1, true), (1L, 1, false),
+      (3L, 0, false)).toDF("dur", "ev", "grp")
+    val r = Survival.logRank(spells).collect()(0)
+    assert(r.getAs[Long]("n_event_times") == 2L)
+    assert(r.getAs[Long]("o1") == 2L)
+    assert(r.getAs[Double]("e1") == 1.5)
+    assert(r.getAs[Double]("v") == 0.583333)
+    assert(r.getAs[Double]("chi2") == 0.428571)
+    // identical groups labelled apart: O1 == E1 -> chi2 == 0
+    val sym = Seq((1L, 1, true), (1L, 1, false), (2L, 1, true),
+      (2L, 1, false)).toDF("dur", "ev", "grp")
+    assert(Survival.logRank(sym).collect()(0).getAs[Double]("chi2") == 0.0)
+  }
+
+  test("emWeights: separable mixture recovers high-m/low-u; deterministic") {
+    import graft.operators.Entity
+    // 30 true-match candidates agree on both fields; 300 non-matches
+    // agree on neither; 20 noise pairs agree on one field only
+    val cand = (Seq.fill(30)((1, 1)) ++ Seq.fill(300)((0, 0)) ++
+      Seq.fill(10)((1, 0)) ++ Seq.fill(10)((0, 1))).toDF("a0", "a1")
+    val out = Entity.emWeights(cand, Seq("a0", "a1"), iters = 5)
+    val rows = out.collect().map(r => ((r.getInt(0), r.getInt(1)),
+      r.getAs[Double]("p_match"))).toMap
+    assert(rows((1, 1)) > 0.9, s"full agreement should read match: $rows")
+    assert(rows((0, 0)) < 0.1, s"no agreement should read non-match: $rows")
+    val one = out.collect()(0)
+    assert(one.getAs[Double]("m1") > one.getAs[Double]("u1"),
+      "agreement must be likelier under match than non-match")
+    // bit-identical on re-run (fixed IEEE tree, ordered folds)
+    val again = Entity.emWeights(cand, Seq("a0", "a1"), iters = 5)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+  }
+
   test("diffInDiff: hand-computed 2x2 contrast") {
     import graft.operators.Causal
     val rows = Seq(
