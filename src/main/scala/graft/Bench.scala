@@ -78,14 +78,19 @@ object Bench {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
-        val src = scala.io.Source.fromFile(p.toFile)
-        try src.getLines().filterNot(_.startsWith("#")).flatMap { ln =>
-          ln.split('\t') match {
-            case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
-            case _ => None
-          }
-        }.toMap
-        finally src.close()
+        // explicit UTF-8: Source.fromFile under a non-UTF-8 default
+        // charset threw on a non-ASCII header comment and the catch
+        // silently disabled the whole guard (r16: an em-dash in the
+        // regenerated band header read as bands=∅, start_over_band=-1)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .readAllLines(p, java.nio.charset.StandardCharsets.UTF_8)
+          .asScala.filterNot(_.startsWith("#")).flatMap { ln =>
+            ln.split('\t') match {
+              case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 

@@ -93,4 +93,16 @@ class BenchGuardSpec extends AnyFunSuite {
       assert(Bench.loadBands("/nonexistent/bands.tsv").isEmpty)
     } finally java.nio.file.Files.delete(p): Unit
   }
+
+  test("band file with non-ASCII header comments still parses (UTF-8 pinned)") {
+    // r16 regression: an em-dash in the regenerated header made
+    // Source.fromFile throw under a non-UTF-8 default charset and the
+    // catch silently disabled the whole guard (bands=∅, canary ratio -1)
+    val p = java.nio.file.Files.createTempFile("bands_utf8", ".tsv")
+    java.nio.file.Files.write(p,
+      "# canary — end_over_start 0.978 ±churn\ntpch_q6\t0.12\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try assert(Bench.loadBands(p.toString) == Map("tpch_q6" -> 0.12))
+    finally java.nio.file.Files.delete(p): Unit
+  }
 }
