@@ -308,6 +308,98 @@ object Ops {
     * with the day<day residual, over the DAY-GRANULAR aggregate —
     * bounded by calendar span per type, never the raw event stream.
     */
+  /** Quantized periodogram — dominant-cycle detection over the daily
+    * count series (the "is this metric weekly?" spectral audit): DFT
+    * power at fixed candidate periods p ∈ {2,3,5,7,14}. The basis
+    * cos/sin(2π·(day mod p)/p) enters as DRIVER-computed integer
+    * literals scaled by 10⁶ (libm never runs in-plan — the qc_benford
+    * discipline — and integer quantization makes every correlation an
+    * EXACT int64 sum, order-independent, so no collected-list fold is
+    * needed at all); powers compare as exact DECIMAL(38,0) squares and
+    * the dominant period is a row_number pick. Corpus-scale work is the
+    * one daily aggregate; everything after runs on the bounded
+    * (day × 5 periods) table.
+    */
+  private def periodogramSql(dayExpr: String): String = {
+    val periods = Seq(2, 3, 5, 7, 14)
+    val basis = periods.flatMap { p =>
+      (0 until p).map { ph =>
+        val cq = math.round(math.cos(2 * math.Pi * ph / p) * 1000000).toInt
+        val sq = math.round(math.sin(2 * math.Pi * ph / p) * 1000000).toInt
+        s"($p, $ph, $cq, $sq)"
+      }
+    }.mkString(", ")
+    s"""WITH d AS (SELECT event_type, $dayExpr AS day, COUNT(*) AS v
+       |           FROM events GROUP BY 1, 2),
+       |basis(period, phase, c_q, s_q) AS (VALUES $basis),
+       |dp AS (SELECT d.event_type, d.v, p.period, d.day % p.period AS phase
+       |       FROM d CROSS JOIN (VALUES (2), (3), (5), (7), (14)) AS p(period)),
+       |corr AS (SELECT dp.event_type, dp.period,
+       |                CAST(SUM(dp.v * b.c_q) AS BIGINT) AS sc_q,
+       |                CAST(SUM(dp.v * b.s_q) AS BIGINT) AS ss_q
+       |         FROM dp JOIN basis b
+       |           ON b.period = dp.period AND b.phase = dp.phase
+       |         GROUP BY dp.event_type, dp.period),
+       |ranked AS (SELECT event_type, period, sc_q, ss_q,
+       |                  row_number() OVER (PARTITION BY event_type
+       |                    ORDER BY CAST(sc_q AS DECIMAL(38,0)) * CAST(sc_q AS DECIMAL(38,0))
+       |                           + CAST(ss_q AS DECIMAL(38,0)) * CAST(ss_q AS DECIMAL(38,0)) DESC,
+       |                      period) AS rk
+       |           FROM corr)
+       |SELECT event_type, CAST(period AS INT) AS period, sc_q, ss_q,
+       |       rk = 1 AS is_dominant
+       |FROM ranked ORDER BY event_type, period""".stripMargin
+  }
+
+  /** Interrupted time series (segmented regression) — the causal readout
+    * for "did the launch change the level or the trend": exact per-
+    * segment OLS of daily counts on the day index around a data-derived
+    * midpoint cutoff, level change evaluated AT the cutoff. Integer
+    * sufficient statistics (BIGINT-cast immediately so DuckDB's HUGEINT
+    * never escapes); slopes/intercepts/level change are fixed IEEE
+    * trees over them. Corpus-scale work is the one daily aggregate; the
+    * regression runs on the bounded day table.
+    */
+  private def interventionSql(dayExpr: String, div: String): String =
+    s"""WITH d AS (SELECT event_type, $dayExpr AS day, COUNT(*) AS v
+       |           FROM events GROUP BY 1, 2),
+       |c AS (SELECT event_type, (MIN(day) + MAX(day) + 1) $div 2 AS cut
+       |      FROM d GROUP BY event_type),
+       |j AS (SELECT d.event_type, d.day, d.v, c.cut
+       |      FROM d JOIN c ON c.event_type = d.event_type),
+       |s AS (SELECT event_type, cut,
+       |        CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |        CAST(SUM(CASE WHEN day < cut THEN day ELSE 0 END) AS BIGINT) AS sx1,
+       |        CAST(SUM(CASE WHEN day < cut THEN v ELSE 0 END) AS BIGINT) AS sy1,
+       |        CAST(SUM(CASE WHEN day < cut THEN day * day ELSE 0 END) AS BIGINT) AS sxx1,
+       |        CAST(SUM(CASE WHEN day < cut THEN day * v ELSE 0 END) AS BIGINT) AS sxy1,
+       |        CAST(SUM(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |        CAST(SUM(CASE WHEN day >= cut THEN day ELSE 0 END) AS BIGINT) AS sx2,
+       |        CAST(SUM(CASE WHEN day >= cut THEN v ELSE 0 END) AS BIGINT) AS sy2,
+       |        CAST(SUM(CASE WHEN day >= cut THEN day * day ELSE 0 END) AS BIGINT) AS sxx2,
+       |        CAST(SUM(CASE WHEN day >= cut THEN day * v ELSE 0 END) AS BIGINT) AS sxy2
+       |      FROM j GROUP BY event_type, cut),
+       |f AS (SELECT event_type, cut, n1, n2, sx1, sy1, sx2, sy2,
+       |        CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+       |          / CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) AS b1,
+       |        CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE)
+       |          / CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) AS b2
+       |      FROM s WHERE n1 >= 2 AND n2 >= 2),
+       |g AS (SELECT event_type, cut, n1, n2, b1, b2,
+       |        (CAST(sy1 AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE))
+       |          / CAST(n1 AS DOUBLE) AS a1,
+       |        (CAST(sy2 AS DOUBLE) - b2 * CAST(sx2 AS DOUBLE))
+       |          / CAST(n2 AS DOUBLE) AS a2
+       |      FROM f)
+       |SELECT event_type, CAST(cut AS BIGINT) AS cut_day,
+       |       CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+       |       CAST(ROUND(b1, 6) AS DOUBLE) AS slope_pre,
+       |       CAST(ROUND(b2, 6) AS DOUBLE) AS slope_post,
+       |       CAST(ROUND((a2 + b2 * CAST(cut AS DOUBLE))
+       |            - (a1 + b1 * CAST(cut AS DOUBLE)), 6) AS DOUBLE) AS level_change,
+       |       CAST(ROUND(b2 - b1, 6) AS DOUBLE) AS slope_change
+       |FROM g ORDER BY event_type""".stripMargin
+
   private def mannKendallSql(dayExpr: String): String =
     s"""WITH d AS (SELECT event_type, $dayExpr AS day, COUNT(*) AS v
        |           FROM events GROUP BY 1, 2),
@@ -366,6 +458,21 @@ object Ops {
     "ts_mann_kendall" -> ((s, d) => {
       Tables.register(s, d)
       s.sql(mannKendallSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)"))
+    }),
+
+    // interrupted-time-series segmented regression (see interventionSql)
+    "ts_intervention" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(interventionSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)",
+        "DIV"))
+    }),
+
+    // quantized periodogram / dominant-cycle audit (see periodogramSql)
+    "ts_periodogram" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(periodogramSql(
         "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)"))
     }),
 
@@ -2167,6 +2274,15 @@ object Ops {
 
     // identical integer S / tie-corrected variance, DuckDB day idiom
     "ts_mann_kendall" -> mannKendallSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)"),
+
+    // identical segmented regression, DuckDB day/idiv idioms
+    "ts_intervention" -> interventionSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)",
+      "//"),
+
+    // identical quantized-basis correlations, DuckDB day idiom
+    "ts_periodogram" -> periodogramSql(
       "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)"),
 
     // same closed-form rank, DuckDB md5/int and // idioms

@@ -407,6 +407,49 @@ object Windows {
                   AS DOUBLE) AS mde
       FROM d ORDER BY event_type""",
 
+    // TOST equivalence test (two one-sided Welch t's against a ±500-cent
+    // margin) — the NON-inferiority readout an A/B platform needs when
+    // "no difference" is the desired outcome: a non-significant Welch t
+    // is NOT evidence of equivalence, TOST is. Same md5 arm split and
+    // DECIMAL-exact sufficient statistics as agg_mde/agg_ab_welch; both
+    // one-sided t's and the z_{0.95}=1.644854 decision are fixed IEEE
+    // trees over them, the verdict compares identical doubles
+    "agg_tost" -> """
+      WITH g AS (SELECT event_type,
+                        substr(md5('tost' || user_id), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7') AS in_a,
+                        CAST(ROUND(value * 100) AS BIGINT) AS v
+                 FROM events),
+      s AS (SELECT event_type,
+                   CAST(count_if(in_a) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN in_a THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(CASE WHEN in_a THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q1,
+                   CAST(count_if(NOT in_a) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN NOT in_a THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(CASE WHEN NOT in_a THEN CAST(v * v AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q2
+            FROM g GROUP BY event_type),
+      d AS (SELECT event_type, n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+                   sqrt((CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE))
+                          / CAST(n1 AS DOUBLE)
+                        + (CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2 AS DOUBLE)
+                            / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE))
+                            / CAST(n2 AS DOUBLE)) AS se
+            FROM s WHERE n1 >= 2 AND n2 >= 2)
+      SELECT event_type,
+             CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(ROUND(diff / 100.0, 6) AS DOUBLE) AS mean_diff,
+             CAST(ROUND((diff + 500.0) / NULLIF(se, CAST(0.0 AS DOUBLE)), 6)
+               AS DOUBLE) AS t_lower,
+             CAST(ROUND((500.0 - diff) / NULLIF(se, CAST(0.0 AS DOUBLE)), 6)
+               AS DOUBLE) AS t_upper,
+             (diff + 500.0) / NULLIF(se, CAST(0.0 AS DOUBLE)) > 1.644854
+               AND (500.0 - diff) / NULLIF(se, CAST(0.0 AS DOUBLE)) > 1.644854
+               AS equivalent
+      FROM d ORDER BY event_type""",
+
     // temporal referential integrity — the VALID-TIME side of an FK the
     // row-level constraints can't see: every lineitem must ship inside
     // its order's window (never before the order, flagged past +60d);
