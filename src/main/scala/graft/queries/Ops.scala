@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Bootstrap, Cdc, Constraints, Entity, OrderStats, Resample}
@@ -791,6 +792,45 @@ object Ops {
           "CAST(a0 AS INT) AS a0", "CAST(a1 AS INT) AS a1",
           "CAST(a2 AS INT) AS a2", "CAST(score AS INT) AS score")
         .orderBy("left_id", "right_id")
+    }),
+
+    // INCREMENTAL ingest-time linkage — the arriving dirty-feed batch
+    // (every 31st feed row) links against the corpus WITHOUT ever
+    // reshuffling it: the batch side carries an explicit broadcast hint,
+    // so the corpus streams through a BroadcastHashJoin map-side
+    // (plan-gated) — the ER twin of llm_dedup_incremental /
+    // cdc_scd2_incremental. Output is the ingest artifact: each arrival's
+    // entity assignment (best-scoring corpus match, ties to min lid) +
+    // its candidate/match census
+    "er_incremental_link" -> ((s, d) => {
+      Tables.register(s, d)
+      val cust = s.table("customer")
+      val leftDf = cust.selectExpr("c_custkey AS lid", "c_nationkey",
+        "substr(c_name, 1, 17) AS blk", "c_name AS name",
+        "c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal")
+      val batch = cust.where("c_custkey % 3 = 0 AND c_custkey % 31 = 0")
+        .selectExpr(
+          "c_custkey + 1000000 AS rid", "c_nationkey",
+          "CASE WHEN c_custkey % 2 = 0 THEN concat(c_name, 'X') ELSE c_name END AS name",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg",
+          """CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            | + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS bal""".stripMargin)
+        .selectExpr("rid", "c_nationkey", "substr(name, 1, 17) AS blk",
+          "name", "seg", "bal")
+      val links = Entity.blockedLink(leftDf, broadcast(batch),
+        Seq("c_nationkey", "blk"),
+        Seq(("levenshtein(l_name, r_name) <= 1", 2),
+          ("l_seg = r_seg", 1), ("l_bal = r_bal", 1)),
+        threshold = 3)
+      links
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("r_rid").orderBy(col("score").desc, col("l_lid"))))
+        .withColumn("n_matches", count(lit(1)).over(Window.partitionBy("r_rid")))
+        .where(col("rk") === 1)
+        .selectExpr("r_rid AS right_id", "l_lid AS entity_id",
+          "CAST(score AS INT) AS score", "CAST(n_matches AS BIGINT) AS n_matches")
+        .orderBy("right_id")
     }),
 
     // Fellegi–Sunter EM TRAINING over the same blocked candidates
@@ -2721,6 +2761,41 @@ object Ops {
              CAST(a2 AS INT) AS a2, CAST(a0 + a1 + a2 AS INT) AS score
       FROM sc WHERE a0 + a1 + a2 >= 3
       ORDER BY left_id, right_id""",
+
+    // same blocked join restricted to the arriving slice; broadcast is
+    // output-invisible, so the oracle never mentions it
+    "er_incremental_link" -> """
+      WITH l AS (SELECT c_custkey AS lid, c_nationkey,
+                        substr(c_name, 1, 17) AS blk, c_name AS lname,
+                        c_mktsegment AS lseg,
+                        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS lbal
+                 FROM customer),
+      r0 AS (SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                    CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+                         ELSE c_name END AS rname,
+                    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                         ELSE c_mktsegment END AS rseg,
+                    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END AS rbal
+             FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 31 = 0),
+      r AS (SELECT rid, c_nationkey, substr(rname, 1, 17) AS blk,
+                   rname, rseg, rbal
+            FROM r0),
+      sc AS (SELECT lid, rid,
+                    CASE WHEN levenshtein(lname, rname) <= 1 THEN 2 ELSE 0 END
+                      + CASE WHEN lseg = rseg THEN 1 ELSE 0 END
+                      + CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS score
+             FROM l JOIN r USING (c_nationkey, blk)),
+      m AS (SELECT rid, lid, score,
+                   row_number() OVER (PARTITION BY rid
+                     ORDER BY score DESC, lid) AS rk,
+                   COUNT(*) OVER (PARTITION BY rid) AS n_matches
+            FROM sc WHERE score >= 3)
+      SELECT rid AS right_id, lid AS entity_id,
+             CAST(score AS INT) AS score,
+             CAST(n_matches AS BIGINT) AS n_matches
+      FROM m WHERE rk = 1
+      ORDER BY right_id""",
 
     // same candidates at weight 1 / threshold 0; EM replayed as chained
     // per-iteration CTEs whose folds walk patterns in the identical

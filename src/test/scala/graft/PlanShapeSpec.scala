@@ -46,6 +46,14 @@ class PlanShapeSpec extends SparkSpec {
       s"a k-row centroid table shuffled the corpus:\n$plan")
   }
 
+  test("er_incremental_link: the arriving batch broadcasts, the corpus never reshuffles") {
+    val plan = staticPlan(SparkEntry.queries("er_incremental_link")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ingest-time linkage must broadcast the batch side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a batch-sized feed shuffled the whole corpus:\n$plan")
+  }
+
   test("llm_lm_heldout: the trained model joins broadcast onto the eval bigrams") {
     val plan = staticPlan(SparkEntry.queries("llm_lm_heldout")(spark, sfSmoke))
     assert(plan.contains("BroadcastHashJoin"),
