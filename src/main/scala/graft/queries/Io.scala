@@ -170,6 +170,59 @@ object Io {
     * argmax assignment (min-cid ties — the Ivf.assign contract), the
     * probe vector (vec 7) and its own cluster.
     */
+  /** Fixed test polygons for the point-in-polygon join, centi-degree
+    * integer vertices (x = lon, y = lat); polygon 2 and 3 are concave,
+    * so a bbox test alone cannot fake the answer.
+    */
+  private val geoPolys: Seq[(Int, Seq[(Int, Int)])] = Seq(
+    1 -> Seq((0, 0), (6000, 0), (3000, 6000)),
+    2 -> Seq((-8000, -8000), (-2000, -8000), (-2000, -2000), (-5000, -4000)),
+    3 -> Seq((-15000, 2000), (-9000, 2000), (-9000, 8000), (-12000, 5000),
+      (-15000, 8000)))
+
+  /** Point-in-polygon SQL, parameterized only by the engine's md5→int
+    * idiom for the synthesized point coordinates. Integer ray casting:
+    * an edge is crossed iff it straddles py ((y1<=py) != (y2<=py)) and
+    * the point lies strictly on the ray side, decided by the SIGN of the
+    * cross product t = (x2−x1)(py−y1) − (px−x1)(y2−y1) — upward edges
+    * need t>0, downward t<0; no division anywhere, products bounded by
+    * 36000² so int64-exact in both engines. Inside = crossings odd.
+    */
+  private def geoPolygonSql(pxExpr: String, pyExpr: String): String = {
+    val edges = geoPolys.flatMap { case (pid, vs) =>
+      vs.zip(vs.tail :+ vs.head).map { case ((x1, y1), (x2, y2)) =>
+        s"($pid, $x1, $y1, $x2, $y2)"
+      }
+    }.mkString(", ")
+    s"""WITH pts AS (SELECT c_custkey AS id, $pxExpr AS px, $pyExpr AS py
+       |             FROM customer),
+       |e(pid, x1, y1, x2, y2) AS (VALUES $edges),
+       |bbox AS (SELECT pid,
+       |                MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
+       |                MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
+       |         FROM e GROUP BY pid),
+       |cand AS (SELECT p.id, p.px, p.py, b.pid
+       |         FROM pts p JOIN bbox b
+       |           ON p.px >= b.minx AND p.px <= b.maxx
+       |          AND p.py >= b.miny AND p.py <= b.maxy),
+       |cx AS (SELECT c.id, c.pid,
+       |              SUM(CASE WHEN ((e.y1 <= c.py) != (e.y2 <= c.py))
+       |                        AND (CASE WHEN e.y2 > e.y1
+       |                             THEN (e.x2 - e.x1) * (c.py - e.y1)
+       |                                  - (c.px - e.x1) * (e.y2 - e.y1) > 0
+       |                             ELSE (e.x2 - e.x1) * (c.py - e.y1)
+       |                                  - (c.px - e.x1) * (e.y2 - e.y1) < 0 END)
+       |                   THEN 1 ELSE 0 END) AS crossings
+       |       FROM cand c JOIN e ON e.pid = c.pid
+       |       GROUP BY c.id, c.pid)
+       |SELECT pid AS polygon_id, CAST(COUNT(*) AS BIGINT) AS n_inside,
+       |       CAST(MIN(id) AS BIGINT) AS min_id,
+       |       CAST(MAX(id) AS BIGINT) AS max_id,
+       |       CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM cx WHERE crossings % 2 = 1
+       |GROUP BY pid ORDER BY polygon_id""".stripMargin
+  }
+
   private val ivfOracleCtes: String =
     s"""cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
        |         FROM embeddings WHERE vec_id IN (3, 17, 31, 59)),
@@ -864,6 +917,21 @@ object Io {
         .selectExpr("a_id", "b_id",
           "abs(a_lat - b_lat) AS dlat_c", "abs(a_lon - b_lon) AS dlon_c")
         .orderBy("a_id", "b_id")
+    }),
+
+    // POINT-IN-POLYGON spatial join — the containment predicate the
+    // box/knn/geohash family lacks: three fixed polygons (one concave)
+    // as a broadcast edge table, integer ray-casting with the crossing
+    // decided by an exact cross-product sign test (no division anywhere
+    // — the edge-x-at-py comparison is cross-multiplied), inside =
+    // crossings odd. Candidates prefilter on the polygon bbox, then the
+    // per-(point, polygon) crossing count is one grouped SUM over ≤
+    // |edges| rows; the corpus never shuffles — both joins broadcast
+    "join_geo_polygon" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(geoPolygonSql(
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10) AS BIGINT) % 36000 - 18000",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 18000 - 9000"))
     }),
 
     // bounded-radius spatial kNN on the SAME 3×3 cell blocking: each
@@ -2702,6 +2770,11 @@ object Io {
 
     // the flat box inequality join — a blocking bug (pair met twice or
     // missed at a cell edge) changes the multiset
+    // identical ray-cast SQL, DuckDB md5→int idiom
+    "join_geo_polygon" -> geoPolygonSql(
+      "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT % 36000 - 18000",
+      "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 18000 - 9000"),
+
     "join_geo_box" -> """
       WITH p AS (SELECT c_custkey AS id,
                         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 18000 - 9000 AS lat_c,
