@@ -309,6 +309,53 @@ object Ops {
     * with the day<day residual, over the DAY-GRANULAR aggregate —
     * bounded by calendar span per type, never the raw event stream.
     */
+  /** Moran's I spatial autocorrelation — "do high-density cells sit
+    * next to high-density cells?" over the occupied cells of the
+    * centi-degree grid (rook adjacency). Multiplying deviations through
+    * by N keeps every term exact: d_i = N·x_i − S is an integer, so
+    * I = (N/W) · Σ_pairs d_a·d_b / Σ d_i² needs exactly two IEEE
+    * divisions and one multiply over DECIMAL(38,0)-exact sums (d² sums
+    * pass 9.2e18 at large SF — int64 is not enough, the HUGEINT-edge
+    * discipline). Cell ids use the exact floor-division rewrite
+    * (a − ((a%100+100)%100)) ÷ 100 — numerator exactly divisible, so
+    * truncating ÷ equals floor in BOTH engines (Spark DIV truncates,
+    * DuckDB // floors — they disagree on negative operands otherwise).
+    * Adjacency is a pure equi-join on shifted cell keys (4 exploded
+    * offsets), never a theta join.
+    */
+  private def moransISql(latExpr: String, lonExpr: String,
+                         div: String): String = {
+    def fd(c: String) = s"(($c) - ((($c) % 100 + 100) % 100)) $div 100"
+    s"""WITH pts AS (SELECT ${fd(latExpr)} AS cy, ${fd(lonExpr)} AS cx
+       |             FROM customer),
+       |cells AS (SELECT cy, cx, CAST(COUNT(*) AS BIGINT) AS x
+       |          FROM pts GROUP BY cy, cx),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(x) AS BIGINT) AS s
+       |        FROM cells),
+       |dev AS (SELECT cy, cx, CAST(t.n * c.x - t.s AS BIGINT) AS d
+       |        FROM cells c CROSS JOIN tot t),
+       |offs(dy, dx) AS (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)),
+       |nbr AS (SELECT a.cy + o.dy AS cy, a.cx + o.dx AS cx, a.d AS da
+       |        FROM dev a CROSS JOIN offs o),
+       |pairs AS (SELECT n.da, b.d AS db
+       |          FROM nbr n JOIN dev b ON b.cy = n.cy AND b.cx = n.cx),
+       |agg AS (SELECT
+       |          (SELECT n FROM tot) AS n,
+       |          (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS w,
+       |          (SELECT CAST(SUM(CAST(da AS DECIMAL(38,0))
+       |                           * CAST(db AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |           FROM pairs) AS num,
+       |          (SELECT CAST(SUM(CAST(d AS DECIMAL(38,0))
+       |                           * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |           FROM dev) AS den)
+       |SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       |       CAST(ROUND((CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+       |            * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+       |            AS DOUBLE) AS morans_i
+       |FROM agg WHERE w > 0 AND den > 0""".stripMargin
+  }
+
   /** Quantized periodogram — dominant-cycle detection over the daily
     * count series (the "is this metric weekly?" spectral audit): DFT
     * power at fixed candidate periods p ∈ {2,3,5,7,14}. The basis
@@ -467,6 +514,16 @@ object Ops {
       Tables.register(s, d)
       s.sql(interventionSql(
         "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)",
+        "DIV"))
+    }),
+
+    // Moran's I spatial autocorrelation on the occupied centi-degree
+    // cells (see moransISql)
+    "agg_morans_i" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(moransISql(
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 18000 - 9000",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10) AS BIGINT) % 36000 - 18000",
         "DIV"))
     }),
 
@@ -2319,6 +2376,12 @@ object Ops {
     // identical segmented regression, DuckDB day/idiv idioms
     "ts_intervention" -> interventionSql(
       "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)",
+      "//"),
+
+    // identical grid/deviation/adjacency arithmetic, DuckDB idioms
+    "agg_morans_i" -> moransISql(
+      "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 18000 - 9000",
+      "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT % 36000 - 18000",
       "//"),
 
     // identical quantized-basis correlations, DuckDB day idiom
