@@ -309,6 +309,58 @@ object Ops {
     * with the day<day residual, over the DAY-GRANULAR aggregate —
     * bounded by calendar span per type, never the raw event stream.
     */
+  /** Western Electric SPC run rules over the daily count series — the
+    * control-chart alarm set a quality/ops monitor evaluates: rule 1
+    * (point beyond 3σ), rule 2 (≥2 of 3 consecutive beyond 2σ, same
+    * side), rule 4 (9 consecutive on one side of the mean). Every test
+    * is a pure-integer cross-multiplied comparison (|v−μ|>kσ ⇔
+    * dev² > k²·(nQ−S²) with dev = n·v−S and n²σ² = nQ−S² — the
+    * ts_anomaly_zscore discipline, no sqrt anywhere); runs come from
+    * ROWS-frame window counts ordered by the unique day key. Bounded
+    * day table after the one corpus aggregate.
+    */
+  private def spcRulesSql(dayExpr: String): String =
+    s"""WITH d AS (SELECT event_type, $dayExpr AS day, COUNT(*) AS v
+       |           FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(v) AS BIGINT) AS s,
+       |              CAST(SUM(v * v) AS BIGINT) AS q
+       |       FROM d GROUP BY event_type),
+       |f AS (SELECT d.event_type, d.day,
+       |             d.v * st.n - st.s AS dev,
+       |             st.n * st.q - st.s * st.s AS nvar
+       |      FROM d JOIN st ON st.event_type = d.event_type),
+       |g AS (SELECT event_type, day,
+       |             CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END AS side,
+       |             CASE WHEN dev * dev > 9 * nvar THEN 1 ELSE 0 END AS r1,
+       |             CASE WHEN dev * dev > 4 * nvar AND dev > 0 THEN 1 ELSE 0 END AS hi2,
+       |             CASE WHEN dev * dev > 4 * nvar AND dev < 0 THEN 1 ELSE 0 END AS lo2
+       |      FROM f),
+       |w AS (SELECT event_type, day, r1,
+       |             SUM(hi2) OVER (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS hi3,
+       |             SUM(lo2) OVER (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lo3,
+       |             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c3,
+       |             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY event_type ORDER BY day
+       |                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS pos9,
+       |             SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY event_type ORDER BY day
+       |                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS neg9,
+       |             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS c9
+       |      FROM g)
+       |SELECT event_type,
+       |       CAST(COUNT(*) AS BIGINT) AS n_days,
+       |       CAST(SUM(r1) AS BIGINT) AS n_rule1,
+       |       CAST(SUM(CASE WHEN c3 = 3 AND (hi3 >= 2 OR lo3 >= 2)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_rule2,
+       |       CAST(SUM(CASE WHEN c9 = 9 AND (pos9 = 9 OR neg9 = 9)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_rule4
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Moran's I spatial autocorrelation — "do high-density cells sit
     * next to high-density cells?" over the occupied cells of the
     * centi-degree grid (rook adjacency). Multiplying deviations through
@@ -515,6 +567,13 @@ object Ops {
       s.sql(interventionSql(
         "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)",
         "DIV"))
+    }),
+
+    // Western Electric SPC run rules on the daily series (see spcRulesSql)
+    "ts_spc_rules" -> ((s, d) => {
+      Tables.register(s, d)
+      s.sql(spcRulesSql(
+        "CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 AS BIGINT)"))
     }),
 
     // Moran's I spatial autocorrelation on the occupied centi-degree
@@ -2377,6 +2436,10 @@ object Ops {
     "ts_intervention" -> interventionSql(
       "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)",
       "//"),
+
+    // identical integer run-rule arithmetic, DuckDB day idiom
+    "ts_spc_rules" -> spcRulesSql(
+      "CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)"),
 
     // identical grid/deviation/adjacency arithmetic, DuckDB idioms
     "agg_morans_i" -> moransISql(
