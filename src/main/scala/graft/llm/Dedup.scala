@@ -115,7 +115,16 @@ object Dedup {
   /** One row per (doc_id, band, sig): the banded MinHash signatures every
     * LSH candidate generator joins on.
     */
-  def bandSignatures(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+  def bandSignatures(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame =
+    bandSignaturesFromMinhash(minhash(docs, numHashes), numHashes, bands)
+
+  /** [[bandSignatures]] over an already-computed [[minhash]] table — the
+    * shared-base entry point for callers that re-band one signature set
+    * several ways ([[lshTuning]]); identical expressions, so composing
+    * `bandSignaturesFromMinhash(minhash(d))` IS `bandSignatures(d)`.
+    */
+  private[llm] def bandSignaturesFromMinhash(mh: DataFrame, numHashes: Int,
+                                             bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // '_'-separated: h's are integers now, and concat(12,345) == concat(123,45)
@@ -125,7 +134,7 @@ object Dedup {
         .mkString("concat_ws('_', ", ", ", ")")
       s"struct($b AS band, $cat AS sig)"
     }
-    minhash(docs, numHashes)
+    mh
       .select(col("doc_id"), explode(expr(sigs.mkString("array(", ", ", ")"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -135,8 +144,13 @@ object Dedup {
     * values; the join key is (band, signature) — a shuffle, not a broadcast.
     * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
     */
-  def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val bandSigs = bandSignatures(docs, numHashes, bands)
+  def lshCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame =
+    candidatesFromBandSigs(bandSignatures(docs, numHashes, bands))
+
+  /** The band-signature self-join of [[lshCandidates]], split out so
+    * shared-base callers can band one minhash table several ways.
+    */
+  private[llm] def candidatesFromBandSigs(bandSigs: DataFrame): DataFrame = {
     val a = bandSigs.as("a")
     val b = bandSigs.as("b")
     a.join(b,
@@ -162,11 +176,23 @@ object Dedup {
                 configs: Seq[(Int, Int)] = Seq((2, 4), (4, 2), (8, 1)),
                 threshold: Double = 0.6, numHashes: Int = 8): DataFrame = {
     require(configs.nonEmpty, "need at least one banding config")
+    // Shared-base form (r16 opt): ONE checkpointed minhash table feeds
+    // every config's banding, and each config's candidate set is
+    // materialized once for its two consumers (count + verify) — the
+    // per-config lazy derivation re-ran the scan→shingle→minhash chain
+    // for each of the 3 configs × 2 consumers (26 parquet scans / 97
+    // Exchanges executed). The SHINGLE table deliberately stays lazy:
+    // checkpointing it was A/B'd and lost (3.16 → 3.69 s) — the
+    // corpus-scale string materialization costs more than the re-derive.
+    val mh = minhash(docs, numHashes).localCheckpoint()
+    val sh = shingles(docs)
     configs.map { case (bands, rows) =>
       require(bands * rows == numHashes, s"($bands x $rows) != $numHashes")
-      val cands = lshCandidates(docs, numHashes, bands)
+      val cands = candidatesFromBandSigs(
+          bandSignaturesFromMinhash(mh, numHashes, bands))
         .select("doc_a", "doc_b")
-      val verified = jaccard(docs, cands)
+        .localCheckpoint()
+      val verified = jaccardFromShingles(sh, cands)
         .where(col("jaccard") >= threshold)
       cands.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
@@ -180,8 +206,15 @@ object Dedup {
   /** Exact n-gram Jaccard similarity, computed only for the given candidate
     * pairs (columns doc_a, doc_b) — the verify stage after LSH.
     */
-  def jaccard(docs: DataFrame, candidates: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
+  def jaccard(docs: DataFrame, candidates: DataFrame, n: Int = 3): DataFrame =
+    jaccardFromShingles(shingles(docs, n), candidates)
+
+  /** [[jaccard]] over an already-computed [[shingles]] table — the
+    * shared-base entry point for callers that verify several candidate
+    * sets against one corpus ([[lshTuning]]); identical expressions.
+    */
+  private[llm] def jaccardFromShingles(sh: DataFrame,
+                                       candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
     val inter = candidates.as("c")
       .join(sh.as("x"), expr("x.doc_id = c.doc_a"))
@@ -552,8 +585,16 @@ object Dedup {
     */
   private def survivorsAndPairs(docs: DataFrame, jaccardThreshold: Double,
                                 numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    // localCheckpoint (r16 opt): the exact-survivor corpus feeds the
+    // candidate chain, the verify chain AND every caller's final
+    // anti-join — the lazy form re-derived the scan+md5+collapse per
+    // consumer (llm_dedup_quality: 7 parquet scans / 23 Exchanges
+    // executed). Materializing the survivor stage is what a real
+    // pipeline's stage boundary does anyway (the llm_pipeline_e2e
+    // precedent).
     val survivors = docs.join(
       exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
     val pairs = jaccard(survivors, lshCandidates(survivors, numHashes, bands))
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b")
@@ -1149,17 +1190,27 @@ object Dedup {
   def labelPropagation(pairs: DataFrame, seeds: DataFrame,
                        iters: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be positive")
+    // localCheckpoint the symmetric edge list and each round's labels —
+    // the dupClusters/kCore per-round discipline this operator was
+    // missing (r16 opt): `sym` is referenced by every iteration AND the
+    // node seed, and `labels` chains joins per round, so the lazy form
+    // re-derived the whole upstream pair computation once per reference
+    // (llm_label_propagation executed plan: 95 parquet scans / 267
+    // Exchanges for a 2-iteration spread over one candidate-pair join).
     val edges = pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .where(col("a") < col("b"))
       .distinct()
+      .localCheckpoint()
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
     val nodes = sym.select(col("src").as("doc_id")).distinct()
     val sd = seeds.select(col("doc_id"), col("label").as("seed_label"))
+      .localCheckpoint()
     var labels = nodes.join(sd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("seed_label").as("label"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val nbr = sym
         .join(labels.where(col("label").isNotNull)
@@ -1170,11 +1221,14 @@ object Dedup {
         .agg(min(struct((lit(Long.MaxValue) - col("cnt")).as("nc"),
           col("label").as("l"))).as("m"))
         .select(col("doc_id"), col("m.l").as("best_label"))
+      val prev = labels
       labels = labels.join(best, Seq("doc_id"), "left")
         .join(sd, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("seed_label"), col("best_label"), col("label"))
             .as("label"))
+        .localCheckpoint()
+      prev.unpersist()
     }
     labels
   }

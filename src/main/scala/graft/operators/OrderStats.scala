@@ -33,8 +33,13 @@ object OrderStats {
     require(bins > 0, "bins must be positive")
     val data = df.select(col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
+    // localCheckpoint the 1-row stats (r16 opt): every lazy consumer of
+    // `binned` re-derived this aggregate — a full input scan each — so
+    // the documented 3-pass shape actually ran 5+ passes (agg_winsorize
+    // plan: extra lineitem scans under each crossJoin). Materializing
+    // one row costs nothing and pins pass-1 to exactly one scan.
     val stats = data.agg(min("__v").as("__min"), max("__v").as("__max"),
-      count(lit(1)).as("__n"))
+      count(lit(1)).as("__n")).localCheckpoint()
 
     // pass 2: fixed-width histogram; zero-width (constant column) folds
     // every row into bin 0. Equal values share a bin by construction, so
@@ -59,9 +64,13 @@ object OrderStats {
         floor(lit(p) * (col("__n") - 1).cast("double")).cast("long")
           .as("__r"))): _*)).as("pr"))
       .select(col("pr.p").as("p"), col("pr.__r").as("__r"))
+    // localCheckpoint (r16 opt): `targets` is ≤|ps| rows but its lineage
+    // carries the histogram pass — without the cut, pass 3's broadcast
+    // build re-ran pass 2 (and pass 1 again under it)
     val targets = ranks.join(cum,
       col("__r") >= col("__prev") && col("__r") < col("__cum"))
       .select(col("p"), col("__r"), col("__bin"), col("__prev"))
+      .localCheckpoint()
 
     // pass 3: rescan only the target bins; rank locally within each
     binned.join(broadcast(targets), Seq("__bin"))
@@ -92,8 +101,10 @@ object OrderStats {
     val data = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
+    // localCheckpoint: group-count rows; same 3-pass pinning as the
+    // global form above
     val stats = data.groupBy("__g").agg(min("__v").as("__min"),
-      max("__v").as("__max"), count(lit(1)).as("__n"))
+      max("__v").as("__max"), count(lit(1)).as("__n")).localCheckpoint()
 
     val width = (col("__max") - col("__min")) / lit(bins.toDouble)
     val binOf = when(col("__max") === col("__min"), lit(0L))
@@ -114,6 +125,7 @@ object OrderStats {
     val targets = ranks.join(cum, Seq("__g"))
       .where(col("__r") >= col("__prev") && col("__r") < col("__cum"))
       .select(col("__g"), col("p"), col("__r"), col("__bin"), col("__prev"))
+      .localCheckpoint()
 
     binned.join(broadcast(targets), Seq("__g", "__bin"))
       .withColumn("__rn", row_number().over(

@@ -453,9 +453,14 @@ object Llm {
     // per size class readable directly
     "llm_cluster_size_hist" -> ((s, d) => {
       val dd = docs(s, d)
+      // localCheckpoint (r16 opt): the copy-count table feeds the
+      // survivor join, the cluster re-expansion AND the alone-class
+      // anti-join; survivors feed the candidate and verify chains
       val counts = Dedup.exact(dd)
         .select(col("keep_id").as("doc_id"), col("n_docs").as("n_copies"))
+        .localCheckpoint()
       val survivors = dd.join(counts.select("doc_id"), Seq("doc_id"))
+        .localCheckpoint()
       val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       val clustered = Dedup.dupClusters(pairs)
@@ -481,8 +486,12 @@ object Llm {
     // farms); incidental one-off matches dissolve in round 1
     "llm_kcore" -> ((s, d) => {
       val dd = docs(s, d)
+      // localCheckpoint (r16 opt): survivors feed the candidate AND the
+      // verify chain — the lazy form re-derived the exact collapse per
+      // consumer (same shape as llm_dedup_venn)
       val survivors = dd.join(
         Dedup.exact(dd).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .localCheckpoint()
       val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       Dedup.kCore(pairs, k = 2, rounds = 3).orderBy("doc_id")
@@ -817,8 +826,13 @@ object Llm {
     // both lexical fronts
     "llm_dedup_venn" -> ((s, d) => {
       val dd = docs(s, d)
+      // localCheckpoint (r16 opt): the exact-survivor corpus feeds THREE
+      // chains (MinHash pairs, simhash banding, the flag frame) — the
+      // lazy form re-derived the scan+md5+collapse per consumer (17
+      // parquet scans / 60 Exchanges executed)
       val survivors = dd.join(
         Dedup.exact(dd).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .localCheckpoint()
       val mhPairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       val mhDropped = Dedup.dupClusters(mhPairs)
@@ -852,9 +866,15 @@ object Llm {
     // 4-row theta join — never a per-radius rescan
     "llm_simhash_pr_curve" -> ((s, d) => {
       val dd0 = docs(s, d)
+      // localCheckpoint (r16 opt): the exact-survivor corpus feeds BOTH
+      // the simhash fingerprint chain and the jaccard verify chain, and
+      // the candidate-pair set feeds BOTH the radius census and the
+      // verify join — the lazy form re-derived each per consumer (31
+      // parquet scans / 119 Exchanges in the executed plan)
       val dd = dd0.join(
         Dedup.exact(dd0).select(col("keep_id").as("doc_id")), Seq("doc_id"))
-      val sp = Dedup.simhashCandidates(dd)
+        .localCheckpoint()
+      val sp = Dedup.simhashCandidates(dd).localCheckpoint()
       val jac = Dedup.jaccard(dd, sp.select("doc_a", "doc_b"))
       val pairs = sp.join(jac, Seq("doc_a", "doc_b"), "left")
         .select(col("hamming"), coalesce(col("jaccard"), lit(0.0)).as("jac"))
@@ -881,11 +901,19 @@ object Llm {
     // estimator-vs-truth audit; integer bit matches, one ROUND division
     "llm_bbit_minhash" -> ((s, d) => {
       val dd0 = docs(s, d)
+      // localCheckpoint (r16 opt): candidates feed the estimator join and
+      // the exact verify, the bit table joins twice (a/b sides) — both
+      // are pair/signature-sized. The survivor corpus itself stays lazy:
+      // checkpointing it was A/B'd and lost (2.29 → 2.58 s) — this entry
+      // derives the corpus only thrice and the text materialization costs
+      // more than the re-derives.
       val dd = dd0.join(
         Dedup.exact(dd0).select(col("keep_id").as("doc_id")), Seq("doc_id"))
       val cand = Dedup.lshCandidates(dd).select("doc_a", "doc_b")
+        .localCheckpoint()
       val bits = Dedup.minhash(dd).select(
         col("doc_id") +: (0 until 8).map(i => expr(s"h$i % 2").as(s"b$i")): _*)
+        .localCheckpoint()
       val bitsA = bits.toDF("doc_a" +: (0 until 8).map(i => s"ab$i"): _*)
       val bitsB = bits.toDF("doc_b" +: (0 until 8).map(i => s"bb$i"): _*)
       val matchExpr = (0 until 8)
@@ -1515,9 +1543,15 @@ object Llm {
     // integers, two ROUND divisions at the edge
     "llm_rouge_verify" -> ((s, d) => {
       val dd0 = docs(s, d)
+      // localCheckpoint (r16 opt): only the pair-sized candidate set is
+      // materialized (two consumers). Checkpointing the survivor corpus
+      // and the bigram multiset was A/B'd and LOST (1.76 → 2.14 s) —
+      // corpus-scale string materialization costs more than the lazy
+      // re-derives here.
       val dd = dd0.join(
         Dedup.exact(dd0).select(col("keep_id").as("doc_id")), Seq("doc_id"))
       val cand = Dedup.lshCandidates(dd).select("doc_a", "doc_b")
+        .localCheckpoint()
       val bg = dd.select(col("doc_id"),
           expr(s"split(${graft.llm.Dedup.normalizeExpr}, ' ')").as("w"))
         .where(size(col("w")) >= 2)
@@ -1736,12 +1770,18 @@ object Llm {
     // materializing the per-copy candidate clique
     "llm_dup_source_matrix" -> ((s, d) => {
       val dd = docs(s, d)
+      // localCheckpoint (r16 opt): the class table joins four ways (the
+      // survivor selection + both pair endpoints), the per-source class
+      // counts three ways (both endpoints + the intra-class pairs)
       val fps = dd.select(col("doc_id"), col("source"),
         expr(s"md5(${graft.llm.Dedup.normalizeExpr})").as("fp"))
       val cls = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        .localCheckpoint()
       val clsrc = fps.groupBy("fp", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val survivors = dd.join(
         cls.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .localCheckpoint()
       val pairs = Dedup.jaccard(survivors, Dedup.lshCandidates(survivors))
         .where(col("jaccard") >= 0.6).select("doc_a", "doc_b")
       val crossM = pairs
@@ -2645,7 +2685,10 @@ object Llm {
     // themselves oracled row-by-row elsewhere
     "llm_dedup_report" -> ((s, d) => {
       val dd = docs(s, d)
-      val ex = Dedup.exact(dd)
+      // localCheckpoint (r16 opt): the exact table feeds the mass stats
+      // AND the survivor join; survivors feed candidate generation AND
+      // the jaccard verify — 12 parquet scans executed in the lazy form
+      val ex = Dedup.exact(dd).localCheckpoint()
       val exStats = ex.agg(
         sum("n_docs").as("n_docs"),
         count(lit(1)).as("n_distinct_content"),
@@ -2656,6 +2699,7 @@ object Llm {
       // measured 33 s vs 5 s at the 10x dup-heavy staging
       val survivors = dd.join(
         ex.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .localCheckpoint()
       // localCheckpoint: the scan→shingle→minhash→band subtree is the
       // report's dominant cost and feeds BOTH the pair count and the
       // jaccard verify chain — materialize the (pair-bounded, small)

@@ -1261,14 +1261,20 @@ object Ops {
     // per-group sort anywhere; med/MAD broadcast back over counting scans
     "agg_robust_outliers" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
+      // localCheckpoint the 3-row med/mad tables (r16 opt): every pass of
+      // the second quantile call and the final aggregate re-derived the
+      // full median computation under the broadcast join — 43 lineitem
+      // scans in the executed plan for a 7-scan composition
       val med = OrderStats.exactQuantilesByGroup(li, "l_returnflag",
           "l_extendedprice", Seq(0.5), bins = 1024)
         .select(col("l_returnflag"), col("value").as("med"))
+        .localCheckpoint()
       val withMed = li.join(broadcast(med), "l_returnflag")
         .withColumn("absdev", abs(col("l_extendedprice") - col("med")))
       val mad = OrderStats.exactQuantilesByGroup(withMed, "l_returnflag",
           "absdev", Seq(0.5), bins = 1024)
         .select(col("l_returnflag"), col("value").as("mad"))
+        .localCheckpoint()
       withMed.join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
