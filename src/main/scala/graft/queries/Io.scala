@@ -103,6 +103,29 @@ object Io {
     deleteRecursively(tmp.toFile)
   }
 
+  /** Stage several independent landing files CONCURRENTLY (r16 opt,
+    * guide §2.6 "overlap independent jobs"): each slice is its own
+    * scan+repartition(1)+write job whose final write stage is one task,
+    * so sequential staging serialized N mostly-idle jobs; a small thread
+    * pool lets the next job's scan tasks backfill the previous one's
+    * single-task tail. File contents and pinned mtimes are independent
+    * of completion order, and the landing dir is only read after all
+    * futures complete, so the replay schedule is byte-identical.
+    */
+  private[graft] def stageOrderedFiles(landing: String,
+      files: Seq[(org.apache.spark.sql.DataFrame, String, Long)]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(files.size, 4))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(files.map { case (df, name, mtime) =>
+        Future(stageOrderedFile(landing, df, name, mtime))
+      }), Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   private def stageLateLanding(s: SparkSession, d: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.functions.{col, expr, lit}
@@ -117,15 +140,13 @@ object Io {
       expr("conv(substr(md5(cast(event_id AS STRING)),1,15),16,10) % 10 = 0")
     val landing =
       java.nio.file.Files.createTempDirectory("graft_stream_late").toString
-    def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtimeMs: Long): Unit =
-      stageOrderedFile(landing, df, name, mtimeMs)
     val t0 = System.currentTimeMillis() - 600000
-    stageOne(evs.where(col("ts") <= lit(h12) && !held), "f1a_ontime.parquet", t0)
-    stageOne(evs.where(col("ts") > lit(h12) && col("ts") <= lit(h6) && !held),
-      "f1b_ontime.parquet", t0 + 60000)
-    stageOne(evs.where(col("ts") <= lit(h6) && held), "f2_late.parquet", t0 + 120000)
-    stageOne(evs.where(col("ts") > lit(h6)), "f3_tail.parquet", t0 + 180000)
+    stageOrderedFiles(landing, Seq(
+      (evs.where(col("ts") <= lit(h12) && !held), "f1a_ontime.parquet", t0),
+      (evs.where(col("ts") > lit(h12) && col("ts") <= lit(h6) && !held),
+        "f1b_ontime.parquet", t0 + 60000),
+      (evs.where(col("ts") <= lit(h6) && held), "f2_late.parquet", t0 + 120000),
+      (evs.where(col("ts") > lit(h6)), "f3_tail.parquet", t0 + 180000)))
     (landing, evs.schema)
   }
 
@@ -1303,10 +1324,8 @@ object Io {
       val landing = s"$root/landing"
       new java.io.File(landing).mkdirs()
       val t0 = System.currentTimeMillis() - 600000
-      (0 until 2).foreach { i =>
-        stageOrderedFile(landing, evs.where(s"event_id % 4 = $i"),
-          s"f$i.parquet", t0 + i * 60000)
-      }
+      stageOrderedFiles(landing, (0 until 2).map(i =>
+        (evs.where(s"event_id % 4 = $i"), s"f$i.parquet", t0 + i * 60000)))
       def run(): Unit = graft.streaming.Streams.runToParquet(
         s.readStream.schema(evs.schema)
           .option("maxFilesPerTrigger", "1").parquet(landing)
@@ -1316,10 +1335,8 @@ object Io {
             "CAST(date_trunc('DAY', ts) AS DATE) AS day"),
         s"$root/out", s"$root/ck")
       run() // phase 1: drains f0, f1, stops
-      (2 until 4).foreach { i =>
-        stageOrderedFile(landing, evs.where(s"event_id % 4 = $i"),
-          s"f$i.parquet", t0 + i * 60000)
-      }
+      stageOrderedFiles(landing, (2 until 4).map(i =>
+        (evs.where(s"event_id % 4 = $i"), s"f$i.parquet", t0 + i * 60000)))
       run() // phase 2: resumes from the checkpoint, drains f2, f3
       s.read.parquet(s"$root/out").orderBy("event_id")
     }),
@@ -1487,9 +1504,9 @@ object Io {
         evs.where(expr(
           s"unix_micros(ts) > ${cuts(1)} AND unix_micros(ts) <= ${cuts(2)}")),
         evs.where(expr(s"unix_micros(ts) > ${cuts(2)}")))
-      slices.zipWithIndex.foreach { case (df, i) =>
-        stageOrderedFile(landing, df, s"f$i.parquet", t0 + i * 60000)
-      }
+      stageOrderedFiles(landing, slices.zipWithIndex.map { case (df, i) =>
+        (df, s"f$i.parquet", t0 + i * 60000)
+      })
       withRocksDbProvider(s) {
         val stream = s.readStream.schema(evs.schema)
           .option("maxFilesPerTrigger", "1").parquet(landing)
@@ -1534,9 +1551,9 @@ object Io {
         evs.where(expr(
           s"unix_micros(ts) > ${cuts(1)} AND unix_micros(ts) <= ${cuts(2)}")),
         evs.where(expr(s"unix_micros(ts) > ${cuts(2)}")))
-      slices.zipWithIndex.foreach { case (df, i) =>
-        stageOrderedFile(landing, df, s"f$i.parquet", t0 + i * 60000)
-      }
+      stageOrderedFiles(landing, slices.zipWithIndex.map { case (df, i) =>
+        (df, s"f$i.parquet", t0 + i * 60000)
+      })
       withRocksDbProvider(s) {
         val stream = s.readStream.schema(evs.schema)
           .option("maxFilesPerTrigger", "1").parquet(landing)
@@ -1839,11 +1856,9 @@ object Io {
       val landing =
         java.nio.file.Files.createTempDirectory("graft_stream_twsl").toString
       val t0 = System.currentTimeMillis() - 600000
-      (0 until 3).foreach { i =>
-        stageOrderedFile(landing,
-          evs.where(s"event_id % 3 = $i").drop("event_id"),
-          s"f$i.parquet", t0 + i * 60000)
-      }
+      stageOrderedFiles(landing, (0 until 3).map(i =>
+        (evs.where(s"event_id % 3 = $i").drop("event_id"),
+          s"f$i.parquet", t0 + i * 60000)))
       val schema = evs.drop("event_id").schema
       withRocksDbProvider(s) {
         val stream = s.readStream.schema(schema)
@@ -2098,10 +2113,9 @@ object Io {
       val t0 = System.currentTimeMillis() - 600000
       val cut = evs.agg(expr("max(ts) - INTERVAL 12 HOURS").as("c"))
         .collect()(0).getTimestamp(0)
-      stageOrderedFile(landing, evs.where(col("ts") <= lit(cut)),
-        "f0.parquet", t0)
-      stageOrderedFile(landing, evs.where(col("ts") > lit(cut)),
-        "f1.parquet", t0 + 60000)
+      stageOrderedFiles(landing, Seq(
+        (evs.where(col("ts") <= lit(cut)), "f0.parquet", t0),
+        (evs.where(col("ts") > lit(cut)), "f1.parquet", t0 + 60000)))
       withRocksDbProvider(s) {
         val stream = s.readStream.schema(evs.schema)
           .option("maxFilesPerTrigger", "1").parquet(landing)

@@ -760,6 +760,23 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** State-partition sizing for the bounded replays (see runToMemory
+    * scaladoc): every stateful operator runs one state store
+    * (open/commit) per shuffle partition per micro-batch, so partitions
+    * are sized to state VOLUME, not to the session's scan parallelism.
+    * Default 2 after the r16 sweep over a 10-entry replay subset at
+    * sf0.1 (min-of-2, back-to-back runs): 8 partitions 43.9 s total,
+    * 4 → 36.9 s, 2 → 34.2 s — the bounded replays hold KB of state, so
+    * per-partition store open/commit per micro-batch dominates and
+    * fewer stores win (the same sizing call as r12's 32→8 clamp, one
+    * step further now that the per-batch breakdown is measured: addBatch
+    * ~300-450 ms even for sub-1k-row batches at 8 partitions).
+    * Env-overridable because the right value is per-job state-volume
+    * sizing — a production stream with GBs of state raises it.
+    */
+  private def streamShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+
   /** Drive any of the above to an in-memory table and block until the
     * source drains — the test/demo harness path.
     */
@@ -779,11 +796,22 @@ object Streams {
     // checkpoint each run, so rescaling between invocations is safe.
     val conf = df.sparkSession.conf
     val prevShuffle = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
-      try q.processAllAvailable()
+      try {
+        q.processAllAvailable()
+        // opt-in batch timing breakdown (SPARK_GRAFT_STREAM_DEBUG=1):
+        // per-batch durationMs components from the progress log — the
+        // measurement view the r16 optimization pass used to see where
+        // replay seconds go (planning vs state commit vs sink)
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[stream-debug] $name batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durations=${p.durationMs}")
+          }
+      }
       finally q.stop()
     } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
@@ -798,7 +826,7 @@ object Streams {
                      (fn: (DataFrame, Long) => Unit): Unit = {
     val conf = df.sparkSession.conf
     val prevShuffle = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
     try {
       val q = df.writeStream
         .option("checkpointLocation", checkpointDir)
@@ -825,7 +853,7 @@ object Streams {
                    checkpointDir: String): Unit = {
     val conf = df.sparkSession.conf
     val prevShuffle = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
     try {
       val q = df.writeStream.format("parquet")
         .option("path", outDir)
