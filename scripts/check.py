@@ -67,8 +67,13 @@ def main():
     out = args[1] if len(args) > 1 else "/tmp/verify_out"
     only = set(args[2:])
     if "--skip-verify" not in sys.argv:
+        # subset names pass through to Verify (r16): a per-change loop
+        # re-runs only the touched queries' Spark dumps; oracle_sql.json
+        # is always rewritten in full, so the compare loop below still
+        # sees every name and skips to the requested ones
+        sub = " " + " ".join(sorted(only)) if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{sub}'],
             capture_output=True, text=True, cwd="/root/repo",
             env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8"})
         if r.returncode != 0:

@@ -5,11 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args: run a SUBSET of queries (r16: the full dump
+    // is ~35 min at sf0.01 — a per-change correctness loop needs the
+    // same subset support Bench has). The driver calls with 2 args and
+    // gets the full dump, unchanged. Unknown names fail loudly.
+    val names = args.drop(2)
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    val selected =
+      if (names.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(names.contains).toMap
     val spark = Session.local("graft-verify")
     Tables.register(spark, sfDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -31,7 +31,7 @@ object TextAnalysis {
     * upstream exchanges executes those stages eagerly just to count
     * partitions.
     */
-  private[llm] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -70,9 +70,13 @@ object Bootstrap {
     val wExpr = poissonCumThresholds()
       .map(c => s"(CASE WHEN __u >= CAST(${c}D AS DOUBLE) THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    val boot = df
+    // spread before the explode (r16 opt): rows×B md5 draws + the
+    // comparison chain are compute-amplified map work that serialized
+    // into ONE task on the single-row-group fixtures (the cdc_chunks
+    // precedent — TextAnalysis.spread is identity on multi-split tables)
+    val boot = graft.llm.TextAnalysis.spread(df
       .select((groupCols.map(col) :+ col(valueCents).as("__v")) :+
-        col(idCol).as("__id"): _*)
+        col(idCol).as("__id"): _*))
       .withColumn("__b", explode(expr(s"sequence(0, ${replicas - 1})")))
       .withColumn("__u", expr(
         s"CAST(conv(substr(md5(concat_ws('|', '$seed', __b, __id)), 1, 15), 16, 10) AS BIGINT)" +

@@ -336,7 +336,32 @@ object Tpch {
       name -> ((spark: SparkSession, dir: String) => {
         Tables.register(spark, dir); spark.sql(text)
       })
-    } + ("tpch_q15" -> (q15 _))
+    } + ("tpch_q15" -> (q15 _)) + ("tpch_q1" -> (q1 _))
+
+  /** q1 runs the shared SQL text over a lineitem scan SPREAD to the
+    * session's parallelism when the input is under-split (r16 opt, guide
+    * §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): the sf fixtures are single-row-group
+    * parquet, i.e. ONE real mapper, so q1's 8-aggregate partial
+    * aggregation — the heaviest scan-stage compute in the suite — ran
+    * serially while 31 cores idled (measured 1.07 s vs 0.1 s for q6's
+    * 1-agg pass over the same scan). Hash-repartitioning on l_orderkey
+    * parallelizes the partial aggregation; the guard makes it identity
+    * on any real multi-split table, so at scale the exchange never
+    * exists. Results are unchanged: every q1 aggregate is DECIMAL /
+    * COUNT (order-independent); the DuckDB oracle text stays identical.
+    */
+  private def q1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    val li = spark.table("lineitem")
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (li.rdd.getNumPartitions < target)
+        li.repartition(target, org.apache.spark.sql.functions.col("l_orderkey"))
+      else li
+    spread.createOrReplaceTempView("lineitem_spread_q1")
+    spark.sql(sql("tpch_q1").replace("FROM lineitem", "FROM lineitem_spread_q1"))
+  }
 
   def oracles: Map[String, String] =
     sql + ("tpch_q15" -> s"WITH revenue0 AS ($q15View) $q15Select")
