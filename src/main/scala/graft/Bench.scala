@@ -173,8 +173,14 @@ object Bench {
     def onePass(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
+      // blocking=true (r16 verdict #2): the non-blocking variant let the
+      // previous entry's checkpoint-block removal bleed INTO the next
+      // entry's timed window — llm_chunk/llm_chunk_dedup read 6-7× band in
+      // the r16 scored run right after checkpoint-heavy entries, while at
+      // 8 cores (less removal concurrency pressure) they sat in band. The
+      // wait lands before t0, so scored time is unaffected.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

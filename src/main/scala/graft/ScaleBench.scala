@@ -139,8 +139,10 @@ object ScaleBench {
         // this query's cost — the r13 factor-100 run timed tpch_q18 at
         // 77.9 s under 32 queries' accumulated state vs 10.4 s clean
         spark.catalog.clearCache()
+        // blocking=true (r16 verdict #2): async removal bled into the next
+        // timed window — same fix as Bench.onePass
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         SparkEntry.queries(q)(spark, out)
           .write.mode("overwrite").format("noop").save()
       }

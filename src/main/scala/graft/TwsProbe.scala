@@ -53,7 +53,7 @@ object TwsProbe {
         // the Bench/ScaleBench off-the-clock hygiene
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, out)
           .write.mode("overwrite").format("noop").save()

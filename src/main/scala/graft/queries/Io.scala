@@ -116,6 +116,7 @@ object Io {
       files: Seq[(org.apache.spark.sql.DataFrame, String, Long)]): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    if (files.isEmpty) return
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(files.size, 4))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

@@ -360,7 +360,13 @@ object Tpch {
         li.repartition(target, org.apache.spark.sql.functions.col("l_orderkey"))
       else li
     spread.createOrReplaceTempView("lineitem_spread_q1")
-    spark.sql(sql("tpch_q1").replace("FROM lineitem", "FROM lineitem_spread_q1"))
+    val rewritten = sql("tpch_q1").replace("FROM lineitem", "FROM lineitem_spread_q1")
+    // loud guard (r16 ADVICE): if the shared q1 text is ever reformatted so
+    // the textual rewrite no longer matches, the spread would silently stop
+    // applying — still correct, but the documented perf fix evaporates
+    require(rewritten != sql("tpch_q1"),
+      "tpch_q1 spread rewrite did not apply — q1 SQL text changed shape")
+    spark.sql(rewritten)
   }
 
   def oracles: Map[String, String] =
