@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Free the storage blocks behind a `localCheckpoint()`'d DataFrame NOW.
+    * `Dataset.unpersist` routes through the CacheManager, which has no
+    * entry for a checkpoint's LogicalRDD — so on checkpointed frames it is
+    * a silent no-op and blocks linger until driver GC (r16 ADVICE). The
+    * real handle is the LogicalRDD's underlying persisted RDD. Falls back
+    * to `Dataset.unpersist` for plans that are not a bare checkpoint.
+    * Callers must guarantee the frame is never touched again: a freed
+    * localCheckpoint cannot recompute (lineage is truncated).
+    */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => df.unpersist(); ()
+    }
+
   /** Whitespace-collapsed lowercase normalization — the usual first step
     * before hashing document text.
     */
@@ -685,7 +701,7 @@ object Dedup {
         // superseded intra-batch checkpoints would otherwise pin
         // O(rounds x |V|) storage until driver GC — release eagerly
         // (batchStart stays alive for the probe below)
-        if (cur ne batchStart) cur.unpersist()
+        if (cur ne batchStart) freeCheckpoint(cur)
         cur = next
         k += 1
         iter += 1
@@ -693,10 +709,10 @@ object Dedup {
       done = cur.as("n").join(batchStart.as("o"), Seq("doc_id"))
         .where(col("n.label") =!= col("o.label"))
         .isEmpty
-      batchStart.unpersist()
+      freeCheckpoint(batchStart)
       labels = cur
     }
-    edges.unpersist()
+    freeCheckpoint(edges)
     // returning unconverged labels would be SILENTLY wrong clusters;
     // with pointer jumping, 25 rounds cover any realistic component
     // diameter, so hitting the cap means something is broken
@@ -804,10 +820,19 @@ object Dedup {
     // so extra user columns are legal — a plain "fp" here would make
     // col(...) ambiguous against an incoming column of the same name
     val exFp = existing.select(expr(s"md5($normalizeExpr)").as("__ex_fp")).distinct()
+    // localCheckpoint (r17 opt, guide §2.4): the exact-survivor batch
+    // feeds THREE consumers — its band signatures (minhash chain), the
+    // cross-corpus shingle union in the jaccard verify, and the final
+    // anti-join — and its own derivation is an md5-fingerprint pass plus
+    // an anti-join against the whole accepted corpus's fingerprints, so
+    // the lazy form re-ran that corpus pass per consumer
+    // (llm_dedup_incremental executed 25 parquet scans / 28 Exchanges;
+    // llm_split_leakage 44/49 — plans/r17/*_before.txt)
     val exactSurvivors = incoming
       .withColumn("__fp", expr(s"md5($normalizeExpr)"))
       .join(exFp, col("__fp") === exFp("__ex_fp"), "left_anti")
       .drop("__fp")
+      .localCheckpoint()
     val cross = bandSignatures(existing, numHashes, bands).as("a")
       .join(bandSignatures(exactSurvivors, numHashes, bands).as("b"),
         expr("a.band = b.band AND a.sig = b.sig"))
@@ -1145,26 +1170,46 @@ object Dedup {
   def pageRank(pairs: DataFrame, iters: Int = 2,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be positive")
+    // localCheckpoint the normalized edge list, the degree table and each
+    // round's ranks — the dupClusters/labelPropagation per-round
+    // discipline this operator was missing (r17 opt, guide §2.4/§3.3):
+    // `sym` is referenced by deg AND every iteration's contribution join,
+    // `deg` three times (adj, rank init, final join), and `ranks` chains
+    // per round — so the lazy form re-derived the WHOLE upstream
+    // candidate-pair computation (scan→shingle→minhash→band join→jaccard
+    // verify) once per reference: llm_pagerank's executed plan ran
+    // 74 parquet scans / 136 Exchanges for a 2-iteration walk over one
+    // pair join (plans/r17/llm_pagerank_before.txt).
     val edges = pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .where(col("a") < col("b"))
       .distinct()
+      .localCheckpoint()
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val adj = sym.join(deg, Seq("src"))
     var ranks = deg.select(col("src").as("doc_id"),
       expr("CAST(1.0 AS DOUBLE)").as("pr"))
     for (_ <- 1 to iters) {
       val contrib = adj.join(ranks, adj("src") === ranks("doc_id"))
         .select(col("dst"), col("src"), expr("pr / deg").as("c"))
+      val prev = ranks
       ranks = contrib.groupBy(col("dst").as("doc_id"))
         .agg(expr(
           s"""CAST(${damping} AS DOUBLE) * aggregate(
              |  transform(array_sort(collect_list(struct(src, c))),
              |    s -> s.c), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
              |+ CAST(${1.0 - damping} AS DOUBLE)""".stripMargin).as("pr"))
+        .localCheckpoint()
+      // free superseded ROUND state only: the initial `ranks` is a
+      // projection over deg's checkpoint (its plan is not a LogicalRDD),
+      // and deg itself is still consumed by the final join below
+      if (prev.queryExecution.logical
+            .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+        freeCheckpoint(prev)
     }
     ranks.join(deg, ranks("doc_id") === deg("src"))
       .select(col("doc_id"), col("deg"),
@@ -1228,7 +1273,7 @@ object Dedup {
           coalesce(col("seed_label"), col("best_label"), col("label"))
             .as("label"))
         .localCheckpoint()
-      prev.unpersist()
+      freeCheckpoint(prev)
     }
     labels
   }

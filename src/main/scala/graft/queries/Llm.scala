@@ -2668,7 +2668,15 @@ object Llm {
     // before trusting any benchmark number
     "llm_split_leakage" -> ((s, d) => {
       val dd = docs(s, d)
+      // localCheckpoint (r17 opt): the split table is METADATA-scale
+      // (doc_id, split) but its derivation is a corpus-wide
+      // normalize+md5 pass, and it feeds the train selection (consumed
+      // 3× inside dedupeIncremental) plus the heldout selection
+      // (consumed twice) — the lazy form re-ran the md5 pass per
+      // consumer (44 parquet scans / 49 Exchanges executed,
+      // plans/r17/llm_split_leakage_before.txt)
       val split = TextAnalysis.hashSplit(dd).select("doc_id", "split")
+        .localCheckpoint()
       val train = dd.join(
         split.where("split = 'train'").select("doc_id"), "doc_id")
       val heldout = dd.join(
