@@ -231,17 +231,36 @@ object Dedup {
     */
   private[llm] def jaccardFromShingles(sh: DataFrame,
                                        candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
-    val inter = candidates.as("c")
-      .join(sh.as("x"), expr("x.doc_id = c.doc_a"))
-      .join(sh.as("y"), expr("y.doc_id = c.doc_b AND y.shingle = x.shingle"))
-      .groupBy(col("c.doc_a"), col("c.doc_b"))
-      .agg(count("*").as("n_both"))
-    inter
-      .join(sizes.as("sa"), expr("sa.doc_id = doc_a"))
-      .join(sizes.as("sb"), expr("sb.doc_id = doc_b"))
+    // Per-doc shingle SETS + in-place array_intersect replace the exploded
+    // candidate×shingle equi-join (r17 opt, guide §2.3/§2.4 — shuffle
+    // fewer bytes, remove shuffles): the old shape joined every candidate
+    // pair against BOTH docs' exploded shingle rows — pairs × shingles-
+    // per-doc intermediate rows through two exchanges plus a (doc_a,
+    // doc_b) re-aggregation. Measured at sf0.1 on llm_simhash_pr_curve's
+    // candidate set: 271k pairs × ~52 shingles/doc ≈ 14M shuffled shingle
+    // strings, 7.9 s of the entry's 10.3 s. Collecting each doc's
+    // (already-distinct) shingles ONCE and intersecting per pair moves
+    // each doc's set once per partner instead of once per partner per
+    // shingle row, with no post-join aggregation. array_intersect is a
+    // codegen'd expression (not a lambda HOF), |A∩B| over distinct
+    // elements equals the old join-match count exactly, and the size
+    // arithmetic is the same BIGINT expression — jaccard values are
+    // bit-identical, the DuckDB oracle untouched. Zero-overlap pairs
+    // emitted NO row in the join form; the filter preserves that contract
+    // ([[jaccardWithZeros]] is the keep-zeros variant).
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("__sh_set"),
+        count(lit(1)).as("__n_sh"))
+    candidates.select("doc_a", "doc_b")
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("__sh_set").as("__sa"), col("__n_sh").as("__na")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("__sh_set").as("__sb"), col("__n_sh").as("__nb")), Seq("doc_b"))
+      .withColumn("__n_both",
+        expr("CAST(size(array_intersect(__sa, __sb)) AS BIGINT)"))
+      .where(col("__n_both") > 0)
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST(ROUND(CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both), 6) AS DOUBLE)")
+        expr("CAST(ROUND(CAST(__n_both AS DOUBLE) / (__na + __nb - __n_both), 6) AS DOUBLE)")
           .as("jaccard"))
   }
 
@@ -256,23 +275,25 @@ object Dedup {
     */
   def jaccardWithZeros(docs: DataFrame, candidates: DataFrame,
                        n: Int = 3): DataFrame = {
+    // same array_intersect form as [[jaccardFromShingles]] (r17 opt —
+    // see the rationale there); zero-overlap pairs fall out naturally
+    // (intersect size 0) instead of via the LEFT-join + COALESCE the
+    // exploded join needed, and extra candidate columns pass through
     val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
-    val inter = candidates.select("doc_a", "doc_b").as("c")
-      .join(sh.as("x"), expr("x.doc_id = c.doc_a"))
-      .join(sh.as("y"), expr("y.doc_id = c.doc_b AND y.shingle = x.shingle"))
-      .groupBy(col("c.doc_a"), col("c.doc_b"))
-      .agg(count("*").as("n_both"))
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("__sh_set"),
+        count(lit(1)).as("__n_sh"))
     candidates
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("__na")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("__nb")),
-        Seq("doc_b"))
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("__sh_set").as("__sa"), col("__n_sh").as("__na")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("__sh_set").as("__sb"), col("__n_sh").as("__nb")), Seq("doc_b"))
+      .withColumn("__n_both",
+        expr("CAST(size(array_intersect(__sa, __sb)) AS BIGINT)"))
       .withColumn("jaccard", expr(
-        "CAST(ROUND(CAST(COALESCE(n_both, 0) AS DOUBLE) " +
-          "/ (__na + __nb - COALESCE(n_both, 0)), 6) AS DOUBLE)"))
-      .drop("n_both", "__na", "__nb")
+        "CAST(ROUND(CAST(__n_both AS DOUBLE) " +
+          "/ (__na + __nb - __n_both), 6) AS DOUBLE)"))
+      .drop("__sa", "__sb", "__n_both", "__na", "__nb")
   }
 
   /** Shingle containment (Broder): |shingles(doc) ∩ shingles(probe)| /
